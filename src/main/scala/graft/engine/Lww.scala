@@ -1,0 +1,39 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Last-writer-wins micro-batch deduplication (SURVEY.md §2.3 `dedupe`,
+  * upstream `internal/impl/pure/processor_dedupe.go` semantics widened
+  * to CDC: within a batch, only the event with the greatest `seq` per
+  * (repo, path) matters).
+  *
+  * Skew: repo popularity is Zipf-like, so a single hot (repo) can
+  * dominate a shuffle partition. The reduction is associative, so we
+  * split it into an explicit two-phase aggregate — phase 1 groups by
+  * (key, salt) spreading each hot key over `salt` reducers, phase 2
+  * finishes per key on the (tiny) survivors. This is the classic
+  * partial/final split done explicitly as the north rule demands;
+  * Spark's own map-side partial aggregation makes phase 1 cheap.
+  */
+object Lww {
+
+  /** One row per key, the greatest-`seq` event winning. Keeps every
+    * input column. `saltBuckets` <= 1 disables the explicit pre-phase.
+    */
+  def dedupe(df: DataFrame, keys: Seq[String] = Seq("repo", "path"),
+             orderCol: String = "seq", saltBuckets: Int = 16): DataFrame = {
+    val all = df.columns.toSeq
+    val keyCols = keys.map(col)
+    val packed = struct(all.map(col): _*)
+    val pre =
+      if (saltBuckets <= 1) df.select((keys.map(col) :+ packed.as("_w")): _*)
+      else df
+        .groupBy(keyCols :+ pmod(xxhash64(col(orderCol)), lit(saltBuckets.toLong)).as("_salt"): _*)
+        .agg(max_by(packed, col(orderCol)).as("_w"))
+    pre
+      .groupBy(keys.map(k => col("_w").getField(k).as(k)): _*)
+      .agg(max_by(col("_w"), col("_w").getField(orderCol)).as("_w"))
+      .select(col("_w.*"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Deterministic, seeded CDC change-event log generator.
+  *
+  * Replaces the reference's `generate` input (SURVEY.md §2.1, upstream
+  * `internal/impl/pure/input_generate.go`) with a fully distributed,
+  * wall-clock-free Catalyst plan: every column is a pure function of
+  * `(seed, seq)`, so any prefix of the log is replayable and the same
+  * seed always produces byte-identical data (the determinism rule of
+  * BASELINE.json). Scales linearly — `spark.range` partitions the seq
+  * space, no shuffle anywhere in generation.
+  *
+  * Skew: repo ids follow a power-law (Zipf-like) distribution via
+  * inverse-CDF `floor(N * u^alpha)` so a handful of "hot" repos carry
+  * most events — this is what the salted LWW + AQE skew handling is
+  * exercised against.
+  *
+  * Schema evolution segments (FIXTURES.md §1):
+  *   - segment 0: base schema (no `size_bytes`)
+  *   - segment 1: adds `size_bytes: INT`
+  *   - segment 2: widens `size_bytes` to LONG (some values > INT range)
+  */
+object EventLogGen {
+
+  final case class GenConfig(
+      seed: Long = 42L,
+      events: Long = 10000L,
+      repos: Int = 20,
+      pathsPerRepo: Int = 200,
+      zipfExponent: Double = 1.2,
+      deleteRatio: Double = 0.05,
+      evolutionAt: Seq[Double] = Seq(0.4, 0.7),
+      rowsPerFile: Long = 2500L)
+
+  private val langs = Seq("scala", "java", "py", "go", "rs", "md", "yaml")
+
+  /** Pure-Catalyst event frame for seq in [start, end), base columns. */
+  def events(spark: SparkSession, cfg: GenConfig, start: Long, end: Long): DataFrame = {
+    val parts = math.max(1L, math.min((end - start) / math.max(1L, cfg.rowsPerFile), 4096L)).toInt
+    val df = spark.range(start, end, 1L, parts)
+    val h = xxhash64(lit(cfg.seed), col("id"))
+    val u = pmod(h, lit(1000000000L)).cast("double") / 1e9
+    val alpha = 1.0 + cfg.zipfExponent
+    val repoIdx = least(
+      floor(lit(cfg.repos.toDouble) * pow(u, lit(alpha))).cast("int"),
+      lit(cfg.repos - 1))
+    val pathIdx = pmod(xxhash64(lit(cfg.seed + 1), col("id")), lit(cfg.pathsPerRepo.toLong)).cast("int")
+    // lang is a stable function of (repo, pathIdx) so a given key never
+    // changes language across updates
+    val langCol = element_at(
+      array(langs.map(lit): _*),
+      (pmod(xxhash64(lit(cfg.seed + 3), repoIdx.cast("long") * lit(100000L) + pathIdx.cast("long")),
+        lit(langs.size.toLong)) + 1L).cast("int"))
+    val repo = format_string("repo-%05d", repoIdx)
+    val path = format_string("src/pkg%02d/File_%04d.%s",
+      pmod(pathIdx, lit(10)), pathIdx, langCol)
+    val commit = substring(sha2(concat_ws(":", lit(cfg.seed), col("id")), 256), 1, 40)
+    val isDelete =
+      pmod(xxhash64(lit(cfg.seed + 2), col("id")), lit(10000L)) < lit((cfg.deleteRatio * 10000).toLong)
+    val fillerBlocks = (pmod(xxhash64(lit(cfg.seed + 4), col("id")), lit(8L)) + 1L).cast("int")
+    val filler = repeat(
+      concat(substring(sha2(concat(commit, path), 256), 1, 48), lit("\n")), fillerBlocks)
+    val content = concat(
+      format_string("// %s/%s @ %s\n// lang=", repo, path, commit), langCol,
+      format_string(" seq=%d\n", col("id")),
+      lit("object Main { /*\n"), filler, lit("*/ }\n"))
+    df.select(
+      col("id").as("seq"),
+      when(isDelete, lit("delete")).otherwise(lit("upsert")).as("op"),
+      repo.as("repo"),
+      path.as("path"),
+      commit.as("commit"),
+      langCol.as("lang"),
+      content.as("content"))
+  }
+
+  /** Segment boundaries as absolute seq values: 3 segments. */
+  def segmentBounds(cfg: GenConfig): Seq[(Long, Long)] = {
+    val cuts = (Seq(0.0) ++ cfg.evolutionAt ++ Seq(1.0)).map(f => (f * cfg.events).toLong)
+    cuts.zip(cuts.tail).filter { case (a, b) => b > a }
+  }
+
+  /** Event frame for one evolution segment, with the segment's schema. */
+  def segment(spark: SparkSession, cfg: GenConfig, segIdx: Int): DataFrame = {
+    val (start, end) = segmentBounds(cfg)(segIdx)
+    val base = events(spark, cfg, start, end)
+    segIdx match {
+      case 0 => base
+      case 1 => base.withColumn("size_bytes", length(col("content")).cast("int"))
+      case _ =>
+        // ~0.5% of rows exceed INT range to force int→long widening
+        val big = pmod(xxhash64(lit(cfg.seed + 5), col("seq")), lit(1000L)) < 5L
+        base.withColumn("size_bytes",
+          when(big, length(col("content")).cast("long") + lit(3000000000L))
+            .otherwise(length(col("content")).cast("long")))
+    }
+  }
+
+  /** Write the full log: each segment's parquet files are produced in a
+    * scratch dir then moved into `logDir` under sequence-ordered names
+    * (`seg<k>-<i>.parquet`) so the file-stream source has stable,
+    * deterministic file identities.
+    */
+  def writeLog(spark: SparkSession, cfg: GenConfig, logDir: String): Unit = {
+    val log = Paths.get(logDir)
+    Files.createDirectories(log)
+    segmentBounds(cfg).indices.foreach { segIdx =>
+      val tmp = Files.createTempDirectory(log.getParent, s".gen-seg$segIdx")
+      segment(spark, cfg, segIdx)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val parts = listFiles(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, log.resolve(f"seg$segIdx-$i%05d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      deleteRecursively(tmp)
+    }
+  }
+
+  private def listFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(dir)
+    try {
+      val b = Seq.newBuilder[java.nio.file.Path]
+      s.forEach(p => b += p)
+      b.result()
+    } finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) listFiles(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,323 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** From-scratch Iceberg-style lake table (SURVEY.md §7 M2).
+  *
+  * The sandbox ships no Iceberg/Delta jars, so the "Iceberg table" of
+  * the north rule is implemented from first principles, following the
+  * published Iceberg spec's concepts (snapshot chain, manifest file
+  * list, schema ids, optimistic/atomic commit), not its code:
+  *
+  *   root/
+  *     meta/v%08d.json         -- immutable snapshot chain
+  *     data/c%08d/bucket=N/    -- data files of commit N (parquet)
+  *
+  * - Atomic commit: snapshot JSON is written to a temp file then moved
+  *   into place with ATOMIC_MOVE; the highest v*.json is current.
+  * - Exactly-once: each snapshot records `lastCommittedBatchId`; a
+  *   merge whose batchId <= that is a no-op (idempotent fencing, the
+  *   Delta/Iceberg txnAppId/txnVersion pattern).
+  * - Layout: data files are hash-bucketed by repo
+  *   (`pmod(xxhash64(repo), buckets)`), so a merge only rewrites the
+  *   buckets its updates touch (copy-on-write at bucket granularity)
+  *   and reads can prune buckets from an equality predicate on repo.
+  * - Schema evolution: add-column and int→long / float→double widening
+  *   produce a new schema id; old files are never rewritten — they are
+  *   read under the widest schema (Spark 4 parquet readers perform the
+  *   widening promotion).
+  * - Rows carry a hidden `_seq` column (the change's total order) so
+  *   last-writer-wins stays correct even if a batch arrives with
+  *   lower-seq events than already applied.
+  */
+final class LakeTable(val root: String, val buckets: Int = 16) {
+  import LakeTable._
+
+  private val metaDir = Paths.get(root, "meta")
+  private val dataDir = Paths.get(root, "data")
+
+  def initIfNeeded(schema: StructType): Unit = {
+    Files.createDirectories(metaDir)
+    Files.createDirectories(dataDir)
+    if (currentVersion() < 0) {
+      writeSnapshot(Snapshot(
+        version = 0, schemaId = 0, schemaJson = schema.json,
+        lastCommittedBatchId = -1L, buckets = buckets, files = Nil,
+        lineage = Nil))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // snapshot chain
+  // ------------------------------------------------------------------
+
+  def currentVersion(): Long =
+    if (!Files.isDirectory(metaDir)) -1L
+    else listDir(metaDir)
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong)
+      .foldLeft(-1L)(math.max)
+
+  def snapshot(version: Long = currentVersion()): Snapshot = {
+    require(version >= 0, s"lake at $root has no snapshot")
+    val txt = Files.readString(metaDir.resolve(f"v$version%08d.json"))
+    implicit val fmt: Formats = DefaultFormats
+    JsonMethods.parse(txt).extract[Snapshot]
+  }
+
+  private def writeSnapshot(s: Snapshot): Unit = {
+    implicit val fmt: Formats = DefaultFormats
+    val tmp = Files.createTempFile(metaDir, ".tmp-v", ".json")
+    Files.writeString(tmp, Serialization.writePretty(s))
+    // the ATOMIC_MOVE is the linearization point of the commit
+    Files.move(tmp, metaDir.resolve(f"v${s.version}%08d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def schema(): StructType =
+    DataType.fromJson(snapshot().schemaJson).asInstanceOf[StructType]
+
+  // ------------------------------------------------------------------
+  // read path
+  // ------------------------------------------------------------------
+
+  /** Current table contents (user-facing: tombstones and internal
+    * columns hidden).
+    */
+  def read(spark: SparkSession): DataFrame =
+    readInternal(spark).filter(col(OpCol) === "upsert").drop(SeqCol, OpCol)
+
+  def readVersion(spark: SparkSession, version: Long): DataFrame =
+    readSnapshot(spark, snapshot(version))
+      .filter(col(OpCol) === "upsert").drop(SeqCol, OpCol)
+
+  private[lake] def readInternal(spark: SparkSession): DataFrame =
+    readSnapshot(spark, snapshot())
+
+  private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame = {
+    val sch = internalSchema(DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+    if (s.files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    else spark.read.schema(sch).parquet(s.files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  private def internalSchema(user: StructType): StructType = user
+    .add(StructField(SeqCol, LongType, nullable = false))
+    .add(StructField(OpCol, StringType, nullable = false))
+
+  /** Manifest-level bucket pruning: files relevant to the given repos.
+    * This is the engine's partition-pruning analog — pruning happens
+    * before Spark ever lists a file (SURVEY.md §4).
+    */
+  def scanFiles(repos: Seq[String]): Seq[DataFileMeta] = {
+    val wanted = repos.map(r => bucketOfRepo(r, snapshot().buckets)).toSet
+    snapshot().files.filter(f => wanted.contains(f.bucket))
+  }
+
+  def readRepos(spark: SparkSession, repos: Seq[String]): DataFrame = {
+    val s = snapshot()
+    val sch = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    val files = scanFiles(repos)
+    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    else spark.read.schema(internalSchema(sch))
+      .parquet(files.map(f => s"$root/${f.path}"): _*)
+      .filter(col(OpCol) === "upsert")
+      .drop(SeqCol, OpCol)
+      .filter(col("repo").isin(repos: _*))
+  }
+
+  // ------------------------------------------------------------------
+  // merge (the exactly-once CDC apply)
+  // ------------------------------------------------------------------
+
+  /** MERGE a micro-batch of change rows into the table.
+    *
+    * `updates` must carry: the data columns (any evolution-compatible
+    * subset/superset of the table schema), `op` ("upsert"|"delete")
+    * and `seq` (LONG). It SHOULD be pre-deduplicated to one row per
+    * (repo, path) — the merge's own LWW makes extra duplicates
+    * harmless, just wasteful.
+    *
+    * Returns per-bucket lineage rows for the commit ([] on a fenced
+    * no-op replay).
+    */
+  def merge(updates: DataFrame, batchId: Long): Seq[LineageEntry] = synchronized {
+    val spark = updates.sparkSession
+    val snap = snapshot()
+    if (batchId <= snap.lastCommittedBatchId) return Nil // idempotent fence
+
+    val oldSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val updDataSchema = StructType(updates.schema.fields
+      .filterNot(f => f.name == "op" || f.name == "seq"))
+    val newSchema = evolve(oldSchema, updDataSchema)
+    val schemaId = if (newSchema.json == oldSchema.json) snap.schemaId else snap.schemaId + 1
+
+    val b = snap.buckets
+    val upd = conformTo(updates, newSchema, Seq("op", "seq"))
+      .withColumn(SeqCol, col("seq")).drop("seq")
+      .withColumn(OpCol, col("op")).drop("op")
+      .withColumn(BucketCol, bucketExpr(col("repo"), b))
+
+    // which buckets does this batch touch?
+    val touched = upd.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+    val touchedFiles = snap.files.filter(f => touched.contains(f.bucket))
+    val keptFiles = snap.files.filterNot(f => touched.contains(f.bucket))
+
+    val existing =
+      if (touchedFiles.isEmpty) emptyDf(spark, newSchema)
+      else conformTo(
+        spark.read
+          .schema(internalSchema(oldSchema))
+          .parquet(touchedFiles.map(f => s"$root/${f.path}"): _*),
+        newSchema, Seq(SeqCol, OpCol))
+        .withColumn(BucketCol, bucketExpr(col("repo"), b))
+
+    // Last-writer-wins over (existing ∪ updates): one hash aggregate,
+    // partial/map-side combine is automatic; `seq` is globally unique
+    // so the winner is deterministic. Losing delete events become
+    // nothing; WINNING deletes are kept as tombstone rows (filtered on
+    // read) — dropping them would let an out-of-order lower-seq upsert
+    // in a later batch resurrect a deleted key.
+    val allCols = newSchema.fieldNames.toSeq ++ Seq(SeqCol, OpCol, BucketCol)
+    val combined = existing.select(allCols.map(col): _*)
+      .unionByName(upd.select(allCols.map(col): _*))
+    val winners = combined
+      .groupBy(col("repo"), col("path"))
+      .agg(max_by(struct(allCols.map(col): _*), col(SeqCol)).as("w"))
+      .select(col("w.*"))
+
+    // write new files for the touched buckets, clustered by bucket so
+    // each bucket yields a bounded number of files
+    val commitVersion = snap.version + 1
+    val commitRel = f"data/c$commitVersion%08d"
+    val outDir = s"$root/$commitRel"
+    winners
+      .repartition(math.max(touched.size, 1), col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(outDir)
+
+    val newFiles = listParquet(Paths.get(outDir)).map { p =>
+      val rel = Paths.get(root).relativize(p).toString
+      val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+      DataFileMeta(rel, bucket)
+    }
+
+    val lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
+      LineageEntry(batchId, bk, fs.size, commitVersion)
+    }.toSeq.sortBy(_.bucket)
+
+    writeSnapshot(Snapshot(
+      version = commitVersion,
+      schemaId = schemaId,
+      schemaJson = newSchema.json,
+      lastCommittedBatchId = batchId,
+      buckets = b,
+      files = (keptFiles ++ newFiles).sortBy(f => (f.bucket, f.path)),
+      lineage = lineage))
+    lineage
+  }
+
+  // ------------------------------------------------------------------
+  // helpers
+  // ------------------------------------------------------------------
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        internalSchema(schema))
+      .withColumn(BucketCol, bucketExpr(col("repo"), buckets))
+
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try { val b = Seq.newBuilder[Path]; s.forEach(p => b += p); b.result() }
+    finally s.close()
+  }
+
+  private def listParquet(dir: Path): Seq[Path] =
+    listDir(dir).flatMap { p =>
+      if (Files.isDirectory(p)) listParquet(p)
+      else if (p.getFileName.toString.endsWith(".parquet")) Seq(p)
+      else Nil
+    }.sortBy(_.toString)
+
+  /** Project `df` onto `target` (+ passthrough cols), adding missing
+    * columns as nulls and applying widening casts.
+    */
+  private def conformTo(df: DataFrame, target: StructType, passthrough: Seq[String]): DataFrame = {
+    val present = df.schema.fieldNames.toSet
+    val cols = target.fields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ passthrough.filter(present.contains).map(col)
+    df.select(cols.toIndexedSeq: _*)
+  }
+}
+
+object LakeTable {
+  val SeqCol = "_seq"
+  val OpCol = "_op"
+  val BucketCol = "_bucket"
+
+  final case class DataFileMeta(path: String, bucket: Int)
+  final case class LineageEntry(batchId: Long, bucket: Int, filesWritten: Int, snapshotVersion: Long)
+  final case class Snapshot(
+      version: Long,
+      schemaId: Int,
+      schemaJson: String,
+      lastCommittedBatchId: Long,
+      buckets: Int,
+      files: Seq[DataFileMeta],
+      lineage: Seq[LineageEntry])
+
+  def bucketExpr(repo: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(repo), lit(buckets.toLong)).cast("int")
+
+  /** Driver-side twin of [[bucketExpr]] for manifest pruning: Spark's
+    * xxhash64 with default seed 42 over a UTF-8 string.
+    */
+  def bucketOfRepo(repo: String, buckets: Int): Int =
+    math.floorMod(XxHash64Util.hash(repo.getBytes("UTF-8")), buckets.toLong).toInt
+
+  /** Schema evolution: union of fields; conflicting primitive types
+    * resolve by widening (int→long, float→double); anything else is an
+    * error (the lake refuses lossy evolution).
+    */
+  def evolve(current: StructType, incoming: StructType): StructType = {
+    val byName = current.fields.map(f => f.name -> f).toMap
+    val widened = current.fields.map { f =>
+      incoming.fields.find(_.name == f.name) match {
+        case Some(in) if in.dataType != f.dataType =>
+          StructField(f.name, widen(f.dataType, in.dataType), nullable = true)
+        case _ => f
+      }
+    }
+    val added = incoming.fields.filterNot(f => byName.contains(f.name))
+      .map(f => StructField(f.name, f.dataType, nullable = true))
+    StructType(widened ++ added)
+  }
+
+  private def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+    case (ShortType, IntegerType) | (IntegerType, ShortType) => IntegerType
+    case (ShortType, LongType) | (LongType, ShortType) => LongType
+    case _ => throw new IllegalArgumentException(
+      s"unsupported schema evolution: $a -> $b")
+  }
+}
+
+/** Spark-compatible xxhash64 (seed 42) over raw bytes, driver-side.
+  * Needed so manifest-level bucket pruning agrees bit-for-bit with the
+  * executor-side `xxhash64(repo)` bucketing expression.
+  */
+object XxHash64Util {
+  def hash(bytes: Array[Byte]): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42L)
+}

@@ -1,0 +1,65 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Core data model of the CDC/incremental-ingest engine.
+  *
+  * Mirrors the message-at-a-time data model of the reference
+  * (Benthos message part = payload + metadata; see SURVEY.md §1,
+  * upstream `internal/message/part.go`) re-expressed as typed rows:
+  * one change event = one row of a `Dataset[ChangeEvent]`.
+  */
+object Model {
+
+  /** Lake table row (target state). Key = (repo, path). */
+  final case class RepoFile(
+      repo: String,
+      path: String,
+      commit: String,
+      lang: String,
+      content: String)
+
+  /** Change event — strict superset of [[RepoFile]] plus a total
+    * commit order `seq` (LWW tie-break) and an op discriminator.
+    */
+  final case class ChangeEvent(
+      seq: Long,
+      op: String, // "upsert" | "delete"
+      repo: String,
+      path: String,
+      commit: String,
+      lang: String,
+      content: String)
+
+  val Upsert = "upsert"
+  val Delete = "delete"
+
+  /** Base event schema (generator segment 1, schema-id 0). */
+  val eventSchemaV0: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("commit", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("content", StringType, nullable = false)
+  ))
+
+  /** Segment-2 schema: adds `size_bytes` as INT (schema-id 1). */
+  val eventSchemaV1: StructType =
+    eventSchemaV0.add(StructField("size_bytes", IntegerType, nullable = true))
+
+  /** Segment-3 / widest schema: `size_bytes` widened INT→LONG
+    * (schema-id 2). This is the schema the stream reader uses —
+    * Spark 4's parquet reader performs the int32→int64 widening
+    * promotion on older files.
+    */
+  val eventSchemaWidest: StructType =
+    eventSchemaV0.add(StructField("size_bytes", LongType, nullable = true))
+
+  /** Columns that form the lake key. */
+  val keyCols: Seq[String] = Seq("repo", "path")
+
+  /** Internal lake columns (not part of the user-facing row). */
+  val seqCol = "_seq"
+}

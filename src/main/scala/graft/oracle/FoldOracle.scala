@@ -1,0 +1,61 @@
+package graft.oracle
+
+import org.apache.spark.sql.SparkSession
+import graft.model.Model
+
+/** Sequential in-memory replay oracle (SURVEY.md §5): the final lake
+  * state is, by definition, the left fold of the change events in
+  * `seq` order — last-writer-wins per (repo, path), `delete` removes
+  * the key. Deliberately NOT distributed and NOT sharing any code with
+  * the engine's merge path, so it is an independent witness for the
+  * sha256 final-state gate (BASELINE.json per-row invariant).
+  *
+  * Driver-side by design — only usable at test scale.
+  */
+object FoldOracle {
+
+  final case class FinalRow(
+      repo: String, path: String, commit: String, lang: String,
+      content: String, sizeBytes: Option[Long])
+
+  /** Fold a change log (read as a batch DataFrame with the widest
+    * schema) into the final keyed state.
+    */
+  def replay(spark: SparkSession, logDir: String): Map[(String, String), FinalRow] = {
+    val rows = spark.read.schema(Model.eventSchemaWidest).parquet(logDir)
+      .collect()
+      .sortBy(_.getLong(0)) // seq is unique by construction
+    rows.foldLeft(Map.empty[(String, String), FinalRow]) { (state, r) =>
+      val key = (r.getString(2), r.getString(3))
+      r.getString(1) match {
+        case Model.Delete => state - key
+        case _ =>
+          state + (key -> FinalRow(
+            r.getString(2), r.getString(3), r.getString(4), r.getString(5),
+            r.getString(6),
+            if (r.isNullAt(7)) None else Some(r.getLong(7))))
+      }
+    }
+  }
+
+  /** sha256 of a canonical serialization of the final state — the
+    * whole-table invariant used by golden tests and the bench gate.
+    */
+  def stateSha256(state: Map[(String, String), FinalRow]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    state.toSeq.sortBy(_._1).foreach { case (_, fr) =>
+      val line = s"${fr.repo}${fr.path}${fr.commit}${fr.lang}" +
+        s"${rowSha256(fr.content)}${fr.sizeBytes.getOrElse(-1L)}\n"
+      md.update(line.getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Per-row invariant: sha256(content), hex — matches Spark's
+    * `sha2(col, 256)`.
+    */
+  def rowSha256(content: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.EventLogGen
+import graft.gen.EventLogGen.GenConfig
+import graft.engine.CdcEngine
+import graft.engine.CdcEngine.ReplayConfig
+import graft.lake.LakeTable
+import graft.model.Model
+import graft.oracle.FoldOracle
+
+/** Golden end-to-end replay (SURVEY.md §5): seeded log → streaming
+  * replay → final lake state must equal the sequential fold oracle,
+  * per-row sha256(content) and whole-state digest.
+  */
+class EndToEndReplaySpec extends SparkTestBase {
+
+  private val cfg = GenConfig(seed = 42L, events = 10000L, repos = 20,
+    pathsPerRepo = 200, rowsPerFile = 1000L)
+
+  test("generator is deterministic: same seed => same log digest") {
+    val d1 = tmpDir("log1"); val d2 = tmpDir("log2")
+    EventLogGen.writeLog(spark, cfg, d1)
+    EventLogGen.writeLog(spark, cfg, d2)
+    def digest(dir: String): java.math.BigDecimal =
+      spark.read.schema(Model.eventSchemaWidest).parquet(dir)
+        .agg(sum(xxhash64(col("seq"), col("op"), col("repo"), col("path"),
+          col("commit"), col("lang"), col("content"),
+          coalesce(col("size_bytes"), lit(-1L))).cast("decimal(38,0)")))
+        .head.getDecimal(0)
+    assert(digest(d1) == digest(d2))
+  }
+
+  test("parquet widening: int size_bytes files read under long schema") {
+    val d = tmpDir("widen")
+    EventLogGen.writeLog(spark, cfg, d)
+    val df = spark.read.schema(Model.eventSchemaWidest).parquet(d)
+    // segment 1 wrote size_bytes as INT; must read as LONG without error
+    val seg1 = df.filter(col("size_bytes").isNotNull && col("size_bytes") < 1000000L)
+    assert(seg1.count() > 0)
+    // segment 0 rows have null size_bytes
+    assert(df.filter(col("size_bytes").isNull).count() > 0)
+    // segment 2 has >INT values (the widening trigger)
+    assert(df.filter(col("size_bytes") > 2147483647L).count() > 0)
+  }
+
+  test("full replay matches fold oracle exactly (sha256 per row + state digest)") {
+    val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
+    EventLogGen.writeLog(spark, cfg, log)
+
+    val rcfg = ReplayConfig(log, lakeRoot, ckpt, maxFilesPerTrigger = Some(4))
+    val lake = CdcEngine.replayToEnd(spark, rcfg)
+
+    val oracle = FoldOracle.replay(spark, log)
+    assert(oracle.nonEmpty)
+
+    val got = lake.read(spark)
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("sha"), col("size_bytes"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getString(3), r.getString(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toMap
+
+    assert(got.size == oracle.size, "row count differs from oracle")
+    oracle.foreach { case (k, fr) =>
+      val g = got.get(k)
+      assert(g.isDefined, s"missing key $k")
+      val (commit, lang, sha, size) = g.get
+      assert(commit == fr.commit, s"commit mismatch at $k")
+      assert(lang == fr.lang)
+      assert(sha == FoldOracle.rowSha256(fr.content), s"sha256 mismatch at $k")
+      assert(size == fr.sizeBytes, s"size_bytes mismatch at $k")
+    }
+  }
+
+  test("fencing: re-merging a committed batch is a no-op") {
+    val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
+    val small = cfg.copy(events = 2000L)
+    EventLogGen.writeLog(spark, small, log)
+    val lake = CdcEngine.replayToEnd(spark, ReplayConfig(log, lakeRoot, ckpt))
+    val vBefore = lake.currentVersion()
+    val stateBefore = lake.read(spark).count()
+    // replay batch 0 manually — must be fenced
+    val batch = spark.read.schema(Model.eventSchemaWidest).parquet(log)
+    val lineage = lake.merge(batch, 0L)
+    assert(lineage.isEmpty)
+    assert(lake.currentVersion() == vBefore)
+    assert(lake.read(spark).count() == stateBefore)
+  }
+
+  test("kill + resume from checkpoint reaches identical final state") {
+    val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
+    EventLogGen.writeLog(spark, cfg, log)
+    val rcfg = ReplayConfig(log, lakeRoot, ckpt, maxFilesPerTrigger = Some(2))
+
+    // phase 1: process a couple of micro-batches, then kill
+    val q1 = CdcEngine.replay(spark, rcfg, identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 milliseconds"))
+    val deadline = System.nanoTime() + 60000000000L
+    while (q1.recentProgress.length < 2 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q1.stop() // the "kill"
+    val midVersion = new LakeTable(lakeRoot).currentVersion()
+    assert(midVersion > 0, "should have committed at least one batch before kill")
+
+    // phase 2: resume from the same checkpoint to the end
+    val lake = CdcEngine.replayToEnd(spark, rcfg)
+    val oracle = FoldOracle.replay(spark, log)
+    val got = lake.read(spark)
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got.size == oracle.size)
+    oracle.foreach { case (k, fr) =>
+      assert(got(k) == FoldOracle.rowSha256(fr.content), s"mismatch at $k after resume")
+    }
+  }
+
+  test("schema evolution: lake schema gained size_bytes as LONG") {
+    val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
+    EventLogGen.writeLog(spark, cfg.copy(events = 3000L), log)
+    val lake = CdcEngine.replayToEnd(spark, ReplayConfig(log, lakeRoot, ckpt))
+    val sch = lake.schema()
+    assert(sch.fieldNames.contains("size_bytes"))
+    assert(sch("size_bytes").dataType == org.apache.spark.sql.types.LongType)
+  }
+}
