@@ -1,0 +1,56 @@
+package graft.dsl
+
+/** AST of the mapping-expression language — a Bloblang-subset
+  * re-expression (reference: `internal/bloblang/parser/` combinator
+  * grammar and `internal/bloblang/query/` runtime AST, SURVEY.md §2.7).
+  * The reference interprets this per message; we compile it once to
+  * Catalyst `Column` trees (ExprCompiler) so execution is columnar and
+  * whole-stage-codegen'd.
+  */
+object Ast {
+
+  sealed trait Expr
+
+  // literals
+  final case class StrLit(v: String) extends Expr
+  final case class NumLit(v: BigDecimal) extends Expr
+  final case class BoolLit(v: Boolean) extends Expr
+  case object NullLit extends Expr
+  final case class ArrayLit(items: Seq[Expr]) extends Expr
+  final case class ObjectLit(fields: Seq[(String, Expr)]) extends Expr
+
+  // references
+  case object This extends Expr // `this` / bare `root` on RHS
+  final case class Field(target: Expr, name: String) extends Expr // a.b
+  final case class Index(target: Expr, idx: Expr) extends Expr // a.0 / a[i]
+  final case class VarRef(name: String) extends Expr // $x
+  final case class MetaRef(key: String) extends Expr // @k
+
+  // application
+  final case class FnCall(name: String, args: Seq[Expr]) extends Expr // json("a")
+  final case class MethodCall(target: Expr, name: String, args: Seq[Expr]) extends Expr // x.uppercase()
+
+  // operators
+  final case class UnOp(op: String, e: Expr) extends Expr // ! -
+  final case class BinOp(op: String, l: Expr, r: Expr) extends Expr // + - * / % == != < <= > >= && ||
+  final case class Coalesce(l: Expr, r: Expr) extends Expr // a | b
+
+  // control
+  final case class IfExpr(cond: Expr, thenE: Expr, elseE: Option[Expr]) extends Expr
+  /** match target { caseExpr => result, _ => result } — a case matches
+    * when caseExpr == target (literal) or when caseExpr is a boolean
+    * predicate over `this` rebound to the target.
+    */
+  final case class MatchExpr(target: Expr, cases: Seq[(Option[Expr], Expr)]) extends Expr
+
+  // mapping statements
+  sealed trait Stmt
+  final case class LetStmt(name: String, value: Expr) extends Stmt
+  final case class MetaStmt(key: String, value: Expr) extends Stmt
+  /** root = v (path empty) or root.a.b = v (path nonempty). */
+  final case class RootStmt(path: Seq[String], value: Expr) extends Stmt
+  /** if cond { stmts } else { stmts } at statement level. */
+  final case class IfStmt(cond: Expr, thenS: Seq[Stmt], elseS: Seq[Stmt]) extends Stmt
+
+  final case class Mapping(stmts: Seq[Stmt])
+}

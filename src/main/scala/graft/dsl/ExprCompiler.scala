@@ -1,0 +1,400 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Ast._
+
+/** Compiles mapping-language ASTs to Catalyst `Column` trees.
+  *
+  * The reference evaluates its expression language with a per-message
+  * tree-walking interpreter (upstream
+  * `internal/bloblang/mapping/executor.go` `MapPart`,
+  * `internal/bloblang/query/` `Function.Exec`); here the whole mapping
+  * is compiled ONCE into columnar expressions, so Catalyst constant-
+  * folds, prunes, pushes down, and whole-stage-codegens it — per-row
+  * interpretation disappears (SURVEY.md §3.2).
+  *
+  * `deleted()` (the reference's message-drop sentinel) is compiled to
+  * a delete-condition that becomes a `.filter(...)` — i.e. the one
+  * construct that turns a projection into a selection.
+  */
+object ExprCompiler {
+
+  /** A compiled value: its column, plus the condition (if any) under
+    * which the enclosing message is deleted instead of valued.
+    */
+  final case class CVal(col: Column, deleted: Option[Column]) {
+    def mapCol(f: Column => Column): CVal = CVal(f(col), deleted)
+  }
+  object CVal { def apply(c: Column): CVal = CVal(c, None) }
+
+  final case class Ctx(
+      inputCols: Seq[String],
+      vars: Map[String, Column] = Map.empty,
+      thisOverride: Option[Column] = None,
+      schema: Option[StructType] = None,
+      stringVars: Set[String] = Set.empty) {
+    def thisCol: Column = thisOverride.getOrElse(struct(inputCols.map(col): _*))
+    def fieldOfThis(name: String): Column = thisOverride match {
+      case Some(t) => t.getField(name)
+      case None =>
+        if (inputCols.contains(name)) col(name)
+        else lit(null) // absent field reads as null, like the reference
+    }
+    def fieldIsString(name: String): Boolean =
+      schema.exists(s => s.fields.exists(f => f.name == name && f.dataType == StringType))
+  }
+  object Ctx {
+    def of(df: DataFrame): Ctx = Ctx(df.columns.toSeq, schema = Some(df.schema))
+  }
+
+  def orFalse(c: Option[Column]): Column = c.getOrElse(lit(false))
+  private def mergeDel(a: Option[Column], b: Option[Column]): Option[Column] =
+    (a, b) match {
+      case (None, None) => None
+      case _ => Some(orFalse(a) || orFalse(b))
+    }
+
+  def compile(e: Expr, ctx: Ctx): CVal = e match {
+    case StrLit(v) => CVal(lit(v))
+    case NumLit(v) =>
+      if (v.isValidLong) CVal(lit(v.toLongExact)) else CVal(lit(v.toDouble))
+    case BoolLit(v) => CVal(lit(v))
+    case NullLit => CVal(lit(null))
+    case ArrayLit(items) =>
+      val cs = items.map(compile(_, ctx))
+      CVal(array(cs.map(_.col): _*), cs.map(_.deleted).reduceOption(mergeDel).flatten)
+    case ObjectLit(fields) =>
+      val cs = fields.map { case (k, v) => k -> compile(v, ctx) }
+      CVal(struct(cs.map { case (k, v) => v.col.as(k) }: _*),
+        cs.map(_._2.deleted).reduceOption(mergeDel).flatten)
+
+    case This => CVal(ctx.thisCol)
+    case Field(This, name) => CVal(ctx.fieldOfThis(name))
+    case Field(t, name) => compile(t, ctx).mapCol(_.getField(name))
+    case Index(t, idx) =>
+      val tc = compile(t, ctx); val ic = compile(idx, ctx)
+      // reference arrays are 0-based; element_at is 1-based
+      CVal(element_at(tc.col, (ic.col + lit(1)).cast(IntegerType)),
+        mergeDel(tc.deleted, ic.deleted))
+    case VarRef(n) =>
+      CVal(ctx.vars.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown variable $$$n")))
+    case MetaRef(k) => CVal(metaGet(ctx, k))
+
+    case UnOp("!", x) => compile(x, ctx).mapCol(!_)
+    case UnOp("-", x) => compile(x, ctx).mapCol(c => -c)
+    case UnOp(op, _) => throw new IllegalArgumentException(s"unary $op")
+
+    case BinOp(op, l, r) =>
+      val lc = compile(l, ctx); val rc = compile(r, ctx)
+      val c = op match {
+        // the reference's `+` concatenates strings (query/arithmetic.go);
+        // Spark's is numeric-only, so dispatch on inferred type
+        case "+" if isStringTyped(l, ctx) || isStringTyped(r, ctx) =>
+          concat(lc.col.cast(StringType), rc.col.cast(StringType))
+        case "+" => lc.col + rc.col
+        case "-" => lc.col - rc.col
+        case "*" => lc.col * rc.col
+        case "/" => lc.col / rc.col
+        case "%" => lc.col % rc.col
+        case "==" => lc.col === rc.col
+        case "!=" => lc.col =!= rc.col
+        case "<" => lc.col < rc.col
+        case "<=" => lc.col <= rc.col
+        case ">" => lc.col > rc.col
+        case ">=" => lc.col >= rc.col
+        case "&&" => lc.col && rc.col
+        case "||" => lc.col || rc.col
+        case other => throw new IllegalArgumentException(s"binop $other")
+      }
+      CVal(c, mergeDel(lc.deleted, rc.deleted))
+
+    case Coalesce(l, r) =>
+      val lc = compile(l, ctx); val rc = compile(r, ctx)
+      CVal(coalesce(lc.col, rc.col), mergeDel(lc.deleted, rc.deleted))
+
+    case IfExpr(cond, t, eOpt) =>
+      val cc = compile(cond, ctx).col
+      val tc = compile(t, ctx)
+      val ec = compile(eOpt.getOrElse(NullLit), ctx)
+      val del = (tc.deleted, ec.deleted) match {
+        case (None, None) => None
+        case _ => Some(when(cc, orFalse(tc.deleted)).otherwise(orFalse(ec.deleted)))
+      }
+      CVal(when(cc, tc.col).otherwise(ec.col), del)
+
+    case MatchExpr(target, cases) =>
+      val tc = compile(target, ctx)
+      // fold cases into a when-chain; `_` is the default
+      var whenChain: Option[Column] = None
+      var delChain: Option[Column] = None
+      var default: CVal = CVal(lit(null))
+      val built = Seq.newBuilder[(Column, CVal)]
+      cases.foreach {
+        case (None, result) => default = compile(result, ctx)
+        case (Some(pat), result) =>
+          val cond =
+            if (containsThis(pat)) compile(pat, ctx.copy(thisOverride = Some(tc.col))).col
+            else tc.col === compile(pat, ctx).col
+          built += (cond -> compile(result, ctx))
+      }
+      val cs = built.result()
+      val value = cs.foldRight(default.col) { case ((c, v), acc) => when(c, v.col).otherwise(acc) }
+      val anyDel = cs.exists(_._2.deleted.isDefined) || default.deleted.isDefined
+      val del = if (!anyDel) None else Some(
+        cs.foldRight(orFalse(default.deleted)) { case ((c, v), acc) =>
+          when(c, orFalse(v.deleted)).otherwise(acc)
+        })
+      CVal(value, mergeDel(tc.deleted, del))
+
+    case FnCall(name, args) => fn(name, args, ctx)
+    case MethodCall(t, name, args) => method(compile(t, ctx), name, args, ctx)
+  }
+
+  private val stringReturningMethods = Set(
+    "uppercase", "lowercase", "capitalize", "trim", "trim_prefix",
+    "trim_suffix", "replace_all", "re_replace_all", "re_find", "slice",
+    "string", "hash", "encode", "decode", "ts_format", "format_timestamp",
+    "join", "format_json", "json_path", "quote", "unquote", "reverse",
+    "type", "first", "last", "index", "not_null", "or", "catch")
+
+  /** Static "is this expression string-typed?" — drives `+` dispatch
+    * (concat vs numeric add). Conservative: false when unknown.
+    */
+  def isStringTyped(e: Expr, ctx: Ctx): Boolean = e match {
+    case StrLit(_) => true
+    case Field(This, n) => ctx.fieldIsString(n)
+    case MetaRef(_) => true
+    case VarRef(n) => ctx.stringVars.contains(n)
+    case MethodCall(t, m, _) =>
+      stringReturningMethods.contains(m) &&
+        // pass-through methods keep target's type; string-producers always string
+        (!Set("first", "last", "index", "not_null", "or", "catch").contains(m) || isStringTyped(t, ctx))
+    case FnCall(n, _) => Set("content", "meta", "error", "uuid_v4", "now", "hostname", "env").contains(n)
+    case BinOp("+", l, r) => isStringTyped(l, ctx) || isStringTyped(r, ctx)
+    case Coalesce(l, r) => isStringTyped(l, ctx) || isStringTyped(r, ctx)
+    case IfExpr(_, t, eo) => isStringTyped(t, ctx) || eo.exists(isStringTyped(_, ctx))
+    case MatchExpr(_, cases) => cases.exists(c => isStringTyped(c._2, ctx))
+    case _ => false
+  }
+
+  private def containsThis(e: Expr): Boolean = e match {
+    case This => true
+    case Field(t, _) => containsThis(t)
+    case Index(t, i) => containsThis(t) || containsThis(i)
+    case UnOp(_, x) => containsThis(x)
+    case BinOp(_, l, r) => containsThis(l) || containsThis(r)
+    case Coalesce(l, r) => containsThis(l) || containsThis(r)
+    case MethodCall(t, _, as) => containsThis(t) || as.exists(containsThis)
+    case FnCall(_, as) => as.exists(containsThis)
+    case IfExpr(c, t, eo) => containsThis(c) || containsThis(t) || eo.exists(containsThis)
+    case ArrayLit(is) => is.exists(containsThis)
+    case ObjectLit(fs) => fs.exists(f => containsThis(f._2))
+    case _ => false
+  }
+
+  private def metaGet(ctx: Ctx, k: String): Column =
+    if (ctx.inputCols.contains("metadata")) element_at(col("metadata"), k)
+    else lit(null).cast(StringType)
+
+  // ------------------------------------------------------------------
+  // function registry (reference: internal/bloblang/query/functions.go)
+  // ------------------------------------------------------------------
+
+  private def fn(name: String, args: Seq[Expr], ctx: Ctx): CVal = {
+    def a(i: Int): CVal = compile(args(i), ctx)
+    name match {
+      case "deleted" => CVal(lit(null), Some(lit(true)))
+      case "content" =>
+        CVal(if (ctx.inputCols.contains("content")) col("content")
+        else to_json(ctx.thisCol))
+      case "json" =>
+        if (args.isEmpty) CVal(ctx.thisCol)
+        else args.head match {
+          case StrLit(path) =>
+            CVal(path.split('.').foldLeft(Option.empty[Column]) { (acc, seg) =>
+              Some(acc.fold(ctx.fieldOfThis(seg))(_.getField(seg)))
+            }.get)
+          case _ => throw new IllegalArgumentException("json() needs a literal path")
+        }
+      case "meta" => args.head match {
+        case StrLit(k) => CVal(metaGet(ctx, k))
+        case _ => throw new IllegalArgumentException("meta() needs a literal key")
+      }
+      case "error" =>
+        CVal(if (ctx.inputCols.contains("_error")) col("_error") else lit(null).cast(StringType))
+      case "errored" =>
+        CVal(if (ctx.inputCols.contains("_error")) col("_error").isNotNull else lit(false))
+      case "uuid_v4" => CVal(expr("uuid()"))
+      case "now" => CVal(date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+      case "timestamp_unix" => CVal(unix_timestamp())
+      case "timestamp_unix_milli" => CVal(unix_millis(current_timestamp()))
+      case "random_int" =>
+        val max = if (args.nonEmpty) a(0).col else lit(Long.MaxValue)
+        CVal(floor(rand() * max).cast(LongType))
+      case "range" =>
+        val step = if (args.size > 2) a(2).col else lit(1L)
+        CVal(sequence(a(0).col, a(1).col - lit(1), step))
+      case "count" => CVal(monotonically_increasing_id()) // per-partition counter analog
+      case "batch_index" =>
+        // reference semantics: position within the batch; order = seq
+        CVal(row_number().over(orderWindow(ctx)) - lit(1))
+      case "batch_size" =>
+        CVal(count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      case "hostname" => CVal(lit(java.net.InetAddress.getLocalHost.getHostName))
+      case "env" => args.head match {
+        case StrLit(k) => CVal(lit(sys.env.getOrElse(k, null)))
+        case _ => throw new IllegalArgumentException("env() needs a literal key")
+      }
+      case "max" => CVal(greatest(args.map(x => compile(x, ctx).col): _*))
+      case "min" => CVal(least(args.map(x => compile(x, ctx).col): _*))
+      case other => throw new IllegalArgumentException(s"unknown function $other()")
+    }
+  }
+
+  private def orderWindow(ctx: Ctx) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    if (ctx.inputCols.contains("seq")) w.orderBy(col("seq"))
+    else w.orderBy(monotonically_increasing_id())
+  }
+
+  // ------------------------------------------------------------------
+  // method registry (reference: internal/bloblang/query/methods*.go)
+  // ------------------------------------------------------------------
+
+  private def method(t: CVal, name: String, rawArgs: Seq[Expr], ctx: Ctx): CVal = {
+    val args = rawArgs.map(compile(_, ctx))
+    val del = (t.deleted +: args.map(_.deleted)).reduce(mergeDel)
+    def c = t.col
+    def a(i: Int) = args(i).col
+    def str(i: Int): String = rawArgs.lift(i) match {
+      case Some(StrLit(s)) => s
+      case Some(NumLit(v)) => v.toString
+      case _ => throw new IllegalArgumentException(
+        s".$name() needs a literal arg at position $i")
+    }
+    val out: Column = name match {
+      // strings
+      case "uppercase" => upper(c)
+      case "lowercase" => lower(c)
+      case "capitalize" => initcap(c)
+      case "trim" => trim(c)
+      case "trim_prefix" =>
+        when(c.startsWith(a(0)), c.substr(length(a(0)) + lit(1), length(c))).otherwise(c)
+      case "trim_suffix" =>
+        when(c.endsWith(a(0)), c.substr(lit(1), length(c) - length(a(0)))).otherwise(c)
+      case "has_prefix" => c.startsWith(a(0))
+      case "has_suffix" => c.endsWith(a(0))
+      case "contains" => c.contains(a(0))
+      case "index_of" => instr(c, str(0)) - lit(1) // reference is 0-based, -1 if absent
+      case "replace_all" => replace(c, a(0), a(1))
+      case "split" => split(c, java.util.regex.Pattern.quote(str(0)))
+      case "slice" =>
+        val from = a(0)
+        val len = if (args.size > 1) a(1) - a(0) else length(c)
+        c.substr((from + lit(1)).cast(IntegerType), len.cast(IntegerType))
+      case "length" => length(c) // strings; use .size() for arrays/maps
+      case "size" => size(c)
+      case "reverse" => reverse(c)
+      case "quote" =>
+        concat(lit("\""),
+          regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+          lit("\""))
+      case "unquote" =>
+        regexp_replace(regexp_replace(
+          c.substr(lit(2), length(c) - 2), "\\\\\"", "\""), "\\\\\\\\", "\\\\")
+      case "string" => c.cast(StringType)
+      case "bytes" => c.cast(BinaryType)
+      case "number" => c.cast(DoubleType)
+      case "bool" => c.cast(BooleanType)
+      case "int64" => c.cast(LongType)
+      case "int32" => c.cast(IntegerType)
+      case "uint64" => c.cast(LongType)
+      case "float64" => c.cast(DoubleType)
+      case "float32" => c.cast(FloatType)
+      // regex
+      case "re_match" => c.rlike(str(0))
+      case "re_find_all" => regexp_extract_all(c, lit(str(0)), lit(0))
+      case "re_find" => regexp_extract(c, str(0), 0)
+      case "re_replace_all" => regexp_replace(c, str(0), str(1))
+      // json
+      case "parse_json" => parse_json(c)
+      case "format_json" => to_json(c)
+      case "json_path" => get_json_object(c, str(0))
+      // numbers
+      case "abs" => abs(c)
+      case "ceil" => ceil(c)
+      case "floor" => floor(c)
+      case "round" => if (args.isEmpty) round(c) else round(c, str(0).toDouble.toInt)
+      case "log" => log(c)
+      case "log10" => log10(c)
+      case "sqrt" => sqrt(c)
+      case "max" => greatest(c, a(0))
+      case "min" => least(c, a(0))
+      // hashes (reference lib/processor/hash.go + bloblang hashMethod);
+      // sha-family returns lowercase hex, matching `.hash(x).encode("hex")`
+      case "hash" => str(0) match {
+        case "sha256" => sha2(c, 256)
+        case "sha512" => sha2(c, 512)
+        case "sha1" => sha1(c)
+        case "md5" => md5(c)
+        case "xxhash64" => xxhash64(c).cast(StringType)
+        case "crc32" => crc32(c.cast(BinaryType)).cast(StringType)
+        case other => throw new IllegalArgumentException(s"hash($other)")
+      }
+      case "encode" => str(0) match {
+        case "base64" => base64(c.cast(BinaryType))
+        case "hex" => lower(hex(c.cast(BinaryType)))
+        case other => throw new IllegalArgumentException(s"encode($other)")
+      }
+      case "decode" => str(0) match {
+        case "base64" => unbase64(c).cast(StringType)
+        case "hex" => unhex(c).cast(StringType)
+        case other => throw new IllegalArgumentException(s"decode($other)")
+      }
+      // timestamps
+      case "ts_parse" | "parse_timestamp" => to_timestamp(c, str(0))
+      case "ts_format" | "format_timestamp" => date_format(c, str(0))
+      case "ts_unix" => unix_timestamp(c)
+      case "ts_unix_milli" => unix_millis(c.cast(TimestampType))
+      case "ts_round" => date_trunc(str(0), c)
+      // arrays
+      case "sum" => aggregate(c, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+      case "join" => array_join(c, if (args.nonEmpty) str(0) else "")
+      case "sort" => array_sort(c)
+      case "unique" => array_distinct(c)
+      case "flatten" => flatten(c)
+      case "append" => concat(c, array(args.map(_.col): _*))
+      case "concat_arr" => concat(c, a(0))
+      case "contains_arr" => array_contains(c, a(0))
+      case "index" => element_at(c, (a(0) + lit(1)).cast(IntegerType))
+      case "first" => element_at(c, 1)
+      case "last" => element_at(c, -1)
+      case "zip" => arrays_zip(c, a(0))
+      case "enumerated" => arrays_zip(sequence(lit(0), size(c) - 1), c)
+      // objects / maps
+      case "keys" => map_keys(c)
+      case "values" => map_values(c)
+      case "merge" => map_concat(c, a(0))
+      case "exists" => c.getField(str(0)).isNotNull
+      case "with_field" => c.withField(str(0), a(1))
+      case "without" => c.dropFields(rawArgs.map {
+        case StrLit(s) => s
+        case _ => throw new IllegalArgumentException(".without() needs literal field names")
+      }: _*)
+      // type / null handling
+      case "type" => typeof(c)
+      case "not_null" => when(c.isNull, raise_error(lit(s"not_null(): value is null"))).otherwise(c)
+      case "or" => coalesce(c, a(0))
+      case "catch" => coalesce(c, a(0)) // errors surface as null in our compiled form
+      case "from" | "from_all" | "apply" =>
+        throw new IllegalArgumentException(s".$name() not supported (cross-part reference)")
+      case other => throw new IllegalArgumentException(s"unknown method .$other()")
+    }
+    CVal(out, del)
+  }
+
+}

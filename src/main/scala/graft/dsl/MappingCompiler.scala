@@ -1,0 +1,144 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import Ast._
+import ExprCompiler.{CVal, Ctx}
+
+/** Compiles a full mapping (ordered assignments to root/meta/vars,
+  * statement-level if, deletes) into a single `DataFrame => DataFrame`
+  * — one Catalyst projection + at most one filter.
+  *
+  * Reference semantics (upstream
+  * `internal/bloblang/mapping/executor.go` `Executor.MapPart` and
+  * `assignment.go`):
+  *   - `mapping` starts from an EMPTY root (new document),
+  *   - `mutation` starts from root = this (in-place edit),
+  *   - assignments apply in order, later wins,
+  *   - `root = deleted()` (possibly under if/match) drops the message,
+  *   - `meta k = v` writes the metadata namespace (our envelope column
+  *     `metadata: MAP<STRING,STRING>`),
+  *   - `let x = v` binds `$x` for subsequent statements.
+  *
+  * Whole-document assignments are recognized structurally at the AST:
+  * `root = this` copies all input columns; `root = { ... }` assigns
+  * each field; any other whole-root value becomes a single `value`
+  * column (scalar payload). All compiled references read INPUT columns
+  * (reference mappings read the immutable input message, `this`, not
+  * the document being built).
+  */
+object MappingCompiler {
+
+  def compileMapping(src: String, startFromThis: Boolean): DataFrame => DataFrame = {
+    val ast = Parser.parseMapping(src)
+    df => applyMapping(df, ast, startFromThis)
+  }
+
+  def applyMapping(df: DataFrame, m: Mapping, startFromThis: Boolean): DataFrame = {
+    val inputCols = df.columns.toSeq
+    var ctx = Ctx.of(df)
+
+    val outputs = scala.collection.mutable.LinkedHashMap[String, Column]()
+    if (startFromThis) inputCols.foreach(n => outputs(n) = col(n))
+    var metaOut: Option[Column] =
+      if (inputCols.contains("metadata")) Some(col("metadata")) else None
+    val deleteConds = scala.collection.mutable.Buffer[Column]()
+
+    def currentOf(name: String): Column =
+      outputs.getOrElse(name, if (inputCols.contains(name)) col(name) else lit(null))
+
+    def assignField(name: String, value: Column, guard: Option[Column]): Unit =
+      outputs(name) = guard.fold(value)(g => when(g, value).otherwise(currentOf(name))).as(name)
+
+    def compileV(e: Expr): CVal = ExprCompiler.compile(e, ctx)
+
+    def run(ss: Seq[Stmt], guard: Option[Column]): Unit = ss.foreach {
+      case LetStmt(name, e) =>
+        ctx = ctx.copy(vars = ctx.vars + (name -> compileV(e).col),
+          stringVars =
+            if (ExprCompiler.isStringTyped(e, ctx)) ctx.stringVars + name
+            else ctx.stringVars - name)
+
+      case MetaStmt(k, e) =>
+        val v = compileV(e)
+        val entry = map(lit(k), v.col.cast(StringType))
+        val prev = metaOut.getOrElse(
+          map().cast(org.apache.spark.sql.types.MapType(StringType, StringType)))
+        // put-with-overwrite without map_concat's duplicate-key policy:
+        // drop the key if present, then concat
+        val without = map_filter(prev, (key, _) => key =!= lit(k))
+        val merged = map_concat(without, entry)
+        metaOut = Some(guard.fold(merged)(g => when(g, merged).otherwise(prev)))
+
+      case RootStmt(Nil, This) =>
+        inputCols.foreach(n => assignField(n, col(n), guard))
+
+      case RootStmt(Nil, ObjectLit(fields)) =>
+        fields.foreach { case (k, e) =>
+          val v = compileV(e)
+          v.deleted.foreach(d => deleteConds += guard.fold(d)(_ && d))
+          assignField(k, v.col, guard)
+        }
+
+      case RootStmt(Nil, e) =>
+        val v = compileV(e)
+        v.deleted match {
+          case Some(d) =>
+            // root = deleted() / if c { deleted() } else ...
+            deleteConds += guard.fold(d)(_ && d)
+            // if every surviving branch is `this` (e.g. the common
+            // `root = if c { deleted() } else { this }`), the document
+            // is unchanged — only the filter applies
+            if (!isAlwaysDeleted(e) && !survivorsAreThis(e)) {
+              outputs.clear()
+              assignField("value", v.col, guard)
+            }
+          case None =>
+            outputs.clear()
+            assignField("value", v.col, guard)
+        }
+
+      case RootStmt(path, e) =>
+        val v = compileV(e)
+        v.deleted.foreach(d => deleteConds += guard.fold(d)(_ && d))
+        if (path.length == 1) assignField(path.head, v.col, guard)
+        else {
+          val base = path.head
+          val cur = currentOf(base)
+          val updated = cur.withField(path.tail.mkString("."), v.col)
+          outputs(base) =
+            guard.fold(updated)(g => when(g, updated).otherwise(cur)).as(base)
+        }
+
+      case IfStmt(cond, thenS, elseS) =>
+        val cc = compileV(cond).col
+        run(thenS, Some(guard.fold(cc)(_ && cc)))
+        if (elseS.nonEmpty) run(elseS, Some(guard.fold(!cc)(g => g && !cc)))
+    }
+
+    run(m.stmts, None)
+
+    metaOut.foreach(mc => outputs("metadata") = mc.as("metadata"))
+    val filtered =
+      if (deleteConds.isEmpty) df
+      else df.filter(!deleteConds.map(coalesce(_, lit(false))).reduce(_ || _))
+    if (outputs.isEmpty) filtered
+    else filtered.select(outputs.values.toSeq: _*)
+  }
+
+  private def isAlwaysDeleted(e: Expr): Boolean = e match {
+    case FnCall("deleted", _) => true
+    case _ => false
+  }
+
+  /** true when every non-deleted leaf of the expression is `this`. */
+  private def survivorsAreThis(e: Expr): Boolean = e match {
+    case This => true
+    case FnCall("deleted", _) => true
+    case IfExpr(_, t, eo) =>
+      survivorsAreThis(t) && eo.forall(survivorsAreThis)
+    case MatchExpr(_, cases) => cases.forall(c => survivorsAreThis(c._2))
+    case _ => false
+  }
+}

@@ -1,0 +1,353 @@
+package graft.dsl
+
+import Ast._
+
+/** Hand-rolled lexer + recursive-descent parser for the mapping
+  * language. Grammar (precedence low→high):
+  *
+  *   pipe   := or ('|' or)*                      -- coalesce
+  *   or     := and ('||' and)*
+  *   and    := cmp ('&&' cmp)*
+  *   cmp    := add (('=='|'!='|'<='|'>='|'<'|'>') add)?
+  *   add    := mul (('+'|'-') mul)*
+  *   mul    := unary (('*'|'/'|'%') unary)*
+  *   unary  := ('!'|'-') unary | postfix
+  *   postfix:= primary ('.' ident ('(' args ')')? | '.' int | '[' expr ']')*
+  *   primary:= literal | 'this' | 'root' | ident '(' args ')' | ident
+  *           | '$'ident | '@'ident | '(' expr ')' | if | match
+  *           | '[' items ']' | '{' fields '}'
+  *
+  * Mirrors the reference's query grammar (upstream
+  * `internal/bloblang/parser/query_parser.go`) on the implemented
+  * subset; parsing happens once at pipeline-compile time on the
+  * driver, so parser speed is irrelevant.
+  */
+object Parser {
+
+  final case class ParseError(msg: String, pos: Int, src: String)
+      extends RuntimeException(
+        s"$msg at offset $pos: ...${src.slice(math.max(0, pos - 10), math.min(src.length, pos + 15))}...")
+
+  // ------------------------------------------------------------------
+  // lexer
+  // ------------------------------------------------------------------
+
+  sealed trait Tok { def pos: Int }
+  final case class TIdent(s: String, pos: Int) extends Tok
+  final case class TNum(v: BigDecimal, pos: Int) extends Tok
+  final case class TStr(s: String, pos: Int) extends Tok
+  final case class TOp(s: String, pos: Int) extends Tok
+  final case class TEof(pos: Int) extends Tok
+
+  private val multiOps = Seq("==", "!=", "<=", ">=", "&&", "||", "=>")
+
+  def lex(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src(i)
+      if (c == '#') { while (i < n && src(i) != '\n') i += 1 } // comment
+      else if (c == '\n') { out += TOp("\n", i); i += 1 }
+      else if (c.isWhitespace) i += 1
+      else if (c.isDigit) {
+        val st = i
+        while (i < n && src(i).isDigit) i += 1
+        // a '.' continues the number only if followed by a digit —
+        // otherwise it's a method call like `1.string()`
+        if (i + 1 < n && src(i) == '.' && src(i + 1).isDigit) {
+          i += 1
+          while (i < n && src(i).isDigit) i += 1
+        }
+        out += TNum(BigDecimal(src.substring(st, i)), st)
+      } else if (c.isLetter || c == '_') {
+        val st = i
+        while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+        out += TIdent(src.substring(st, i), st)
+      } else if (c == '"') {
+        val st = i
+        i += 1
+        val sb = new StringBuilder
+        while (i < n && src(i) != '"') {
+          if (src(i) == '\\' && i + 1 < n) {
+            src(i + 1) match {
+              case 'n' => sb += '\n'; case 't' => sb += '\t'
+              case 'r' => sb += '\r'; case '\\' => sb += '\\'
+              case '"' => sb += '"'
+              case 'u' if i + 5 < n =>
+                sb += Integer.parseInt(src.substring(i + 2, i + 6), 16).toChar
+                i += 4
+              case other => sb += other
+            }
+            i += 2
+          } else { sb += src(i); i += 1 }
+        }
+        if (i >= n) throw ParseError("unterminated string", st, src)
+        i += 1
+        out += TStr(sb.toString, st)
+      } else {
+        val two = if (i + 1 < n) src.substring(i, i + 2) else ""
+        if (multiOps.contains(two)) { out += TOp(two, i); i += 2 }
+        else { out += TOp(c.toString, i); i += 1 }
+      }
+    }
+    out += TEof(n)
+    out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // parser state
+  // ------------------------------------------------------------------
+
+  private final class P(val toks: Vector[Tok], val src: String) {
+    var i = 0
+    def peek: Tok = toks(i)
+    def peekSkipNl: Tok = { var j = i; while (toks(j) match { case TOp("\n", _) => true; case _ => false }) j += 1; toks(j) }
+    def next(): Tok = { val t = toks(i); i += 1; t }
+    def skipNl(): Unit = while (peek match { case TOp("\n", _) => true; case _ => false }) i += 1
+    def expectOp(s: String): Unit = next() match {
+      case TOp(`s`, _) => ()
+      case t => throw ParseError(s"expected '$s'", t.pos, src)
+    }
+    def expectIdent(): String = next() match {
+      case TIdent(s, _) => s
+      case t => throw ParseError("expected identifier", t.pos, src)
+    }
+    def at(op: String): Boolean = peek match { case TOp(`op`, _) => true; case _ => false }
+    def atIdent(s: String): Boolean = peek match { case TIdent(`s`, _) => true; case _ => false }
+    def eat(op: String): Boolean = if (at(op)) { i += 1; true } else false
+  }
+
+  def parseExpr(src: String): Expr = {
+    val p = new P(lex(src), src)
+    p.skipNl()
+    val e = pipe(p)
+    p.skipNl()
+    p.peek match {
+      case TEof(_) => e
+      case t => throw ParseError("unexpected trailing input", t.pos, src)
+    }
+  }
+
+  def parseMapping(src: String): Mapping = {
+    val p = new P(lex(src), src)
+    Mapping(stmts(p, topLevel = true))
+  }
+
+  /** Benthos interpolation string: literal text with `${! expr }`
+    * segments (upstream `internal/bloblang/field/`). Returns the
+    * concat pieces: Left(literal) | Right(expr).
+    */
+  def parseInterpolated(src: String): Seq[Either[String, Expr]] = {
+    val out = Seq.newBuilder[Either[String, Expr]]
+    var i = 0
+    val sb = new StringBuilder
+    while (i < src.length) {
+      if (src.startsWith("${!", i)) {
+        val end = src.indexOf('}', i)
+        if (end < 0) throw ParseError("unterminated ${! }", i, src)
+        if (sb.nonEmpty) { out += Left(sb.toString); sb.clear() }
+        out += Right(parseExpr(src.substring(i + 3, end).trim))
+        i = end + 1
+      } else { sb += src(i); i += 1 }
+    }
+    if (sb.nonEmpty) out += Left(sb.toString)
+    out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // statements
+  // ------------------------------------------------------------------
+
+  private def stmts(p: P, topLevel: Boolean): Seq[Stmt] = {
+    val out = Seq.newBuilder[Stmt]
+    p.skipNl()
+    while ((topLevel && !p.peek.isInstanceOf[TEof]) || (!topLevel && !p.at("}"))) {
+      out += stmt(p)
+      p.skipNl()
+    }
+    out.result()
+  }
+
+  private def stmt(p: P): Stmt = p.peek match {
+    case TIdent("let", _) =>
+      p.next(); val name = p.expectIdent(); p.expectOp("="); LetStmt(name, pipe(p))
+    case TIdent("meta", _) =>
+      p.next()
+      val key = p.next() match {
+        case TIdent(s, _) => s
+        case TStr(s, _) => s
+        case t => throw ParseError("expected meta key", t.pos, p.src)
+      }
+      p.expectOp("="); MetaStmt(key, pipe(p))
+    case TIdent("if", _) =>
+      p.next()
+      val cond = pipe(p)
+      p.skipNl(); p.expectOp("{")
+      val thenS = stmts(p, topLevel = false)
+      p.expectOp("}")
+      val elseS = if (p.peekSkipNl match { case TIdent("else", _) => true; case _ => false }) {
+        p.skipNl(); p.next(); p.skipNl(); p.expectOp("{")
+        val s = stmts(p, topLevel = false); p.expectOp("}"); s
+      } else Nil
+      IfStmt(cond, thenS, elseS)
+    case TIdent("root", _) =>
+      p.next()
+      val path = Seq.newBuilder[String]
+      while (p.eat(".")) path += p.expectIdent()
+      p.expectOp("=")
+      RootStmt(path.result(), pipe(p))
+    case t => throw ParseError("expected statement (root/meta/let/if)", t.pos, p.src)
+  }
+
+  // ------------------------------------------------------------------
+  // expressions
+  // ------------------------------------------------------------------
+
+  private def pipe(p: P): Expr = {
+    var e = or(p)
+    while (p.at("|")) { p.next(); e = Coalesce(e, or(p)) }
+    e
+  }
+  private def or(p: P): Expr = {
+    var e = and(p)
+    while (p.at("||")) { p.next(); e = BinOp("||", e, and(p)) }
+    e
+  }
+  private def and(p: P): Expr = {
+    var e = cmp(p)
+    while (p.at("&&")) { p.next(); e = BinOp("&&", e, cmp(p)) }
+    e
+  }
+  private def cmp(p: P): Expr = {
+    val e = add(p)
+    Seq("==", "!=", "<=", ">=", "<", ">").find(p.at) match {
+      case Some(op) => p.next(); BinOp(op, e, add(p))
+      case None => e
+    }
+  }
+  private def add(p: P): Expr = {
+    var e = mul(p)
+    while (p.at("+") || p.at("-")) {
+      val op = p.next().asInstanceOf[TOp].s
+      e = BinOp(op, e, mul(p))
+    }
+    e
+  }
+  private def mul(p: P): Expr = {
+    var e = unary(p)
+    while (p.at("*") || p.at("/") || p.at("%")) {
+      val op = p.next().asInstanceOf[TOp].s
+      e = BinOp(op, e, unary(p))
+    }
+    e
+  }
+  private def unary(p: P): Expr =
+    if (p.at("!")) { p.next(); UnOp("!", unary(p)) }
+    else if (p.at("-")) { p.next(); UnOp("-", unary(p)) }
+    else postfix(p)
+
+  private def postfix(p: P): Expr = {
+    var e = primary(p)
+    var done = false
+    while (!done) {
+      if (p.at(".")) {
+        p.next()
+        p.next() match {
+          case TIdent(name, _) =>
+            if (p.at("(")) { e = MethodCall(e, name, args(p)) }
+            else e = Field(e, name)
+          case TNum(v, _) => e = Index(e, NumLit(v))
+          case t => throw ParseError("expected field or method after '.'", t.pos, p.src)
+        }
+      } else if (p.at("[")) {
+        p.next(); val idx = pipe(p); p.expectOp("]"); e = Index(e, idx)
+      } else done = true
+    }
+    e
+  }
+
+  private def args(p: P): Seq[Expr] = {
+    p.expectOp("(")
+    val out = Seq.newBuilder[Expr]
+    p.skipNl()
+    if (!p.at(")")) {
+      out += pipe(p)
+      p.skipNl()
+      while (p.eat(",")) { p.skipNl(); out += pipe(p); p.skipNl() }
+    }
+    p.expectOp(")")
+    out.result()
+  }
+
+  private def primary(p: P): Expr = p.peek match {
+    case TNum(v, _) => p.next(); NumLit(v)
+    case TStr(s, _) => p.next(); StrLit(s)
+    case TIdent("true", _) => p.next(); BoolLit(true)
+    case TIdent("false", _) => p.next(); BoolLit(false)
+    case TIdent("null", _) => p.next(); NullLit
+    case TIdent("this", _) => p.next(); This
+    case TIdent("root", _) => p.next(); This
+    case TIdent("if", _) =>
+      p.next()
+      val cond = pipe(p)
+      p.skipNl(); p.expectOp("{"); p.skipNl()
+      val thenE = pipe(p)
+      p.skipNl(); p.expectOp("}")
+      val elseE = if (p.peekSkipNl match { case TIdent("else", _) => true; case _ => false }) {
+        p.skipNl(); p.next(); p.skipNl()
+        if (p.atIdent("if")) Some(primary(p)) // else if chain
+        else { p.expectOp("{"); p.skipNl(); val e = pipe(p); p.skipNl(); p.expectOp("}"); Some(e) }
+      } else None
+      IfExpr(cond, thenE, elseE)
+    case TIdent("match", _) =>
+      p.next()
+      val target = if (p.peekSkipNl match { case TOp("{", _) => true; case _ => false }) This else pipe(p)
+      p.skipNl(); p.expectOp("{"); p.skipNl()
+      val cases = Seq.newBuilder[(Option[Expr], Expr)]
+      while (!p.at("}")) {
+        val pat: Option[Expr] =
+          if (p.atIdent("_")) { p.next(); None } else Some(pipe(p))
+        p.expectOp("=>")
+        cases += (pat -> pipe(p))
+        p.skipNl()
+        if (p.eat(",")) p.skipNl()
+      }
+      p.expectOp("}")
+      MatchExpr(target, cases.result())
+    case TIdent(name, _) =>
+      p.next()
+      if (p.at("(")) FnCall(name, args(p)) else Field(This, name)
+    case TOp("$", _) => p.next(); VarRef(p.expectIdent())
+    case TOp("@", _) => p.next(); MetaRef(p.expectIdent())
+    case TOp("(", _) => p.next(); val e = pipe(p); p.expectOp(")"); e
+    case TOp("[", _) =>
+      p.next(); p.skipNl()
+      val items = Seq.newBuilder[Expr]
+      if (!p.at("]")) {
+        items += pipe(p); p.skipNl()
+        while (p.eat(",")) { p.skipNl(); if (!p.at("]")) items += pipe(p); p.skipNl() }
+      }
+      p.expectOp("]")
+      ArrayLit(items.result())
+    case TOp("{", _) =>
+      p.next(); p.skipNl()
+      val fields = Seq.newBuilder[(String, Expr)]
+      if (!p.at("}")) {
+        def field(): Unit = {
+          val k = p.next() match {
+            case TStr(s, _) => s
+            case TIdent(s, _) => s
+            case t => throw ParseError("expected object key", t.pos, p.src)
+          }
+          p.expectOp(":")
+          fields += (k -> pipe(p))
+        }
+        field(); p.skipNl()
+        while (p.eat(",")) { p.skipNl(); if (!p.at("}")) field(); p.skipNl() }
+      }
+      p.expectOp("}")
+      ObjectLit(fields.result())
+    case t => throw ParseError("unexpected token", t.pos, p.src)
+  }
+}

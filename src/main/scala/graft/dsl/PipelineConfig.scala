@@ -1,0 +1,101 @@
+package graft.dsl
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.DataFrame
+import Processor._
+
+/** YAML pipeline config — the engine's equivalent of a reference
+  * config file (upstream `internal/config/`; lifecycle SURVEY.md §3.1):
+  *
+  * {{{
+  * pipeline:
+  *   processors:
+  *     - mapping: |
+  *         root = this
+  *         root.sha = content().hash("sha256")
+  *     - dedupe: { key: "${! repo + path }" }
+  *     - switch:
+  *         - check: 'lang == "scala"'
+  *           processors: [ ... ]
+  *         - processors: [ ... ]          # default case
+  * }}}
+  *
+  * The config parses ONCE on the driver into [[Processor]]s, which
+  * compile into one `DataFrame => DataFrame` — the analog of the
+  * reference's input→pipeline→output assembly, with Catalyst replacing
+  * the goroutine/channel runtime.
+  */
+object PipelineConfig {
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  final case class Pipeline(processors: Seq[Processor]) {
+    def transform: DataFrame => DataFrame = Processor.compile(processors)
+  }
+
+  def parse(yaml: String): Pipeline = {
+    val root = mapper.readTree(yaml)
+    val procs = Option(root.get("pipeline")).map(_.get("processors"))
+      .orElse(Option(root.get("processors")))
+      .getOrElse(throw new IllegalArgumentException("config has no pipeline.processors"))
+    Pipeline(parseProcessors(procs))
+  }
+
+  def parseProcessors(arr: JsonNode): Seq[Processor] = {
+    require(arr.isArray, s"processors must be a list, got $arr")
+    (0 until arr.size).map(i => parseProcessor(arr.get(i)))
+  }
+
+  private def parseProcessor(node: JsonNode): Processor = {
+    require(node.isObject && node.size == 1,
+      s"each processor must be a single-key object, got $node")
+    val name = node.fieldNames().next()
+    val body = node.get(name)
+    name match {
+      case "mapping" | "bloblang" => PMapping(body.asText)
+      case "mutation" => PMutation(body.asText)
+      case "filter" =>
+        PFilter(if (body.isTextual) body.asText else body.get("check").asText)
+      case "noop" => PNoop
+      case "dedupe" =>
+        PDedupe(body.get("key").asText,
+          opt(body, "order_by").map(_.asText).getOrElse("seq"))
+      case "bounds_check" =>
+        PBoundsCheck(
+          opt(body, "min_len").map(_.asLong).getOrElse(0L),
+          opt(body, "max_len").map(_.asLong).getOrElse(Long.MaxValue),
+          opt(body, "field").map(_.asText).getOrElse("content"))
+      case "group_by_value" =>
+        PGroupByValue(if (body.isTextual) body.asText else body.get("value").asText)
+      case "split" =>
+        PSplit(if (body.isNumber) body.asInt else body.get("n").asInt)
+      case "validate" | "json_schema" =>
+        PValidate(body.get("check").asText,
+          opt(body, "message").map(_.asText).getOrElse("validation failed"))
+      case "try" => PTry(parseProcessors(body))
+      case "catch" => PCatch(parseProcessors(body))
+      case "switch" =>
+        PSwitch((0 until body.size).map { i =>
+          val c = body.get(i)
+          SwitchCase(opt(c, "check").map(_.asText), parseProcessors(c.get("processors")))
+        })
+      case "branch" =>
+        PBranch(
+          body.get("request_map").asText,
+          opt(body, "processors").map(parseProcessors).getOrElse(Nil),
+          body.get("result_map").asText)
+      case "archive" =>
+        PArchive(body.get("format").asText,
+          opt(body, "group_by").map(g => (0 until g.size).map(g.get(_).asText)).getOrElse(Nil),
+          opt(body, "field").map(_.asText).getOrElse("content"))
+      case "unarchive" =>
+        PUnarchive(body.get("format").asText,
+          opt(body, "field").map(_.asText).getOrElse("content"))
+      case other => throw new IllegalArgumentException(s"unknown processor: $other")
+    }
+  }
+
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
+}

@@ -1,0 +1,223 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import Ast._
+import ExprCompiler.Ctx
+
+/** The processor set (SURVEY.md §2.3): each reference processor
+  * compiled to a `DataFrame => DataFrame`. Processors compose by
+  * function composition; Catalyst collapses adjacent projections, so
+  * a long processor chain still plans as a single stage.
+  */
+sealed trait Processor
+object Processor {
+  /** new document per message (upstream processor_bloblang.go). */
+  final case class PMapping(src: String) extends Processor
+  /** in-place edit (upstream processor_mutation.go). */
+  final case class PMutation(src: String) extends Processor
+  /** keep rows passing the check (v3 lib/processor/filter.go). */
+  final case class PFilter(check: String) extends Processor
+  /** ordered first-match-wins routing (processor_switch.go). */
+  final case class PSwitch(cases: Seq[SwitchCase]) extends Processor
+  final case class SwitchCase(check: Option[String], processors: Seq[Processor])
+  /** request_map -> children -> result_map enrichment (processor_branch.go). */
+  final case class PBranch(requestMap: String, processors: Seq[Processor], resultMap: String) extends Processor
+  /** LWW dedupe on an interpolated key (processor_dedupe.go). */
+  final case class PDedupe(key: String, orderBy: String = "seq") extends Processor
+  /** drop rows whose content length is outside bounds (bounds_check.go). */
+  final case class PBoundsCheck(minLen: Long = 0L, maxLen: Long = Long.MaxValue, field: String = "content") extends Processor
+  /** co-locate rows by an interpolated value (processor_group_by_value.go). */
+  final case class PGroupByValue(value: String) extends Processor
+  /** re-batch into n partitions (processor_split.go). */
+  final case class PSplit(n: Int) extends Processor
+  /** mark rows failing `check` with `_error` instead of dropping
+    * (the error-flag pattern of processor_json_schema.go et al.). */
+  final case class PValidate(check: String, message: String) extends Processor
+  /** apply children only to non-errored rows (processor_try.go). */
+  final case class PTry(processors: Seq[Processor]) extends Processor
+  /** apply children only to errored rows, then clear the error
+    * (processor_catch.go). */
+  final case class PCatch(processors: Seq[Processor]) extends Processor
+  /** fold the batch into one row per group (processor_archive.go). */
+  final case class PArchive(format: String, groupBy: Seq[String] = Nil, field: String = "content") extends Processor
+  /** explode one row into many (processor_unarchive.go). */
+  final case class PUnarchive(format: String, field: String = "content") extends Processor
+  /** no-op (processor_noop.go). */
+  case object PNoop extends Processor
+
+  // ------------------------------------------------------------------
+
+  def compile(ps: Seq[Processor]): DataFrame => DataFrame =
+    ps.map(compileOne).foldLeft(identity[DataFrame] _)(_ andThen _)
+
+  def compileOne(p: Processor): DataFrame => DataFrame = p match {
+    case PMapping(src) => MappingCompiler.compileMapping(src, startFromThis = false)
+    case PMutation(src) => MappingCompiler.compileMapping(src, startFromThis = true)
+    case PNoop => identity
+
+    case PFilter(check) => df =>
+      df.filter(exprOf(check, df))
+
+    case PValidate(check, message) => df => {
+      val base = if (df.columns.contains("_error")) df
+        else df.withColumn("_error", lit(null).cast(StringType))
+      base.withColumn("_error",
+        when(col("_error").isNull && !coalesce(exprOf(check, base), lit(false)),
+          lit(message)).otherwise(col("_error")))
+    }
+
+    case PTry(children) => df => {
+      if (!df.columns.contains("_error")) compile(children)(df)
+      else {
+        val ok = compile(children)(df.filter(col("_error").isNull))
+        val bad = df.filter(col("_error").isNotNull)
+        ok.unionByName(bad, allowMissingColumns = true)
+      }
+    }
+
+    case PCatch(children) => df => {
+      if (!df.columns.contains("_error")) df
+      else {
+        val fixed = compile(children)(df.filter(col("_error").isNotNull))
+          .withColumn("_error", lit(null).cast(StringType))
+        df.filter(col("_error").isNull).unionByName(fixed, allowMissingColumns = true)
+      }
+    }
+
+    case PSwitch(cases) => df => {
+      // first-match-wins: case i applies where check_i && !check_0..i-1
+      val checks = cases.map(_.check.map(c => exprOf(c, df)))
+      val conds = checks.zipWithIndex.map { case (chk, i) =>
+        val self = chk.getOrElse(lit(true))
+        val priors = checks.take(i).flatten
+        priors.foldLeft(self)((acc, prior) => acc && !coalesce(prior, lit(false)))
+      }
+      val branches = cases.zip(conds).map { case (sc, cond) =>
+        compile(sc.processors)(df.filter(coalesce(cond, lit(false))))
+      }
+      branches.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+
+    case PBranch(requestMap, children, resultMap) => df => {
+      // per-message enrichment sub-pipeline, compiled column-wise:
+      // request_map builds a struct, children (mappings only) transform
+      // it with `this` rebound, result_map merges fields back.
+      val reqStruct = structMapping(requestMap, df, None)
+      val childStruct = children.foldLeft(reqStruct) {
+        case (acc, PMapping(src)) => structMappingOn(src, df, acc)
+        case (acc, PMutation(src)) => structMappingOn(src, df, acc, mutate = true)
+        case (_, other) => throw new IllegalArgumentException(
+          s"branch children must be mapping/mutation, got $other")
+      }
+      // result_map: assignments read `this` = child result; targets are
+      // original document fields
+      val resAst = Parser.parseMapping(resultMap)
+      val ctx = Ctx.of(df).copy(thisOverride = Some(childStruct))
+      resAst.stmts.foldLeft(df) {
+        case (d, RootStmt(path, e)) if path.nonEmpty =>
+          d.withColumn(path.mkString("."), ExprCompiler.compile(e, ctx).col)
+        case (d, _) => d
+      }
+    }
+
+    case PDedupe(key, orderBy) => df => {
+      val keyCol = interpolate(key, df).as("_dedupe_key")
+      val all = df.columns.toSeq
+      df.withColumn("_dedupe_key", keyCol)
+        .groupBy(col("_dedupe_key"))
+        .agg(max_by(struct(all.map(col): _*), col(orderBy)).as("_w"))
+        .select(col("_w.*"))
+    }
+
+    case PBoundsCheck(minLen, maxLen, field) => df =>
+      df.filter(length(col(field)).between(minLen, maxLen))
+
+    case PGroupByValue(value) => df =>
+      df.repartition(interpolate(value, df))
+
+    case PSplit(n) => df => df.repartition(n)
+
+    case PArchive(format, groupBy, field) => df => {
+      val keys = groupBy.map(col)
+      val grouped = if (keys.isEmpty) df.groupBy(lit(1).as("_g")) else df.groupBy(keys: _*)
+      val agg = format match {
+        case "json_array" => to_json(array_sort(collect_list(col(field))))
+        case "lines" | "concat" => concat_ws("\n", array_sort(collect_list(col(field))))
+        case other => throw new IllegalArgumentException(s"archive format $other")
+      }
+      val out = grouped.agg(agg.as(field))
+      if (keys.isEmpty) out.drop("_g") else out
+    }
+
+    case PUnarchive(format, field) => df => format match {
+      case "json_array" =>
+        val others = df.columns.filterNot(_ == field).map(col)
+        df.select(others :+ explode(from_json(col(field),
+          org.apache.spark.sql.types.ArrayType(StringType))).as(field): _*)
+      case "lines" =>
+        val others = df.columns.filterNot(_ == field).map(col)
+        df.select(others :+ explode(split(col(field), "\n")).as(field): _*)
+      case other => throw new IllegalArgumentException(s"unarchive format $other")
+    }
+  }
+
+  /** Compile a check/expression string against a frame's schema. */
+  def exprOf(src: String, df: DataFrame): Column =
+    ExprCompiler.compile(Parser.parseExpr(src), Ctx.of(df)).col
+
+  /** Benthos `${! expr }` interpolation → concat column. */
+  def interpolate(src: String, df: DataFrame): Column = {
+    val ctx = Ctx.of(df)
+    val parts = Parser.parseInterpolated(src).map {
+      case Left(s) => lit(s)
+      case Right(e) => ExprCompiler.compile(e, ctx).col.cast(StringType)
+    }
+    if (parts.isEmpty) lit("") else if (parts.size == 1) parts.head else concat(parts: _*)
+  }
+
+  /** Run a mapping in struct mode: result = struct of the assigned
+    * fields, `this` = the input row (or `over` when given).
+    */
+  private def structMapping(src: String, df: DataFrame, over: Option[Column]): Column = {
+    val ast = Parser.parseMapping(src)
+    val ctx = Ctx.of(df).copy(thisOverride = over)
+    val fields = scala.collection.mutable.LinkedHashMap[String, Column]()
+    ast.stmts.foreach {
+      case RootStmt(Seq(name), e) => fields(name) = ExprCompiler.compile(e, ctx).col
+      case RootStmt(Nil, ObjectLit(fs)) =>
+        fs.foreach { case (k, e) => fields(k) = ExprCompiler.compile(e, ctx).col }
+      case other => throw new IllegalArgumentException(
+        s"struct-mode mapping supports only root.x = ... statements, got $other")
+    }
+    struct(fields.map { case (k, v) => v.as(k) }.toSeq: _*)
+  }
+
+  private def structMappingOn(src: String, df: DataFrame, base: Column, mutate: Boolean = false): Column = {
+    val ast = Parser.parseMapping(src)
+    val ctx = Ctx.of(df).copy(thisOverride = Some(base))
+    val fields = scala.collection.mutable.LinkedHashMap[String, Column]()
+    // mutation starts from the base struct's fields — we can't enumerate
+    // them without the schema, so mutate mode uses withField instead
+    if (mutate) {
+      var acc = base
+      ast.stmts.foreach {
+        case RootStmt(path, e) if path.nonEmpty =>
+          acc = acc.withField(path.mkString("."), ExprCompiler.compile(e, ctx).col)
+        case other => throw new IllegalArgumentException(
+          s"struct-mode mutation supports only root.x = ..., got $other")
+      }
+      acc
+    } else {
+      ast.stmts.foreach {
+        case RootStmt(Seq(name), e) => fields(name) = ExprCompiler.compile(e, ctx).col
+        case RootStmt(Nil, ObjectLit(fs)) =>
+          fs.foreach { case (k, e) => fields(k) = ExprCompiler.compile(e, ctx).col }
+        case other => throw new IllegalArgumentException(
+          s"struct-mode mapping supports only root.x = ..., got $other")
+      }
+      struct(fields.map { case (k, v) => v.as(k) }.toSeq: _*)
+    }
+  }
+}

@@ -1,0 +1,233 @@
+package graft.dsl
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import Processor._
+
+/** Processor conformance suite — mirrors the reference's `benthos
+  * test` runner semantics (upstream `internal/cli/test/case.go`,
+  * SURVEY.md §3.3): input batch → pipeline → expected output batch.
+  */
+class ConformanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def events: DataFrame = Seq(
+    (1L, "upsert", "r1", "a.scala", "c1", "scala", "object A"),
+    (2L, "upsert", "r1", "a.scala", "c2", "scala", "object A2"),
+    (3L, "upsert", "r2", "b.py", "c3", "py", "import os"),
+    (4L, "delete", "r1", "x.md", "c4", "md", ""),
+    (5L, "upsert", "r2", "c.go", "c5", "go", "package main")
+  ).toDF("seq", "op", "repo", "path", "commit", "lang", "content")
+
+  private def run(procs: Seq[Processor], df: DataFrame = events): DataFrame =
+    Processor.compile(procs)(df)
+
+  // ---- mapping -----------------------------------------------------
+
+  test("mapping: new document from fields + sha256 hash") {
+    val out = run(Seq(PMapping(
+      """root.key = repo + "/" + path
+        |root.sha = content().hash("sha256")
+        |root.upper_lang = lang.uppercase()""".stripMargin)))
+    assert(out.columns.toSeq == Seq("key", "sha", "upper_lang"))
+    val r1 = out.filter($"key" === "r1/a.scala" && $"upper_lang" === "SCALA").collect()
+    assert(r1.length == 2)
+    val expectedSha = graft.oracle.FoldOracle.rowSha256("object A")
+    assert(out.filter($"sha" === expectedSha).count() == 1)
+  }
+
+  test("mutation: in-place edit keeps untouched columns") {
+    val out = run(Seq(PMutation("root.lang = lang.uppercase()")))
+    assert(out.columns.toSeq == events.columns.toSeq)
+    assert(out.filter($"lang" === "SCALA").count() == 2)
+    assert(out.filter($"commit" === "c3").count() == 1)
+  }
+
+  test("mapping: deleted() drops messages (filter)") {
+    val out = run(Seq(PMutation(
+      """root = if op == "delete" { deleted() } else { this }""")))
+    assert(out.count() == 4)
+    assert(out.filter($"op" === "delete").count() == 0)
+  }
+
+  test("mapping: statement-level if with else") {
+    val out = run(Seq(PMutation(
+      """if lang == "scala" {
+        |  root.tier = "jvm"
+        |} else {
+        |  root.tier = "other"
+        |}""".stripMargin)))
+    assert(out.filter($"tier" === "jvm").count() == 2)
+    assert(out.filter($"tier" === "other").count() == 3)
+  }
+
+  test("mapping: match expression") {
+    val out = run(Seq(PMutation(
+      """root.family = match lang {
+        |  "scala" => "jvm",
+        |  "java" => "jvm",
+        |  "py" => "script",
+        |  _ => "native"
+        |}""".stripMargin)))
+    assert(out.filter($"family" === "jvm").count() == 2)
+    assert(out.filter($"family" === "script").count() == 1)
+    assert(out.filter($"family" === "native").count() == 2)
+  }
+
+  test("mapping: let vars, coalesce pipe, arithmetic, meta") {
+    val out = run(Seq(PMutation(
+      """let n = seq * 10
+        |root.scaled = $n + 1
+        |root.fallback = null | "dflt"
+        |meta src = repo""".stripMargin)))
+    assert(out.filter($"seq" === 2L).select($"scaled").head.getLong(0) == 21L)
+    assert(out.select($"fallback").head.getString(0) == "dflt")
+    val meta = out.filter($"seq" === 1L)
+      .select(element_at($"metadata", "src")).head.getString(0)
+    assert(meta == "r1")
+  }
+
+  test("string methods parity table") {
+    val df = Seq(("  Hello World  ", "prefix-value")).toDF("s", "p")
+    val out = run(Seq(PMutation(
+      """root.trimmed = s.trim()
+        |root.up = s.trim().uppercase()
+        |root.has = p.has_prefix("prefix-")
+        |root.stripped = p.trim_prefix("prefix-")
+        |root.rep = p.replace_all("-", "_")
+        |root.sub = p.slice(0, 6)
+        |root.len = p.length()
+        |root.b64 = p.encode("base64")
+        |root.back = p.encode("base64").decode("base64")
+        |root.idx = p.index_of("value")""".stripMargin)), df)
+    val r = out.head
+    assert(r.getAs[String]("trimmed") == "Hello World")
+    assert(r.getAs[String]("up") == "HELLO WORLD")
+    assert(r.getAs[Boolean]("has"))
+    assert(r.getAs[String]("stripped") == "value")
+    assert(r.getAs[String]("rep") == "prefix_value")
+    assert(r.getAs[String]("sub") == "prefix")
+    assert(r.getAs[Int]("len") == 12)
+    assert(r.getAs[String]("back") == "prefix-value")
+    assert(r.getAs[Int]("idx") == 7)
+  }
+
+  test("hash methods match known vectors") {
+    val df = Seq(Tuple1("hello world")).toDF("s")
+    val out = run(Seq(PMapping(
+      """root.sha256 = s.hash("sha256")
+        |root.md5 = s.hash("md5")
+        |root.sha1 = s.hash("sha1")""".stripMargin)), df)
+    val r = out.head
+    assert(r.getAs[String]("sha256") ==
+      "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
+    assert(r.getAs[String]("md5") == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+    assert(r.getAs[String]("sha1") == "2aae6c35c94fcfb415dbe95f408b9ce91ee846ed")
+  }
+
+  // ---- filter / switch / branch -------------------------------------
+
+  test("filter keeps matching rows") {
+    val out = run(Seq(PFilter("""op == "upsert" && lang != "md"""")))
+    assert(out.count() == 4)
+  }
+
+  test("switch: first-match-wins with default") {
+    val out = run(Seq(PSwitch(Seq(
+      SwitchCase(Some("""lang == "scala""""),
+        Seq(PMutation("""root.route = "jvm""""))),
+      SwitchCase(Some("seq > 3"),
+        Seq(PMutation("""root.route = "late""""))),
+      SwitchCase(None,
+        Seq(PMutation("""root.route = "rest"""")))
+    ))))
+    assert(out.count() == events.count())
+    assert(out.filter($"route" === "jvm").count() == 2) // seq 1,2
+    assert(out.filter($"route" === "late").count() == 2) // seq 4,5 (not scala)
+    assert(out.filter($"route" === "rest").count() == 1) // seq 3
+  }
+
+  test("branch: request_map -> children -> result_map") {
+    val out = run(Seq(PBranch(
+      requestMap = """root.k = repo + ":" + lang""",
+      processors = Seq(PMapping("""root.k2 = this.k.uppercase()""")),
+      resultMap = """root.enriched = this.k2""")))
+    assert(out.columns.contains("enriched"))
+    assert(out.filter($"seq" === 1L).select($"enriched").head.getString(0) == "R1:SCALA")
+  }
+
+  // ---- dedupe / bounds / shaping ------------------------------------
+
+  test("dedupe: LWW keeps max-seq row per key") {
+    val out = run(Seq(PDedupe("${! repo + path }")))
+    assert(out.count() == 4)
+    val kept = out.filter($"repo" === "r1" && $"path" === "a.scala").collect()
+    assert(kept.length == 1 && kept(0).getAs[Long]("seq") == 2L)
+  }
+
+  test("bounds_check drops out-of-bounds content") {
+    val out = run(Seq(PBoundsCheck(minLen = 1, maxLen = 9)))
+    // "object A" (8), "object A2" (9), "import os" (9), "" (0), "package main" (12)
+    assert(out.count() == 3)
+  }
+
+  test("archive json_array + unarchive round-trips") {
+    val archived = run(Seq(PArchive("json_array", groupBy = Seq("repo"), field = "content")))
+    assert(archived.count() == 2)
+    val back = run(Seq(PUnarchive("json_array", field = "content")),
+      archived)
+    assert(back.count() == 5)
+    assert(back.filter($"content" === "package main").count() == 1)
+  }
+
+  // ---- errors --------------------------------------------------------
+
+  test("validate + try + catch error flow") {
+    val out = run(Seq(
+      PValidate("content.length() > 0", "empty content"),
+      PTry(Seq(PMutation("""root.ok = "processed""""))),
+      PCatch(Seq(PMutation("""root.ok = "recovered"""")))
+    ))
+    assert(out.filter($"ok" === "processed").count() == 4)
+    assert(out.filter($"ok" === "recovered").count() == 1)
+    assert(out.filter($"_error".isNotNull).count() == 0) // catch cleared it
+  }
+
+  test("errored rows skip try-children") {
+    val out = run(Seq(
+      PValidate("""lang != "md"""", "md not allowed"),
+      PTry(Seq(PMutation("""root.content = "TOUCHED"""")))
+    ))
+    assert(out.filter($"content" === "TOUCHED").count() == 4)
+    assert(out.filter($"_error".isNotNull).select($"content").head.getString(0) == "")
+  }
+
+  // ---- YAML config ----------------------------------------------------
+
+  test("YAML pipeline config end-to-end") {
+    val yaml =
+      """pipeline:
+        |  processors:
+        |    - mutation: |
+        |        root.sha = content().hash("sha256")
+        |        root = if op == "delete" { deleted() } else { this }
+        |    - dedupe:
+        |        key: "${! repo + \"/\" + path }"
+        |    - bounds_check:
+        |        min_len: 1
+        |""".stripMargin
+    val pipe = PipelineConfig.parse(yaml)
+    val out = pipe.transform(events)
+    // 5 events - 1 delete - 1 LWW duplicate = 3
+    assert(out.count() == 3)
+    assert(out.columns.contains("sha"))
+    assert(out.filter($"path" === "a.scala").select($"seq").head.getLong(0) == 2L)
+  }
+
+  test("interpolation with literal and expr segments") {
+    val c = Processor.interpolate("key=${! repo }/${! lang.uppercase() }", events)
+    val v = events.select(c.as("k")).filter($"k".contains("r2")).head.getString(0)
+    assert(v == "key=r2/PY" || v == "key=r2/GO")
+  }
+}
