@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the 100 TB contract):
+  *  - nothing here ever compares all-pairs; every near-dup variant is
+  *    candidate-generation by *bucket join* (LSH band / SimHash chunk /
+  *    shared shingle) followed by exact verification on the candidate
+  *    pairs only — the classic O(n·b) shuffle instead of O(n²);
+  *  - signatures are pure Column expressions (xxhash64-based, no UDFs),
+  *    computed in one codegen'd projection over the scan;
+  *  - the per-doc shingle/signature frames are cheap narrow children;
+  *    the only shuffles are the bucket groupBy/join on (band, hash)
+  *    keys, which partition evenly because the keys are hashes.
+  *
+  * The reference's only dedupe is key-equality against a cache
+  * (SURVEY.md §2.3, upstream `internal/impl/pure/processor_dedupe.go`);
+  * the near-dup family below is the corpus-scale generalization.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // exact
+  // ------------------------------------------------------------------
+
+  /** One row per distinct content hash: keeper = min(id), dupes = n-1.
+    * A single hash-aggregate; map-side partial combine handles the
+    * common all-unique case with almost no shuffle volume.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprintMd5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("group_size"))
+
+  /** Keep exactly one row (min id) per distinct normalized content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val all = df.columns.toSeq
+    df.groupBy(TextOps.fingerprintMd5(col(textCol)).as("content_hash"))
+      .agg(min_by(struct(all.map(col): _*), col(idCol)).as("_w"))
+      .select(col("_w.*"))
+  }
+
+  // ------------------------------------------------------------------
+  // shingling
+  // ------------------------------------------------------------------
+
+  /** Distinct word n-gram shingles of a text column (n-token windows
+    * joined by single spaces); a doc with < n tokens yields one shingle
+    * of all its tokens. Pure Column (sequence+transform), no explode.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val nWin = size(toks) - lit(n - 1)
+    when(nWin <= 0, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), nWin),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Distinct character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = TextOps.normalized(text)
+    val nWin = length(t) - lit(n - 1)
+    when(nWin <= 0, array(t))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), nWin), i => t.substr(i, lit(n)))))
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  final case class MinHashConfig(
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      charShingles: Boolean = false) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** MinHash signature: array of `numHashes` minima of per-shingle
+    * seeded xxhash64 values (one pass per hash function over the
+    * shingle array, all inside codegen).
+    */
+  def minHashSignature(shingleArr: Column, cfg: MinHashConfig): Column =
+    array((0 until cfg.numHashes).map { j =>
+      array_min(transform(shingleArr, s => xxhash64(lit(j), s)))
+    }: _*)
+
+  /** (id, shingles, sig) frame. */
+  def withSignature(df: DataFrame, idCol: String, textCol: String,
+                    cfg: MinHashConfig): DataFrame = {
+    val sh = if (cfg.charShingles) charShingles(col(textCol), cfg.shingleSize)
+             else wordShingles(col(textCol), cfg.shingleSize)
+    df.select(col(idCol).as("id"), sh.as("shingles"))
+      .withColumn("sig", minHashSignature(col("shingles"), cfg))
+  }
+
+  /** Candidate pairs (a < b) that share at least one LSH band bucket.
+    * Band hash = xxhash64 over the band's signature slice; the
+    * self-join runs on (band_idx, band_hash) so hot buckets spread by
+    * hash. Distinct-ed because pairs can collide in several bands.
+    */
+  def candidatePairs(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val r = cfg.rowsPerBand
+    val bands = sigs.select(col("id"),
+      posexplode(array((0 until cfg.bands).map { i =>
+        xxhash64(lit(i) +: (0 until r).map(j => col("sig")(i * r + j)): _*)
+      }: _*)).as(Seq("band_idx", "band_hash")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs with exact-Jaccard verification >= threshold.
+    * Output: (id_a, id_b, jaccard).
+    */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double,
+                      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sigs = withSignature(df, idCol, textCol, cfg)
+    val docs = sigs.select(col("id"), col("shingles"))
+    candidatePairs(sigs, cfg)
+      .join(docs.withColumnsRenamed(Map("id" -> "id_a", "shingles" -> "sh_a")), "id_a")
+      .join(docs.withColumnsRenamed(Map("id" -> "id_b", "shingles" -> "sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over distinct whitespace tokens: bit b is set when
+    * sum over tokens of (+1 if bit b of xxhash64(token) else -1) > 0.
+    * One expression tree, no shuffle.
+    */
+  def simHash64(text: Column): Column = {
+    val hashes = transform(array_distinct(TextOps.tokens(text)), t => xxhash64(t))
+    (0 until 64).map { b =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Near-dup pairs by SimHash: candidates share one of `chunks`
+    * 16-bit chunks (pigeonhole: hamming <= chunks-1 guarantees a shared
+    * chunk), verified with bit_count(xor) <= maxHamming.
+    * Output: (id_a, id_b, hamming).
+    */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("simhash"))
+    val chunks = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map { i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------------
+  // n-gram Jaccard (shared-shingle candidate join)
+  // ------------------------------------------------------------------
+
+  /** All pairs (a < b) with exact shingle-Jaccard >= threshold,
+    * found via an inverted-index join on shared shingles (no LSH
+    * approximation): explode shingles, self-join on the shingle,
+    * count shared per pair, derive |union| = |A|+|B|-shared.
+    * Exact but quadratic in the worst case — the LSH variants are the
+    * scale path; this one is the ground-truth oracle shape.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        useCharShingles: Boolean = false): DataFrame = {
+    val sh = if (useCharShingles) charShingles(col(textCol), n)
+             else wordShingles(col(textCol), n)
+    val docs = df.select(col(idCol).as("id"), sh.as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+    val inv = docs.select(col("id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: media
+  * payloads as opaque `BINARY` columns with a typed metadata struct,
+  * plus batch decode / feature-extract / resize / frame-sample hooks.
+  *
+  * The container ships no image/audio codecs, so the decode kernels are
+  * STUBS — deterministic fakes clearly marked below — while everything
+  * Spark-side is real and tested: the envelope schema, the
+  * partition-preserving batch shape (`mapPartitions` over a typed
+  * Dataset, the JVM twin of `mapInPandas`: one iterator per partition,
+  * so a real decoder amortizes model/codec init per partition, not per
+  * row), and the pure-Column metadata path that needs no decode at all.
+  */
+object Multimodal {
+
+  /** The media envelope: one row per asset. */
+  final case class MediaRow(
+      media_id: Long,
+      modality: String, // "image" | "audio" | "video" | "text"
+      mime: String,
+      payload: Array[Byte],
+      n_bytes: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      feature: Array[Float])
+
+  /** Wrap any (id, text) frame as a media envelope — the payload is the
+    * UTF-8 bytes; at production scale this column holds jpeg/wav/mp4
+    * bytes read from object storage, the plumbing is identical.
+    */
+  def asMediaEnvelope(df: DataFrame, idCol: String, textCol: String,
+                      modality: String = "image"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(modality).as("modality"),
+      lit(s"application/x-graft-$modality").as("mime"),
+      col(textCol).cast("binary").as("payload"),
+      length(col(textCol).cast("binary")).cast("long").as("n_bytes"))
+
+  /** Pure-Column "header sniff": cheap metadata derivable without a
+    * real decode (byte length + a deterministic fake geometry from the
+    * payload hash — a real impl reads the image header bytes here).
+    */
+  def sniffColumns: Seq[Column] = Seq(
+    col("media_id"), col("modality"), col("n_bytes"),
+    (ascii(substring(md5(col("payload")), 1, 1)) % 64 + 64).as("width"),
+    (ascii(substring(md5(col("payload")), 2, 1)) % 64 + 64).as("height"))
+
+  /** Batch decode + feature-extract. STUB KERNEL: a real deployment
+    * replaces `decodeOne` with an actual codec (e.g. TwelveMonkeys /
+    * javacv) — the surrounding iterator shape, schema, and partitioning
+    * are exactly what that real kernel would run in.
+    */
+  def decodeAndFeaturize(envelope: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = envelope.sparkSession
+    import spark.implicits._
+    envelope.select("media_id", "modality", "mime", "payload", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init happens HERE (codec tables, model weights…)
+        rows.map(decodeOne(_, featureDim))
+      }
+  }
+
+  /** STUB: deterministic fake decode — derives geometry and a feature
+    * vector from payload bytes instead of decoding pixels. Every output
+    * is a pure function of the payload, so tests are reproducible.
+    */
+  private def decodeOne(r: MediaRow, featureDim: Int): MediaFeatures = {
+    val h = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+    val feats = Array.tabulate(featureDim) { i =>
+      ((h(i % h.length) & 0xFF) / 255.0f)
+    }
+    MediaFeatures(r.media_id, r.modality, r.n_bytes,
+      width = (h(0) & 0x3F) + 64, height = (h(1) & 0x3F) + 64, feature = feats)
+  }
+
+  /** Frame sampling for video-like payloads: split the payload into
+    * fixed-size "frames" and keep every `stride`-th — pure Column
+    * (sequence + transform over binary slices), demonstrating the
+    * array-of-binary schema a real frame sampler produces.
+    */
+  def sampleFrames(payload: Column, frameBytes: Int, stride: Int): Column =
+    transform(
+      sequence(lit(1), greatest(ceil(length(payload) / lit(frameBytes)).cast("int"), lit(1)), lit(stride)),
+      i => payload.substr((i - lit(1)) * lit(frameBytes) + lit(1), lit(frameBytes)))
+}

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`):
+  * brute-force cosine top-k as the exact baseline, plus two sublinear
+  * scale paths — random-hyperplane LSH bucketing and an IVF
+  * (inverted-file, coarse-quantizer) index.
+  *
+  * Scale design:
+  *  - dot products are `zip_with` + `aggregate` folds — codegen'd,
+  *    no UDF, elements cast to double before multiply so results are
+  *    deterministic across engines and partitionings;
+  *  - brute-force broadcasts the (small) query side under a
+  *    partition-by-query top-k window; cost O(|corpus|·|queries|)
+  *    scans but never a corpus shuffle wider than the top-k window;
+  *  - IVF broadcasts the centroid table twice (assign + probe) so the
+  *    only shuffle is the equi-join on centroid_id, which AQE can
+  *    split on skewed cells.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array columns (as double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine: for each row of `queries`, the k nearest
+    * rows of `corpus`. Output (query_id, neighbor_id, rank, cosine);
+    * ties break by neighbor id so ranking is total.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  // ------------------------------------------------------------------
+  // random-hyperplane LSH
+  // ------------------------------------------------------------------
+
+  /** Deterministic Gaussian hyperplanes (seeded; driver-side literals). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def planeLit(p: Array[Double]): Column =
+    array(p.map(lit(_)): _*)
+
+  /** Sign-bit signature under `planes`, packed into one LONG. */
+  def lshSignature(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, planeLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Pairs of vectors (a < b) that share a full LSH signature in at
+    * least one of `tables` independent hash tables, verified with exact
+    * cosine >= threshold. Identical vectors always collide (recall 1.0
+    * at cosine = 1); recall for near-pairs grows with `tables`.
+    */
+  def lshNearDups(df: DataFrame, threshold: Double,
+                  numPlanes: Int = 16, tables: Int = 4, seed: Long = 42L,
+                  dim: Int = 64,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val sigCols = (0 until tables).map { t =>
+      lshSignature(col(vecCol), hyperplanes(numPlanes, dim, seed + t)).as(s"sig_$t")
+    }
+    val sigs = df.select((col(idCol).as("id") +: col(vecCol).as("v") +: sigCols): _*)
+    val buckets = sigs.select(col("id"), col("v"),
+      posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
+        .as(Seq("table_idx", "sig")))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.table_idx") === col("b.table_idx") &&
+        col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted file / coarse quantizer)
+  // ------------------------------------------------------------------
+
+  final case class IvfIndex(cells: DataFrame /* (centroid_id, centroid) */,
+                            assigned: DataFrame /* corpus + centroid_id */)
+
+  /** Build an IVF index: centroids = a deterministic hash-sample of the
+    * corpus itself (a k-means seeding without the iterations; good
+    * enough for routing), each row assigned to its nearest centroid via
+    * a broadcast join. The sample is a pushed-down filter — no global
+    * sort or corpus shuffle; the only window runs over the numCells-row
+    * sampled set.
+    */
+  def buildIvf(corpus: DataFrame, numCells: Int, lloydIters: Int = 2,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): IvfIndex = {
+    val n = corpus.count()
+    val rate = math.max(1L, n / math.max(1, numCells))
+    var cells = broadcast(
+      corpus.select(col(idCol), col(vecCol))
+        .filter(pmod(xxhash64(col(idCol)), lit(rate)) === 0)
+        .limit(numCells)
+        .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
+          col(vecCol).cast("array<double>").as("centroid")))
+
+    def assign(c: DataFrame): DataFrame = {
+      val assignW = Window.partitionBy(col(idCol))
+        .orderBy(col("_dist").asc, col("centroid_id").asc)
+      corpus.join(c)
+        .withColumn("_dist", -cosine(col(vecCol), col("centroid")))
+        .withColumn("_arn", row_number().over(assignW))
+        .filter(col("_arn") === 1)
+        .drop("_dist", "_arn", "centroid")
+    }
+
+    // Lloyd refinement: recenter each cell on its members' mean.
+    // posexplode + (cell, dim) aggregate — the standard distributed
+    // k-means step; at production scale run it on a sample, the cell
+    // routing only needs approximate centroids.
+    for (_ <- 0 until lloydIters) {
+      val members = assign(cells)
+      val means = members
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("_dim", "_x")))
+        .groupBy("centroid_id", "_dim")
+        .agg(avg(col("_x").cast("double")).as("_m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("_dim"), col("_m")))).as("_dm"))
+        .select(col("centroid_id"),
+          transform(col("_dm"), e => e.getField("_m")).as("centroid"))
+      cells = broadcast(means)
+    }
+    IvfIndex(cells, assign(cells))
+  }
+
+  /** ANN top-k through the IVF index: each query probes its `nProbe`
+    * nearest cells and brute-forces only those cells' vectors.
+    */
+  def ivfKnn(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("_cdist").asc, col("centroid_id").asc)
+    val probes = q.join(index.cells)
+      .withColumn("_cdist", -cosine(col("qv"), col("centroid")))
+      .withColumn("_prn", row_number().over(probeW))
+      .filter(col("_prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val scored = probes.join(index.assigned, "centroid_id")
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cosine", cosine(col("qv"), col(vecCol)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * All of these are pure Catalyst `Column` compositions — no UDFs — so
+  * they stay inside whole-stage codegen and cost one narrow projection
+  * over the scan (no shuffle at any scale). The reference's analogs are
+  * its per-message string/regex processors (SURVEY.md §2.3 `text`,
+  * upstream v3 `lib/processor/text.go`; Bloblang string methods,
+  * `internal/bloblang/query/methods_strings.go`), generalized here to
+  * corpus-analysis semantics Benthos itself does not have.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a trimmed string (empty string → [""]). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish lexer: letter runs | digit runs | single punctuation. */
+  val BpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(BpeTokenRegex), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  // ------------------------------------------------------------------
+  // language identification (marker-n-gram heuristic)
+  // ------------------------------------------------------------------
+
+  /** Marker words per language, checked as ` word ` substrings of the
+    * space-padded lowercased text. Order = tie-break priority.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "und", "nicht", "das", "ist"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4")
+  )
+
+  /** Occurrences of marker `m` as a whole word (`\b` boundaries — RE2
+    * and Java regex agree on these, unlike lookaheads, so the DuckDB
+    * oracle can mirror the count exactly).
+    */
+  private def markerCount(text: Column, m: String): Column =
+    size(regexp_extract_all(lower(text), lit("\\b" + m + "\\b"), lit(0)))
+
+  /** Per-language marker score columns, aliased `score_<lang>`. */
+  def langScores(text: Column): Seq[Column] =
+    LangMarkers.map { case (lang, ms) =>
+      ms.map(markerCount(text, _)).reduce(_ + _).as(s"score_$lang")
+    }
+
+  /** Arg-max language with "unknown" when every score is 0; ties break
+    * by [[LangMarkers]] order (first listed wins).
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) =>
+      lang -> ms.map(markerCount(text, _)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown")) { case ((lang, s), els) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // quality scoring
+  // ------------------------------------------------------------------
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Structural quality features as named columns over a text column:
+    * n_tokens, n_chars, punct_ratio, stopword_ratio, mean_token_len,
+    * and a [0,1] quality score (deterministic arithmetic only).
+    */
+  def qualityFeatures(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val stop = size(filter(toks, t => lower(t).isin(Stopwords: _*))).cast("long")
+    val nonSpace = length(regexp_replace(text, "\\s", "")).cast("long")
+    val punctRatio = punct.cast("double") / greatest(nChars, lit(1L)).cast("double")
+    val stopRatio = stop.cast("double") / greatest(nTok, lit(1L)).cast("double")
+    val meanTokLen = nonSpace.cast("double") / greatest(nTok, lit(1L)).cast("double")
+    // score: long enough, low punctuation, some (but not all) stopwords
+    val lenScore = least(nTok.cast("double") / lit(64.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio * 4.0, lit(0.0))
+    val stopScore = when(stopRatio.between(0.05, 0.6), lit(1.0)).otherwise(lit(0.5))
+    // no round(): both engines derive these from identical integer
+    // counts with one IEEE-754 division/multiply chain, so raw doubles
+    // match bit-for-bit — round()'s half-up behavior differs between
+    // engines and would INTRODUCE mismatches, not remove them
+    val score = lenScore * 0.4 + punctScore * 0.4 + stopScore * 0.2
+    Seq(nTok.as("n_tokens"), nChars.as("n_chars"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      meanTokLen.as("mean_token_len"),
+      score.as("quality"))
+  }
+
+  // ------------------------------------------------------------------
+  // fingerprinting
+  // ------------------------------------------------------------------
+
+  /** Whitespace/case-normalized form used by both fingerprints. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content-defined fingerprint: md5 of the normalized text
+    * (oracle-checkable; exact-dup key).
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** Rolling hash over normalized tokens: the accumulator is chained
+    * as `acc = xxhash64(acc, token)` (seed-chained xxhash64, so no
+    * overflow under ANSI arithmetic) — an order-sensitive fingerprint
+    * that, unlike md5-of-all, can be computed incrementally per token.
+    * Spark-only (xxhash64 has no DuckDB twin); the Scala oracle lives
+    * in the spec.
+    */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(tokens(normalized(text)), lit(0L),
+      (acc, t) => xxhash64(acc, t))
+}

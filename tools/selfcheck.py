@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Simulate the driver's correctness gate: load each Verify output
+parquet, run the paired oracle SQL in DuckDB over the same sf dir,
+sort columns by name + rows, and compare values."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+results = {}
+for qdir in sorted(glob.glob(f"{outdir}/*/")):
+    name = os.path.basename(qdir.rstrip('/'))
+    try:
+        got = pd.read_parquet(qdir)
+    except Exception as e:
+        results[name] = f"SPARK-READ-FAIL {e}"; continue
+    if name not in oracle:
+        results[name] = f"rows-only ({len(got)} rows)"; continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        results[name] = f"ORACLE-FAIL {str(e).splitlines()[0]}"; continue
+    g = got.reindex(sorted(got.columns), axis=1)
+    e = exp.reindex(sorted(exp.columns), axis=1)
+    if list(g.columns) != list(e.columns):
+        results[name] = f"SCHEMA-MISMATCH spark={list(g.columns)} oracle={list(e.columns)}"; continue
+    if len(g) != len(e):
+        results[name] = f"ROWCOUNT {len(g)} vs {len(e)}"; continue
+    g = g.sort_values(by=list(g.columns), kind='mergesort').reset_index(drop=True)
+    e = e.sort_values(by=list(e.columns), kind='mergesort').reset_index(drop=True)
+    bad = []
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
+            eq = np.isclose(gv.astype(float), ev.astype(float), rtol=0, atol=0, equal_nan=True)
+            exact = eq.all()
+            close = np.isclose(gv.astype(float), ev.astype(float), rtol=1e-9, equal_nan=True).all()
+            if not exact:
+                bad.append(f"{c}({'close' if close else 'FAR'})")
+        else:
+            if not (gv.astype(str) == ev.astype(str)).all():
+                n = (gv.astype(str) != ev.astype(str)).sum()
+                i = (gv.astype(str) != ev.astype(str)).idxmax()
+                bad.append(f"{c}[{n} diffs, e.g. row {i}: {gv[i]!r} vs {ev[i]!r}]")
+    results[name] = "OK" if not bad else "VALUE-MISMATCH " + "; ".join(bad)
+fails = 0
+for k, v in sorted(results.items()):
+    flag = " " if v.startswith(("OK", "rows-only")) else "X"
+    if flag == "X": fails += 1
+    print(f"{flag} {k}: {v}")
+missing = set(oracle) - set(results)
+if missing: print("MISSING RESULTS:", missing); fails += 1
+print(f"\n{len(results)} queries, {fails} failing")
+sys.exit(1 if fails else 0)
