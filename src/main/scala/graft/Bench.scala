@@ -1,24 +1,121 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine.CdcEngine
+import graft.gen.EventLogGen
+
+/** Per-round benchmark (driver contract: ONE JSON line on stdout).
+  *
+  * Headline = the north-rule metric: CDC replay throughput
+  * (change-events/sec, generated log → streamed LWW merge → lake),
+  * plus wall time for the representative operator queries at
+  * SPARK_GRAFT_SF_DIR. Queries are materialized through the `noop`
+  * sink — a bare count() would let Catalyst prune away exactly the
+  * expensive expressions (sha256, minhash signatures) being measured.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  def buildSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Events for the replay headline, scaled with the sf of the dir. */
+  def replayEvents(sfDir: String): Long = {
+    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.01)
+    math.max(20000L, (sf * 10000000L).toLong) // sf0.1 -> 1M events
+  }
+
+  def sink(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One full replay; returns (seconds, events/sec). */
+  def replayBench(spark: SparkSession, events: Long, workRoot: String,
+                  reuseLog: Boolean = false): (Double, Double) = {
+    val cfg = EventLogGen.GenConfig(seed = 42L, events = events,
+      repos = 40, pathsPerRepo = 500, rowsPerFile = math.max(events / 32, 1000L))
+    val logDir = s"$workRoot/log"
+    if (!reuseLog || !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(logDir)))
+      EventLogGen.writeLog(spark, cfg, logDir)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val sec = time {
+      CdcEngine.replayToEnd(spark, CdcEngine.ReplayConfig(
+        logDir = logDir, lakeRoot = s"$workRoot/lake-$runId",
+        checkpointDir = s"$workRoot/chk-$runId", maxFilesPerTrigger = Some(8)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    (sec, events / sec)
+  }
+
+  /** The representative operator subset timed per round. */
+  val headlineQueries: Seq[String] = Seq(
+    "q1_agg", "q_join_agg", "q_dedupe_lww", "q_window_hourly", "q_mapping",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_knn_brute",
+    "q_langid", "q_quality", "q_tokcount")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors() - 0).toString)
+    val spark = buildSession(cpus)
+
+    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val events = replayEvents(sfDir)
+    val (replaySec, eps) = replayBench(spark, events, work)
+
+    val qTimes = headlineQueries.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        name -> time(sink(fn(spark, sfDir)))
+      }
+    }
+
+    val total = replaySec + qTimes.map(_._2).sum
+    val qJson = (qTimes :+ ("cdc_replay" -> replaySec))
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cdc_events":$events,"cdc_events_per_sec":${f"$eps%.0f"},"cpus":$cpus}""")
+    spark.stop()
+  }
+}
+
+/** Two-cluster-size scaling evidence (the sandbox substitute for the
+  * north rule's N→4N executor requirement): the SAME generated log is
+  * replayed at two parallelism levels and throughput + scaling
+  * efficiency ((epsN4/epsN)/4) is reported into BASELINE.md.
+  *
+  * One measurement per JVM — `spark-submit --master local[N]` per run
+  * over a shared work dir — so neither JIT/GC state nor listener
+  * backlogs of the first run can contaminate the second.
+  *
+  * Usage: ScalingBench <events> <cpus> <workDir>   (one run; prints eps)
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val events = args(0).toLong
+    val cpus = args(1)
+    val work = args(2)
+    val spark = Bench.buildSession(cpus)
+    // steady-state protocol: one untimed replay warms JIT + page cache
+    // (a cold single-JVM run measures C2 compilation, not the engine),
+    // then the best of 3 timed replays — this sandbox VM shows 2-4x
+    // sporadic host-level noise (variable disk + steal), and min-of-N
+    // is the standard estimator for true capability under such noise
+    val repeats = args.lift(3).map(_.toInt).getOrElse(3)
+    Bench.replayBench(spark, events, work, reuseLog = true)
+    val runs = (1 to repeats).map(_ => Bench.replayBench(spark, events, work, reuseLog = true))
+    val (sec, eps) = runs.minBy(_._1)
+    val all = runs.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"scaling_run","events":$events,"cpus":$cpus,"sec":${f"$sec%.3f"},"events_per_sec":${f"$eps%.0f"},"all_secs":$all}""")
     spark.stop()
   }
 }

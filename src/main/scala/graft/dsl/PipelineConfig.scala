@@ -92,6 +92,50 @@ object PipelineConfig {
       case "unarchive" =>
         PUnarchive(body.get("format").asText,
           opt(body, "field").map(_.asText).getOrElse("content"))
+      case "workflow" =>
+        val br = body.get("branches")
+        val names = br.fieldNames()
+        val branches = scala.collection.mutable.LinkedHashMap[String, PBranch]()
+        while (names.hasNext) {
+          val n = names.next()
+          parseProcessor(mapper.createObjectNode().set("branch", br.get(n))) match {
+            case b: PBranch => branches(n) = b
+            case _ => ()
+          }
+        }
+        val order = opt(body, "order").map { o =>
+          (0 until o.size).map { i =>
+            val stage = o.get(i)
+            (0 until stage.size).map(stage.get(_).asText)
+          }
+        }.getOrElse(Nil)
+        PWorkflow(branches.toMap, order)
+      case "grok" =>
+        PGrok(opt(body, "field").map(_.asText).getOrElse("content"),
+          if (body.isTextual) body.asText else body.get("pattern").asText)
+      case "jmespath" =>
+        PJmesPath(opt(body, "field").map(_.asText).getOrElse("content"),
+          body.get("query").asText,
+          opt(body, "target").map(_.asText).getOrElse("result"))
+      case "log" =>
+        PLog(if (body.isTextual) body.asText else body.get("message").asText)
+      case "metric" =>
+        val counters = opt(body, "counters").map { c =>
+          val it = c.fieldNames()
+          val b = Seq.newBuilder[(String, String)]
+          while (it.hasNext) { val k = it.next(); b += (k -> c.get(k).asText) }
+          b.result()
+        }.getOrElse(Seq("n" -> "count"))
+        PMetric(body.get("name").asText, counters)
+      case "while" =>
+        PWhile(body.get("check").asText,
+          parseProcessors(body.get("processors")),
+          opt(body, "max_loops").map(_.asInt).getOrElse(3))
+      case "for_each" | "parallel" =>
+        // per-part isolation / concurrency are inherent to a columnar
+        // plan (SURVEY.md §2.3) — children apply directly
+        if (body.isArray) PSwitch(Seq(SwitchCase(None, parseProcessors(body))))
+        else PNoop
       case other => throw new IllegalArgumentException(s"unknown processor: $other")
     }
   }

@@ -46,6 +46,33 @@ object Processor {
   final case class PUnarchive(format: String, field: String = "content") extends Processor
   /** no-op (processor_noop.go). */
   case object PNoop extends Processor
+  /** DAG of named branches executed in topological stages
+    * (processor_workflow.go). Stage members are independent, so
+    * within-stage order is irrelevant; Catalyst fuses the adjacent
+    * projections into one. */
+  final case class PWorkflow(branches: Map[String, PBranch], order: Seq[Seq[String]]) extends Processor
+  /** grok-style regex template parse into named fields
+    * (processor_grok.go): %{SYNTAX:name} macros compile to one Java
+    * regex; each name becomes a column via regexp_extract. */
+  final case class PGrok(field: String, pattern: String) extends Processor
+  /** JMESPath-subset query against a JSON-string field
+    * (processor_jmespath.go): dotted paths / array indexing via
+    * get_json_object. */
+  final case class PJmesPath(field: String, path: String, target: String) extends Processor
+  /** per-batch driver log line (processor_log.go). Logging every row is
+    * an executor-side anti-pattern at scale — this logs the message
+    * once per compile with the frame's schema (semantic delta
+    * documented: per-message logs do not exist in a columnar plan). */
+  final case class PLog(message: String) extends Processor
+  /** named metric over the stream (processor_metric.go): compiles to
+    * `df.observe`, surfaced through Spark's observed-metrics channel
+    * (QueryExecutionListener / StreamingQueryProgress). */
+  final case class PMetric(name: String, counters: Seq[(String, String)]) extends Processor
+  /** bounded per-row fixpoint (processor_while.go, statically
+    * unrolled): children (mapping/mutation only) re-apply to rows still
+    * matching `check`, at most `maxIters` times. The reference loops a
+    * batch on the driver; a columnar plan unrolls instead. */
+  final case class PWhile(check: String, processors: Seq[Processor], maxIters: Int) extends Processor
 
   // ------------------------------------------------------------------
 
@@ -151,6 +178,60 @@ object Processor {
       if (keys.isEmpty) out.drop("_g") else out
     }
 
+    case PWorkflow(branches, order) => df => {
+      val stageNames = if (order.nonEmpty) order else Seq(branches.keys.toSeq.sorted)
+      stageNames.flatten.foldLeft(df) { (d, name) =>
+        compileOne(branches.getOrElse(name,
+          throw new IllegalArgumentException(s"workflow: unknown branch $name")))(d)
+      }
+    }
+
+    case PGrok(field, pattern) => df => {
+      val (regex, names) = Grok.compile(pattern)
+      names.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
+        d.withColumn(name, regexp_extract(col(field), regex, i + 1))
+      }
+    }
+
+    case PJmesPath(field, path, target) => df =>
+      df.withColumn(target, get_json_object(col(field),
+        if (path.startsWith("$")) path else "$." + path))
+
+    case PLog(message) => df => {
+      // once per compile, on the driver — a per-row executor log is an
+      // anti-pattern the columnar plan deliberately does not reproduce
+      org.slf4j.LoggerFactory.getLogger("graft.pipeline")
+        .info(s"[pipeline.log] $message schema=${df.schema.simpleString}")
+      df
+    }
+
+    case PMetric(name, counters) => df => {
+      val aggs = counters.map {
+        case (alias, "count") => count(lit(1)).as(alias)
+        case (alias, spec) if spec.startsWith("sum:") =>
+          sum(col(spec.stripPrefix("sum:"))).as(alias)
+        case (alias, spec) if spec.startsWith("min:") =>
+          min(col(spec.stripPrefix("min:"))).as(alias)
+        case (alias, spec) if spec.startsWith("max:") =>
+          max(col(spec.stripPrefix("max:"))).as(alias)
+        case (_, other) => throw new IllegalArgumentException(s"metric spec $other")
+      }
+      df.observe(name, aggs.head, aggs.tail: _*)
+    }
+
+    case PWhile(check, children, maxIters) => df => {
+      // static unroll: each pass re-applies the children's mutations
+      // only to rows still matching `check` (statement-level if)
+      val body = children.map {
+        case PMutation(src) => src
+        case PMapping(src) => src
+        case other => throw new IllegalArgumentException(
+          s"while children must be mapping/mutation, got $other")
+      }.mkString("\n")
+      val guarded = PMutation(s"if $check {\n$body\n}")
+      (0 until maxIters).foldLeft(df)((d, _) => compileOne(guarded)(d))
+    }
+
     case PUnarchive(format, field) => df => format match {
       case "json_array" =>
         val others = df.columns.filterNot(_ == field).map(col)
@@ -160,6 +241,45 @@ object Processor {
         val others = df.columns.filterNot(_ == field).map(col)
         df.select(others :+ explode(split(col(field), "\n")).as(field): _*)
       case other => throw new IllegalArgumentException(s"unarchive format $other")
+    }
+  }
+
+  /** Mini grok compiler: %{SYNTAX:name} macros + literal separators →
+    * (java regex with one group per name, names in order). Literal
+    * segments are quoted, per grok semantics (reference
+    * processor_grok.go wraps the same vjeantet/grok idea).
+    */
+  object Grok {
+    private val macros = Map(
+      "WORD" -> "\\w+",
+      "NOTSPACE" -> "\\S+",
+      "DATA" -> ".*?",
+      "GREEDYDATA" -> ".*",
+      "INT" -> "[+-]?\\d+",
+      "NUMBER" -> "[+-]?\\d+(?:\\.\\d+)?",
+      "IP" -> "\\d{1,3}(?:\\.\\d{1,3}){3}",
+      "LOGLEVEL" -> "[A-Za-z]+",
+      "TIMESTAMP_ISO8601" ->
+        "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?")
+    private val MacroRef = raw"%\{(\w+):(\w+)\}".r
+
+    def compile(pattern: String): (String, Seq[String]) = {
+      val names = Seq.newBuilder[String]
+      val sb = new StringBuilder
+      var last = 0
+      for (m <- MacroRef.findAllMatchIn(pattern)) {
+        val lit = pattern.substring(last, m.start)
+        if (lit.nonEmpty) sb.append(java.util.regex.Pattern.quote(lit))
+        val syntax = m.group(1)
+        val body = macros.getOrElse(syntax,
+          throw new IllegalArgumentException(s"unknown grok macro %{$syntax}"))
+        names += m.group(2)
+        sb.append("(").append(body).append(")")
+        last = m.end
+      }
+      val tail = pattern.substring(last)
+      if (tail.nonEmpty) sb.append(java.util.regex.Pattern.quote(tail))
+      (sb.toString, names.result())
     }
   }
 

@@ -20,6 +20,8 @@ import graft.model.Model
   */
 object CdcEngine {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.engine")
+
   final case class ReplayConfig(
       logDir: String,
       lakeRoot: String,
@@ -68,14 +70,23 @@ object CdcEngine {
     // Cache: the batch feeds both the dedupe and the row count; without
     // this the file scan runs twice.
     val b = batch.persist()
+    // The merge runs several actions over the deduped frame (touched-
+    // bucket discovery + the write); without this persist the whole
+    // salted LWW aggregate would recompute for each of them.
+    lazy val deduped =
+      Lww.dedupe(b, Model.keyCols, "seq", cfg.saltBuckets).persist()
     try {
       val rowsIn = b.count()
       if (rowsIn == 0) return None
-      val deduped = Lww.dedupe(b, Model.keyCols, "seq", cfg.saltBuckets)
+      val opCounts = deduped.groupBy("op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       val lineage = lake.merge(deduped, batchId)
       val ms = (System.nanoTime() - t0) / 1000000L
-      val m = BatchMetrics(batchId, rowsIn, 0L, 0L, ms,
+      val m = BatchMetrics(batchId, rowsIn,
+        opCounts.getOrElse(Model.Upsert, 0L), opCounts.getOrElse(Model.Delete, 0L), ms,
         if (ms > 0) rowsIn * 1000.0 / ms else 0.0)
+      log.info(s"batch=$batchId rowsIn=$rowsIn upserts=${m.rowsUpserted} " +
+        s"deletes=${m.rowsDeleted} ms=$ms eps=${m.eventsPerSec.toLong}")
       cfg.metricsDir.foreach { dir =>
         import spark.implicits._
         Seq(m).toDF().write.mode("append").parquet(s"$dir/metrics")
@@ -83,7 +94,7 @@ object CdcEngine {
           lineage.toDF().write.mode("append").parquet(s"$dir/lineage")
       }
       Some(m)
-    } finally b.unpersist()
+    } finally { deduped.unpersist(); b.unpersist() }
   }
 
   /** Run a bounded replay to completion and return the lake. */

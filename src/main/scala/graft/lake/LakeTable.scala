@@ -193,12 +193,17 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
       .select(col("w.*"))
 
     // write new files for the touched buckets, clustered by bucket so
-    // each bucket yields a bounded number of files
+    // each bucket yields a bounded number of files. Bucket count alone
+    // caps write parallelism at `buckets` tasks — a path-hash subsplit
+    // keeps every core writing while each task still holds few buckets.
     val commitVersion = snap.version + 1
     val commitRel = f"data/c$commitVersion%08d"
     val outDir = s"$root/$commitRel"
+    val parallelism = spark.sparkContext.defaultParallelism
+    val writersPerBucket = math.max(1, parallelism / math.max(touched.size, 1))
     winners
-      .repartition(math.max(touched.size, 1), col(BucketCol))
+      .repartition(math.max(touched.size * writersPerBucket, 1),
+        col(BucketCol), pmod(xxhash64(col("path")), lit(writersPerBucket.toLong)))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(outDir)
 
     val newFiles = listParquet(Paths.get(outDir)).map { p =>

@@ -1,0 +1,132 @@
+package graft.dsl
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import Processor._
+
+/** Conformance for the second processor wave: workflow, grok, jmespath,
+  * metric (observe), while, log, and the for_each/parallel pass-through
+  * (reference files cited on each Processor case class).
+  */
+class ProcessorsExtSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("workflow: staged branches apply in topological order") {
+    val df = Seq((1L, 2.0)).toDF("id", "v")
+    val wf = PWorkflow(
+      branches = Map(
+        "double" -> PBranch("root.x = this.v", Seq(PMapping("root.y = this.x * 2.0")), "root.v2 = this.y"),
+        "plus1" -> PBranch("root.x = this.v2", Seq(PMapping("root.y = this.x + 1.0")), "root.v3 = this.y")),
+      order = Seq(Seq("double"), Seq("plus1")))
+    val out = Processor.compileOne(wf)(df).select("id", "v2", "v3").head()
+    assert(out.getDouble(1) == 4.0)
+    assert(out.getDouble(2) == 5.0) // second stage sees first stage's column
+  }
+
+  test("grok: macro pattern extracts named fields") {
+    val df = Seq("2024-03-01T10:00:00Z ERROR disk 87 full on 10.0.0.12")
+      .toDF("content")
+    val g = PGrok("content",
+      "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{WORD:dev} %{INT:pct} full on %{IP:host}")
+    val r = Processor.compileOne(g)(df).select("ts", "level", "dev", "pct", "host").head()
+    assert(r.getString(0) == "2024-03-01T10:00:00Z")
+    assert(r.getString(1) == "ERROR")
+    assert(r.getString(2) == "disk")
+    assert(r.getString(3) == "87")
+    assert(r.getString(4) == "10.0.0.12")
+  }
+
+  test("grok: literal segments are quoted, not regex") {
+    val df = Seq("a.b[1] 42").toDF("content")
+    val g = PGrok("content", "a.b[1] %{INT:n}")
+    assert(Processor.compileOne(g)(df).select("n").head().getString(0) == "42")
+    // '.' must not match 'x'
+    val df2 = Seq("axb[1] 42").toDF("content")
+    assert(Processor.compileOne(g)(df2).select("n").head().getString(0) == "")
+  }
+
+  test("jmespath: dotted path over JSON field") {
+    val df = Seq("""{"a":{"b":[10,20,30]}}""").toDF("content")
+    val out = Processor.compileOne(PJmesPath("content", "a.b[1]", "hit"))(df)
+      .select("hit").head().getString(0)
+    assert(out == "20")
+  }
+
+  test("metric: observe surfaces named aggregates through the listener") {
+    val df = Seq(1.0, 2.0, 3.5).toDF("v")
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get("batch_stats").foreach(r => seen = Some(r))
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Processor.compileOne(
+        PMetric("batch_stats", Seq("n" -> "count", "total" -> "sum:v")))(df)
+      out.collect()
+      var tries = 0
+      while (seen.isEmpty && tries < 100) { Thread.sleep(20); tries += 1 }
+      assert(seen.isDefined, "observed metrics not delivered")
+      val r = seen.get
+      assert(r.getAs[Long]("n") == 3L)
+      assert(r.getAs[Double]("total") == 6.5)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("while: bounded per-row fixpoint via guarded unroll") {
+    val df = Seq(1.0, 30.0, 300.0).toDF("v")
+    // double v while v < 100, at most 8 passes
+    val out = Processor.compileOne(
+      PWhile("this.v < 100.0", Seq(PMutation("root.v = this.v * 2.0")), 8))(df)
+      .select("v").as[Double].collect().sorted
+    // 1 -> 128 (7 doublings then guard fails... 1*2^7=128 >= 100 at pass 7, pass 8 guard false)
+    // 30 -> 120, 300 stays
+    assert(out.toSeq == Seq(120.0, 128.0, 300.0))
+  }
+
+  test("log + for_each/parallel parse and pass through") {
+    val yaml =
+      """pipeline:
+        |  processors:
+        |    - log: "stage reached"
+        |    - for_each:
+        |        - mutation: "root.w = this.v + 1.0"
+        |    - parallel:
+        |        - mutation: "root.u = this.w * 2.0"
+        |""".stripMargin
+    val pipe = PipelineConfig.parse(yaml)
+    val out = pipe.transform(Seq(1.0).toDF("v")).select("v", "w", "u").head()
+    assert(out.getDouble(1) == 2.0 && out.getDouble(2) == 4.0)
+  }
+
+  test("workflow + grok + metric parse from YAML") {
+    val yaml =
+      """pipeline:
+        |  processors:
+        |    - grok:
+        |        field: content
+        |        pattern: "%{WORD:w} %{INT:n}"
+        |    - jmespath: { field: js, query: "k", target: kk }
+        |    - metric:
+        |        name: m1
+        |        counters: { rows: count }
+        |    - while:
+        |        check: "this.x < 3.0"
+        |        max_loops: 4
+        |        processors:
+        |          - mutation: "root.x = this.x + 1.0"
+        |""".stripMargin
+    val pipe = PipelineConfig.parse(yaml)
+    val df = Seq(("hi 7", """{"k":5}""", 0.0)).toDF("content", "js", "x")
+    val r = pipe.transform(df).select("w", "n", "kk", "x").head()
+    assert(r.getString(0) == "hi" && r.getString(1) == "7")
+    assert(r.getString(2) == "5")
+    assert(r.getDouble(3) == 3.0)
+  }
+}
