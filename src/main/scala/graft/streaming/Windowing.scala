@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing — the engine's analog of the reference's
+  * `system_window` buffer (SURVEY.md §2.2, upstream
+  * `internal/impl/pure/buffer_system_window.go`): tumbling/sliding
+  * windows over an event-time column with an allowed-lateness bound,
+  * late rows beyond the watermark dropped, exactly as the reference
+  * drops rows past `allowed_lateness`.
+  *
+  * Works identically on batch and streaming frames; on a stream the
+  * watermark additionally bounds state so the window aggregation runs
+  * indefinitely at fixed memory — the property that lets this operate
+  * on an unbounded 10^10-event change stream.
+  */
+object Windowing {
+
+  final case class WindowSpec(
+      timestampCol: String,
+      size: String, // e.g. "1 hour"
+      slide: Option[String] = None, // None => tumbling
+      allowedLateness: String = "0 seconds")
+
+  /** Windowed aggregation: groupBy (window ∪ extraKeys) with the given
+    * aggregate columns. The first aggregate is required (Spark's agg
+    * signature); window bounds are exposed as window_start/window_end.
+    */
+  def windowedAgg(df: DataFrame, spec: WindowSpec, extraKeys: Seq[String],
+                  aggs: Seq[Column]): DataFrame = {
+    val src =
+      if (df.isStreaming) df.withWatermark(spec.timestampCol, spec.allowedLateness)
+      else df
+    val win = spec.slide match {
+      case Some(s) => window(col(spec.timestampCol), spec.size, s)
+      case None => window(col(spec.timestampCol), spec.size)
+    }
+    src.groupBy(win +: extraKeys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+
+  /** Session windows (gap-based) — not in the reference (SURVEY.md
+    * §2.2 notes Benthos has only tumbling/sliding); provided because
+    * session grouping is table stakes for event analytics at scale.
+    */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String,
+                 lateness: String, keys: Seq[String],
+                 aggs: Seq[Column]): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(tsCol, lateness) else df
+    src.groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("session_window.start"))
+      .withColumn("window_end", col("session_window.end"))
+      .drop("session_window")
+  }
+
+  /** Streaming key-dedupe with bounded state — the reference's
+    * `dedupe` processor backed by a TTL cache (SURVEY.md §2.3): the
+    * watermark is the TTL; duplicates of a key arriving within the
+    * lateness bound are dropped, state for older keys is evicted.
+    */
+  def streamingDedupe(df: DataFrame, tsCol: String, lateness: String,
+                      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkTestBase
+
+/** Streaming semantics of the windowing/dedupe components over a
+  * MemoryStream: watermark drop of late rows (the reference's
+  * allowed_lateness), windowed counts, and within-watermark dedupe.
+  */
+class StreamingOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window agg over a stream; late row past watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "v")
+    val out = Windowing.windowedAgg(df,
+      Windowing.WindowSpec("ts", "10 minutes", allowedLateness = "5 minutes"),
+      Nil, Seq(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+    val q = out.writeStream.format("memory").queryName("win_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(1), 1L), (ts(2), 2L), (ts(11), 10L))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      mem.addData((ts(40), 100L))
+      q.processAllAvailable()
+      // this row is 30+ minutes late — beyond lateness, must be dropped
+      mem.addData((ts(3), 999L))
+      q.processAllAvailable()
+      mem.addData((ts(59), 200L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window_start, n, sv FROM win_t ORDER BY window_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", 2L, 3L)), s"got ${rows.toSeq}")
+      assert(rows.contains(("2024-01-01 10:10:00.0", 1L, 10L)))
+      // the late 999 row must not have re-opened the 10:00 window
+      assert(!rows.exists(_._3 == 1002L), s"late row leaked into closed window: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sliding window assigns rows to overlapping windows (batch parity)") {
+    val df = Seq((ts(5), 1L), (ts(12), 2L)).toDF("ts", "v")
+    val out = Windowing.windowedAgg(df,
+      Windowing.WindowSpec("ts", "10 minutes", slide = Some("5 minutes")),
+      Nil, Seq(sum(col("v")).as("sv")))
+      .orderBy("window_start")
+      .select(date_format(col("window_start"), "HH:mm").as("s"), col("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // 10:05 row -> windows [09:55,10:05) no... [10:00,10:10) and [10:05,10:15)
+    assert(out.contains(("10:00", 1L)))
+    assert(out.contains(("10:05", 3L))) // both rows
+    assert(out.contains(("10:10", 2L)))
+  }
+
+  test("session window groups by gap") {
+    val df = Seq((ts(0), 1L), (ts(2), 2L), (ts(30), 5L)).toDF("ts", "v")
+    val out = Windowing.sessionAgg(df, "ts", "5 minutes", "0 seconds", Nil,
+      Seq(sum(col("v")).as("sv"))).orderBy("window_start")
+      .select("sv").as[Long].collect()
+    assert(out.toSeq == Seq(3L, 5L))
+  }
+
+  test("streamingDedupe drops within-watermark duplicates, keeps state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val df = mem.toDF().toDF("ts", "k", "v")
+    val out = Windowing.streamingDedupe(df, "ts", "10 minutes", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(1), "a", 1L), (ts(2), "a", 2L), (ts(2), "b", 3L))
+      q.processAllAvailable()
+      mem.addData((ts(3), "a", 4L)) // dup within watermark -> dropped
+      q.processAllAvailable()
+      val n1 = spark.table("dedup_t").count()
+      assert(n1 == 2, s"expected 2 distinct keys, got $n1")
+      // push watermark far ahead; 'a' state evicted, so 'a' re-admits
+      mem.addData((ts(59), "z", 9L))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "a", 7L))
+      q.processAllAvailable()
+      val vals = spark.sql("SELECT v FROM dedup_t").as[Long].collect().toSet
+      assert(vals.contains(7L), "key re-admitted after state eviction")
+    } finally q.stop()
+  }
+}
