@@ -41,7 +41,21 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** One full replay; returns (seconds, events/sec). */
+  /** The standard per-row processor chain of the north star (mapping
+    * with sha256 content hash + tokenization + quality filter) — the
+    * benchmarked replay runs the REAL pipeline, not an identity pass.
+    */
+  val standardPipelineYaml: String =
+    """pipeline:
+      |  processors:
+      |    - mutation: |
+      |        root.content_sha = this.content.hash("sha256")
+      |        root.n_tokens = this.content.re_find_all("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").size()
+      |        root.lang = this.lang.lowercase()
+      |    - filter: this.n_tokens > 0
+      |""".stripMargin
+
+  /** One full replay of the standard pipeline; returns (sec, events/sec). */
   def replayBench(spark: SparkSession, events: Long, workRoot: String,
                   reuseLog: Boolean = false): (Double, Double) = {
     val cfg = EventLogGen.GenConfig(seed = 42L, events = events,
@@ -49,11 +63,13 @@ object Bench {
     val logDir = s"$workRoot/log"
     if (!reuseLog || !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(logDir)))
       EventLogGen.writeLog(spark, cfg, logDir)
+    val pipeline = graft.dsl.PipelineConfig.parse(standardPipelineYaml).transform
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val sec = time {
       CdcEngine.replayToEnd(spark, CdcEngine.ReplayConfig(
         logDir = logDir, lakeRoot = s"$workRoot/lake-$runId",
-        checkpointDir = s"$workRoot/chk-$runId", maxFilesPerTrigger = Some(8)))
+        checkpointDir = s"$workRoot/chk-$runId", maxFilesPerTrigger = Some(8)),
+        pipeline)
     }
     (sec, events / sec)
   }

@@ -30,7 +30,8 @@ object PipelineConfig {
 
   private val mapper = new ObjectMapper(new YAMLFactory())
 
-  final case class Pipeline(processors: Seq[Processor]) {
+  final case class Pipeline(processors: Seq[Processor],
+                            sink: Option[graft.sinks.Sink] = None) {
     def transform: DataFrame => DataFrame = Processor.compile(processors)
   }
 
@@ -39,7 +40,38 @@ object PipelineConfig {
     val procs = Option(root.get("pipeline")).map(_.get("processors"))
       .orElse(Option(root.get("processors")))
       .getOrElse(throw new IllegalArgumentException("config has no pipeline.processors"))
-    Pipeline(parseProcessors(procs))
+    val sink = Option(root.get("output")).map(parseSink)
+    Pipeline(parseProcessors(procs), sink)
+  }
+
+  /** Output section → [[graft.sinks.Sink]] tree (SURVEY.md §2.4). */
+  def parseSink(node: JsonNode): graft.sinks.Sink = {
+    import graft.sinks.Sink._
+    require(node.isObject && node.size == 1,
+      s"each output must be a single-key object, got $node")
+    val name = node.fieldNames().next()
+    val body = node.get(name)
+    name match {
+      case "parquet" | "file" =>
+        ParquetDir(if (body.isTextual) body.asText else body.get("path").asText)
+      case "lake" =>
+        Lake(body.get("root").asText,
+          opt(body, "buckets").map(_.asInt).getOrElse(16))
+      case "drop" => Drop
+      case "switch" =>
+        Switch((0 until body.size).map { i =>
+          val c = body.get(i)
+          (opt(c, "check").map(_.asText), parseSink(c.get("output")))
+        })
+      case "broker" =>
+        val outs = body.get("outputs")
+        FanOut((0 until outs.size).map(i => parseSink(outs.get(i))))
+      case "fallback" =>
+        Fallback((0 until body.size).map(i => parseSink(body.get(i))))
+      case "reject_errored" =>
+        RejectErrored(parseSink(body.get("output")), parseSink(body.get("reject")))
+      case other => throw new IllegalArgumentException(s"unknown output: $other")
+    }
   }
 
   def parseProcessors(arr: JsonNode): Seq[Processor] = {

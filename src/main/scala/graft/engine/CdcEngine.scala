@@ -97,6 +97,28 @@ object CdcEngine {
     } finally { deduped.unpersist(); b.unpersist() }
   }
 
+  /** Generic stream runner: file-log source → compiled pipeline → any
+    * [[graft.sinks.Sink]] tree (switch/fan-out/fallback/lake/files) —
+    * the full input→pipeline→output assembly of a reference config
+    * (SURVEY.md §3.1), checkpointed.
+    */
+  def runPipeline(spark: SparkSession, cfg: ReplayConfig,
+                  pipeline: DataFrame => DataFrame,
+                  sink: graft.sinks.Sink,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val reader = spark.readStream.schema(cfg.schema)
+    val src = cfg.maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(cfg.logDir)
+    pipeline(src).writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.write(batch, batchId)
+      }
+      .start()
+  }
+
   /** Run a bounded replay to completion and return the lake. */
   def replayToEnd(spark: SparkSession, cfg: ReplayConfig,
                   pipeline: DataFrame => DataFrame = identity): LakeTable = {

@@ -1,0 +1,122 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.dsl.Processor
+import graft.lake.LakeTable
+
+/** Output layer (SURVEY.md §2.4): the reference's output components
+  * re-expressed as composable per-micro-batch sinks applied inside
+  * `foreachBatch`. Each sink receives the (already pipelined) batch
+  * plus the batchId for idempotence.
+  *
+  * Scale/delivery notes:
+  *  - routing (`switch`) filters are Catalyst predicates over the one
+  *    cached batch — N outputs cost N filtered writes of one scan, not
+  *    N scans;
+  *  - `fan_out` caches the batch before multi-writing for the same
+  *    reason (upstream output_broker.go fan_out semantics);
+  *  - the lake sink is the exactly-once path (fenced MERGE); file
+  *    sinks are at-least-once unless the target dir is keyed by
+  *    batchId (append of a replayed batch duplicates — same contract
+  *    as the reference's non-transactional outputs);
+  *  - `fallback` routes a failed primary write to the next output,
+  *    the reference's `fallback`/`reject` dead-letter chain.
+  */
+trait Sink { // open: custom outputs are an extension point, like the reference's plugin outputs
+  def write(batch: DataFrame, batchId: Long): Unit
+}
+
+object Sink {
+
+  /** Append parquet files under `path` (reference `file` output;
+    * upstream internal/impl/io/output_file.go). Batch-id partitioned
+    * so replays overwrite their own partition instead of duplicating:
+    * idempotence via dynamic partition overwrite.
+    */
+  final case class ParquetDir(path: String) extends Sink {
+    def write(batch: DataFrame, batchId: Long): Unit =
+      batch.withColumn("_batch_id", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(path)
+  }
+
+  /** Exactly-once MERGE into a lake table (the engine's primary sink). */
+  final case class Lake(root: String, buckets: Int = 16) extends Sink {
+    @transient private lazy val table = new LakeTable(root, buckets)
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val userSchema = org.apache.spark.sql.types.StructType(
+        batch.schema.fields.filterNot(f => f.name == "op" || f.name == "seq"))
+      table.initIfNeeded(userSchema)
+      table.merge(batch, batchId)
+      ()
+    }
+  }
+
+  /** Discard (reference `drop` output). */
+  case object Drop extends Sink {
+    def write(batch: DataFrame, batchId: Long): Unit = ()
+  }
+
+  /** Route each row to the FIRST output whose check passes (reference
+    * `switch` output, strict first-match). `None` check = catch-all.
+    */
+  final case class Switch(cases: Seq[(Option[String], Sink)]) extends Sink {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val b = batch.persist()
+      try {
+        val checks = cases.map(_._1.map(c => Processor.exprOf(c, b)))
+        cases.zipWithIndex.foreach { case ((_, sink), i) =>
+          val self = checks(i).getOrElse(lit(true))
+          val cond = checks.take(i).flatten
+            .foldLeft(self)((acc, prior) => acc && !coalesce(prior, lit(false)))
+          sink.write(b.filter(coalesce(cond, lit(false))), batchId)
+        }
+      } finally { b.unpersist(); () }
+    }
+  }
+
+  /** Write the same batch to every child (reference `broker` fan_out). */
+  final case class FanOut(outputs: Seq[Sink]) extends Sink {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val b = batch.persist()
+      try outputs.foreach(_.write(b, batchId))
+      finally { b.unpersist(); () }
+    }
+  }
+
+  /** Try outputs in order until one succeeds (reference `fallback`);
+    * the last is typically a dead-letter ParquetDir.
+    */
+  final case class Fallback(outputs: Seq[Sink]) extends Sink {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      var lastErr: Throwable = null
+      val it = outputs.iterator
+      var done = false
+      while (!done && it.hasNext) {
+        val s = it.next()
+        try { s.write(batch, batchId); done = true }
+        catch { case e: Throwable => lastErr = e }
+      }
+      if (!done) throw new RuntimeException("all fallback outputs failed", lastErr)
+    }
+  }
+
+  /** Split errored rows to a reject sink, clean rows onward (reference
+    * `reject_errored` routing on the `_error` flag column).
+    */
+  final case class RejectErrored(ok: Sink, reject: Sink) extends Sink {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      if (!batch.columns.contains("_error")) ok.write(batch, batchId)
+      else {
+        val b = batch.persist()
+        try {
+          reject.write(b.filter(col("_error").isNotNull), batchId)
+          ok.write(b.filter(col("_error").isNull).drop("_error"), batchId)
+        } finally { b.unpersist(); () }
+      }
+    }
+  }
+}
