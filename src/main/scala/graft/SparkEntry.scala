@@ -340,6 +340,35 @@ object SparkEntry {
         .select("media_id", "n_bytes", "width", "height", "feature")
         .orderBy("media_id")),
 
+    "q_avro_roundtrip" -> ((s, dir) => {
+      // reference avro/schema_registry codecs (§2.3) → from_avro/to_avro;
+      // a decode(encode(x)) roundtrip must be the identity, so the SQL
+      // oracle is the plain projection
+      import org.apache.spark.sql.avro.functions.{from_avro, to_avro}
+      val avroSchema =
+        """{"type":"record","name":"r","fields":[
+          |{"name":"status","type":"string"},
+          |{"name":"total","type":"double"}]}""".stripMargin
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"),
+          to_avro(struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total"))).as("bin"))
+        .select(col("id"), from_avro(col("bin"), avroSchema).as("rec"))
+        .select(col("id"), col("rec.status").as("status"), col("rec.total").as("total"))
+        .orderBy("id")
+    }),
+
+    "q_session_window" -> ((s, dir) =>
+      // gap-based sessionization (beyond the reference; rows-only —
+      // DuckDB has no session_window; Scala spec covers semantics)
+      graft.streaming.Windowing.sessionAgg(
+          t(s, dir, "events").filter(col("user_id") < 5),
+          "ts", "30 minutes", "0 seconds", Seq("user_id"),
+          Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+        .select(col("user_id"), unix_timestamp(col("window_start")).as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+
     // ---------------- CDC engine end-to-end (rows-only) ---------------
 
     "q_cdc_replay" -> ((s, _) =>
@@ -577,6 +606,10 @@ object SparkEntry {
         |md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_avro_roundtrip" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS total
+        |FROM orders ORDER BY id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id AS media_id, 'image' AS modality,

@@ -159,6 +159,10 @@ object PipelineConfig {
           b.result()
         }.getOrElse(Seq("n" -> "count"))
         PMetric(body.get("name").asText, counters)
+      case "cache" =>
+        PCacheGet(body.get("source").asText, body.get("key").asText,
+          body.get("lookup_key").asText,
+          opt(body, "target").map(_.asText).getOrElse("cached"))
       case "while" =>
         PWhile(body.get("check").asText,
           parseProcessors(body.get("processors")),

@@ -68,6 +68,13 @@ object Processor {
     * `df.observe`, surfaced through Spark's observed-metrics channel
     * (QueryExecutionListener / StreamingQueryProgress). */
   final case class PMetric(name: String, counters: Seq[(String, String)]) extends Processor
+  /** cache-get enrichment (processor_cache.go `get` + the cache
+    * resources of §2.3): per-message KV lookups become one broadcast
+    * join against the small dimension frame — the Spark-first inversion
+    * of the reference's per-row cache RPC. Missing keys leave a null
+    * struct, like a cache miss. */
+  final case class PCacheGet(source: String, key: String, lookupKey: String,
+                             target: String) extends Processor
   /** bounded per-row fixpoint (processor_while.go, statically
     * unrolled): children (mapping/mutation only) re-apply to rows still
     * matching `check`, at most `maxIters` times. The reference loops a
@@ -217,6 +224,16 @@ object Processor {
         case (_, other) => throw new IllegalArgumentException(s"metric spec $other")
       }
       df.observe(name, aggs.head, aggs.tail: _*)
+    }
+
+    case PCacheGet(source, key, lookupKey, target) => df => {
+      val dim = df.sparkSession.read.parquet(source)
+      val dimCols = dim.columns.filterNot(_ == lookupKey)
+      val packed = dim.select(col(lookupKey).as("_cache_key"),
+        struct(dimCols.map(col): _*).as(target))
+      df.withColumn("_cache_key", interpolate(key, df).cast(packed.schema("_cache_key").dataType))
+        .join(broadcast(packed), Seq("_cache_key"), "left")
+        .drop("_cache_key")
     }
 
     case PWhile(check, children, maxIters) => df => {

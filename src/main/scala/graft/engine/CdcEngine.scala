@@ -28,6 +28,9 @@ object CdcEngine {
       checkpointDir: String,
       schema: StructType = Model.eventSchemaWidest,
       maxFilesPerTrigger: Option[Int] = None,
+      // source admission control = the reference's rate_limit resource
+      // (§2.3) re-expressed as per-trigger byte/file caps
+      maxBytesPerTrigger: Option[Long] = None,
       saltBuckets: Int = 16,
       lakeBuckets: Int = 16,
       metricsDir: Option[String] = None)
@@ -46,9 +49,7 @@ object CdcEngine {
     lake.initIfNeeded(userSchemaOf(cfg.schema))
 
     val reader = spark.readStream.schema(cfg.schema)
-    val src = cfg.maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(cfg.logDir)
+    val src = source(reader, cfg)
 
     val transformed = pipeline(src)
 
@@ -107,9 +108,7 @@ object CdcEngine {
                   sink: graft.sinks.Sink,
                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val reader = spark.readStream.schema(cfg.schema)
-    val src = cfg.maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(cfg.logDir)
+    val src = source(reader, cfg)
     pipeline(src).writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
@@ -117,6 +116,13 @@ object CdcEngine {
         sink.write(batch, batchId)
       }
       .start()
+  }
+
+  private def source(reader: org.apache.spark.sql.streaming.DataStreamReader,
+                     cfg: ReplayConfig): DataFrame = {
+    val r1 = cfg.maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val r2 = cfg.maxBytesPerTrigger.fold(r1)(n => r1.option("maxBytesPerTrigger", n))
+    r2.parquet(cfg.logDir)
   }
 
   /** Run a bounded replay to completion and return the lake. */

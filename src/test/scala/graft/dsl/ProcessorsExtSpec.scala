@@ -90,6 +90,19 @@ class ProcessorsExtSpec extends SparkTestBase {
     assert(out.toSeq == Seq(120.0, 128.0, 300.0))
   }
 
+  test("cache get: broadcast-join enrichment with miss -> null struct") {
+    val dimPath = tmpDir("dim") + "/dim.parquet"
+    Seq((7L, "gold", 1.5), (8L, "silver", 1.1))
+      .toDF("cust_id", "tier", "mult").write.parquet(dimPath)
+    val df = Seq((1L, 7L), (2L, 9L)).toDF("id", "uid")
+    val out = Processor.compileOne(
+      PCacheGet(dimPath, "${! this.uid }", "cust_id", "enrich"))(df)
+      .select(col("id"), col("enrich.tier").as("tier"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("gold"))
+    assert(out(2L).isEmpty) // cache miss
+  }
+
   test("log + for_each/parallel parse and pass through") {
     val yaml =
       """pipeline:
