@@ -58,8 +58,13 @@ object Bench {
   /** One full replay of the standard pipeline; returns (sec, events/sec). */
   def replayBench(spark: SparkSession, events: Long, workRoot: String,
                   reuseLog: Boolean = false): (Double, Double) = {
+    // log-file granularity bounds input parallelism: one ~single-row-
+    // group file = one scan task, so a batch of K files can never use
+    // more than K cores for the (CPU-heavy) pipeline phase. 256 files /
+    // 64-file triggers keep every core fed at any tested parallelism
+    // while still exercising multi-batch checkpointed streaming.
     val cfg = EventLogGen.GenConfig(seed = 42L, events = events,
-      repos = 40, pathsPerRepo = 500, rowsPerFile = math.max(events / 32, 1000L))
+      repos = 40, pathsPerRepo = 500, rowsPerFile = math.max(events / 256, 2000L))
     val logDir = s"$workRoot/log"
     if (!reuseLog || !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(logDir)))
       EventLogGen.writeLog(spark, cfg, logDir)
@@ -68,7 +73,8 @@ object Bench {
     val sec = time {
       CdcEngine.replayToEnd(spark, CdcEngine.ReplayConfig(
         logDir = logDir, lakeRoot = s"$workRoot/lake-$runId",
-        checkpointDir = s"$workRoot/chk-$runId", maxFilesPerTrigger = Some(8)),
+        checkpointDir = s"$workRoot/chk-$runId", maxFilesPerTrigger = Some(64),
+        persistBatch = !sys.env.contains("SPARK_GRAFT_NO_PERSIST")),
         pipeline)
     }
     (sec, events / sec)
@@ -127,7 +133,10 @@ object ScalingBench {
     // sporadic host-level noise (variable disk + steal), and min-of-N
     // is the standard estimator for true capability under such noise
     val repeats = args.lift(3).map(_.toInt).getOrElse(3)
-    Bench.replayBench(spark, events, work, reuseLog = true)
+    // JIT warm-up only needs to compile the code paths, not replay the
+    // full volume — a 1/8-size replay (own work dir, own log) keeps
+    // warm-up cost sub-linear in the measured size
+    Bench.replayBench(spark, math.max(events / 8, 250000L), s"$work/warm", reuseLog = true)
     val runs = (1 to repeats).map(_ => Bench.replayBench(spark, events, work, reuseLog = true))
     val (sec, eps) = runs.minBy(_._1)
     val all = runs.map(r => f"${r._1}%.2f").mkString("[", ",", "]")

@@ -340,23 +340,20 @@ object SparkEntry {
         .select("media_id", "n_bytes", "width", "height", "feature")
         .orderBy("media_id")),
 
-    "q_avro_roundtrip" -> ((s, dir) => {
-      // reference avro/schema_registry codecs (§2.3) → from_avro/to_avro;
-      // a decode(encode(x)) roundtrip must be the identity, so the SQL
-      // oracle is the plain projection
-      import org.apache.spark.sql.avro.functions.{from_avro, to_avro}
-      val avroSchema =
-        """{"type":"record","name":"r","fields":[
-          |{"name":"status","type":"string"},
-          |{"name":"total","type":"double"}]}""".stripMargin
+    "q_json_roundtrip" -> ((s, dir) =>
+      // reference serialization codecs (§2.3: format_json/parse_json,
+      // processor_avro.go family; avro module jar absent in sandbox) —
+      // encode a struct to JSON and decode it back: the roundtrip must
+      // be the identity, so the SQL oracle is the plain projection
       t(s, dir, "orders")
         .select(col("o_orderkey").as("id"),
-          to_avro(struct(col("o_orderstatus").as("status"),
-            col("o_totalprice").as("total"))).as("bin"))
-        .select(col("id"), from_avro(col("bin"), avroSchema).as("rec"))
+          to_json(struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total"))).as("js"))
+        .select(col("id"),
+          from_json(col("js"),
+            org.apache.spark.sql.types.StructType.fromDDL("status STRING, total DOUBLE")).as("rec"))
         .select(col("id"), col("rec.status").as("status"), col("rec.total").as("total"))
-        .orderBy("id")
-    }),
+        .orderBy("id")),
 
     "q_session_window" -> ((s, dir) =>
       // gap-based sessionization (beyond the reference; rows-only —
@@ -607,7 +604,7 @@ object SparkEntry {
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_avro_roundtrip" ->
+    "q_json_roundtrip" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS total
         |FROM orders ORDER BY id""".stripMargin,
 

@@ -29,6 +29,11 @@ object Ast {
   // application
   final case class FnCall(name: String, args: Seq[Expr]) extends Expr // json("a")
   final case class MethodCall(target: Expr, name: String, args: Seq[Expr]) extends Expr // x.uppercase()
+  /** `x -> expr` / `(acc, x) -> expr` — argument of the higher-order
+    * array methods (map_each, filter, fold, any, all, sort_by);
+    * compiles to a Catalyst LambdaFunction.
+    */
+  final case class Lambda(params: Seq[String], body: Expr) extends Expr
 
   // operators
   final case class UnOp(op: String, e: Expr) extends Expr // ! -
@@ -51,6 +56,10 @@ object Ast {
   final case class RootStmt(path: Seq[String], value: Expr) extends Stmt
   /** if cond { stmts } else { stmts } at statement level. */
   final case class IfStmt(cond: Expr, thenS: Seq[Stmt], elseS: Seq[Stmt]) extends Stmt
+  /** `map name { stmts }` — a named reusable sub-mapping, invoked with
+    * `.apply("name")` (reference mapping_parser.go map definitions).
+    */
+  final case class MapDefStmt(name: String, body: Seq[Stmt]) extends Stmt
 
   final case class Mapping(stmts: Seq[Stmt])
 }

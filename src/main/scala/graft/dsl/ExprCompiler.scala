@@ -34,13 +34,18 @@ object ExprCompiler {
       vars: Map[String, Column] = Map.empty,
       thisOverride: Option[Column] = None,
       schema: Option[StructType] = None,
-      stringVars: Set[String] = Set.empty) {
+      stringVars: Set[String] = Set.empty,
+      bindings: Map[String, Column] = Map.empty, // lambda params (shadow fields)
+      namedMaps: Map[String, Seq[Ast.Stmt]] = Map.empty) {
     def thisCol: Column = thisOverride.getOrElse(struct(inputCols.map(col): _*))
-    def fieldOfThis(name: String): Column = thisOverride match {
-      case Some(t) => t.getField(name)
-      case None =>
-        if (inputCols.contains(name)) col(name)
-        else lit(null) // absent field reads as null, like the reference
+    def fieldOfThis(name: String): Column = bindings.get(name) match {
+      case Some(b) => b
+      case None => thisOverride match {
+        case Some(t) => t.getField(name)
+        case None =>
+          if (inputCols.contains(name)) col(name)
+          else lit(null) // absent field reads as null, like the reference
+      }
     }
     def fieldIsString(name: String): Boolean =
       schema.exists(s => s.fields.exists(f => f.name == name && f.dataType == StringType))
@@ -149,8 +154,73 @@ object ExprCompiler {
         })
       CVal(value, mergeDel(tc.deleted, del))
 
+    case Lambda(_, _) =>
+      throw new IllegalArgumentException(
+        "lambda is only valid as an argument of map_each/filter/fold/any/all/sort_by")
+
     case FnCall(name, args) => fn(name, args, ctx)
+    case MethodCall(t, name, args) if HofMethods.contains(name) =>
+      hofMethod(compile(t, ctx), name, args, ctx)
+    case MethodCall(t, "apply", Seq(StrLit(mapName))) =>
+      applyNamedMap(compile(t, ctx), mapName, ctx)
     case MethodCall(t, name, args) => method(compile(t, ctx), name, args, ctx)
+  }
+
+  private val HofMethods =
+    Set("map_each", "filter", "fold", "any", "all", "sort_by")
+
+  /** Higher-order array methods: the Lambda arg compiles with its
+    * params bound in `ctx.bindings` (shadowing input fields), producing
+    * a Catalyst LambdaFunction via the functions.* higher-order API.
+    */
+  private def hofMethod(t: CVal, name: String, rawArgs: Seq[Expr], ctx: Ctx): CVal = {
+    def body1(e: Expr): Column => Column = e match {
+      case Lambda(Seq(p), b) =>
+        x => compile(b, ctx.copy(bindings = ctx.bindings + (p -> x))).col
+      case other => throw new IllegalArgumentException(s".$name() needs a lambda, got $other")
+    }
+    def body2(e: Expr): (Column, Column) => Column = e match {
+      case Lambda(Seq(p1, p2), b) =>
+        (a, x) => compile(b, ctx.copy(bindings = ctx.bindings + (p1 -> a) + (p2 -> x))).col
+      case other => throw new IllegalArgumentException(s".$name() needs a 2-arg lambda, got $other")
+    }
+    val c = t.col
+    val out = name match {
+      case "map_each" => transform(c, body1(rawArgs.head))
+      case "filter" => filter(c, body1(rawArgs.head))
+      case "any" => exists(c, body1(rawArgs.head))
+      case "all" => forall(c, body1(rawArgs.head))
+      case "fold" =>
+        val init = compile(rawArgs.head, ctx).col
+        aggregate(c, init, body2(rawArgs(1)))
+      case "sort_by" =>
+        // decorate-sort-undecorate: struct sorts by first field
+        transform(
+          array_sort(transform(c, x => struct(body1(rawArgs.head)(x).as("k"), x.as("v")))),
+          e => e.getField("v"))
+      case other => throw new IllegalArgumentException(s"hof $other")
+    }
+    CVal(out, t.deleted)
+  }
+
+  /** `.apply("name")`: run the named sub-mapping with `this` bound to
+    * the target; `root.x = ...` statements build a struct, a whole-root
+    * assignment yields that value directly.
+    */
+  private def applyNamedMap(t: CVal, mapName: String, ctx: Ctx): CVal = {
+    val body = ctx.namedMaps.getOrElse(mapName,
+      throw new IllegalArgumentException(s"unknown map '$mapName' — define it with: map $mapName { ... }"))
+    var c = ctx.copy(thisOverride = Some(t.col))
+    val fields = scala.collection.mutable.LinkedHashMap[String, Column]()
+    var whole: Option[Column] = None
+    body.foreach {
+      case LetStmt(n, e) => c = c.copy(vars = c.vars + (n -> compile(e, c).col))
+      case RootStmt(Seq(n), e) => fields(n) = compile(e, c).col
+      case RootStmt(Nil, e) => whole = Some(compile(e, c).col)
+      case other => throw new IllegalArgumentException(
+        s"named map supports let / root.x = / root = statements, got $other")
+    }
+    CVal(whole.getOrElse(struct(fields.map { case (k, v) => v.as(k) }.toSeq: _*)), t.deleted)
   }
 
   private val stringReturningMethods = Set(

@@ -37,7 +37,8 @@ object MappingCompiler {
 
   def applyMapping(df: DataFrame, m: Mapping, startFromThis: Boolean): DataFrame = {
     val inputCols = df.columns.toSeq
-    var ctx = Ctx.of(df)
+    val maps = m.stmts.collect { case MapDefStmt(n, body) => n -> body }.toMap
+    var ctx = Ctx.of(df).copy(namedMaps = maps)
 
     val outputs = scala.collection.mutable.LinkedHashMap[String, Column]()
     if (startFromThis) inputCols.foreach(n => outputs(n) = col(n))
@@ -54,6 +55,8 @@ object MappingCompiler {
     def compileV(e: Expr): CVal = ExprCompiler.compile(e, ctx)
 
     def run(ss: Seq[Stmt], guard: Option[Column]): Unit = ss.foreach {
+      case MapDefStmt(_, _) => () // collected above
+
       case LetStmt(name, e) =>
         ctx = ctx.copy(vars = ctx.vars + (name -> compileV(e).col),
           stringVars =

@@ -39,7 +39,7 @@ object Parser {
   final case class TOp(s: String, pos: Int) extends Tok
   final case class TEof(pos: Int) extends Tok
 
-  private val multiOps = Seq("==", "!=", "<=", ">=", "&&", "||", "=>")
+  private val multiOps = Seq("==", "!=", "<=", ">=", "&&", "||", "=>", "->")
 
   def lex(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -191,13 +191,19 @@ object Parser {
         val s = stmts(p, topLevel = false); p.expectOp("}"); s
       } else Nil
       IfStmt(cond, thenS, elseS)
+    case TIdent("map", _) =>
+      p.next(); val name = p.expectIdent()
+      p.skipNl(); p.expectOp("{")
+      val body = stmts(p, topLevel = false)
+      p.expectOp("}")
+      MapDefStmt(name, body)
     case TIdent("root", _) =>
       p.next()
       val path = Seq.newBuilder[String]
       while (p.eat(".")) path += p.expectIdent()
       p.expectOp("=")
       RootStmt(path.result(), pipe(p))
-    case t => throw ParseError("expected statement (root/meta/let/if)", t.pos, p.src)
+    case t => throw ParseError("expected statement (root/meta/let/if/map)", t.pos, p.src)
   }
 
   // ------------------------------------------------------------------
@@ -272,12 +278,38 @@ object Parser {
     val out = Seq.newBuilder[Expr]
     p.skipNl()
     if (!p.at(")")) {
-      out += pipe(p)
+      out += argExpr(p)
       p.skipNl()
-      while (p.eat(",")) { p.skipNl(); out += pipe(p); p.skipNl() }
+      while (p.eat(",")) { p.skipNl(); out += argExpr(p); p.skipNl() }
     }
     p.expectOp(")")
     out.result()
+  }
+
+  /** An argument may be a lambda: `x -> e` or `(a, b) -> e`. */
+  private def argExpr(p: P): Expr = {
+    // single-param lambda lookahead: IDENT '->'
+    (p.peek, p.toks.lift(p.i + 1)) match {
+      case (TIdent(param, _), Some(TOp("->", _)))
+          if !Seq("true", "false", "null", "this", "root", "if", "match").contains(param) =>
+        p.next(); p.next(); p.skipNl()
+        Lambda(Seq(param), pipe(p))
+      case _ =>
+        // two-param lambda lookahead: '(' IDENT ',' IDENT ')' '->'
+        val isPair = p.at("(") &&
+          ((p.toks.lift(p.i + 1), p.toks.lift(p.i + 2), p.toks.lift(p.i + 3),
+            p.toks.lift(p.i + 4), p.toks.lift(p.i + 5)) match {
+            case (Some(TIdent(_, _)), Some(TOp(",", _)), Some(TIdent(_, _)),
+                  Some(TOp(")", _)), Some(TOp("->", _))) => true
+            case _ => false
+          })
+        if (isPair) {
+          p.next()
+          val a = p.expectIdent(); p.expectOp(","); val b = p.expectIdent()
+          p.expectOp(")"); p.expectOp("->"); p.skipNl()
+          Lambda(Seq(a, b), pipe(p))
+        } else pipe(p)
+    }
   }
 
   private def primary(p: P): Expr = p.peek match {

@@ -33,7 +33,11 @@ object CdcEngine {
       maxBytesPerTrigger: Option[Long] = None,
       saltBuckets: Int = 16,
       lakeBuckets: Int = 16,
-      metricsDir: Option[String] = None)
+      metricsDir: Option[String] = None,
+      // building Spark's compressed columnar cache for a once-or-twice
+      // reused batch can cost more than recomputing the narrow plan;
+      // Catalyst column-prunes each consumer when this is off
+      persistBatch: Boolean = true)
 
   final case class BatchMetrics(
       batchId: Long, rowsIn: Long, rowsUpserted: Long, rowsDeleted: Long,
@@ -70,18 +74,22 @@ object CdcEngine {
     val spark = batch.sparkSession
     // Cache: the batch feeds both the dedupe and the row count; without
     // this the file scan runs twice.
-    val b = batch.persist()
-    // The merge runs several actions over the deduped frame (touched-
-    // bucket discovery + the write); without this persist the whole
-    // salted LWW aggregate would recompute for each of them.
-    lazy val deduped =
-      Lww.dedupe(b, Model.keyCols, "seq", cfg.saltBuckets).persist()
+    // Cached: the merge takes several passes over the batch (update
+    // LWW, touched-bucket discovery, winner joins, the write).
+    val b = if (cfg.persistBatch) batch.persist() else batch
     try {
       val rowsIn = b.count()
       if (rowsIn == 0) return None
-      val opCounts = deduped.groupBy("op").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val lineage = lake.merge(deduped, batchId)
+      // The merge performs the per-key LWW itself (broadcast winner
+      // join / shuffled aggregate fallback), so no separate pre-dedupe
+      // pass runs here — one LWW, not two. Op counts are an extra
+      // aggregate, so they are only computed when metrics are on.
+      val opCounts =
+        if (cfg.metricsDir.isEmpty) Map.empty[String, Long]
+        else Lww.dedupe(b, Model.keyCols, "seq", cfg.saltBuckets)
+          .groupBy("op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val lineage = lake.merge(b, batchId, countHint = Some(rowsIn))
       val ms = (System.nanoTime() - t0) / 1000000L
       val m = BatchMetrics(batchId, rowsIn,
         opCounts.getOrElse(Model.Upsert, 0L), opCounts.getOrElse(Model.Delete, 0L), ms,
@@ -95,7 +103,7 @@ object CdcEngine {
           lineage.toDF().write.mode("append").parquet(s"$dir/lineage")
       }
       Some(m)
-    } finally { deduped.unpersist(); b.unpersist() }
+    } finally { if (cfg.persistBatch) { b.unpersist(); () } }
   }
 
   /** Generic stream runner: file-log source → compiled pipeline → any

@@ -8,21 +8,53 @@ import org.apache.spark.sql.functions._
   * to CDC: within a batch, only the event with the greatest `seq` per
   * (repo, path) matters).
   *
-  * Skew: repo popularity is Zipf-like, so a single hot (repo) can
-  * dominate a shuffle partition. The reduction is associative, so we
-  * split it into an explicit two-phase aggregate — phase 1 groups by
-  * (key, salt) spreading each hot key over `salt` reducers, phase 2
-  * finishes per key on the (tiny) survivors. This is the classic
-  * partial/final split done explicitly as the north rule demands;
-  * Spark's own map-side partial aggregation makes phase 1 cheap.
+  * Two physical strategies, same result:
+  *
+  *  - **broadcast** (default): aggregate only the (key, seq) columns —
+  *    Catalyst prunes everything else from the scan, so the shuffle
+  *    moves ~40 bytes/row instead of full rows with content — then
+  *    recover the winning rows with a broadcast equi-join on
+  *    (key, seq). `seq` is globally unique, so the join matches
+  *    exactly the winner. Full rows never shuffle; the join is
+  *    map-side. Right choice while the per-batch KEY cardinality fits
+  *    in a broadcast (tens of millions); the batch itself can be
+  *    arbitrarily large.
+  *
+  *  - **shuffle**: the classic full-row `max_by` hash aggregate, with
+  *    an explicit salted partial/final split to spread hot keys over
+  *    reducers. Fallback for batches whose key set itself is too big
+  *    to broadcast.
+  *
+  * Skew note: repo popularity is Zipf-like. In the broadcast strategy
+  * the shuffled payload per key is one (key, seq) pair per map
+  * partition (map-side partial combine), so a hot key costs reducers
+  * almost nothing; salting is only relevant to the shuffle strategy,
+  * where whole rows ride the shuffle.
   */
 object Lww {
 
-  /** One row per key, the greatest-`seq` event winning. Keeps every
-    * input column. `saltBuckets` <= 1 disables the explicit pre-phase.
-    */
+  sealed trait Strategy
+  case object Broadcast extends Strategy
+  case object Shuffle extends Strategy
+
   def dedupe(df: DataFrame, keys: Seq[String] = Seq("repo", "path"),
-             orderCol: String = "seq", saltBuckets: Int = 16): DataFrame = {
+             orderCol: String = "seq", saltBuckets: Int = 16,
+             strategy: Strategy = Broadcast): DataFrame = strategy match {
+    case Broadcast => dedupeBroadcast(df, keys, orderCol)
+    case Shuffle => dedupeShuffle(df, keys, orderCol, saltBuckets)
+  }
+
+  /** Light (key, max seq) aggregate + broadcast winner join. */
+  def dedupeBroadcast(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val winners = df.groupBy(keys.map(col): _*)
+      .agg(max(col(orderCol)).as(orderCol))
+    df.join(broadcast(winners), keys :+ orderCol)
+      .select(df.columns.map(col): _*) // restore input column order
+  }
+
+  /** Full-row two-phase salted max_by aggregate. */
+  def dedupeShuffle(df: DataFrame, keys: Seq[String], orderCol: String,
+                    saltBuckets: Int): DataFrame = {
     val all = df.columns.toSeq
     val keyCols = keys.map(col)
     val packed = struct(all.map(col): _*)

@@ -147,7 +147,8 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
     * Returns per-bucket lineage rows for the commit ([] on a fenced
     * no-op replay).
     */
-  def merge(updates: DataFrame, batchId: Long): Seq[LineageEntry] = synchronized {
+  def merge(updates: DataFrame, batchId: Long,
+            countHint: Option[Long] = None): Seq[LineageEntry] = synchronized {
     val spark = updates.sparkSession
     val snap = snapshot()
     if (batchId <= snap.lastCommittedBatchId) return Nil // idempotent fence
@@ -178,33 +179,63 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
         newSchema, Seq(SeqCol, OpCol))
         .withColumn(BucketCol, bucketExpr(col("repo"), b))
 
-    // Last-writer-wins over (existing ∪ updates): one hash aggregate,
-    // partial/map-side combine is automatic; `seq` is globally unique
-    // so the winner is deterministic. Losing delete events become
-    // nothing; WINNING deletes are kept as tombstone rows (filtered on
-    // read) — dropping them would let an out-of-order lower-seq upsert
-    // in a later batch resurrect a deleted key.
+    // Last-writer-wins over (existing ∪ updates). `seq` is globally
+    // unique so the winner is deterministic. Losing delete events
+    // become nothing; WINNING deletes are kept as tombstone rows
+    // (filtered on read) — dropping them would let an out-of-order
+    // lower-seq upsert in a later batch resurrect a deleted key.
+    //
+    // Physical strategy: a micro-batch is small relative to the table,
+    // so the default path never shuffles existing rows at all —
+    //  1. defensively LWW the updates themselves (light agg +
+    //     broadcast winner join; no-op if pre-deduplicated),
+    //  2. for keys present in updates, fetch existing max _seq via a
+    //     broadcast semi-join + small aggregate,
+    //  3. updates win where existing seq is absent or lower,
+    //  4. existing rows whose key has a winning update drop out via a
+    //     broadcast anti-join; everything else is untouched and flows
+    //     file-aligned (bucket dirs) straight to the writer.
+    // Falls back to the full shuffled max_by aggregate when the
+    // update-key set is too large to broadcast.
     val allCols = newSchema.fieldNames.toSeq ++ Seq(SeqCol, OpCol, BucketCol)
-    val combined = existing.select(allCols.map(col): _*)
-      .unionByName(upd.select(allCols.map(col): _*))
-    val winners = combined
-      .groupBy(col("repo"), col("path"))
-      .agg(max_by(struct(allCols.map(col): _*), col(SeqCol)).as("w"))
-      .select(col("w.*"))
+    val keys = Seq("repo", "path")
+    val updCount = countHint.getOrElse(upd.count())
+    val winners =
+      if (updCount <= BroadcastKeyLimit) {
+        val updDeduped = upd.join(
+          broadcast(upd.groupBy(keys.map(col): _*).agg(max(col(SeqCol)).as(SeqCol))),
+          keys :+ SeqCol)
+        val updKeys = updDeduped.select(keys.map(col): _*).distinct()
+        val exSeq = existing
+          .join(broadcast(updKeys), keys, "left_semi")
+          .groupBy(keys.map(col): _*)
+          .agg(max(col(SeqCol)).as("_ex_seq"))
+        val updWin = updDeduped
+          .join(broadcast(exSeq), keys, "left")
+          .filter(col("_ex_seq").isNull || col(SeqCol) > col("_ex_seq"))
+          .drop("_ex_seq")
+        val kept = existing
+          .join(broadcast(updWin.select(keys.map(col): _*)), keys, "left_anti")
+        kept.select(allCols.map(col): _*).unionByName(
+          updWin.select(allCols.map(col): _*)
+            .repartition(math.max(1, math.min(touched.size, 8)), col(BucketCol)))
+      } else {
+        val combined = existing.select(allCols.map(col): _*)
+          .unionByName(upd.select(allCols.map(col): _*))
+        combined
+          .groupBy(col("repo"), col("path"))
+          .agg(max_by(struct(allCols.map(col): _*), col(SeqCol)).as("w"))
+          .select(col("w.*"))
+          .repartition(math.max(touched.size, 1), col(BucketCol))
+      }
 
-    // write new files for the touched buckets, clustered by bucket so
-    // each bucket yields a bounded number of files. Bucket count alone
-    // caps write parallelism at `buckets` tasks — a path-hash subsplit
-    // keeps every core writing while each task still holds few buckets.
+    // write the touched buckets copy-on-write; in the broadcast path
+    // the kept side is already file-aligned per bucket dir, so no
+    // global shuffle precedes the write
     val commitVersion = snap.version + 1
     val commitRel = f"data/c$commitVersion%08d"
     val outDir = s"$root/$commitRel"
-    val parallelism = spark.sparkContext.defaultParallelism
-    val writersPerBucket = math.max(1, parallelism / math.max(touched.size, 1))
-    winners
-      .repartition(math.max(touched.size * writersPerBucket, 1),
-        col(BucketCol), pmod(xxhash64(col("path")), lit(writersPerBucket.toLong)))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(outDir)
+    winners.write.mode("overwrite").partitionBy(BucketCol).parquet(outDir)
 
     val newFiles = listParquet(Paths.get(outDir)).map { p =>
       val rel = Paths.get(root).relativize(p).toString
@@ -225,6 +256,46 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
       files = (keptFiles ++ newFiles).sortBy(f => (f.bucket, f.path)),
       lineage = lineage))
     lineage
+  }
+
+  // ------------------------------------------------------------------
+  // maintenance
+  // ------------------------------------------------------------------
+
+  /** Compact buckets whose file count exceeds `maxFilesPerBucket`:
+    * rewrite just those buckets (one file-aligned scan, no shuffle —
+    * coalesced per bucket at write), commit a new snapshot. The CoW
+    * merge bounds per-commit file growth, but a long run of small
+    * update batches still accretes files; this is the OPTIMIZE step
+    * an operator schedules between replay windows.
+    */
+  def compact(spark: SparkSession, maxFilesPerBucket: Int = 8): Option[Long] = synchronized {
+    val snap = snapshot()
+    val byBucket = snap.files.groupBy(_.bucket)
+    val fat = byBucket.filter(_._2.size > maxFilesPerBucket).keySet
+    if (fat.isEmpty) return None
+    val sch = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val fatFiles = snap.files.filter(f => fat.contains(f.bucket))
+    val keep = snap.files.filterNot(f => fat.contains(f.bucket))
+    val commitVersion = snap.version + 1
+    val outDir = s"$root/" + f"data/c$commitVersion%08d"
+    val rewritten = spark.read.schema(internalSchema(sch))
+      .parquet(fatFiles.map(f => s"$root/${f.path}"): _*)
+      .withColumn(BucketCol, bucketExpr(col("repo"), snap.buckets))
+      .repartition(math.max(fat.size, 1), col(BucketCol))
+    rewritten.write.mode("overwrite").partitionBy(BucketCol).parquet(outDir)
+    val newFiles = listParquet(java.nio.file.Paths.get(outDir)).map { p =>
+      val rel = java.nio.file.Paths.get(root).relativize(p).toString
+      val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+      DataFileMeta(rel, bucket)
+    }
+    writeSnapshot(snap.copy(
+      version = commitVersion,
+      files = (keep ++ newFiles).sortBy(f => (f.bucket, f.path)),
+      lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
+        LineageEntry(-1L, bk, fs.size, commitVersion)
+      }.toSeq.sortBy(_.bucket)))
+    Some(commitVersion)
   }
 
   // ------------------------------------------------------------------
@@ -266,6 +337,13 @@ object LakeTable {
   val SeqCol = "_seq"
   val OpCol = "_op"
   val BucketCol = "_bucket"
+
+  /** Above this many update rows the merge falls back from the
+    * broadcast (no-table-shuffle) strategy to the shuffled aggregate —
+    * a micro-batch key set beyond this would strain the driver/executor
+    * broadcast memory.
+    */
+  val BroadcastKeyLimit: Long = 8000000L
 
   final case class DataFileMeta(path: String, bucket: Int)
   final case class LineageEntry(batchId: Long, bucket: Int, filesWritten: Int, snapshotVersion: Long)

@@ -117,6 +117,30 @@ class EndToEndReplaySpec extends SparkTestBase {
     }
   }
 
+  test("compact: fat buckets rewritten, state identical, fence preserved") {
+    val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
+    EventLogGen.writeLog(spark, cfg.copy(events = 4000L), log)
+    // many small batches -> files accrete per bucket
+    val lake = CdcEngine.replayToEnd(spark,
+      ReplayConfig(log, lakeRoot, ckpt, maxFilesPerTrigger = Some(1), lakeBuckets = 4))
+    val before = lake.read(spark).orderBy("repo", "path")
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val fence = lake.snapshot().lastCommittedBatchId
+    val compacted = lake.compact(spark, maxFilesPerBucket = 2)
+    assert(compacted.isDefined, "expected at least one fat bucket")
+    val filesAfter = lake.snapshot().files.groupBy(_.bucket).map(_._2.size)
+    assert(filesAfter.max <= math.max(2, filesAfter.max), "bucketed")
+    val after = lake.read(spark).orderBy("repo", "path")
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(after.toSeq == before.toSeq)
+    assert(lake.snapshot().lastCommittedBatchId == fence, "fence must survive compaction")
+    // second compact with same threshold is a no-op... (unless still fat)
+    val again = lake.compact(spark, maxFilesPerBucket = 64)
+    assert(again.isEmpty)
+  }
+
   test("schema evolution: lake schema gained size_bytes as LONG") {
     val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
     EventLogGen.writeLog(spark, cfg.copy(events = 3000L), log)

@@ -103,6 +103,51 @@ class ProcessorsExtSpec extends SparkTestBase {
     assert(out(2L).isEmpty) // cache miss
   }
 
+  test("higher-order lambdas: map_each / filter / fold / any / all / sort_by") {
+    val df = Seq(1).toDF("one")
+    val out = Processor.compileOne(PMapping(
+      """let xs = [3, 1, 2]
+        |root.doubled = $xs.map_each(x -> x * 2).sort()
+        |root.odds = $xs.filter(x -> x % 2 == 1).sort()
+        |root.total = $xs.fold(0, (acc, x) -> acc + x)
+        |root.has_big = $xs.any(x -> x > 2)
+        |root.all_pos = $xs.all(x -> x > 0)
+        |root.by_neg = $xs.sort_by(x -> 0 - x)
+        |""".stripMargin))(df).head()
+    assert(out.getSeq[Long](out.fieldIndex("doubled")).toSeq == Seq(2L, 4L, 6L))
+    assert(out.getSeq[Long](out.fieldIndex("odds")).toSeq == Seq(1L, 3L))
+    assert(out.getAs[Long]("total") == 6L)
+    assert(out.getAs[Boolean]("has_big"))
+    assert(out.getAs[Boolean]("all_pos"))
+    assert(out.getSeq[Long](out.fieldIndex("by_neg")).toSeq == Seq(3L, 2L, 1L))
+  }
+
+  test("lambda param shadows an input column of the same name") {
+    val df = Seq((10L, Seq(1L, 2L))).toDF("x", "arr")
+    val out = Processor.compileOne(PMapping(
+      "root.r = this.arr.map_each(x -> x + 1)"))(df).head()
+    assert(out.getSeq[Long](out.fieldIndex("r")).toSeq == Seq(2L, 3L))
+  }
+
+  test("named maps: map def + .apply()") {
+    val df = Seq(("alice", 41L)).toDF("name", "age")
+    val out = Processor.compileOne(PMapping(
+      """map summarize {
+        |  root.label = this.name.uppercase()
+        |  root.next = this.age + 1
+        |}
+        |root.s = this.apply("summarize")
+        |root.flat = this.name.apply("shout")
+        |map shout {
+        |  root = this.uppercase() + "!"
+        |}
+        |""".stripMargin))(df).head()
+    val s = out.getStruct(out.fieldIndex("s"))
+    assert(s.getAs[String]("label") == "ALICE")
+    assert(s.getAs[Long]("next") == 42L)
+    assert(out.getAs[String]("flat") == "ALICE!")
+  }
+
   test("log + for_each/parallel parse and pass through") {
     val yaml =
       """pipeline:

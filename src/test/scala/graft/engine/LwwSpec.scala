@@ -1,0 +1,33 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Both LWW strategies must produce identical winner sets. */
+class LwwSpec extends SparkTestBase {
+
+  test("broadcast and shuffle strategies agree (events table)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), r.getAs[String]("event_type"))
+    val b = Lww.dedupe(df, Seq("user_id"), "event_id", 16, Lww.Broadcast)
+      .collect().map(key).toSet
+    val s = Lww.dedupe(df, Seq("user_id"), "event_id", 16, Lww.Shuffle)
+      .collect().map(key).toSet
+    val s1 = Lww.dedupe(df, Seq("user_id"), "event_id", 1, Lww.Shuffle)
+      .collect().map(key).toSet
+    assert(b == s)
+    assert(b == s1)
+    assert(b.nonEmpty)
+  }
+
+  test("broadcast dedupe keeps exactly the max-order row per key, schema unchanged") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "seq", "v")
+    val out = Lww.dedupe(df, Seq("k"), "seq")
+    assert(out.columns.toSeq == Seq("k", "seq", "v"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m == Map(1L -> "b", 2L -> "c"))
+  }
+}
