@@ -1,0 +1,127 @@
+package graft.dsl
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** YAML conformance-test runner — the engine's `benthos test`
+  * (SURVEY.md §3.3, upstream `internal/cli/test/`): test specs declare
+  * a processor chain, literal input batches, and expected output
+  * batches with `json_equals` / `content_equals` / `metadata_equals`
+  * predicates; the runner executes the REAL compiled pipeline over a
+  * one-micro-batch DataFrame and diffs.
+  *
+  * Semantic delta vs the reference (documented in SURVEY §2.3): rows
+  * of a DataFrame are unordered, so batches compare as multisets, not
+  * positionally.
+  *
+  * {{{
+  * tests:
+  *   - name: mapping adds a field
+  *     target_processors:
+  *       - mapping: |
+  *           root = this
+  *           root.x = this.a + 1
+  *     input_batch:
+  *       - json_content: { a: 1 }
+  *     output_batches:
+  *       - - json_equals: { a: 1, x: 2 }
+  * }}}
+  */
+object TestRunner {
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+  private val json = new ObjectMapper()
+
+  final case class CaseResult(name: String, passed: Boolean, detail: String) {
+    override def toString: String = s"${if (passed) "ok " else "FAIL"} $name${if (passed) "" else s": $detail"}"
+  }
+
+  def run(spark: SparkSession, yamlSpec: String): Seq[CaseResult] = {
+    val root = mapper.readTree(yamlSpec)
+    val tests = Option(root.get("tests"))
+      .getOrElse(throw new IllegalArgumentException("spec has no `tests`"))
+    (0 until tests.size).map(i => runCase(spark, tests.get(i)))
+  }
+
+  def runAll(spark: SparkSession, yamlSpec: String): Unit = {
+    val rs = run(spark, yamlSpec)
+    rs.foreach(r => println(s"[conformance] $r"))
+    val failed = rs.filterNot(_.passed)
+    if (failed.nonEmpty)
+      throw new AssertionError(s"${failed.size}/${rs.size} conformance cases failed")
+  }
+
+  private def runCase(spark: SparkSession, c: JsonNode): CaseResult = {
+    val name = Option(c.get("name")).map(_.asText).getOrElse("unnamed")
+    try {
+      val procs = PipelineConfig.parseProcessors(c.get("target_processors"))
+      val in = c.get("input_batch")
+      val rowsJson = (0 until in.size).map { i =>
+        val part = in.get(i)
+        val obj = json.createObjectNode()
+        Option(part.get("json_content")).foreach(jc =>
+          jc.properties().asScala.foreach(e => obj.set[JsonNode](e.getKey, e.getValue)))
+        Option(part.get("content")).foreach(ct => obj.put("content", ct.asText))
+        Option(part.get("metadata")).foreach { md =>
+          val m = obj.putObject("metadata")
+          md.properties().asScala.foreach(e => m.put(e.getKey, e.getValue.asText))
+        }
+        obj.toString
+      }
+      import spark.implicits._
+      val df = spark.read.json(spark.createDataset(rowsJson))
+      val out = Processor.compile(procs)(df)
+      val gotRows: Seq[Map[String, String]] = out.toJSON.collect().toSeq
+        .map(s => flatten(json.readTree(s)))
+
+      val expBatches = c.get("output_batches")
+      require(expBatches.size == 1, "runner executes one micro-batch; expected one output batch")
+      val exp = expBatches.get(0)
+      val expRows: Seq[(String, Map[String, String])] = (0 until exp.size).map { i =>
+        val e = exp.get(i)
+        val kind = e.fieldNames().next()
+        kind -> flatten(e.get(kind))
+      }
+      if (gotRows.size != expRows.size)
+        CaseResult(name, passed = false,
+          s"row count ${gotRows.size} != expected ${expRows.size}; got=$gotRows")
+      else {
+        // multiset match: each expected predicate must claim a distinct row
+        var remaining = gotRows
+        var failure: Option[String] = None
+        val it = expRows.iterator
+        while (failure.isEmpty && it.hasNext) {
+          val (kind, want) = it.next()
+          val matched = remaining.indexWhere(row => matches(kind, want, row))
+          if (matched < 0) failure = Some(s"no row satisfies $kind $want; rows=$remaining")
+          else remaining = remaining.patch(matched, Nil, 1)
+        }
+        failure.fold(CaseResult(name, passed = true, ""))(d => CaseResult(name, passed = false, d))
+      }
+    } catch {
+      case e: Throwable => CaseResult(name, passed = false, e.toString)
+    }
+  }
+
+  private def matches(kind: String, want: Map[String, String], row: Map[String, String]): Boolean =
+    kind match {
+      case "json_equals" => want == row.filter { case (k, _) => !k.startsWith("metadata.") }
+      case "json_contains" => want.forall { case (k, v) => row.get(k).contains(v) }
+      case "content_equals" => row.get("content").contains(want.getOrElse("", want.values.headOption.getOrElse("")))
+      case "metadata_equals" =>
+        want.forall { case (k, v) => row.get(s"metadata.$k").contains(v) }
+      case other => throw new IllegalArgumentException(s"unknown predicate $other")
+    }
+
+  /** Flatten a JSON object to dotted-path -> string-value pairs. */
+  private def flatten(n: JsonNode, prefix: String = ""): Map[String, String] =
+    if (n.isObject)
+      n.properties().asScala.flatMap { e =>
+        flatten(e.getValue, if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}")
+      }.toMap
+    else if (n.isArray)
+      (0 until n.size).flatMap(i => flatten(n.get(i), s"$prefix[$i]")).toMap
+    else Map(prefix -> n.asText)
+}

@@ -1,0 +1,78 @@
+package graft.dsl
+
+import graft.SparkTestBase
+
+/** The YAML conformance runner running reference-shaped test specs
+  * (`benthos test` format, SURVEY.md §3.3).
+  */
+class TestRunnerSpec extends SparkTestBase {
+
+  test("reference-shaped YAML cases: mapping, filter, switch, error flow") {
+    val spec =
+      """tests:
+        |  - name: mapping builds a new doc
+        |    target_processors:
+        |      - mapping: |
+        |          root.x = this.a + 1
+        |          root.tag = this.name.uppercase()
+        |    input_batch:
+        |      - json_content: { a: 1, name: "x" }
+        |      - json_content: { a: 5, name: "y" }
+        |    output_batches:
+        |      - - json_equals: { x: 2, tag: "X" }
+        |        - json_equals: { x: 6, tag: "Y" }
+        |
+        |  - name: filter drops non-matching
+        |    target_processors:
+        |      - filter: this.a > 3
+        |    input_batch:
+        |      - json_content: { a: 1 }
+        |      - json_content: { a: 5 }
+        |    output_batches:
+        |      - - json_contains: { a: "5" }
+        |
+        |  - name: switch labels first-match
+        |    target_processors:
+        |      - switch:
+        |          - check: this.a > 3
+        |            processors: [ { mutation: 'root.lbl = "big"' } ]
+        |          - processors: [ { mutation: 'root.lbl = "small"' } ]
+        |    input_batch:
+        |      - json_content: { a: 1 }
+        |      - json_content: { a: 5 }
+        |    output_batches:
+        |      - - json_contains: { a: "1", lbl: "small" }
+        |        - json_contains: { a: "5", lbl: "big" }
+        |
+        |  - name: validate flags then catch recovers
+        |    target_processors:
+        |      - validate: { check: this.a < 3, message: too_big }
+        |      - catch: [ { mutation: "root.a = 0" } ]
+        |    input_batch:
+        |      - json_content: { a: 1 }
+        |      - json_content: { a: 9 }
+        |    output_batches:
+        |      - - json_contains: { a: "1" }
+        |        - json_contains: { a: "0" }
+        |""".stripMargin
+    val results = TestRunner.run(spark, spec)
+    assert(results.size == 4)
+    assert(results.forall(_.passed), results.filterNot(_.passed).mkString("; "))
+  }
+
+  test("a failing expectation is reported, not thrown") {
+    val spec =
+      """tests:
+        |  - name: wrong expectation
+        |    target_processors:
+        |      - mapping: "root.x = this.a"
+        |    input_batch:
+        |      - json_content: { a: 1 }
+        |    output_batches:
+        |      - - json_equals: { x: 999 }
+        |""".stripMargin
+    val r = TestRunner.run(spark, spec)
+    assert(r.size == 1 && !r.head.passed)
+    intercept[AssertionError](TestRunner.runAll(spark, spec))
+  }
+}
