@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.Lww
+
+/** Physical-plan regression guards (SURVEY.md §4): the properties that
+  * make the engine scale are asserted on the executed plan, so a
+  * refactor that silently breaks pushdown, pruning, or a broadcast
+  * fails CI — not a 100 TB run.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val p = plan(SparkEntry.queries("q_filter")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(value)"), p.linesIterator.filter(_.contains("FileScan")).mkString)
+    assert(p.contains("GreaterThan(value,400.0)"))
+    // only the 3 selected + filtered columns are read
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>"))
+  }
+
+  test("mapping reads only referenced columns") {
+    val p = plan(SparkEntry.queries("q_mapping")(spark, sf))
+    val read = p.linesIterator.find(_.contains("ReadSchema"))
+      .flatMap(l => "struct<[^>]*>".r.findFirstIn(l)).getOrElse("")
+    assert(read.nonEmpty)
+    assert(!read.contains("ts:timestamp"), s"unreferenced column not pruned: $read")
+    assert(!read.contains("user_id"), s"unreferenced column not pruned: $read")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan(SparkEntry.queries("q_join_agg")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not sort-merge")
+  }
+
+  test("broadcast LWW never shuffles full rows") {
+    val df = spark.read.parquet(s"$sf/events.parquet")
+    val p = plan(Lww.dedupe(df, Seq("user_id"), "event_id", strategy = Lww.Broadcast))
+    // the only exchanges allowed are the broadcast + the pruned
+    // (user_id, event_id) aggregate shuffle — no exchange may carry
+    // the wide payload columns
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.forall(!_.contains("props")), s"full-row shuffle leaked: $shuffles")
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("brute-force KNN broadcasts the query side") {
+    val p = plan(SparkEntry.queries("q_knn_brute")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("whole-stage codegen covers the mapping pipeline") {
+    // AQE shows no codegen spans until finalized — use codegen explain
+    val p = SparkEntry.queries("q_mapping")(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), "mapping fell out of codegen")
+  }
+
+  test("lake manifest prunes buckets before Spark lists files") {
+    val work = tmpDir("prune")
+    gen.EventLogGen.writeLog(spark,
+      gen.EventLogGen.GenConfig(events = 2000L, repos = 8), s"$work/log")
+    val lake = engine.CdcEngine.replayToEnd(spark,
+      engine.CdcEngine.ReplayConfig(s"$work/log", s"$work/lake", s"$work/chk", lakeBuckets = 8))
+    val repo = lake.read(spark).select("repo").head().getString(0)
+    val all = lake.snapshot().files.size
+    val pruned = lake.scanFiles(Seq(repo)).size
+    assert(pruned < all, s"expected manifest pruning: $pruned of $all files")
+    val got = lake.readRepos(spark, Seq(repo)).select("repo").distinct().collect().map(_.getString(0))
+    assert(got.toSeq == Seq(repo))
+  }
+}
