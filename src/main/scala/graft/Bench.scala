@@ -74,7 +74,8 @@ object Bench {
       CdcEngine.replayToEnd(spark, CdcEngine.ReplayConfig(
         logDir = logDir, lakeRoot = s"$workRoot/lake-$runId",
         checkpointDir = s"$workRoot/chk-$runId", maxFilesPerTrigger = Some(64),
-        persistBatch = !sys.env.contains("SPARK_GRAFT_NO_PERSIST")),
+        persistBatch = !sys.env.contains("SPARK_GRAFT_NO_PERSIST"),
+        materialize = sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "cache")),
         pipeline)
     }
     (sec, events / sec)

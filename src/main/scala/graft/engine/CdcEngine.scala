@@ -37,7 +37,15 @@ object CdcEngine {
       // building Spark's compressed columnar cache for a once-or-twice
       // reused batch can cost more than recomputing the narrow plan;
       // Catalyst column-prunes each consumer when this is off
-      persistBatch: Boolean = true)
+      persistBatch: Boolean = true,
+      // "cache": persist the full batch (best when batches fit memory
+      // comfortably); "winners": never materialize the batch — one
+      // column-pruned pass computes the LWW winner keys (with observed
+      // input metrics riding along for free), only that small frame is
+      // cached, and the expensive pipeline expressions evaluate exactly
+      // once inside the merge's write pass. Avoids the multi-GB
+      // columnar-cache build that walls large batches.
+      materialize: String = "cache")
 
   final case class BatchMetrics(
       batchId: Long, rowsIn: Long, rowsUpserted: Long, rowsDeleted: Long,
@@ -69,11 +77,56 @@ object CdcEngine {
 
   /** The per-micro-batch apply: LWW dedupe → fenced MERGE → metrics. */
   def applyBatch(lake: LakeTable, batch: DataFrame, batchId: Long,
-                 cfg: ReplayConfig): Option[BatchMetrics] = {
+                 cfg: ReplayConfig): Option[BatchMetrics] =
+    if (cfg.materialize == "winners") applyBatchWinners(lake, batch, batchId, cfg)
+    else applyBatchCached(lake, batch, batchId, cfg)
+
+  /** "winners" materialization: the batch itself is NEVER cached.
+    * Pass 1 computes the LWW winner keys over a column-pruned scan
+    * (the Observation rides along, so rowsIn/op-counts cost nothing
+    * extra); only that small frame persists. Pass 2 — inside the
+    * merge — evaluates the full pipeline expressions exactly once
+    * while writing. Two scans, zero batch materialization.
+    */
+  private def applyBatchWinners(lake: LakeTable, batch: DataFrame, batchId: Long,
+                                cfg: ReplayConfig): Option[BatchMetrics] = {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
-    // Cache: the batch feeds both the dedupe and the row count; without
-    // this the file scan runs twice.
+    val obs = org.apache.spark.sql.Observation()
+    val observed = batch.observe(obs,
+      count(lit(1)).as("rows_in"),
+      count(when(col("op") === Model.Delete, 1)).as("deletes"))
+    val winners = observed
+      .groupBy(Model.keyCols.map(col): _*)
+      .agg(max(col("seq")).as("seq"))
+      .persist()
+    try {
+      val nKeys = winners.count() // materializes pass 1 + the observation
+      val m0 = obs.get
+      val rowsIn = m0("rows_in").asInstanceOf[Long]
+      if (rowsIn == 0) return None
+      val lineage = lake.merge(batch, batchId,
+        countHint = Some(nKeys), precomputedWinners = Some(winners))
+      val ms = (System.nanoTime() - t0) / 1000000L
+      val deletesIn = m0("deletes").asInstanceOf[Long]
+      val m = BatchMetrics(batchId, rowsIn,
+        rowsUpserted = nKeys, rowsDeleted = deletesIn, ms,
+        if (ms > 0) rowsIn * 1000.0 / ms else 0.0)
+      log.info(s"batch=$batchId rowsIn=$rowsIn winnerKeys=$nKeys ms=$ms eps=${m.eventsPerSec.toLong}")
+      cfg.metricsDir.foreach { dir =>
+        import spark.implicits._
+        Seq(m).toDF().write.mode("append").parquet(s"$dir/metrics")
+        if (lineage.nonEmpty)
+          lineage.toDF().write.mode("append").parquet(s"$dir/lineage")
+      }
+      Some(m)
+    } finally { winners.unpersist(); () }
+  }
+
+  private def applyBatchCached(lake: LakeTable, batch: DataFrame, batchId: Long,
+                               cfg: ReplayConfig): Option[BatchMetrics] = {
+    val t0 = System.nanoTime()
+    val spark = batch.sparkSession
     // Cached: the merge takes several passes over the batch (update
     // LWW, touched-bucket discovery, winner joins, the write).
     val b = if (cfg.persistBatch) batch.persist() else batch

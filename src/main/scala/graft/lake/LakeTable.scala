@@ -147,8 +147,18 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
     * Returns per-bucket lineage rows for the commit ([] on a fenced
     * no-op replay).
     */
+  /** @param precomputedWinners optional pre-aggregated LWW winner key
+    *   frame `(repo, path, seq)` (one row per surviving key, `seq` =
+    *   winning order value). When given, the merge skips its own
+    *   defensive update-LWW aggregate and derives the touched-bucket
+    *   set from this small frame instead of re-scanning the updates —
+    *   callers that already computed winners (the engine's
+    *   `materialize=winners` path) avoid whole extra passes over the
+    *   batch.
+    */
   def merge(updates: DataFrame, batchId: Long,
-            countHint: Option[Long] = None): Seq[LineageEntry] = synchronized {
+            countHint: Option[Long] = None,
+            precomputedWinners: Option[DataFrame] = None): Seq[LineageEntry] = synchronized {
     val spark = updates.sparkSession
     val snap = snapshot()
     if (batchId <= snap.lastCommittedBatchId) return Nil // idempotent fence
@@ -165,8 +175,13 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
       .withColumn(OpCol, col("op")).drop("op")
       .withColumn(BucketCol, bucketExpr(col("repo"), b))
 
-    // which buckets does this batch touch?
-    val touched = upd.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+    // which buckets does this batch touch? — from the winner key frame
+    // when available (small, usually cached), else a scan of updates
+    val winnersKeyed = precomputedWinners.map(w =>
+      w.select(col("repo"), col("path"), col("seq").as(SeqCol)))
+    val touched = winnersKeyed.getOrElse(upd)
+      .select(bucketExpr(col("repo"), b).as(BucketCol))
+      .distinct().collect().map(_.getInt(0)).toSet
     val touchedFiles = snap.files.filter(f => touched.contains(f.bucket))
     val keptFiles = snap.files.filterNot(f => touched.contains(f.bucket))
 
@@ -202,20 +217,23 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
     val updCount = countHint.getOrElse(upd.count())
     val winners =
       if (updCount <= BroadcastKeyLimit) {
-        val updDeduped = upd.join(
-          broadcast(upd.groupBy(keys.map(col): _*).agg(max(col(SeqCol)).as(SeqCol))),
-          keys :+ SeqCol)
-        val updKeys = updDeduped.select(keys.map(col): _*).distinct()
+        // every driver-side key computation runs over the SMALL winner-
+        // key frame (caller-cached or one pruned aggregate of updates);
+        // the full update rows are scanned exactly once, in the final
+        // join feeding the write
+        val winnerKeys = winnersKeyed.getOrElse(
+          upd.groupBy(keys.map(col): _*).agg(max(col(SeqCol)).as(SeqCol)))
         val exSeq = existing
-          .join(broadcast(updKeys), keys, "left_semi")
+          .join(broadcast(winnerKeys.select(keys.map(col): _*)), keys, "left_semi")
           .groupBy(keys.map(col): _*)
           .agg(max(col(SeqCol)).as("_ex_seq"))
-        val updWin = updDeduped
+        val winFinal = winnerKeys
           .join(broadcast(exSeq), keys, "left")
           .filter(col("_ex_seq").isNull || col(SeqCol) > col("_ex_seq"))
-          .drop("_ex_seq")
+          .select((keys :+ SeqCol).map(col): _*)
+        val updWin = upd.join(broadcast(winFinal), keys :+ SeqCol)
         val kept = existing
-          .join(broadcast(updWin.select(keys.map(col): _*)), keys, "left_anti")
+          .join(broadcast(winFinal.select(keys.map(col): _*)), keys, "left_anti")
         kept.select(allCols.map(col): _*).unionByName(
           updWin.select(allCols.map(col): _*)
             .repartition(math.max(1, math.min(touched.size, 8)), col(BucketCol)))

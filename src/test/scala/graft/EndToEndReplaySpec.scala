@@ -117,6 +117,22 @@ class EndToEndReplaySpec extends SparkTestBase {
     }
   }
 
+  test("winners materialization mode reaches the same final state as cached mode") {
+    val log = tmpDir("log"); EventLogGen.writeLog(spark, cfg, log)
+    val oracle = FoldOracle.replay(spark, log)
+    val lakeW = tmpDir("lakeW"); val lakeC = tmpDir("lakeC")
+    val w = CdcEngine.replayToEnd(spark,
+      ReplayConfig(log, lakeW, tmpDir("ckW"), maxFilesPerTrigger = Some(4), materialize = "winners"))
+    def state(l: LakeTable) = l.read(spark)
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val sw = state(w)
+    assert(sw.size == oracle.size)
+    oracle.foreach { case (k, fr) =>
+      assert(sw(k) == FoldOracle.rowSha256(fr.content), s"winners-mode mismatch at $k")
+    }
+  }
+
   test("compact: fat buckets rewritten, state identical, fence preserved") {
     val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
     EventLogGen.writeLog(spark, cfg.copy(events = 4000L), log)
