@@ -33,6 +33,9 @@ object CdcEngine {
       maxBytesPerTrigger: Option[Long] = None,
       saltBuckets: Int = 16,
       lakeBuckets: Int = 16,
+      // CoW rewrite quantum: bound data-file size so a merge rewrites
+      // O(intersecting files), not whole buckets (0 = unbounded)
+      lakeMaxRecordsPerFile: Long = 0L,
       metricsDir: Option[String] = None,
       // building Spark's compressed columnar cache for a once-or-twice
       // reused batch can cost more than recomputing the narrow plan;
@@ -57,7 +60,7 @@ object CdcEngine {
   def replay(spark: SparkSession, cfg: ReplayConfig,
              pipeline: DataFrame => DataFrame = identity,
              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val lake = new LakeTable(cfg.lakeRoot, cfg.lakeBuckets)
+    val lake = new LakeTable(cfg.lakeRoot, cfg.lakeBuckets, cfg.lakeMaxRecordsPerFile)
     lake.initIfNeeded(userSchemaOf(cfg.schema))
 
     val reader = spark.readStream.schema(cfg.schema)
@@ -191,7 +194,7 @@ object CdcEngine {
                   pipeline: DataFrame => DataFrame = identity): LakeTable = {
     val q = replay(spark, cfg, pipeline)
     q.awaitTermination()
-    new LakeTable(cfg.lakeRoot, cfg.lakeBuckets)
+    new LakeTable(cfg.lakeRoot, cfg.lakeBuckets, cfg.lakeMaxRecordsPerFile)
   }
 
   private def userSchemaOf(eventSchema: StructType): StructType =

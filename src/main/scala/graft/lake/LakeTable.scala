@@ -13,7 +13,8 @@ import org.json4s.jackson.Serialization
   * The sandbox ships no Iceberg/Delta jars, so the "Iceberg table" of
   * the north rule is implemented from first principles, following the
   * published Iceberg spec's concepts (snapshot chain, manifest file
-  * list, schema ids, optimistic/atomic commit), not its code:
+  * list with per-file column stats, schema ids, atomic commit), not
+  * its code:
   *
   *   root/
   *     meta/v%08d.json         -- immutable snapshot chain
@@ -21,13 +22,31 @@ import org.json4s.jackson.Serialization
   *
   * - Atomic commit: snapshot JSON is written to a temp file then moved
   *   into place with ATOMIC_MOVE; the highest v*.json is current.
+  *   Single-writer protocol: `merge`/`compact` are `synchronized`
+  *   within the JVM and the move refuses to replace an existing
+  *   version file, so a concurrent writer from another JVM surfaces as
+  *   a commit error instead of silently clobbering a snapshot (a real
+  *   multi-driver deployment would CAS through a catalog service; one
+  *   streaming driver owns a lake here, as in the engine).
   * - Exactly-once: each snapshot records `lastCommittedBatchId`; a
   *   merge whose batchId <= that is a no-op (idempotent fencing, the
   *   Delta/Iceberg txnAppId/txnVersion pattern).
   * - Layout: data files are hash-bucketed by repo
-  *   (`pmod(xxhash64(repo), buckets)`), so a merge only rewrites the
-  *   buckets its updates touch (copy-on-write at bucket granularity)
-  *   and reads can prune buckets from an equality predicate on repo.
+  *   (`pmod(xxhash64(repo), buckets)`) and CLUSTERED by (repo, path)
+  *   within each written file (sortWithinPartitions before every
+  *   write), with file size bounded by `maxRecordsPerFile`. The
+  *   manifest records per-file min/max `repo` (read straight from the
+  *   parquet footers, Iceberg-manifest style) plus row counts.
+  * - Copy-on-write at FILE granularity: a merge rewrites only the
+  *   files whose [minRepo, maxRepo] range intersects the batch's
+  *   update-key repos; every other file of a touched bucket survives
+  *   the commit untouched. Bucket-granularity CoW rewrote the whole
+  *   table per batch once every bucket was warm (16 Zipf-hot buckets
+  *   at 10^10 events); file granularity bounds the rewrite to
+  *   O(updated key ranges), independent of table size. At 100 TB the
+  *   knobs are `buckets` (merge write parallelism, equality-prune fan)
+  *   and `maxRecordsPerFile` (CoW rewrite quantum): size them so one
+  *   file ≈ 128-512 MB and buckets ≈ executor count.
   * - Schema evolution: add-column and int→long / float→double widening
   *   produce a new schema id; old files are never rewritten — they are
   *   read under the widest schema (Spark 4 parquet readers perform the
@@ -36,7 +55,8 @@ import org.json4s.jackson.Serialization
   *   last-writer-wins stays correct even if a batch arrives with
   *   lower-seq events than already applied.
   */
-final class LakeTable(val root: String, val buckets: Int = 16) {
+final class LakeTable(val root: String, val buckets: Int = 16,
+                      val maxRecordsPerFile: Long = 0L) {
   import LakeTable._
 
   private val metaDir = Paths.get(root, "meta")
@@ -74,11 +94,14 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
 
   private def writeSnapshot(s: Snapshot): Unit = {
     implicit val fmt: Formats = DefaultFormats
+    val target = metaDir.resolve(f"v${s.version}%08d.json")
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"concurrent commit detected: $target already exists (single-writer protocol)")
     val tmp = Files.createTempFile(metaDir, ".tmp-v", ".json")
     Files.writeString(tmp, Serialization.writePretty(s))
     // the ATOMIC_MOVE is the linearization point of the commit
-    Files.move(tmp, metaDir.resolve(f"v${s.version}%08d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
 
   def schema(): StructType =
@@ -111,13 +134,17 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
     .add(StructField(SeqCol, LongType, nullable = false))
     .add(StructField(OpCol, StringType, nullable = false))
 
-  /** Manifest-level bucket pruning: files relevant to the given repos.
-    * This is the engine's partition-pruning analog — pruning happens
-    * before Spark ever lists a file (SURVEY.md §4).
+  /** Manifest-level pruning: files relevant to the given repos. Two
+    * stages, both before Spark ever lists a file (SURVEY.md §4):
+    * bucket pruning (hash equality) then file skipping on the
+    * manifest's per-file min/max repo range — the Iceberg
+    * manifest-stats pattern.
     */
   def scanFiles(repos: Seq[String]): Seq[DataFileMeta] = {
-    val wanted = repos.map(r => bucketOfRepo(r, snapshot().buckets)).toSet
-    snapshot().files.filter(f => wanted.contains(f.bucket))
+    val snap = snapshot()
+    val wanted = repos.map(r => bucketOfRepo(r, snap.buckets)).toSet
+    val sorted = repos.toArray.sortWith(ubCompare(_, _) < 0)
+    snap.files.filter(f => wanted.contains(f.bucket) && rangeIntersects(f, sorted))
   }
 
   def readRepos(spark: SparkSession, repos: Seq[String]): DataFrame = {
@@ -146,11 +173,11 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
     *
     * Returns per-bucket lineage rows for the commit ([] on a fenced
     * no-op replay).
-    */
-  /** @param precomputedWinners optional pre-aggregated LWW winner key
+    *
+    * @param precomputedWinners optional pre-aggregated LWW winner key
     *   frame `(repo, path, seq)` (one row per surviving key, `seq` =
     *   winning order value). When given, the merge skips its own
-    *   defensive update-LWW aggregate and derives the touched-bucket
+    *   defensive update-LWW aggregate and derives the touched-file
     *   set from this small frame instead of re-scanning the updates —
     *   callers that already computed winners (the engine's
     *   `materialize=winners` path) avoid whole extra passes over the
@@ -175,22 +202,41 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
       .withColumn(OpCol, col("op")).drop("op")
       .withColumn(BucketCol, bucketExpr(col("repo"), b))
 
-    // which buckets does this batch touch? — from the winner key frame
-    // when available (small, usually cached), else a scan of updates
+    // which FILES does this batch touch? — the distinct update repos
+    // (from the small winner key frame when available) decide both the
+    // touched buckets and, via the manifest's per-file repo ranges,
+    // the exact copy-on-write rewrite set. Collecting distinct repos
+    // is bounded by PruneRepoCap; past the cap (a batch updating >half
+    // a million distinct repos) pruning degrades gracefully to
+    // bucket-granularity CoW.
     val winnersKeyed = precomputedWinners.map(w =>
       w.select(col("repo"), col("path"), col("seq").as(SeqCol)))
-    val touched = winnersKeyed.getOrElse(upd)
-      .select(bucketExpr(col("repo"), b).as(BucketCol))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val touchedFiles = snap.files.filter(f => touched.contains(f.bucket))
-    val keptFiles = snap.files.filterNot(f => touched.contains(f.bucket))
+    val keySrc = winnersKeyed.getOrElse(upd)
+    val updRepos: Array[String] = {
+      val capped = keySrc.select(col("repo")).distinct()
+        .limit(PruneRepoCap + 1).collect().map(_.getString(0))
+      if (capped.length > PruneRepoCap) null else capped
+    }
+    val touched: Set[Int] =
+      if (updRepos != null) updRepos.map(r => bucketOfRepo(r, b)).toSet
+      else keySrc.select(bucketExpr(col("repo"), b).as(BucketCol))
+        .distinct().collect().map(_.getInt(0)).toSet
+    val (inTouched, untouched) = snap.files.partition(f => touched.contains(f.bucket))
+    val (rewriteFiles, prunedFiles) =
+      if (updRepos == null) (inTouched, Seq.empty[DataFileMeta])
+      else {
+        val byBucket = updRepos.groupBy(r => bucketOfRepo(r, b))
+          .map { case (k, v) => k -> v.sortWith(ubCompare(_, _) < 0) }
+        inTouched.partition(f => rangeIntersects(f, byBucket(f.bucket)))
+      }
+    val keptFiles = untouched ++ prunedFiles
 
     val existing =
-      if (touchedFiles.isEmpty) emptyDf(spark, newSchema)
+      if (rewriteFiles.isEmpty) emptyDf(spark, newSchema)
       else conformTo(
         spark.read
           .schema(internalSchema(oldSchema))
-          .parquet(touchedFiles.map(f => s"$root/${f.path}"): _*),
+          .parquet(rewriteFiles.map(f => s"$root/${f.path}"): _*),
         newSchema, Seq(SeqCol, OpCol))
         .withColumn(BucketCol, bucketExpr(col("repo"), b))
 
@@ -247,19 +293,17 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
           .repartition(math.max(touched.size, 1), col(BucketCol))
       }
 
-    // write the touched buckets copy-on-write; in the broadcast path
+    // write the rewritten files copy-on-write; in the broadcast path
     // the kept side is already file-aligned per bucket dir, so no
-    // global shuffle precedes the write
+    // global shuffle precedes the write. sortWithinPartitions is a
+    // LOCAL sort (no shuffle) that keeps files clustered by
+    // (repo, path) so their manifest ranges stay tight and prunable.
     val commitVersion = snap.version + 1
     val commitRel = f"data/c$commitVersion%08d"
     val outDir = s"$root/$commitRel"
-    winners.write.mode("overwrite").partitionBy(BucketCol).parquet(outDir)
+    writeData(winners.sortWithinPartitions(col(BucketCol), col("repo"), col("path")), outDir)
 
-    val newFiles = listParquet(Paths.get(outDir)).map { p =>
-      val rel = Paths.get(root).relativize(p).toString
-      val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-      DataFileMeta(rel, bucket)
-    }
+    val newFiles = manifestEntries(outDir)
 
     val lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
       LineageEntry(batchId, bk, fs.size, commitVersion)
@@ -285,7 +329,9 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
     * coalesced per bucket at write), commit a new snapshot. The CoW
     * merge bounds per-commit file growth, but a long run of small
     * update batches still accretes files; this is the OPTIMIZE step
-    * an operator schedules between replay windows.
+    * an operator schedules between replay windows. Rewritten files
+    * come out re-clustered by (repo, path) with fresh manifest
+    * ranges, restoring merge-time file pruning to full strength.
     */
   def compact(spark: SparkSession, maxFilesPerBucket: Int = 8): Option[Long] = synchronized {
     val snap = snapshot()
@@ -301,12 +347,9 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
       .parquet(fatFiles.map(f => s"$root/${f.path}"): _*)
       .withColumn(BucketCol, bucketExpr(col("repo"), snap.buckets))
       .repartition(math.max(fat.size, 1), col(BucketCol))
-    rewritten.write.mode("overwrite").partitionBy(BucketCol).parquet(outDir)
-    val newFiles = listParquet(java.nio.file.Paths.get(outDir)).map { p =>
-      val rel = java.nio.file.Paths.get(root).relativize(p).toString
-      val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-      DataFileMeta(rel, bucket)
-    }
+      .sortWithinPartitions(col(BucketCol), col("repo"), col("path"))
+    writeData(rewritten, outDir)
+    val newFiles = manifestEntries(outDir)
     writeSnapshot(snap.copy(
       version = commitVersion,
       files = (keep ++ newFiles).sortBy(f => (f.bucket, f.path)),
@@ -319,6 +362,25 @@ final class LakeTable(val root: String, val buckets: Int = 16) {
   // ------------------------------------------------------------------
   // helpers
   // ------------------------------------------------------------------
+
+  private def writeData(df: DataFrame, outDir: String): Unit = {
+    val w = df.write.mode("overwrite").partitionBy(BucketCol)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(outDir)
+  }
+
+  /** Manifest rows for every parquet file under a fresh commit dir:
+    * per-file min/max repo + row count, read straight from the parquet
+    * footers (metadata-only; no data re-scan — the Iceberg
+    * manifest-building pattern).
+    */
+  private def manifestEntries(outDir: String): Seq[DataFileMeta] =
+    listParquet(Paths.get(outDir)).map { p =>
+      val rel = Paths.get(root).relativize(p).toString
+      val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+      val st = FooterStats.repoStats(p)
+      DataFileMeta(rel, bucket, st.minRepo, st.maxRepo, st.rows)
+    }
 
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -363,7 +425,22 @@ object LakeTable {
     */
   val BroadcastKeyLimit: Long = 8000000L
 
-  final case class DataFileMeta(path: String, bucket: Int)
+  /** Max distinct update repos collected driver-side for file-level
+    * CoW pruning (~20 MB of strings); beyond it the merge degrades to
+    * bucket-granularity rewrite rather than risk the driver heap.
+    */
+  val PruneRepoCap: Int = 500000
+
+  /** One data file: manifest entry with Iceberg-style column stats.
+    * `minRepo`/`maxRepo` bound the repos in the file under UNSIGNED
+    * UTF-8 byte order (parquet's BINARY sort order — comparisons must
+    * use [[ubCompare]], not String.compareTo); None = stats
+    * unavailable, treated as intersecting everything (conservative).
+    */
+  final case class DataFileMeta(path: String, bucket: Int,
+                                minRepo: Option[String] = None,
+                                maxRepo: Option[String] = None,
+                                rows: Long = -1L)
   final case class LineageEntry(batchId: Long, bucket: Int, filesWritten: Int, snapshotVersion: Long)
   final case class Snapshot(
       version: Long,
@@ -373,6 +450,37 @@ object LakeTable {
       buckets: Int,
       files: Seq[DataFileMeta],
       lineage: Seq[LineageEntry])
+
+  /** Unsigned UTF-8 byte-order comparison — the order parquet binary
+    * stats are computed under. All range pruning goes through this so
+    * a non-ASCII repo name can never be wrongly pruned.
+    */
+  def ubCompare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0; val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Does file `f` possibly contain any of `sortedRepos` (sorted by
+    * [[ubCompare]])? Missing stats → true (conservative: rewrite).
+    */
+  def rangeIntersects(f: DataFileMeta, sortedRepos: Array[String]): Boolean =
+    (f.minRepo, f.maxRepo) match {
+      case (Some(lo), Some(hi)) =>
+        // first repo >= lo, via binary search in unsigned order
+        var l = 0; var r = sortedRepos.length
+        while (l < r) {
+          val m = (l + r) >>> 1
+          if (ubCompare(sortedRepos(m), lo) < 0) l = m + 1 else r = m
+        }
+        l < sortedRepos.length && ubCompare(sortedRepos(l), hi) <= 0
+      case _ => true
+    }
 
   def bucketExpr(repo: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(repo), lit(buckets.toLong)).cast("int")
@@ -421,4 +529,53 @@ object XxHash64Util {
     org.apache.spark.sql.catalyst.expressions.XXH64
       .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
         bytes.length, 42L)
+}
+
+/** Metadata-only parquet footer reader for manifest stats. */
+object FooterStats {
+  final case class RepoStats(rows: Long, minRepo: Option[String], maxRepo: Option[String])
+
+  /** min/max of the `repo` column + total row count from the file's
+    * footer (column-chunk statistics; written by parquet-mr under the
+    * UNSIGNED lexicographic order for UTF8 binary). Any anomaly —
+    * missing/empty stats, truncation, unexpected types — degrades to
+    * None, which the pruner treats as "intersects everything".
+    */
+  def repoStats(p: java.nio.file.Path): RepoStats = {
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        var rows = 0L
+        var lo: String = null
+        var hi: String = null
+        var ok = true
+        reader.getFooter.getBlocks.forEach { blk =>
+          rows += blk.getRowCount
+          var sawRepo = false
+          blk.getColumns.forEach { cc =>
+            if (cc.getPath.toDotString == "repo") {
+              sawRepo = true
+              val s = cc.getStatistics
+              if (s == null || s.isEmpty || !s.hasNonNullValue) ok = false
+              else (s.genericGetMin, s.genericGetMax) match {
+                case (a: org.apache.parquet.io.api.Binary, z: org.apache.parquet.io.api.Binary) =>
+                  val as = a.toStringUsingUTF8; val zs = z.toStringUsingUTF8
+                  if (lo == null || LakeTable.ubCompare(as, lo) < 0) lo = as
+                  if (hi == null || LakeTable.ubCompare(zs, hi) > 0) hi = zs
+                case _ => ok = false
+              }
+            }
+          }
+          if (!sawRepo) ok = false
+        }
+        if (ok && lo != null) RepoStats(rows, Some(lo), Some(hi))
+        else RepoStats(rows, None, None)
+      } finally reader.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => RepoStats(-1L, None, None)
+    }
+  }
 }

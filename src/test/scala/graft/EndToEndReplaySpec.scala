@@ -143,10 +143,16 @@ class EndToEndReplaySpec extends SparkTestBase {
       .select(col("repo"), col("path"), sha2(col("content"), 256))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     val fence = lake.snapshot().lastCommittedBatchId
+    val fatBefore = lake.snapshot().files.groupBy(_.bucket)
+      .collect { case (bk, fs) if fs.size > 2 => bk }.toSet
+    assert(fatBefore.nonEmpty, "test premise: at least one fat bucket")
     val compacted = lake.compact(spark, maxFilesPerBucket = 2)
     assert(compacted.isDefined, "expected at least one fat bucket")
-    val filesAfter = lake.snapshot().files.groupBy(_.bucket).map(_._2.size)
-    assert(filesAfter.max <= math.max(2, filesAfter.max), "bucketed")
+    val filesAfter = lake.snapshot().files.groupBy(_.bucket).view.mapValues(_.size)
+    fatBefore.foreach { bk =>
+      assert(filesAfter(bk) <= 2,
+        s"bucket $bk still has ${filesAfter(bk)} files after compaction")
+    }
     val after = lake.read(spark).orderBy("repo", "path")
       .select(col("repo"), col("path"), sha2(col("content"), 256))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
