@@ -307,13 +307,24 @@ object ExprCompiler {
       case "range" =>
         val step = if (args.size > 2) a(2).col else lit(1L)
         CVal(sequence(a(0).col, a(1).col - lit(1), step))
-      case "count" => CVal(monotonically_increasing_id()) // per-partition counter analog
+      // named per-batch counter: value at a row = its 1-based position
+      // in seq order within the batch (see BatchOrdinals scaladoc). A
+      // process-global shared counter has no distributed equivalent,
+      // so bare count() is rejected — a silently-wrong shim is worse
+      // than unsupported.
+      case "count" if args.nonEmpty =>
+        CVal(col(BatchOrdinals.IndexCol) + lit(1L))
+      case "count" =>
+        throw new IllegalArgumentException(
+          "count() without a name (process-global counter) is not supported; " +
+            "use count(\"name\") for a per-batch counter or batch_index()")
       case "batch_index" =>
-        // reference semantics: position within the batch; order = seq
-        CVal(row_number().over(orderWindow(ctx)) - lit(1))
+        // reference semantics: position within the batch; order = seq.
+        // The column is pre-computed distributed (BatchOrdinals), never
+        // a single-partition window.
+        CVal(col(BatchOrdinals.IndexCol))
       case "batch_size" =>
-        CVal(count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1))))
+        CVal(col(BatchOrdinals.SizeCol))
       case "hostname" => CVal(lit(java.net.InetAddress.getLocalHost.getHostName))
       case "env" => args.head match {
         case StrLit(k) => CVal(lit(sys.env.getOrElse(k, null)))
@@ -323,12 +334,6 @@ object ExprCompiler {
       case "min" => CVal(least(args.map(x => compile(x, ctx).col): _*))
       case other => throw new IllegalArgumentException(s"unknown function $other()")
     }
-  }
-
-  private def orderWindow(ctx: Ctx) = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    if (ctx.inputCols.contains("seq")) w.orderBy(col("seq"))
-    else w.orderBy(monotonically_increasing_id())
   }
 
   // ------------------------------------------------------------------

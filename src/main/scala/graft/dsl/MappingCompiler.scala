@@ -35,10 +35,14 @@ object MappingCompiler {
     df => applyMapping(df, ast, startFromThis)
   }
 
-  def applyMapping(df: DataFrame, m: Mapping, startFromThis: Boolean): DataFrame = {
-    val inputCols = df.columns.toSeq
+  def applyMapping(df0: DataFrame, m: Mapping, startFromThis: Boolean): DataFrame = {
+    // pre-pass: distributed batch ordinals when the mapping uses
+    // batch_index()/batch_size()/count("name") — internal columns,
+    // invisible to `this` and dropped from the output
+    val df = BatchOrdinals.withOrdinals(df0, BatchOrdinals.needsStmts(m.stmts))
+    val inputCols = df0.columns.toSeq
     val maps = m.stmts.collect { case MapDefStmt(n, body) => n -> body }.toMap
-    var ctx = Ctx.of(df).copy(namedMaps = maps)
+    var ctx = Ctx(inputCols, schema = Some(df0.schema), namedMaps = maps)
 
     val outputs = scala.collection.mutable.LinkedHashMap[String, Column]()
     if (startFromThis) inputCols.foreach(n => outputs(n) = col(n))
@@ -126,7 +130,7 @@ object MappingCompiler {
     val filtered =
       if (deleteConds.isEmpty) df
       else df.filter(!deleteConds.map(coalesce(_, lit(false))).reduce(_ || _))
-    if (outputs.isEmpty) filtered
+    if (outputs.isEmpty) BatchOrdinals.dropOrdinals(filtered)
     else filtered.select(outputs.values.toSeq: _*)
   }
 

@@ -83,6 +83,9 @@ object Processor {
 
   // ------------------------------------------------------------------
 
+  /** Static-unroll bound for PWhile (see its compile case). */
+  val MaxWhileIters = 12
+
   def compile(ps: Seq[Processor]): DataFrame => DataFrame =
     ps.map(compileOne).foldLeft(identity[DataFrame] _)(_ andThen _)
 
@@ -91,8 +94,12 @@ object Processor {
     case PMutation(src) => MappingCompiler.compileMapping(src, startFromThis = true)
     case PNoop => identity
 
-    case PFilter(check) => df =>
-      df.filter(exprOf(check, df))
+    case PFilter(check) => df => {
+      val ast = Parser.parseExpr(check)
+      val d = BatchOrdinals.withOrdinals(df, BatchOrdinals.needsExpr(ast))
+      BatchOrdinals.dropOrdinals(
+        d.filter(ExprCompiler.compile(ast, Ctx.of(d)).col))
+    }
 
     case PValidate(check, message) => df => {
       val base = if (df.columns.contains("_error")) df
@@ -238,7 +245,13 @@ object Processor {
 
     case PWhile(check, children, maxIters) => df => {
       // static unroll: each pass re-applies the children's mutations
-      // only to rows still matching `check` (statement-level if)
+      // only to rows still matching `check` (statement-level if).
+      // Each pass's guarded column references the previous pass's
+      // expression ~3x, so the Catalyst tree grows ~3^n with the
+      // unroll depth — cap it before plan analysis blows up.
+      require(maxIters <= MaxWhileIters,
+        s"while: max_loops $maxIters exceeds the static-unroll cap $MaxWhileIters " +
+          "(expression size grows exponentially with unroll depth)")
       val body = children.map {
         case PMutation(src) => src
         case PMapping(src) => src

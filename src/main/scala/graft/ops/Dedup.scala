@@ -160,23 +160,44 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Near-dup pairs by SimHash: candidates share one of `chunks`
-    * 16-bit chunks (pigeonhole: hamming <= chunks-1 guarantees a shared
-    * chunk), verified with bit_count(xor) <= maxHamming.
+  /** Near-dup pairs by SimHash, candidates via Manku-style
+    * block-combination tables (Manku, Jain & Das Sarma, WWW'07 —
+    * public near-dup detection paper, not reference code):
+    * the 64-bit fingerprint splits into `blocks` blocks; hamming <= h
+    * leaves at least `blocks - h` blocks identical, so a near-dup pair
+    * shares at least one of the C(blocks, blocks-h) position
+    * combinations. Each combination is a hash table whose key covers
+    * ~(blocks-h)/blocks of the fingerprint (~half at the defaults) —
+    * buckets stay sparse on skewed corpora, unlike the r1 16-bit-chunk
+    * scheme whose all-zero chunk hot-spotted the join (candidate pairs
+    * ~n²/65k). Exact: verified with bit_count(xor) <= maxHamming.
     * Output: (id_a, id_b, hamming).
+    *
+    * At the defaults (blocks=6, h=3) each doc emits 20 keyed rows of
+    * ~32-bit keys; raise `blocks` for larger h, keep blocks-h >= h for
+    * key width.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+    require(blocks > maxHamming && blocks <= 16,
+      s"simhash blocking needs maxHamming < blocks <= 16, got h=$maxHamming blocks=$blocks")
+    val base = 64 / blocks; val extra = 64 % blocks
+    val widths = Array.tabulate(blocks)(i => if (i < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).dropRight(1)
+    def blockVal(sim: Column, i: Int): Column =
+      shiftright(sim, offsets(i)).bitwiseAND(
+        lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
     val sigs = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("simhash"))
-    val chunks = sigs.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map { i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
-      }: _*)).as(Seq("chunk_idx", "chunk")))
-    val a = chunks.as("a")
-    val b = chunks.as("b")
+    val keyed = sigs.select(col("id"), col("simhash"),
+      posexplode(array(combos.map { c =>
+        xxhash64(c.map(i => blockVal(col("simhash"), i)): _*)
+      }: _*)).as(Seq("table_idx", "bkey")))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
     a.join(b,
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-        col("a.chunk") === col("b.chunk") &&
+        col("a.table_idx") === col("b.table_idx") &&
+        col("a.bkey") === col("b.bkey") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))

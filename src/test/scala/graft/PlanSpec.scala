@@ -62,6 +62,34 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WholeStageCodegen"), "mapping fell out of codegen")
   }
 
+  test("q_topk plans as TakeOrderedAndProject, not a global window over all users") {
+    val df = SparkEntry.queries("q_topk")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("IVF assignment is a pure projection: no join, no window, no shuffle") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = ops.Similarity.buildIvf(e, numCells = 8, lloydIters = 1)
+    val p = plan(idx.assigned)
+    assert(!p.contains("Window"), s"assign must not window:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"assign must not join:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"assign must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("batch ordinals never use a single-partition window over the data") {
+    val df = spark.range(0, 500).toDF("seq")
+      .withColumn("v", col("seq") * 2).repartition(7)
+    val out = dsl.Processor.compile(Seq(dsl.Processor.PMapping(
+      "root.seq = this.seq\nroot.idx = batch_index()\nroot.n = batch_size()")))(df)
+    val p = plan(out)
+    // every row_number window must be partitioned by the range bucket
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    assert(winLines.forall(_.contains("_bo_bkt")),
+      s"global window leaked into batch ordinals:\n${winLines.mkString("\n")}")
+  }
+
   test("lake manifest prunes buckets before Spark lists files") {
     val work = tmpDir("prune")
     gen.EventLogGen.writeLog(spark,

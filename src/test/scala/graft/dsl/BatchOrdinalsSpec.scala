@@ -1,0 +1,66 @@
+package graft.dsl
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import Processor._
+
+/** Semantics of the distributed batch ordinals (VERDICT r1 #3/#4):
+  * batch_index/count("name") rank by `seq` across partitions exactly,
+  * batch_size is the batch count, bare count() is rejected.
+  */
+class BatchOrdinalsSpec extends SparkTestBase {
+
+  test("batch_index ranks by seq across many partitions; batch_size exact") {
+    val df = spark.range(0, 1000).toDF("seq")
+      .withColumn("payload", concat(lit("p"), col("seq")))
+      .repartition(7) // scramble physical order
+    val pipe = Processor.compile(Seq(PMapping(
+      """root.seq = this.seq
+        |root.idx = batch_index()
+        |root.n = batch_size()
+        |root.cnt = count("mycounter")
+        |""".stripMargin)))
+    val rows = pipe(df).collect()
+    assert(rows.length == 1000)
+    rows.foreach { r =>
+      val seq = r.getAs[Long]("seq")
+      assert(r.getAs[Long]("idx") == seq, s"batch_index mismatch at seq=$seq")
+      assert(r.getAs[Long]("n") == 1000L)
+      assert(r.getAs[Long]("cnt") == seq + 1, s"count() mismatch at seq=$seq")
+    }
+  }
+
+  test("batch_index without a seq column still yields a dense 0..n-1 permutation") {
+    val df = spark.range(0, 200).toDF("x").repartition(5)
+    val pipe = Processor.compile(Seq(PMapping(
+      "root.x = this.x\nroot.idx = batch_index()")))
+    val idxs = pipe(df).select("idx").collect().map(_.getLong(0)).sorted
+    assert(idxs.toSeq == (0L until 200L))
+  }
+
+  test("batch ordinals work in a filter check") {
+    val df = spark.range(0, 100).toDF("seq").repartition(4)
+    val pipe = Processor.compile(Seq(PFilter("batch_index() < 10")))
+    val out = pipe(df)
+    assert(out.count() == 10)
+    assert(out.columns.toSeq == Seq("seq"), "internal ordinal columns must not leak")
+    assert(out.select(min(col("seq")), max(col("seq"))).head() ==
+      org.apache.spark.sql.Row(0L, 9L))
+  }
+
+  test("bare count() is rejected, not shimmed to something wrong") {
+    val df = spark.range(0, 10).toDF("seq")
+    val ex = intercept[IllegalArgumentException] {
+      Processor.compile(Seq(PMapping("root.c = count()")))(df).collect()
+    }
+    assert(ex.getMessage.contains("count"))
+  }
+
+  test("while unroll depth is capped") {
+    val df = spark.range(0, 4).toDF("v")
+    val ex = intercept[IllegalArgumentException] {
+      Processor.compile(Seq(PWhile("this.v < 100", Seq(PMutation("root.v = this.v + 1")), 50)))(df)
+    }
+    assert(ex.getMessage.contains("max_loops"))
+  }
+}

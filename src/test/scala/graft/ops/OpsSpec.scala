@@ -122,6 +122,27 @@ class OpsSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("IVF index save/load roundtrip: same centroids, same results") {
+    val corpus = vecs.filter(col("vec_id") >= 10)
+    val queries = vecs.filter(col("vec_id") < 10)
+    val idx = Similarity.buildIvf(corpus, numCells = 8, lloydIters = 1)
+    val path = tmpDir("ivf")
+    Similarity.saveIvf(idx, path)
+    val loaded = Similarity.loadIvf(spark, path)
+    assert(loaded.centroids.map(_._1) == idx.centroids.map(_._1))
+    idx.centroids.zip(loaded.centroids).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq == b.toSeq, "centroid drift through save/load")
+    }
+    // the persisted layout partitions by centroid_id
+    assert(new java.io.File(s"$path/assigned").listFiles()
+      .exists(_.getName.startsWith("centroid_id=")))
+    def res(i: Similarity.IvfIndex) =
+      Similarity.ivfKnn(i, queries, k = 5, nProbe = 4)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res(loaded) == res(idx))
+  }
+
   test("ivfKnn recall ~1 on clustered data with small nProbe") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
