@@ -8,6 +8,9 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // JDBC driver for the sql_select input (pre-warmed in the offline
+  // coursier cache; also what the driver's oracle uses)
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0",
 )
 Test / fork := true
 run / fork := true

@@ -374,6 +374,200 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy("user_id", "session_start")),
 
+    // ---------------- round-2 exposure: previously spec-only ops ------
+
+    "q_group_by" -> ((s, dir) => {
+      // group-scoped batch semantics: batch_size() inside a group sees
+      // only that group's rows — the observable difference from switch
+      val pipe = compile(Seq(PGroupBy(Seq(
+        "this.value >= 400.0" ->
+          Seq(PMutation("root.label = \"high\"\nroot.gsz = batch_size()")),
+        "this.event_type == \"click\"" ->
+          Seq(PMutation("root.label = \"click\"\nroot.gsz = batch_size()"))))))
+      pipe(t(s, dir, "events")).select("event_id", "label", "gsz").orderBy("event_id")
+    }),
+
+    "q_grok" -> ((s, dir) => {
+      val pipe = compile(Seq(
+        PMapping("""root.id = this.o_orderkey
+                   |root.line = this.o_orderkey.string() + " " + this.o_orderstatus + " " + this.o_custkey.string()
+                   |""".stripMargin),
+        PGrok("line", "%{INT:okey} %{WORD:status} %{INT:ckey}")))
+      pipe(t(s, dir, "orders")).select("id", "okey", "status", "ckey").orderBy("id")
+    }),
+
+    "q_jmespath" -> ((s, dir) => {
+      val pipe = compile(Seq(PJmesPath("props", "k", "kval")))
+      pipe(t(s, dir, "events")).select("event_id", "kval").orderBy("event_id")
+    }),
+
+    "q_workflow" -> ((s, dir) => {
+      val b1 = PBranch("root.t = this.o_totalprice",
+        Seq(PMapping("root.t2 = this.t * 2.0")), "root.double_total = this.t2")
+      val b2 = PBranch("root.x = this.double_total",
+        Seq(PMapping("root.y = this.x + 1.0")), "root.total_plus = this.y")
+      val pipe = compile(Seq(PWorkflow(Map("b1" -> b1, "b2" -> b2), Seq(Seq("b1"), Seq("b2")))))
+      pipe(t(s, dir, "orders"))
+        .select(col("o_orderkey").as("id"), col("double_total"), col("total_plus"))
+        .orderBy("id")
+    }),
+
+    "q_metric" -> ((s, dir) => {
+      // the metric processor is observational (df.observe pass-through);
+      // the gate checks it does not perturb rows by aggregating the
+      // observed frame to the same values the observation reports
+      val pipe = compile(Seq(PMetric("batchstats", Seq("n" -> "count", "sumv" -> "sum:value"))))
+      pipe(t(s, dir, "events"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
+    "q_while" -> ((s, dir) => {
+      val pipe = compile(Seq(
+        PMapping("root.user_id = this.user_id\nroot.u = this.user_id"),
+        PWhile("this.u < 100", Seq(PMutation("root.u = this.u + 30")), maxIters = 3)))
+      pipe(t(s, dir, "events").select("user_id").distinct())
+        .orderBy("user_id")
+    }),
+
+    "q_cache_get" -> ((s, dir) => {
+      val pipe = compile(Seq(PCacheGet(s"$dir/nation.parquet",
+        "${! this.c_nationkey }", "n_nationkey", "nat")))
+      pipe(t(s, dir, "customer"))
+        .select(col("c_custkey").as("id"), col("nat.n_name").as("nation_name"))
+        .orderBy("id")
+    }),
+
+    "q_split" -> ((s, dir) => {
+      val pipe = compile(Seq(PSplit(8)))
+      pipe(t(s, dir, "part")).select("p_partkey", "p_name").orderBy("p_partkey")
+    }),
+
+    "q_retry" -> ((s, dir) => {
+      val children = Seq(
+        PMutation("root.vv = this.vv + 200.0"),
+        PValidate("this.vv > 0.0", "nonpos"))
+      val pipe = compile(Seq(
+        PMapping("root.event_id = this.event_id\nroot.vv = this.value - 300.0"),
+        PRetry(children, attempts = 2)))
+      pipe(t(s, dir, "events"))
+        .select(col("event_id"), col("vv"), col("_error").isNotNull.as("errored"))
+        .orderBy("event_id")
+    }),
+
+    "q_json_schema" -> ((s, dir) => {
+      val schema = """{"type":"object","required":["k"],
+                     |"properties":{"k":{"type":"integer","minimum":3}}}""".stripMargin
+      val pipe = compile(Seq(PJsonSchema("props", schema)))
+      pipe(t(s, dir, "events"))
+        .select(col("event_id"), col("_error").isNotNull.as("errored"))
+        .orderBy("event_id")
+    }),
+
+    "q_parse_fns" -> ((s, dir) => {
+      val pipe = compile(Seq(PMapping(
+        """root.id = this.c_custkey
+          |root.host = ("https://shop.example.com/c/" + this.c_custkey.string() + "?seg=" + this.c_mktsegment + "&id=" + this.c_custkey.string()).parse_url().host
+          |root.path = ("https://shop.example.com/c/" + this.c_custkey.string() + "?seg=" + this.c_mktsegment + "&id=" + this.c_custkey.string()).parse_url().path
+          |root.seg = ("https://shop.example.com/c/" + this.c_custkey.string() + "?seg=" + this.c_mktsegment + "&id=" + this.c_custkey.string()).parse_url().query.parse_urlencoded().seg
+          |root.qid = ("https://shop.example.com/c/" + this.c_custkey.string() + "?seg=" + this.c_mktsegment + "&id=" + this.c_custkey.string()).parse_url().query.parse_urlencoded().id
+          |root.t90 = "2024-01-01 00:00:00".ts_parse("yyyy-MM-dd HH:mm:ss").ts_add("90m").ts_unix()
+          |""".stripMargin)))
+      pipe(t(s, dir, "customer")).orderBy("id")
+    }),
+
+    "q_compress" -> ((s, dir) =>
+      // gzip has no DuckDB twin — rows-only; determinism + roundtrip
+      // identity are pinned in ExtendedOpsSpec
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          graft.functions.GraftFunctions.gzip(col("p_name").cast("binary")).as("gz"))
+        .select(col("p_partkey"), lower(hex(col("gz"))).as("gz_hex"))
+        .orderBy("p_partkey")),
+
+    // ---------------- round-2: new inputs + stateful cache ------------
+
+    "q_sql_select" -> ((s, dir) => {
+      // JDBC sql_select input: load a table into a DuckDB file, read it
+      // back through spark.read.jdbc
+      val db = java.nio.file.Files.createTempDirectory("graft-jdbc").toString + "/t.db"
+      val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
+      try {
+        val st = conn.createStatement()
+        st.execute(s"CREATE TABLE r AS SELECT * FROM read_parquet('$dir/region.parquet')")
+        st.close()
+      } finally conn.close()
+      graft.sources.SqlInput.read(s, s"jdbc:duckdb:$db",
+          "SELECT r_regionkey, r_name FROM r")
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    }),
+
+    "q_file_lines" -> ((s, dir) => {
+      // file-input codec path: render events as gzipped JSONL, read
+      // back through the lines/json codec machinery
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lines").toString
+      t(s, dir, "events")
+        .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("value"))
+        .coalesce(2).write.mode("overwrite").option("compression", "gzip").text(tmp)
+      graft.sources.FileInput.batch(s, tmp, "json",
+          Some(org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, event_type STRING, value DOUBLE")))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    "q_cache_kv" -> ((s, dir) => {
+      // stateful cache resource: set / add (insert-only) / delete
+      val root = java.nio.file.Files.createTempDirectory("graft-kv").toString
+      val cache = new graft.engine.CacheResource(root, buckets = 8)
+      val cust = t(s, dir, "customer")
+      cache.set(cust.select(col("c_custkey").cast("string").as("key"),
+        upper(col("c_name")).as("value")), batchId = 0L, seq = 10L)
+      cache.add(cust.select(col("c_custkey").cast("string").as("key"),
+        lit("SHOULD_NOT_WIN").as("value"))
+        .unionByName(cust.select((col("c_custkey") + 1000000L).cast("string").as("key"),
+          lit("NEW").as("value"))), batchId = 1L, seq = 20L)
+      cache.delete(cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").cast("string").as("key")), batchId = 2L, seq = 30L)
+      cache.read(s).orderBy("key")
+    }),
+
+    // ---------------- round-2: sink-combinator roundtrips -------------
+
+    "q_sink_switch" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-sw").toString
+      val sink = graft.sinks.Sink.Switch(Seq(
+        Some("this.value >= 250.0") -> graft.sinks.Sink.ParquetDir(s"$out/hi"),
+        None -> graft.sinks.Sink.ParquetDir(s"$out/lo")))
+      sink.write(t(s, dir, "events"), batchId = 0L)
+      s.read.parquet(s"$out/hi").select(col("event_id"), lit("hi").as("route"))
+        .unionByName(s.read.parquet(s"$out/lo").select(col("event_id"), lit("lo").as("route")))
+        .orderBy("event_id")
+    }),
+
+    "q_sink_fanout" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-fo").toString
+      val sink = graft.sinks.Sink.FanOut(Seq(
+        graft.sinks.Sink.ParquetDir(s"$out/a"), graft.sinks.Sink.ParquetDir(s"$out/b")))
+      sink.write(t(s, dir, "events").select("event_id"), batchId = 0L)
+      s.read.parquet(s"$out/a").select("event_id")
+        .unionByName(s.read.parquet(s"$out/b").select("event_id"))
+        .orderBy("event_id")
+    }),
+
+    "q_sink_reject" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-rj").toString
+      val pipe = compile(Seq(PValidate("this.value <= 450.0", "too_big")))
+      val sink = graft.sinks.Sink.RejectErrored(
+        ok = graft.sinks.Sink.ParquetDir(s"$out/ok"),
+        reject = graft.sinks.Sink.ParquetDir(s"$out/rej"))
+      sink.write(pipe(t(s, dir, "events")), batchId = 0L)
+      s.read.parquet(s"$out/ok").select(col("event_id"), lit("ok").as("route"))
+        .unionByName(s.read.parquet(s"$out/rej").select(col("event_id"), lit("rejected").as("route")))
+        .orderBy("event_id")
+    }),
+
     // ---------------- CDC engine end-to-end (rows-only) ---------------
 
     "q_cdc_replay" -> ((s, _) =>
@@ -621,9 +815,107 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |(ascii(substr(md5(text), 1, 1)) % 64 + 64) AS width,
         |(ascii(substr(md5(text), 2, 1)) % 64 + 64) AS height
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_group_by" ->
+      """WITH g AS (SELECT event_id,
+        |  CASE WHEN value >= 400.0 THEN 'high'
+        |       WHEN event_type = 'click' THEN 'click'
+        |       ELSE NULL END AS label FROM events),
+        |c AS (SELECT label, count(*) AS gsz FROM g WHERE label IS NOT NULL GROUP BY label)
+        |SELECT g.event_id, g.label, c.gsz FROM g LEFT JOIN c USING(label)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_grok" ->
+      """SELECT o_orderkey AS id, CAST(o_orderkey AS VARCHAR) AS okey,
+        |o_orderstatus AS status, CAST(o_custkey AS VARCHAR) AS ckey
+        |FROM orders ORDER BY id""".stripMargin,
+
+    "q_jmespath" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS kval
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_workflow" ->
+      """SELECT o_orderkey AS id, o_totalprice * 2.0 AS double_total,
+        |(o_totalprice * 2.0) + 1.0 AS total_plus
+        |FROM orders ORDER BY id""".stripMargin,
+
+    "q_metric" ->
+      """SELECT count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
+
+    "q_while" ->
+      """WITH d AS (SELECT DISTINCT user_id FROM events),
+        |s0 AS (SELECT user_id, user_id AS u FROM d),
+        |s1 AS (SELECT user_id, CASE WHEN u < 100 THEN u + 30 ELSE u END AS u FROM s0),
+        |s2 AS (SELECT user_id, CASE WHEN u < 100 THEN u + 30 ELSE u END AS u FROM s1),
+        |s3 AS (SELECT user_id, CASE WHEN u < 100 THEN u + 30 ELSE u END AS u FROM s2)
+        |SELECT user_id, u FROM s3 ORDER BY user_id""".stripMargin,
+
+    "q_cache_get" ->
+      """SELECT c_custkey AS id, n_name AS nation_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY id""".stripMargin,
+
+    "q_split" ->
+      """SELECT p_partkey, p_name FROM part ORDER BY p_partkey""",
+
+    "q_retry" ->
+      """SELECT event_id,
+        |CASE WHEN ((value - 300.0) + 200.0) > 0.0 THEN ((value - 300.0) + 200.0)
+        |     ELSE (((value - 300.0) + 200.0) + 200.0) END AS vv,
+        |FALSE AS errored
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_json_schema" ->
+      """SELECT event_id,
+        |NOT (json_extract_string(props, '$.k') IS NOT NULL
+        |  AND regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$')
+        |  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 3.0) AS errored
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_parse_fns" ->
+      """SELECT c_custkey AS id,
+        |'shop.example.com' AS host,
+        |'/c/' || CAST(c_custkey AS VARCHAR) AS path,
+        |c_mktsegment AS seg,
+        |CAST(c_custkey AS VARCHAR) AS qid,
+        |CAST(epoch(TIMESTAMP '2024-01-01 01:30:00') AS BIGINT) AS t90
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "q_sql_select" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "q_file_lines" ->
+      """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+
+    "q_cache_kv" ->
+      """SELECT key, value FROM (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS key, upper(c_name) AS value
+        |  FROM customer WHERE c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT CAST(c_custkey + 1000000 AS VARCHAR) AS key, 'NEW' AS value
+        |  FROM customer)
+        |ORDER BY key""".stripMargin,
+
+    "q_sink_switch" ->
+      """SELECT event_id,
+        |CASE WHEN value >= 250.0 THEN 'hi' ELSE 'lo' END AS route
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sink_fanout" ->
+      """SELECT event_id FROM
+        |(SELECT event_id FROM events UNION ALL SELECT event_id FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sink_reject" ->
+      """SELECT event_id,
+        |CASE WHEN value <= 450.0 THEN 'ok' ELSE 'rejected' END AS route
+        |FROM events ORDER BY event_id""".stripMargin
     // q_dedup_simhash, q_knn_ivf, q_fingerprint_rolling, q_media_features,
-    // q_cdc_replay: intentionally no SQL oracle (xxhash64 / approximate /
-    // stubbed-decode / generator semantics); Scala oracles live in the specs.
+    // q_compress, q_cdc_replay: intentionally no SQL oracle (xxhash64 /
+    // approximate / stubbed-decode / gzip / generator semantics); Scala
+    // oracles live in the specs.
   )
 }

@@ -399,6 +399,31 @@ object ExprCompiler {
       case "parse_json" => parse_json(c)
       case "format_json" => to_json(c)
       case "json_path" => get_json_object(c, str(0))
+      // structured-text parsers (reference methods_parsing.go)
+      case "parse_csv" =>
+        // simple CSV (no quoted separators): rows of cell arrays
+        transform(split(c, "\r?\n"), l => split(l, ","))
+      case "parse_url" =>
+        struct(
+          parse_url(c, lit("PROTOCOL")).as("scheme"),
+          parse_url(c, lit("HOST")).as("host"),
+          parse_url(c, lit("PATH")).as("path"),
+          parse_url(c, lit("QUERY")).as("query"),
+          parse_url(c, lit("REF")).as("fragment"))
+      case "parse_urlencoded" =>
+        map_from_entries(transform(split(c, "&"), kv =>
+          struct(url_decode(split(kv, "=").getItem(0)).as("key"),
+            url_decode(element_at(split(kv, "="), 2)).as("value"))))
+      // compression (gzip; native Catalyst expressions, see
+      // graft.functions.GzipExpressions)
+      case "compress" => str(0) match {
+        case "gzip" => graft.functions.GraftFunctions.gzip(c.cast(BinaryType))
+        case other => throw new IllegalArgumentException(s"compress($other): only gzip")
+      }
+      case "decompress" => str(0) match {
+        case "gzip" => graft.functions.GraftFunctions.gunzip(c.cast(BinaryType))
+        case other => throw new IllegalArgumentException(s"decompress($other): only gzip")
+      }
       // numbers
       case "abs" => abs(c)
       case "ceil" => ceil(c)
@@ -436,6 +461,13 @@ object ExprCompiler {
       case "ts_unix" => unix_timestamp(c)
       case "ts_unix_milli" => unix_millis(c.cast(TimestampType))
       case "ts_round" => date_trunc(str(0), c)
+      // duration arithmetic: Go-style duration literal ("1h30m", "90s",
+      // "250ms") added/subtracted in millisecond space — deterministic
+      // and timezone-free, like the reference's ts_add
+      case "ts_add" =>
+        timestamp_millis(unix_millis(c.cast(TimestampType)) + lit(goDurationMillis(str(0))))
+      case "ts_sub" =>
+        timestamp_millis(unix_millis(c.cast(TimestampType)) - lit(goDurationMillis(str(0))))
       // arrays
       case "sum" => aggregate(c, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
       case "join" => array_join(c, if (args.nonEmpty) str(0) else "")
@@ -472,4 +504,28 @@ object ExprCompiler {
     CVal(out, del)
   }
 
+  private val DurationPart = raw"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)".r
+
+  /** Go-style duration literal → whole milliseconds ("1h30m" → 5400000). */
+  def goDurationMillis(s: String): Long = {
+    val trimmed = s.trim
+    val (sign, body) =
+      if (trimmed.startsWith("-")) (-1L, trimmed.substring(1)) else (1L, trimmed)
+    val parts = DurationPart.findAllMatchIn(body).toSeq
+    require(parts.nonEmpty && parts.map(_.matched).mkString == body,
+      s"invalid duration literal: '$s'")
+    val ms = parts.map { m =>
+      val v = BigDecimal(m.group(1))
+      val unit = m.group(2) match {
+        case "ns" => BigDecimal(1) / 1000000
+        case "us" | "µs" => BigDecimal(1) / 1000
+        case "ms" => BigDecimal(1)
+        case "s" => BigDecimal(1000)
+        case "m" => BigDecimal(60000)
+        case "h" => BigDecimal(3600000)
+      }
+      v * unit
+    }.sum
+    sign * ms.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+  }
 }

@@ -1,0 +1,73 @@
+package graft.dsl
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** JSON-Schema (draft-7 subset) compiled to one Catalyst check Column
+  * over a JSON string field — the engine's `json_schema` processor
+  * (upstream `processor_json_schema.go` wraps a full validator; the
+  * per-row interpreter becomes a single codegen'd predicate here).
+  *
+  * Supported keywords: root `type: object`, `required`, `properties`
+  * with per-property `type` (string/number/integer/boolean),
+  * `minimum`/`maximum`, `minLength`/`maxLength`, `enum` (strings or
+  * numbers). Unsupported keywords throw at compile time — a silently
+  * ignored constraint would be a wrong validator.
+  */
+object JsonSchema {
+
+  private val mapper = new ObjectMapper()
+  private val supportedRoot = Set("type", "required", "properties", "$schema", "title")
+  private val supportedProp =
+    Set("type", "minimum", "maximum", "minLength", "maxLength", "enum", "description")
+
+  def checkFor(schemaJson: String, field: Column): Column = {
+    val root = mapper.readTree(schemaJson)
+    val unknownRoot = fieldNames(root).filterNot(supportedRoot)
+    require(unknownRoot.isEmpty, s"json_schema: unsupported keywords $unknownRoot")
+
+    val required: Set[String] = Option(root.get("required"))
+      .map(r => (0 until r.size).map(r.get(_).asText).toSet).getOrElse(Set.empty)
+
+    val propChecks: Seq[Column] = Option(root.get("properties")).toSeq.flatMap { props =>
+      fieldNames(props).map { name =>
+        val p = props.get(name)
+        val unknown = fieldNames(p).filterNot(supportedProp)
+        require(unknown.isEmpty, s"json_schema: unsupported property keywords $unknown on $name")
+        val raw = get_json_object(field, s"$$.$name")
+        val typeOk: Column = Option(p.get("type")).map(_.asText) match {
+          case Some("string") => lit(true) // extraction yields text; presence is the check
+          case Some("integer") => raw.rlike("^-?\\d+$")
+          case Some("number") => raw.cast("double").isNotNull
+          case Some("boolean") => raw.isin("true", "false")
+          case Some(other) => throw new IllegalArgumentException(
+            s"json_schema: unsupported property type $other")
+          case None => lit(true)
+        }
+        val bounds = Seq(
+          Option(p.get("minimum")).map(m => raw.cast("double") >= m.asDouble),
+          Option(p.get("maximum")).map(m => raw.cast("double") <= m.asDouble),
+          Option(p.get("minLength")).map(m => length(raw) >= m.asInt),
+          Option(p.get("maxLength")).map(m => length(raw) <= m.asInt),
+          Option(p.get("enum")).map { e =>
+            raw.isin((0 until e.size).map(e.get(_).asText): _*)
+          }).flatten
+        val perValue = (typeOk +: bounds).reduce(_ && _)
+        val requiredOk = if (required.contains(name)) raw.isNotNull else lit(true)
+        // optional absent property passes; present property must conform
+        requiredOk && (raw.isNull || perValue)
+      }
+    }
+    val requiredOnly = (required -- Option(root.get("properties"))
+      .map(p => fieldNames(p).toSet).getOrElse(Set.empty))
+      .toSeq.sorted.map(n => get_json_object(field, s"$$.$n").isNotNull)
+    (lit(true) +: (propChecks ++ requiredOnly)).reduce(_ && _)
+  }
+
+  private def fieldNames(n: JsonNode): Seq[String] = {
+    val it = n.fieldNames(); val b = Seq.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+}

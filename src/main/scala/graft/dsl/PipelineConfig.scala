@@ -30,8 +30,32 @@ object PipelineConfig {
 
   private val mapper = new ObjectMapper(new YAMLFactory())
 
+  /** Config `input:` section (SURVEY.md §2.1) — the file-with-codec
+    * and sql_select inputs, resolvable to a batch or streaming frame.
+    */
+  sealed trait Input {
+    def batch(spark: org.apache.spark.sql.SparkSession): DataFrame
+    def stream(spark: org.apache.spark.sql.SparkSession): DataFrame
+  }
+  final case class FileIn(path: String, codec: String,
+                          schemaDdl: Option[String],
+                          maxFilesPerTrigger: Option[Int]) extends Input {
+    private def schema = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+    def batch(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      graft.sources.FileInput.batch(spark, path, codec, schema)
+    def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      graft.sources.FileInput.stream(spark, path, codec, schema, maxFilesPerTrigger)
+  }
+  final case class SqlSelectIn(url: String, query: String, driver: String) extends Input {
+    def batch(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      graft.sources.SqlInput.read(spark, url, query, driver)
+    def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      throw new IllegalArgumentException("sql_select is a bounded input; use batch()")
+  }
+
   final case class Pipeline(processors: Seq[Processor],
-                            sink: Option[graft.sinks.Sink] = None) {
+                            sink: Option[graft.sinks.Sink] = None,
+                            input: Option[Input] = None) {
     def transform: DataFrame => DataFrame = Processor.compile(processors)
   }
 
@@ -41,7 +65,27 @@ object PipelineConfig {
       .orElse(Option(root.get("processors")))
       .getOrElse(throw new IllegalArgumentException("config has no pipeline.processors"))
     val sink = Option(root.get("output")).map(parseSink)
-    Pipeline(parseProcessors(procs), sink)
+    val input = Option(root.get("input")).map(parseInput)
+    Pipeline(parseProcessors(procs), sink, input)
+  }
+
+  def parseInput(node: JsonNode): Input = {
+    require(node.isObject && node.size == 1,
+      s"input must be a single-key object, got $node")
+    val name = node.fieldNames().next()
+    val body = node.get(name)
+    name match {
+      case "file" => FileIn(
+        if (body.isTextual) body.asText else body.get("path").asText,
+        opt(body, "codec").map(_.asText).getOrElse("lines"),
+        opt(body, "schema").map(_.asText),
+        opt(body, "max_files_per_trigger").map(_.asInt))
+      case "sql_select" => SqlSelectIn(
+        body.get("url").asText,
+        body.get("query").asText,
+        opt(body, "driver").map(_.asText).getOrElse("org.duckdb.DuckDBDriver"))
+      case other => throw new IllegalArgumentException(s"unknown input: $other")
+    }
   }
 
   /** Output section → [[graft.sinks.Sink]] tree (SURVEY.md §2.4). */
@@ -70,6 +114,13 @@ object PipelineConfig {
         Fallback((0 until body.size).map(i => parseSink(body.get(i))))
       case "reject_errored" =>
         RejectErrored(parseSink(body.get("output")), parseSink(body.get("reject")))
+      case "retry" =>
+        Retry(parseSink(body.get("output")),
+          opt(body, "attempts").map(_.asInt).getOrElse(3),
+          opt(body, "backoff_ms").map(_.asLong).getOrElse(50L),
+          opt(body, "max_backoff_ms").map(_.asLong).getOrElse(5000L))
+      case "drop_on" =>
+        DropOn(parseSink(body.get("output")))
       case other => throw new IllegalArgumentException(s"unknown output: $other")
     }
   }
@@ -102,9 +153,28 @@ object PipelineConfig {
         PGroupByValue(if (body.isTextual) body.asText else body.get("value").asText)
       case "split" =>
         PSplit(if (body.isNumber) body.asInt else body.get("n").asInt)
-      case "validate" | "json_schema" =>
+      case "validate" =>
         PValidate(body.get("check").asText,
           opt(body, "message").map(_.asText).getOrElse("validation failed"))
+      case "json_schema" =>
+        // real JSON-Schema subset when `schema` is given; the legacy
+        // check-expression form stays available
+        opt(body, "schema") match {
+          case Some(s) => PJsonSchema(
+            opt(body, "field").map(_.asText).getOrElse("content"),
+            if (s.isTextual) s.asText else s.toString)
+          case None => PValidate(body.get("check").asText,
+            opt(body, "message").map(_.asText).getOrElse("validation failed"))
+        }
+      case "group_by" =>
+        PGroupBy((0 until body.size).map { i =>
+          val g = body.get(i)
+          (g.get("check").asText,
+            opt(g, "processors").map(parseProcessors).getOrElse(Nil))
+        })
+      case "retry" =>
+        PRetry(parseProcessors(body.get("processors")),
+          opt(body, "attempts").map(_.asInt).getOrElse(3))
       case "try" => PTry(parseProcessors(body))
       case "catch" => PCatch(parseProcessors(body))
       case "switch" =>

@@ -80,6 +80,25 @@ object Processor {
     * matching `check`, at most `maxIters` times. The reference loops a
     * batch on the driver; a columnar plan unrolls instead. */
   final case class PWhile(check: String, processors: Seq[Processor], maxIters: Int) extends Processor
+  /** ordered predicate list -> sub-batches (processor_group_by.go):
+    * each row lands in the FIRST group whose check passes and runs
+    * that group's processors; rows matching no group pass through
+    * unchanged (their own group, no processors — upstream behavior).
+    * Group-scoped batch semantics (archive, batch_index) see only the
+    * group's rows, which is the observable difference from `switch`. */
+  final case class PGroupBy(groups: Seq[(String, Seq[Processor])]) extends Processor
+  /** re-apply children to still-errored rows up to `attempts` times,
+    * clearing `_error` before each retry (processor_retry.go). Only
+    * useful when a child is non-deterministic or state-dependent (a
+    * catch/mutation that repairs input); deterministic children make
+    * further attempts no-ops — documented semantic note, the unroll
+    * is still bounded and columnar. */
+  final case class PRetry(processors: Seq[Processor], attempts: Int) extends Processor
+  /** real JSON-Schema validation against a JSON string field
+    * (processor_json_schema.go): supported subset = type / required /
+    * properties / enum / minimum / maximum / minLength / maxLength,
+    * compiled to one check Column; failures set `_error`. */
+  final case class PJsonSchema(field: String, schemaJson: String) extends Processor
 
   // ------------------------------------------------------------------
 
@@ -260,6 +279,44 @@ object Processor {
       }.mkString("\n")
       val guarded = PMutation(s"if $check {\n$body\n}")
       (0 until maxIters).foldLeft(df)((d, _) => compileOne(guarded)(d))
+    }
+
+    case PGroupBy(groups) => df => {
+      val checks = groups.map(g => exprOf(g._1, df))
+      val conds = checks.zipWithIndex.map { case (chk, i) =>
+        checks.take(i).foldLeft(chk)((acc, prior) => acc && !coalesce(prior, lit(false)))
+      }
+      val processed = groups.zip(conds).map { case ((_, ps), cond) =>
+        compile(ps)(df.filter(coalesce(cond, lit(false))))
+      }
+      val unmatched = df.filter(!checks
+        .map(c => coalesce(c, lit(false))).reduce(_ || _))
+      (processed :+ unmatched)
+        .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+
+    case PRetry(children, attempts) => df => {
+      require(attempts <= 8, s"retry: attempts $attempts exceeds unroll cap 8")
+      val first = compile(children)(df)
+      (1 until attempts).foldLeft(first) { (d, _) =>
+        if (!d.columns.contains("_error")) d
+        else {
+          val ok = d.filter(col("_error").isNull)
+          val retried = compile(children)(
+            d.filter(col("_error").isNotNull)
+              .withColumn("_error", lit(null).cast(StringType)))
+          ok.unionByName(retried, allowMissingColumns = true)
+        }
+      }
+    }
+
+    case PJsonSchema(field, schemaJson) => df => {
+      val check = JsonSchema.checkFor(schemaJson, col(field))
+      val base = if (df.columns.contains("_error")) df
+        else df.withColumn("_error", lit(null).cast(StringType))
+      base.withColumn("_error",
+        when(col("_error").isNull && !coalesce(check, lit(false)),
+          lit("json_schema violation")).otherwise(col("_error")))
     }
 
     case PUnarchive(format, field) => df => format match {

@@ -1,0 +1,87 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lake.LakeTable
+
+/** Stateful cache resource (SURVEY.md §2.3 cache resources; upstream
+  * `internal/impl/pure/processor_cache.go` operators set/add/delete/
+  * get): a durable KV store re-expressed as a lake table keyed by
+  * `key` — every operation is a fenced LWW MERGE, so the cache
+  * inherits the lake's exactly-once batch fencing, file-level CoW,
+  * snapshot history and manifest pruning instead of needing its own
+  * storage engine.
+  *
+  * Semantics mapping (the reference applies these per message; here
+  * each call applies a whole batch of KV rows in one merge):
+  *  - `set`: upsert, last writer wins (caller supplies a monotonic
+  *    `seq`, e.g. the batch id);
+  *  - `add`: insert-only against the LIVE key set — an anti-join of
+  *    the (small) KV batch against the cache's current keys, read
+  *    through the manifest's bucket/range pruning so only files whose
+  *    key ranges intersect the batch are scanned; matches the
+  *    reference exactly, including add-after-delete succeeding;
+  *  - `delete`: tombstone at the caller's seq;
+  *  - `get`: a broadcast-join enrichment against `read()` (see
+  *    PCacheGet), i.e. per-message RPC inverted into one join.
+  */
+final class CacheResource(val root: String, val buckets: Int = 16) {
+
+  private val userSchema = StructType(Seq(
+    StructField("repo", StringType, nullable = false),   // the cache key
+    StructField("path", StringType, nullable = false),   // fixed "" (unit)
+    StructField("content", StringType, nullable = true)  // the cache value
+  ))
+
+  private[engine] val lake = new LakeTable(root, buckets)
+  lake.initIfNeeded(userSchema)
+
+  private def conform(kv: DataFrame, op: String, seq: Long): DataFrame =
+    kv.select(col("key").cast(StringType).as("repo"), lit("").as("path"),
+      col("value").cast(StringType).as("content"),
+      lit(op).as("op"), lit(seq).as("seq"))
+
+  /** Upsert (key, value) rows; last `seq` wins. */
+  def set(kv: DataFrame, batchId: Long, seq: Long): Unit = {
+    lake.merge(conform(kv, "upsert", seq), batchId)
+    ()
+  }
+
+  /** Insert-only: keys currently live in the cache are left untouched;
+    * absent (or deleted) keys are written at `seq`.
+    */
+  def add(kv: DataFrame, batchId: Long, seq: Long): Unit = {
+    val spark = kv.sparkSession
+    val keys = kv.select(col("key").cast(StringType)).distinct()
+      .limit(CacheResource.AddKeyCap + 1).collect().map(_.getString(0))
+    val live =
+      if (keys.length <= CacheResource.AddKeyCap)
+        lake.readRepos(spark, keys.toIndexedSeq).select(col("repo").as("key"))
+      else read(spark).select(col("key"))
+    val fresh = kv.join(broadcast(live), Seq("key"), "left_anti")
+    lake.merge(conform(fresh, "upsert", seq), batchId)
+    ()
+  }
+
+  /** Tombstone the given `key` rows at `seq`. */
+  def delete(keys: DataFrame, batchId: Long, seq: Long): Unit = {
+    lake.merge(
+      keys.select(col("key").cast(StringType).as("repo"), lit("").as("path"),
+        lit(null).cast(StringType).as("content"),
+        lit("delete").as("op"), lit(seq).as("seq")),
+      batchId)
+    ()
+  }
+
+  /** Current cache contents as (key, value). */
+  def read(spark: SparkSession): DataFrame =
+    lake.read(spark).select(col("repo").as("key"), col("content").as("value"))
+}
+
+object CacheResource {
+  /** Max distinct keys collected for `add`'s pruned anti-join; past it
+    * the live side falls back to a full (still columnar) read.
+    */
+  val AddKeyCap = 100000
+}

@@ -36,6 +36,10 @@ object CdcEngine {
       // CoW rewrite quantum: bound data-file size so a merge rewrites
       // O(intersecting files), not whole buckets (0 = unbounded)
       lakeMaxRecordsPerFile: Long = 0L,
+      // WAL encoding: "parquet" (default) or "json" (JSONL, gzip
+      // transparent by extension) — the reference's lines codec on the
+      // file input (SURVEY.md §2.1, internal/codec/reader.go)
+      logCodec: String = "parquet",
       metricsDir: Option[String] = None,
       // building Spark's compressed columnar cache for a once-or-twice
       // reused batch can cost more than recomputing the narrow plan;
@@ -186,7 +190,11 @@ object CdcEngine {
                      cfg: ReplayConfig): DataFrame = {
     val r1 = cfg.maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
     val r2 = cfg.maxBytesPerTrigger.fold(r1)(n => r1.option("maxBytesPerTrigger", n))
-    r2.parquet(cfg.logDir)
+    cfg.logCodec match {
+      case "parquet" => r2.parquet(cfg.logDir)
+      case "json" => r2.json(cfg.logDir)
+      case other => throw new IllegalArgumentException(s"unknown log codec: $other")
+    }
   }
 
   /** Run a bounded replay to completion and return the lake. */

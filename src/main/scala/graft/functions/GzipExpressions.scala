@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** gzip compress/decompress as native Catalyst expressions (the
+  * reference's `compress`/`decompress` bloblang methods, upstream
+  * `internal/impl/pure/bloblang_compression.go` — gzip algorithm
+  * only; the sandbox ships no lz4/snappy codec surface).
+  *
+  * Implemented as `UnaryExpression` + `CodegenFallback` rather than a
+  * Scala UDF: Deflater work is inherently interpretive either way,
+  * but a Catalyst expression keeps null semantics, type coercion and
+  * the surrounding projection's codegen intact (the fallback is a
+  * single virtual call inside the generated code).
+  *
+  * Java's GZIPOutputStream writes MTIME=0, so output bytes are
+  * deterministic — safe for the hash-comparing correctness gate.
+  */
+case class GzipCompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  // callers (ExprCompiler) cast the child to BinaryType explicitly
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_gzip"
+  override protected def nullSafeEval(input: Any): Any = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(input.asInstanceOf[Array[Byte]])
+    gz.close()
+    bos.toByteArray
+  }
+  override protected def withNewChildInternal(newChild: Expression): GzipCompress =
+    copy(child = newChild)
+}
+
+case class GzipDecompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  // callers (ExprCompiler) cast the child to BinaryType explicitly
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_gunzip"
+  override protected def nullSafeEval(input: Any): Any = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
+    try in.readAllBytes() finally in.close()
+  }
+  override protected def withNewChildInternal(newChild: Expression): GzipDecompress =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+  /** Idempotently register the custom expressions in the session's
+    * function registry so they are reachable from `Column` land via
+    * `call_function` (the public seam for non-builtin expressions).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_gzip",
+      (es: Seq[Expression]) => GzipCompress(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_gunzip",
+      (es: Seq[Expression]) => GzipDecompress(es.head), "built-in")
+  }
+
+  def gzip(c: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_gzip", c)
+  }
+
+  def gunzip(c: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_gunzip", c)
+  }
+}

@@ -104,6 +104,48 @@ object Sink {
     }
   }
 
+  /** Retry the inner output with exponential backoff (reference
+    * `retry` output, upstream output_retry.go). Safe to combine with
+    * the lake sink: its batch-id fence makes a half-applied retry
+    * idempotent; for plain file sinks the partition-overwrite layout
+    * gives the same property.
+    */
+  final case class Retry(inner: Sink, attempts: Int = 3,
+                         backoffMs: Long = 50, maxBackoffMs: Long = 5000) extends Sink {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      var attempt = 0
+      var delay = backoffMs
+      var lastErr: Throwable = null
+      while (attempt < attempts) {
+        try { inner.write(batch, batchId); return }
+        catch {
+          case e: Throwable =>
+            lastErr = e
+            attempt += 1
+            if (attempt < attempts) {
+              Thread.sleep(delay)
+              delay = math.min(delay * 2, maxBackoffMs)
+            }
+        }
+      }
+      throw new RuntimeException(s"output failed after $attempts attempts", lastErr)
+    }
+  }
+
+  /** Drop the batch when the inner output fails (reference `drop_on`
+    * with `error: true` — data loss by explicit policy, e.g. best-
+    * effort metrics).
+    */
+  final case class DropOn(inner: Sink) extends Sink {
+    def write(batch: DataFrame, batchId: Long): Unit =
+      try inner.write(batch, batchId)
+      catch {
+        case e: Throwable =>
+          org.slf4j.LoggerFactory.getLogger("graft.sinks")
+            .warn(s"drop_on: batch $batchId dropped after output error: ${e.getMessage}")
+      }
+  }
+
   /** Split errored rows to a reject sink, clean rows onward (reference
     * `reject_errored` routing on the `_error` flag column).
     */

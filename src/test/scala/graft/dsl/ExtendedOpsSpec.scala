@@ -1,0 +1,179 @@
+package graft.dsl
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import Processor._
+
+/** Conformance for the round-2 operator additions: group_by, retry
+  * (processor), real json_schema, parser/duration/compression
+  * bloblang methods, and the stateful cache resource.
+  */
+class ExtendedOpsSpec extends SparkTestBase {
+
+  private def df3 = {
+    import spark.implicits._
+    Seq((1L, 300.0, "click"), (2L, 100.0, "view"), (3L, 500.0, "click"),
+      (4L, 50.0, "purchase")).toDF("id", "value", "etype")
+  }
+
+  test("group_by: first-match routing, per-group batch scope, passthrough group") {
+    val pipe = Processor.compile(Seq(PGroupBy(Seq(
+      "this.value >= 300.0" -> Seq(PMutation("root.label = \"big\"\nroot.gsz = batch_size()")),
+      "this.etype == \"view\"" -> Seq(PMutation("root.label = \"views\"\nroot.gsz = batch_size()"))))))
+    val out = pipe(df3).collect().map(r =>
+      r.getAs[Long]("id") -> (Option(r.getAs[String]("label")), Option(r.get(r.fieldIndex("gsz"))))).toMap
+    assert(out(1L)._1.contains("big") && out(3L)._1.contains("big"))
+    // batch_size inside a group sees ONLY the group's rows — the
+    // observable difference from `switch`
+    assert(out(1L)._2.contains(2L) && out(3L)._2.contains(2L))
+    assert(out(2L)._1.contains("views") && out(2L)._2.contains(1L))
+    // unmatched row passes through unprocessed (null label/gsz)
+    assert(out(4L)._1.isEmpty && out(4L)._2.isEmpty)
+  }
+
+  test("retry processor: state-repairing children converge over attempts") {
+    import spark.implicits._
+    val df = Seq(-15.0, -5.0, 5.0).toDF("v")
+    val children = Seq(
+      PMutation("root.v = this.v + 10.0"),
+      PValidate("this.v > 0.0", "neg"))
+    // attempt 1 (all rows): -15 -> -5 errored, -5 -> 5 ok, 5 -> 15 ok
+    // attempt 2 (errored only, error cleared): -5 -> 5 passes
+    val out = Processor.compile(Seq(PRetry(children, attempts = 2)))(df)
+    val rows = out.collect().map(r => (r.getDouble(0), r.getString(r.fieldIndex("_error"))))
+    assert(rows.forall(_._2 == null), s"still errored: ${rows.mkString(",")}")
+    assert(rows.map(_._1).sorted.toSeq == Seq(5.0, 5.0, 15.0))
+    // a single attempt leaves the worst row errored
+    val out1 = Processor.compile(Seq(PRetry(children, attempts = 1)))(df)
+    assert(out1.filter(col("_error").isNotNull).count() == 1)
+  }
+
+  test("json_schema: typed subset validates and flags violations") {
+    import spark.implicits._
+    val schema =
+      """{"type":"object","required":["name","age"],
+        |"properties":{"name":{"type":"string","minLength":2},
+        |"age":{"type":"integer","minimum":0,"maximum":150},
+        |"tier":{"enum":["gold","silver"]}}}""".stripMargin
+    val df = Seq(
+      """{"name":"ada","age":36,"tier":"gold"}""", // ok
+      """{"name":"ada","age":-1}""",               // minimum violated
+      """{"name":"x","age":10}""",                 // minLength violated
+      """{"age":10}""",                            // required name missing
+      """{"name":"bob","age":10,"tier":"bronze"}""", // enum violated
+      """{"name":"bob","age":"ten"}"""             // integer violated
+    ).toDF("doc")
+    val out = Processor.compile(Seq(PJsonSchema("doc", schema)))(df)
+    val flags = out.select(col("_error").isNotNull).collect().map(_.getBoolean(0))
+    assert(flags.toSeq == Seq(false, true, true, true, true, true))
+    // unsupported keywords are rejected at compile, not ignored
+    intercept[IllegalArgumentException] {
+      JsonSchema.checkFor("""{"type":"object","patternProperties":{}}""", col("doc"))
+    }
+  }
+
+  test("parse_url / parse_urlencoded / parse_csv methods") {
+    import spark.implicits._
+    val df = Seq("https://api.example.com/v1/items?q=a%20b&lang=en#frag").toDF("u")
+    val out = Processor.compile(Seq(PMapping(
+      """root.host = this.u.parse_url().host
+        |root.path = this.u.parse_url().path
+        |root.scheme = this.u.parse_url().scheme
+        |root.q = this.u.parse_url().query.parse_urlencoded().q
+        |root.lang = this.u.parse_url().query.parse_urlencoded().lang
+        |root.cell = "a,b\nc,d".parse_csv().index(1).index(0)
+        |""".stripMargin)))(df).head()
+    assert(out.getAs[String]("host") == "api.example.com")
+    assert(out.getAs[String]("path") == "/v1/items")
+    assert(out.getAs[String]("scheme") == "https")
+    assert(out.getAs[String]("q") == "a b")
+    assert(out.getAs[String]("lang") == "en")
+    assert(out.getAs[String]("cell") == "c")
+  }
+
+  test("ts_add/ts_sub: Go-duration arithmetic") {
+    import spark.implicits._
+    assert(ExprCompiler.goDurationMillis("1h30m") == 5400000L)
+    assert(ExprCompiler.goDurationMillis("-90s") == -90000L)
+    assert(ExprCompiler.goDurationMillis("250ms") == 250L)
+    intercept[IllegalArgumentException](ExprCompiler.goDurationMillis("1 fortnight"))
+    val df = Seq("2024-03-01 10:00:00").toDF("t")
+    val out = Processor.compile(Seq(PMapping(
+      """root.plus = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_add("1h30m").ts_unix()
+        |root.minus = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_sub("15m").ts_unix()
+        |root.base = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_unix()
+        |""".stripMargin)))(df).head()
+    assert(out.getAs[Long]("plus") - out.getAs[Long]("base") == 5400L)
+    assert(out.getAs[Long]("base") - out.getAs[Long]("minus") == 900L)
+  }
+
+  test("compress/decompress gzip roundtrip is the identity and deterministic") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "").toDF("s")
+    val out = Processor.compile(Seq(PMapping(
+      """root.s = this.s
+        |root.rt = this.s.compress("gzip").decompress("gzip").string()
+        |root.gz = this.s.compress("gzip").encode("hex")
+        |""".stripMargin)))(df).collect()
+    out.foreach(r => assert(r.getAs[String]("rt") == r.getAs[String]("s")))
+    // deterministic bytes (MTIME=0) — same input, same hex, run twice
+    val again = Processor.compile(Seq(PMapping(
+      """root.gz = this.s.compress("gzip").encode("hex")""")))(df)
+      .collect().map(_.getAs[String]("gz"))
+    assert(out.map(_.getAs[String]("gz")).toSeq == again.toSeq)
+    assert(out.head.getAs[String]("gz") != "")
+  }
+
+  test("cache resource: set/add/delete/get with reference semantics") {
+    import spark.implicits._
+    val cache = new graft.engine.CacheResource(tmpDir("cache"), buckets = 4)
+    def kv(rows: (String, String)*) = rows.toSeq.toDF("key", "value")
+    cache.set(kv("a" -> "1", "b" -> "2", "c" -> "3"), batchId = 0L, seq = 10L)
+    // add: existing keys untouched, new key written
+    cache.add(kv("a" -> "SHOULD_NOT_WIN", "d" -> "4"), batchId = 1L, seq = 20L)
+    // set overwrites
+    cache.set(kv("b" -> "2b"), batchId = 2L, seq = 30L)
+    // delete then add: add-after-delete must succeed (reference behavior)
+    cache.delete(Seq("c").toDF("key"), batchId = 3L, seq = 40L)
+    cache.add(kv("c" -> "c-readded"), batchId = 4L, seq = 50L)
+    val state = cache.read(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state == Map("a" -> "1", "b" -> "2b", "c" -> "c-readded", "d" -> "4"))
+    // fencing carries over from the lake: replaying batch 2 is a no-op
+    cache.set(kv("b" -> "SHOULD_BE_FENCED"), batchId = 2L, seq = 99L)
+    assert(cache.read(spark).filter(col("key") === "b")
+      .head().getString(1) == "2b")
+  }
+
+  test("YAML surface: group_by, retry, json_schema schema-form, input section") {
+    val yaml =
+      """input:
+        |  file: { path: /tmp/x, codec: lines }
+        |pipeline:
+        |  processors:
+        |    - group_by:
+        |        - check: 'this.value >= 300.0'
+        |          processors:
+        |            - mutation: 'root.label = "big"'
+        |    - retry:
+        |        attempts: 2
+        |        processors:
+        |          - validate: { check: 'this.value > 0.0' }
+        |    - json_schema:
+        |        field: doc
+        |        schema: '{"type":"object","required":["x"]}'
+        |output:
+        |  retry:
+        |    attempts: 2
+        |    output:
+        |      drop_on: { output: { parquet: /tmp/out } }
+        |""".stripMargin
+    val p = PipelineConfig.parse(yaml)
+    assert(p.input.exists(_.isInstanceOf[PipelineConfig.FileIn]))
+    assert(p.processors.size == 3)
+    assert(p.processors.head.isInstanceOf[PGroupBy])
+    assert(p.processors(1).isInstanceOf[PRetry])
+    assert(p.processors(2).isInstanceOf[PJsonSchema])
+    assert(p.sink.exists(_.isInstanceOf[graft.sinks.Sink.Retry]))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.engine.CdcEngine
+import graft.engine.CdcEngine.ReplayConfig
+import graft.gen.EventLogGen
+import graft.gen.EventLogGen.GenConfig
+import graft.oracle.FoldOracle
+
+/** Input components: file codecs (lines / json / gzip), the JDBC
+  * sql_select input, and the text-log replay variant of the CDC
+  * engine (SURVEY.md §2.1; VERDICT r1 missing #2/#3).
+  */
+class InputsSpec extends SparkTestBase {
+
+  test("lines codec reads plain and gzipped text as content rows") {
+    val dir = tmpDir("lines")
+    import spark.implicits._
+    Seq("alpha", "beta", "gamma").toDF("value")
+      .coalesce(1).write.text(s"$dir/plain")
+    Seq("delta", "epsilon").toDF("value")
+      .coalesce(1).write.option("compression", "gzip").text(s"$dir/gz")
+    assert(new java.io.File(s"$dir/gz").listFiles().exists(_.getName.endsWith(".gz")),
+      "gzip fixture must actually be gzipped")
+    val plain = FileInput.batch(spark, s"$dir/plain", "lines")
+    assert(plain.columns.toSeq == Seq("content"))
+    val all = FileInput.batch(spark, s"$dir/plain", "lines")
+      .unionByName(FileInput.batch(spark, s"$dir/gz", "lines"))
+      .collect().map(_.getString(0)).sorted
+    assert(all.toSeq == Seq("alpha", "beta", "delta", "epsilon", "gamma"))
+  }
+
+  test("csv codec with header") {
+    val dir = tmpDir("csv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part.csv"), "id,name\n1,ada\n2,bob\n")
+    val df = FileInput.batch(spark, dir, "csv")
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+  }
+
+  test("CDC replay over a gzipped JSONL log matches the parquet-log fold oracle") {
+    val cfg = GenConfig(seed = 7L, events = 4000L, repos = 10,
+      pathsPerRepo = 80, rowsPerFile = 500L)
+    val pq = tmpDir("pqlog"); EventLogGen.writeLog(spark, cfg, pq)
+    // render the same WAL as gzipped JSON-lines (the reference's
+    // all-bytes/lines + gzip codec path)
+    val jsonDir = tmpDir("jsonlog")
+    spark.read.schema(graft.model.Model.eventSchemaWidest).parquet(pq)
+      .select(to_json(struct(col("*"))).as("value"))
+      .coalesce(4).write.option("compression", "gzip").mode("overwrite").text(jsonDir)
+    assert(new java.io.File(jsonDir).listFiles().exists(_.getName.endsWith(".gz")))
+
+    val lake = CdcEngine.replayToEnd(spark, ReplayConfig(
+      jsonDir, tmpDir("lake"), tmpDir("ckpt"),
+      maxFilesPerTrigger = Some(2), logCodec = "json"))
+    val oracle = FoldOracle.replay(spark, pq)
+    val got = lake.read(spark)
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got.size == oracle.size)
+    oracle.foreach { case (k, fr) =>
+      assert(got(k) == FoldOracle.rowSha256(fr.content), s"mismatch at $k via json log")
+    }
+  }
+
+  test("sql_select input reads a JDBC source (DuckDB)") {
+    val db = tmpDir("duck") + "/t.db"
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE users(id BIGINT, name VARCHAR)")
+      st.execute("INSERT INTO users VALUES (1,'ada'),(2,'bob'),(3,'eve')")
+      st.close()
+    } finally conn.close()
+    val df = SqlInput.read(spark, s"jdbc:duckdb:$db",
+      "SELECT id, name FROM users WHERE id <= 2 ORDER BY id")
+      .select(col("id").cast("long"), col("name")) // driver reports BIGINT as DECIMAL
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "ada"), (2L, "bob")))
+    // partitioned read path (the scale shape): 2 slices over id
+    val part = SqlInput.read(spark, s"jdbc:duckdb:$db",
+      "SELECT id, name FROM users", partitionColumn = Some("id"),
+      lowerBound = 1L, upperBound = 4L, numPartitions = 2)
+    assert(part.rdd.getNumPartitions == 2)
+    assert(part.count() == 3)
+  }
+
+  test("output retry backs off then succeeds; drop_on swallows failures") {
+    import graft.sinks.Sink
+    var calls = 0
+    val flaky = new Sink {
+      def write(batch: DataFrame, batchId: Long): Unit = {
+        calls += 1
+        if (calls < 3) throw new RuntimeException(s"transient $calls")
+      }
+    }
+    import spark.implicits._
+    val batch = Seq((1, "x")).toDF("id", "v")
+    Sink.Retry(flaky, attempts = 4, backoffMs = 1).write(batch, 0L)
+    assert(calls == 3, "must succeed on the 3rd attempt")
+
+    val alwaysFail = new Sink {
+      def write(batch: DataFrame, batchId: Long): Unit =
+        throw new RuntimeException("down")
+    }
+    intercept[RuntimeException] {
+      Sink.Retry(alwaysFail, attempts = 2, backoffMs = 1).write(batch, 0L)
+    }
+    Sink.DropOn(alwaysFail).write(batch, 0L) // must not throw
+  }
+}
