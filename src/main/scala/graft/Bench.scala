@@ -16,8 +16,11 @@ import graft.gen.EventLogGen
 object Bench {
 
   def buildSession(cpus: String): SparkSession = {
+    // SPARK_GRAFT_MASTER lets ScalingBench run under local-cluster[N,c,m]
+    // (separate executor JVMs — the closest single-box substitute for
+    // the rule's N->4N EXECUTOR scaling) instead of local[n] threads
     val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -66,14 +69,27 @@ object Bench {
     val cfg = EventLogGen.GenConfig(seed = 42L, events = events,
       repos = 40, pathsPerRepo = 500, rowsPerFile = math.max(events / 256, 2000L))
     val logDir = s"$workRoot/log"
-    if (!reuseLog || !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(logDir)))
+    // a stale log from a different GenConfig must never be replayed as
+    // if it held `events` rows — the marker pins the generating config
+    val marker = java.nio.file.Paths.get(workRoot, "log.genconfig")
+    val stamp = cfg.toString
+    val fresh = !reuseLog ||
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(logDir)) ||
+      !java.nio.file.Files.exists(marker) ||
+      java.nio.file.Files.readString(marker) != stamp
+    if (fresh) {
       EventLogGen.writeLog(spark, cfg, logDir)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, stamp)
+    }
     val pipeline = graft.dsl.PipelineConfig.parse(standardPipelineYaml).transform
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val sec = time {
       CdcEngine.replayToEnd(spark, CdcEngine.ReplayConfig(
         logDir = logDir, lakeRoot = s"$workRoot/lake-$runId",
-        checkpointDir = s"$workRoot/chk-$runId", maxFilesPerTrigger = Some(64),
+        checkpointDir = s"$workRoot/chk-$runId",
+        maxFilesPerTrigger =
+          Some(sys.env.getOrElse("SPARK_GRAFT_MAX_FILES", "64").toInt),
         persistBatch = !sys.env.contains("SPARK_GRAFT_NO_PERSIST"),
         materialize = sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "cache")),
         pipeline)
@@ -95,11 +111,17 @@ object Bench {
 
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val events = replayEvents(sfDir)
+    // untimed 1/8-size warm-up (own log): a cold single-JVM replay
+    // measures C2 compilation + page-cache misses, not the engine —
+    // same protocol as ScalingBench (BASELINE.md)
+    replayBench(spark, math.max(events / 8, 20000L), s"$work/warm")
     val (replaySec, eps) = replayBench(spark, events, work)
 
+    // min-of-2 per query: this sandbox VM shows sporadic 2-4x
+    // host-level noise, and the first run additionally pays JIT
     val qTimes = headlineQueries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        name -> time(sink(fn(spark, sfDir)))
+        name -> math.min(time(sink(fn(spark, sfDir))), time(sink(fn(spark, sfDir))))
       }
     }
 

@@ -254,6 +254,12 @@ object SparkEntry {
         .orderBy("content_hash")),
 
     "q_dedup_minhash" -> ((s, dir) =>
+      // Oracle caveat (ADVICE r1): LSH has a theoretical false-negative
+      // probability for near-threshold pairs, (1-J^4)^16 ≈ 4e-8 at
+      // J=0.9 — but the hash functions are seeded literals and the
+      // testdata is fixed, so this comparison is DETERMINISTIC per
+      // dataset (verified exact at sf0.001/0.01/0.1); it cannot flap
+      // run to run, only if the driver regenerates different data.
       Dedup.minHashNearDups(mirroredDocs(s, dir), "doc_id", "text",
           threshold = 0.9, Dedup.MinHashConfig(shingleSize = 3, numHashes = 64, bands = 16))
         .orderBy("id_a", "id_b")),

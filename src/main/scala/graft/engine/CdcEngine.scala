@@ -45,13 +45,16 @@ object CdcEngine {
       // reused batch can cost more than recomputing the narrow plan;
       // Catalyst column-prunes each consumer when this is off
       persistBatch: Boolean = true,
-      // "cache": persist the full batch (best when batches fit memory
-      // comfortably); "winners": never materialize the batch — one
-      // column-pruned pass computes the LWW winner keys (with observed
-      // input metrics riding along for free), only that small frame is
-      // cached, and the expensive pipeline expressions evaluate exactly
-      // once inside the merge's write pass. Avoids the multi-GB
-      // columnar-cache build that walls large batches.
+      // "cache" (default): persist the full post-pipeline batch —
+      // fastest whenever the batch fits executor storage (A/B-measured
+      // r1 AND r2; see BASELINE.md). "winners": cache only the LWW
+      // winner-KEY frame; "winner_rows": cache the post-LWW winner
+      // ROWS (smallest cache payload). Both alternatives re-scan the
+      // source for the final write pass, which re-evaluates any
+      // pipeline FILTER (its inputs can't be column-pruned away), so
+      // they only win when batch bytes exceed executor storage memory
+      // — not reachable on this box (measured: winner_rows 231s vs
+      // cache 141s at 8M x 8 cores).
       materialize: String = "cache")
 
   final case class BatchMetrics(
@@ -84,9 +87,51 @@ object CdcEngine {
 
   /** The per-micro-batch apply: LWW dedupe → fenced MERGE → metrics. */
   def applyBatch(lake: LakeTable, batch: DataFrame, batchId: Long,
-                 cfg: ReplayConfig): Option[BatchMetrics] =
-    if (cfg.materialize == "winners") applyBatchWinners(lake, batch, batchId, cfg)
-    else applyBatchCached(lake, batch, batchId, cfg)
+                 cfg: ReplayConfig): Option[BatchMetrics] = cfg.materialize match {
+    case "winners" => applyBatchWinners(lake, batch, batchId, cfg)
+    case "winner_rows" => applyBatchWinnerRows(lake, batch, batchId, cfg)
+    case _ => applyBatchCached(lake, batch, batchId, cfg)
+  }
+
+  /** "winner_rows" materialization (see ReplayConfig): persist only
+    * the post-LWW winner rows. The broadcast LWW's aggregate pass is
+    * column-pruned to (key, seq), so the pipeline's expensive
+    * expressions evaluate once — while materializing the winner rows
+    * — and all subsequent merge passes run over the deduplicated
+    * cached frame.
+    */
+  private def applyBatchWinnerRows(lake: LakeTable, batch: DataFrame, batchId: Long,
+                                   cfg: ReplayConfig): Option[BatchMetrics] = {
+    val t0 = System.nanoTime()
+    val spark = batch.sparkSession
+    val winners = Lww.dedupe(batch, Model.keyCols, "seq", cfg.saltBuckets).persist()
+    try {
+      val nKeys = winners.count()
+      if (nKeys == 0) return None
+      // rowsIn (pre-dedupe) costs an extra column-pruned pass over the
+      // raw batch — only paid when the metrics table is on
+      val rowsIn = if (cfg.metricsDir.isEmpty) nKeys else batch.count()
+      val winnerKeys = winners.select((Model.keyCols :+ "seq").map(col): _*)
+      val lineage = lake.merge(winners, batchId,
+        countHint = Some(nKeys), precomputedWinners = Some(winnerKeys))
+      val ms = (System.nanoTime() - t0) / 1000000L
+      val deletes =
+        if (cfg.metricsDir.isEmpty) -1L
+        else winners.filter(col("op") === Model.Delete).count()
+      val m = BatchMetrics(batchId, rowsIn,
+        rowsUpserted = nKeys - math.max(deletes, 0L),
+        rowsDeleted = math.max(deletes, 0L), ms,
+        if (ms > 0) rowsIn * 1000.0 / ms else 0.0)
+      log.info(s"batch=$batchId winnerRows=$nKeys ms=$ms eps=${m.eventsPerSec.toLong}")
+      cfg.metricsDir.foreach { dir =>
+        import spark.implicits._
+        Seq(m).toDF().write.mode("append").parquet(s"$dir/metrics")
+        if (lineage.nonEmpty)
+          lineage.toDF().write.mode("append").parquet(s"$dir/lineage")
+      }
+      Some(m)
+    } finally { winners.unpersist(); () }
+  }
 
   /** "winners" materialization: the batch itself is NEVER cached.
     * Pass 1 computes the LWW winner keys over a column-pruned scan

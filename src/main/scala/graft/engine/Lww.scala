@@ -37,11 +37,34 @@ object Lww {
   case object Broadcast extends Strategy
   case object Shuffle extends Strategy
 
+  /** `saltBuckets < 0` in the Shuffle strategy = adaptive: derive the
+    * factor from observed per-key counts (SURVEY.md §4).
+    */
   def dedupe(df: DataFrame, keys: Seq[String] = Seq("repo", "path"),
              orderCol: String = "seq", saltBuckets: Int = 16,
              strategy: Strategy = Broadcast): DataFrame = strategy match {
     case Broadcast => dedupeBroadcast(df, keys, orderCol)
-    case Shuffle => dedupeShuffle(df, keys, orderCol, saltBuckets)
+    case Shuffle =>
+      val s = if (saltBuckets >= 0) saltBuckets else adaptiveSaltFactor(df, keys)
+      dedupeShuffle(df, keys, orderCol, s)
+  }
+
+  /** Salt factor from observed skew: one column-pruned, map-side-
+    * combined aggregate measures the hottest key against the mean;
+    * S ≈ how many reducer-slots the hottest key needs so no single
+    * reducer handles more than ~2x the average load. 1 (no salting)
+    * for uniform keys; capped at 64 — beyond that the second-phase
+    * re-aggregation overhead dominates.
+    */
+  def adaptiveSaltFactor(df: DataFrame, keys: Seq[String]): Int = {
+    val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), avg(col("c")).as("av")).head()
+    if (r.isNullAt(0)) 1
+    else {
+      val mx = r.getLong(0).toDouble
+      val av = math.max(r.getDouble(1), 1.0)
+      math.min(64, math.max(1, math.ceil(mx / (2.0 * av)).toInt))
+    }
   }
 
   /** Light (key, max seq) aggregate + broadcast winner join. */

@@ -117,19 +117,21 @@ class EndToEndReplaySpec extends SparkTestBase {
     }
   }
 
-  test("winners materialization mode reaches the same final state as cached mode") {
+  test("all materialization modes reach the fold-oracle state") {
     val log = tmpDir("log"); EventLogGen.writeLog(spark, cfg, log)
     val oracle = FoldOracle.replay(spark, log)
-    val lakeW = tmpDir("lakeW"); val lakeC = tmpDir("lakeC")
-    val w = CdcEngine.replayToEnd(spark,
-      ReplayConfig(log, lakeW, tmpDir("ckW"), maxFilesPerTrigger = Some(4), materialize = "winners"))
     def state(l: LakeTable) = l.read(spark)
       .select(col("repo"), col("path"), sha2(col("content"), 256))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
-    val sw = state(w)
-    assert(sw.size == oracle.size)
-    oracle.foreach { case (k, fr) =>
-      assert(sw(k) == FoldOracle.rowSha256(fr.content), s"winners-mode mismatch at $k")
+    Seq("winners", "winner_rows", "cache").foreach { mode =>
+      val l = CdcEngine.replayToEnd(spark,
+        ReplayConfig(log, tmpDir(s"lake-$mode"), tmpDir(s"ck-$mode"),
+          maxFilesPerTrigger = Some(4), materialize = mode))
+      val sw = state(l)
+      assert(sw.size == oracle.size, s"$mode: row count")
+      oracle.foreach { case (k, fr) =>
+        assert(sw(k) == FoldOracle.rowSha256(fr.content), s"$mode mismatch at $k")
+      }
     }
   }
 

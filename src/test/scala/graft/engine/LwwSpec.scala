@@ -21,6 +21,24 @@ class LwwSpec extends SparkTestBase {
     assert(b.nonEmpty)
   }
 
+  test("adaptive salt factor: 1 on uniform keys, >1 on Zipf-hot keys, result unchanged") {
+    import spark.implicits._
+    val uniform = (0 until 1000).map(i => (i.toLong % 500, i.toLong, s"v$i"))
+      .toDF("k", "seq", "v")
+    assert(Lww.adaptiveSaltFactor(uniform, Seq("k")) == 1)
+    // one key holds half the batch
+    val skewed = ((0 until 1000).map(i => (0L, i.toLong, s"hot$i")) ++
+      (0 until 1000).map(i => (1L + i % 100, 10000L + i, s"cold$i")))
+      .toDF("k", "seq", "v")
+    val s = Lww.adaptiveSaltFactor(skewed, Seq("k"))
+    assert(s > 1, s"expected salting on skew, got $s")
+    val adaptive = Lww.dedupe(skewed, Seq("k"), "seq", saltBuckets = -1, Lww.Shuffle)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val plain = Lww.dedupe(skewed, Seq("k"), "seq", 16, Lww.Shuffle)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(adaptive == plain)
+  }
+
   test("broadcast dedupe keeps exactly the max-order row per key, schema unchanged") {
     import spark.implicits._
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
