@@ -509,6 +509,22 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    "q_sql_insert" -> ((s, dir) => {
+      // JDBC sql_insert output: append a batch into a DuckDB table
+      // through the sink, read it back through the sql_select input
+      val db = java.nio.file.Files.createTempDirectory("graft-jdbcw").toString + "/w.db"
+      val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
+      try conn.createStatement()
+        .execute("CREATE TABLE nat_out(n_nationkey BIGINT, n_name VARCHAR)")
+      finally conn.close()
+      graft.sinks.Sink.Jdbc(s"jdbc:duckdb:$db", "nat_out")
+        .write(t(s, dir, "nation").select("n_nationkey", "n_name"), batchId = 0L)
+      graft.sources.SqlInput.read(s, s"jdbc:duckdb:$db",
+          "SELECT n_nationkey, n_name FROM nat_out")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+        .orderBy("n_nationkey")
+    }),
+
     "q_file_lines" -> ((s, dir) => {
       // file-input codec path: render events as gzipped JSONL, read
       // back through the lines/json codec machinery
@@ -892,6 +908,9 @@ object SparkEntry {
 
     "q_sql_select" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "q_sql_insert" ->
+      """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""",
 
     "q_file_lines" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",

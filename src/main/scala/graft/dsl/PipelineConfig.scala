@@ -121,6 +121,10 @@ object PipelineConfig {
           opt(body, "max_backoff_ms").map(_.asLong).getOrElse(5000L))
       case "drop_on" =>
         DropOn(parseSink(body.get("output")))
+      case "sql_insert" =>
+        Jdbc(body.get("url").asText, body.get("table").asText,
+          opt(body, "driver").map(_.asText).getOrElse("org.duckdb.DuckDBDriver"),
+          opt(body, "num_partitions").map(_.asInt).getOrElse(1))
       case other => throw new IllegalArgumentException(s"unknown output: $other")
     }
   }

@@ -104,6 +104,29 @@ object Sink {
     }
   }
 
+  /** JDBC table append (reference `sql_insert`/`sql_raw` outputs,
+    * upstream internal/impl/sql/output_sql_insert.go): one INSERT
+    * batch per partition through Spark's JDBC writer. At-least-once —
+    * a replayed batch appends again unless the table carries a unique
+    * key; wrap in [[Retry]] for transient failures and keep
+    * `numPartitions` small for single-writer stores (DuckDB).
+    * The target table must already exist — the reference's sql_insert
+    * contract too (it binds INSERT statements against a known table,
+    * never issues DDL) — so the writer is told `truncate`-less append
+    * into an existing relation.
+    */
+  final case class Jdbc(url: String, table: String,
+                        driver: String = "org.duckdb.DuckDBDriver",
+                        numPartitions: Int = 1) extends Sink {
+    def write(batch: DataFrame, batchId: Long): Unit =
+      batch.coalesce(math.max(1, numPartitions))
+        .write.mode(SaveMode.Append)
+        .format("jdbc")
+        .option("url", url).option("driver", driver)
+        .option("dbtable", table)
+        .save()
+  }
+
   /** Retry the inner output with exponential backoff (reference
     * `retry` output, upstream output_retry.go). Safe to combine with
     * the lake sink: its batch-id fence makes a half-applied retry

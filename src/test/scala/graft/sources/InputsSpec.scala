@@ -88,6 +88,31 @@ class InputsSpec extends SparkTestBase {
     assert(part.count() == 3)
   }
 
+  test("sql_insert JDBC output appends; replay duplicates (at-least-once, documented)") {
+    import graft.sinks.Sink
+    import spark.implicits._
+    val db = tmpDir("duckw") + "/w.db"
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
+    try conn.createStatement().execute("CREATE TABLE t_out(id BIGINT, v VARCHAR)")
+    finally conn.close()
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val sink = Sink.Jdbc(s"jdbc:duckdb:$db", "t_out")
+    sink.write(batch, 0L)
+    val once = SqlInput.read(spark, s"jdbc:duckdb:$db", "SELECT id, v FROM t_out")
+    assert(once.count() == 2)
+    sink.write(batch, 0L) // replay: appends again — at-least-once contract
+    val twice = SqlInput.read(spark, s"jdbc:duckdb:$db", "SELECT id, v FROM t_out")
+    assert(twice.count() == 4)
+    // YAML surface
+    val p = graft.dsl.PipelineConfig.parse(
+      s"""pipeline:
+         |  processors: [ { noop: {} } ]
+         |output:
+         |  sql_insert: { url: "jdbc:duckdb:$db", table: t_out }
+         |""".stripMargin)
+    assert(p.sink.exists(_.isInstanceOf[Sink.Jdbc]))
+  }
+
   test("output retry backs off then succeeds; drop_on swallows failures") {
     import graft.sinks.Sink
     var calls = 0
