@@ -354,6 +354,29 @@ object SparkEntry {
           md5(to_json(col("feature"))).as("feature_md5"))
         .orderBy("media_id")),
 
+    "q_avro_roundtrip" -> ((s, dir) => {
+      // REAL avro wire-format roundtrip (avro-core GenericDatum
+      // expressions): json -> avro binary -> json must be the
+      // identity, so the SQL oracle is the plain projection
+      val schema =
+        """{"type":"record","name":"Ord","fields":[
+          |{"name":"status","type":"string"},
+          |{"name":"total","type":"double"}]}""".stripMargin
+      val pipe = compile(Seq(
+        PAvro("from_json", schema, "content"),
+        PAvro("to_json", schema, "content")))
+      val in = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"),
+          to_json(struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total"))).as("content"))
+      pipe(in)
+        .select(col("id"),
+          from_json(col("content"),
+            org.apache.spark.sql.types.StructType.fromDDL("status STRING, total DOUBLE")).as("rec"))
+        .select(col("id"), col("rec.status").as("status"), col("rec.total").as("total"))
+        .orderBy("id")
+    }),
+
     "q_json_roundtrip" -> ((s, dir) =>
       // reference serialization codecs (§2.3: format_json/parse_json,
       // processor_avro.go family; avro module jar absent in sandbox) —
@@ -829,6 +852,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_json_roundtrip" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS total
+        |FROM orders ORDER BY id""".stripMargin,
+
+    "q_avro_roundtrip" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS total
         |FROM orders ORDER BY id""".stripMargin,
 

@@ -179,6 +179,10 @@ object PipelineConfig {
       case "retry" =>
         PRetry(parseProcessors(body.get("processors")),
           opt(body, "attempts").map(_.asInt).getOrElse(3))
+      case "avro" =>
+        PAvro(body.get("operator").asText,
+          { val s = body.get("schema"); if (s.isTextual) s.asText else s.toString },
+          opt(body, "field").map(_.asText).getOrElse("content"))
       case "try" => PTry(parseProcessors(body))
       case "catch" => PCatch(parseProcessors(body))
       case "switch" =>

@@ -99,6 +99,11 @@ object Processor {
     * properties / enum / minimum / maximum / minLength / maxLength,
     * compiled to one check Column; failures set `_error`. */
   final case class PJsonSchema(field: String, schemaJson: String) extends Processor
+  /** avro (de)serialization (processor_avro.go) on avro-core, no
+    * spark-avro module: operator `from_json` = JSON string field →
+    * raw avro binary; `to_json` = avro binary field → JSON string.
+    * Record-of-primitives schema subset (see AvroSupport). */
+  final case class PAvro(operator: String, schemaJson: String, field: String) extends Processor
 
   // ------------------------------------------------------------------
 
@@ -317,6 +322,17 @@ object Processor {
       base.withColumn("_error",
         when(col("_error").isNull && !coalesce(check, lit(false)),
           lit("json_schema violation")).otherwise(col("_error")))
+    }
+
+    case PAvro(op, schema, field) => df => op match {
+      case "from_json" =>
+        df.withColumn(field, graft.functions.AvroFunctions.encode(
+          from_json(col(field), graft.functions.AvroSupport.sparkType(schema)), schema))
+      case "to_json" =>
+        df.withColumn(field,
+          to_json(graft.functions.AvroFunctions.decode(col(field), schema)))
+      case other => throw new IllegalArgumentException(
+        s"avro operator $other (from_json | to_json)")
     }
 
     case PUnarchive(format, field) => df => format match {

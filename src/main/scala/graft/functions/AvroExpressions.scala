@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro (de)serialization as native Catalyst expressions (reference
+  * `avro` processor, upstream internal/impl/pure/processor_avro.go).
+  * The sandbox ships avro-core (avro-1.12.1.jar) but not the
+  * spark-avro module, so the from_avro/to_avro equivalents are built
+  * directly on `GenericDatumWriter/Reader` with raw binary encoding
+  * (no container header — the per-message wire form the reference
+  * processes).
+  *
+  * Supported schemas: one record of primitive fields (string, long,
+  * int, double, float, boolean, bytes), each optionally nullable via
+  * the `["null", T]` union idiom. Anything else throws at plan time —
+  * a silently mis-encoded field would poison the sha-comparing gate.
+  */
+object AvroSupport {
+
+  def parse(schemaJson: String): org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(schemaJson)
+
+  /** (avro type, nullable) of a field, unwrapping ["null", T]. */
+  def fieldType(f: org.apache.avro.Schema.Field): (org.apache.avro.Schema.Type, Boolean) = {
+    val s = f.schema()
+    if (s.getType == org.apache.avro.Schema.Type.UNION) {
+      val ts = s.getTypes
+      require(ts.size == 2 && ts.get(0).getType == org.apache.avro.Schema.Type.NULL,
+        s"avro: only [null, T] unions supported, got ${s}")
+      (ts.get(1).getType, true)
+    } else (s.getType, false)
+  }
+
+  /** Spark struct type equivalent of a supported avro record schema. */
+  def sparkType(schemaJson: String): StructType = {
+    import org.apache.avro.Schema.Type._
+    val rec = parse(schemaJson)
+    require(rec.getType == RECORD, s"avro: need a record schema, got ${rec.getType}")
+    StructType(rec.getFields.toArray.map { case f: org.apache.avro.Schema.Field =>
+      val (t, nullable) = fieldType(f)
+      val dt = t match {
+        case STRING => StringType
+        case LONG => LongType
+        case INT => IntegerType
+        case DOUBLE => DoubleType
+        case FLOAT => FloatType
+        case BOOLEAN => BooleanType
+        case BYTES => BinaryType
+        case other => throw new IllegalArgumentException(s"avro: unsupported field type $other")
+      }
+      StructField(f.name(), dt, nullable)
+    })
+  }
+}
+
+/** struct → raw avro binary under the literal record schema. */
+case class AvroEncode(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val schema = AvroSupport.parse(schemaJson)
+  @transient private lazy val structType = AvroSupport.sparkType(schemaJson)
+  @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_avro_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val rec = new GenericData.Record(schema)
+    structType.fields.zipWithIndex.foreach { case (f, i) =>
+      val v: AnyRef =
+        if (row.isNullAt(i)) null
+        else f.dataType match {
+          case StringType => row.getUTF8String(i).toString
+          case LongType => java.lang.Long.valueOf(row.getLong(i))
+          case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
+          case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+          case FloatType => java.lang.Float.valueOf(row.getFloat(i))
+          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+          case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+      rec.put(f.name, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(bos, null)
+    writer.write(rec, enc)
+    enc.flush()
+    bos.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AvroEncode =
+    copy(child = newChild)
+}
+
+/** raw avro binary → struct under the literal record schema. */
+case class AvroDecode(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val schema = AvroSupport.parse(schemaJson)
+  @transient private lazy val structType = AvroSupport.sparkType(schemaJson)
+  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+
+  override def dataType: DataType = AvroSupport.sparkType(schemaJson)
+  override def prettyName: String = "graft_avro_decode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val dec = DecoderFactory.get()
+      .binaryDecoder(input.asInstanceOf[Array[Byte]], null)
+    val rec = reader.read(null, dec)
+    val values = structType.fields.zipWithIndex.map { case (f, i) =>
+      val v = rec.get(i)
+      if (v == null) null
+      else f.dataType match {
+        case StringType => UTF8String.fromString(v.toString)
+        case BinaryType =>
+          val bb = v.asInstanceOf[java.nio.ByteBuffer]
+          val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+        case _ => v // numeric/boolean boxes pass through
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AvroDecode =
+    copy(child = newChild)
+}
+
+object AvroFunctions {
+  private def literalString(e: Expression): String = e match {
+    case Literal(s, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"avro schema must be a string literal, got $other")
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_avro_encode",
+      (es: Seq[Expression]) => AvroEncode(es.head, literalString(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_avro_decode",
+      (es: Seq[Expression]) => AvroDecode(es.head, literalString(es(1))), "built-in")
+  }
+
+  def encode(structCol: Column, schemaJson: String): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_avro_encode", structCol,
+      org.apache.spark.sql.functions.lit(schemaJson))
+  }
+
+  def decode(binCol: Column, schemaJson: String): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_avro_decode", binCol,
+      org.apache.spark.sql.functions.lit(schemaJson))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.dsl.Processor
+import graft.dsl.Processor._
+
+/** Avro expressions vs the avro LIBRARY used directly in the test as
+  * an independent oracle: bytes written by the expression must equal
+  * bytes written by a hand-driven GenericDatumWriter, and bytes
+  * produced by a hand-driven writer must decode through the
+  * expression to the same values.
+  */
+class AvroSpec extends SparkTestBase {
+
+  private val schemaJson =
+    """{"type":"record","name":"Ev","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":"string"},
+      |{"name":"score","type":["null","double"],"default":null}]}""".stripMargin
+
+  private def libBytes(id: Long, name: String, score: java.lang.Double): Array[Byte] = {
+    val schema = AvroSupport.parse(schemaJson)
+    val rec = new GenericData.Record(schema)
+    rec.put("id", id); rec.put("name", name); rec.put("score", score)
+    val bos = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(bos, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush(); bos.toByteArray
+  }
+
+  test("encode expression produces byte-identical output to the avro library") {
+    import spark.implicits._
+    val df = Seq((1L, "ada", Some(0.5)), (2L, "bob", None))
+      .toDF("id", "name", "score")
+    val got = df.select(AvroFunctions.encode(
+        struct(col("id"), col("name"), col("score")), schemaJson).as("bin"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(got(0).sameElements(libBytes(1L, "ada", 0.5)))
+    assert(got(1).sameElements(libBytes(2L, "bob", null)))
+  }
+
+  test("decode expression reads library-written bytes") {
+    import spark.implicits._
+    val df = Seq(libBytes(7L, "évé", 2.25), libBytes(8L, "x", null)).toDF("bin")
+    val rows = df.select(AvroFunctions.decode(col("bin"), schemaJson).as("r"))
+      .select("r.id", "r.name", "r.score").collect()
+    assert(rows(0).getLong(0) == 7L && rows(0).getString(1) == "évé" && rows(0).getDouble(2) == 2.25)
+    assert(rows(1).getLong(0) == 8L && rows(1).getString(1) == "x" && rows(1).isNullAt(2))
+  }
+
+  test("avro processor: from_json -> to_json roundtrip is the identity") {
+    import spark.implicits._
+    val df = Seq("""{"id":5,"name":"n1","score":1.5}""").toDF("content")
+    val pipe = Processor.compile(Seq(
+      PAvro("from_json", schemaJson, "content"),
+      PAvro("to_json", schemaJson, "content")))
+    val out = pipe(df).select(
+      get_json_object(col("content"), "$.id").as("id"),
+      get_json_object(col("content"), "$.name").as("name"),
+      get_json_object(col("content"), "$.score").as("score")).head()
+    assert(out.getString(0) == "5" && out.getString(1) == "n1" && out.getString(2) == "1.5")
+  }
+
+  test("unsupported schema shapes are rejected at plan time") {
+    intercept[IllegalArgumentException] {
+      AvroSupport.sparkType("""{"type":"record","name":"R","fields":[
+        {"name":"xs","type":{"type":"array","items":"long"}}]}""")
+    }
+  }
+}
