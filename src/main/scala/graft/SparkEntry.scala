@@ -472,6 +472,14 @@ object SparkEntry {
       pipe(t(s, dir, "part")).select("p_partkey", "p_name").orderBy("p_partkey")
     }),
 
+    "q_select_parts" -> ((s, dir) => {
+      // positional selection in seq order (first, sixth, last)
+      val pipe = compile(Seq(PSelectParts(Seq(0, 5, -1))))
+      pipe(t(s, dir, "events").select(col("event_id").as("seq")))
+        .select(col("seq").as("event_id"))
+        .orderBy("event_id")
+    }),
+
     "q_retry" -> ((s, dir) => {
       val children = Seq(
         PMutation("root.vv = this.vv + 200.0"),
@@ -909,6 +917,13 @@ object SparkEntry {
 
     "q_split" ->
       """SELECT p_partkey, p_name FROM part ORDER BY p_partkey""",
+
+    "q_select_parts" ->
+      """WITH o AS (SELECT event_id,
+        |  row_number() OVER (ORDER BY event_id) - 1 AS idx,
+        |  count(*) OVER () AS n FROM events)
+        |SELECT event_id FROM o WHERE idx IN (0, 5) OR idx = n - 1
+        |ORDER BY event_id""".stripMargin,
 
     "q_retry" ->
       """SELECT event_id,

@@ -179,6 +179,9 @@ object PipelineConfig {
       case "retry" =>
         PRetry(parseProcessors(body.get("processors")),
           opt(body, "attempts").map(_.asInt).getOrElse(3))
+      case "select_parts" =>
+        val arr = if (body.isArray) body else body.get("parts")
+        PSelectParts((0 until arr.size).map(arr.get(_).asInt))
       case "avro" =>
         PAvro(body.get("operator").asText,
           { val s = body.get("schema"); if (s.isTextual) s.asText else s.toString },

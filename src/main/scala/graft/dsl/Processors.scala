@@ -99,6 +99,12 @@ object Processor {
     * properties / enum / minimum / maximum / minLength / maxLength,
     * compiled to one check Column; failures set `_error`. */
   final case class PJsonSchema(field: String, schemaJson: String) extends Processor
+  /** positional batch surgery (processor_select_parts.go): keep only
+    * the parts at the given 0-based batch positions (seq order);
+    * negative indices count from the batch end, like the reference.
+    * Expressible since batch ordinals became distributed — r1 marked
+    * this non-survivable. */
+  final case class PSelectParts(indices: Seq[Int]) extends Processor
   /** avro (de)serialization (processor_avro.go) on avro-core, no
     * spark-avro module: operator `from_json` = JSON string field →
     * raw avro binary; `to_json` = avro binary field → JSON string.
@@ -322,6 +328,17 @@ object Processor {
       base.withColumn("_error",
         when(col("_error").isNull && !coalesce(check, lit(false)),
           lit("json_schema violation")).otherwise(col("_error")))
+    }
+
+    case PSelectParts(indices) => df => {
+      require(indices.nonEmpty, "select_parts needs at least one index")
+      val needs = BatchOrdinals.Needs(index = true, size = indices.exists(_ < 0))
+      val d = BatchOrdinals.withOrdinals(df, needs)
+      val conds = indices.map { i =>
+        if (i >= 0) col(BatchOrdinals.IndexCol) === i.toLong
+        else col(BatchOrdinals.IndexCol) === col(BatchOrdinals.SizeCol) + i.toLong
+      }
+      BatchOrdinals.dropOrdinals(d.filter(conds.reduce(_ || _)))
     }
 
     case PAvro(op, schema, field) => df => op match {

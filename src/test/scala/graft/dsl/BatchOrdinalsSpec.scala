@@ -48,6 +48,15 @@ class BatchOrdinalsSpec extends SparkTestBase {
       org.apache.spark.sql.Row(0L, 9L))
   }
 
+  test("select_parts: positional selection incl. negative (from-end) indices") {
+    val df = spark.range(0, 50).toDF("seq")
+      .withColumn("v", concat(lit("p"), col("seq"))).repartition(6)
+    val out = Processor.compile(Seq(PSelectParts(Seq(0, 2, -1))))(df)
+      .select("seq").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 2L, 49L))
+    assert(!Processor.compile(Seq(PSelectParts(Seq(1))))(df).columns.contains("_batch_index"))
+  }
+
   test("bare count() is rejected, not shimmed to something wrong") {
     val df = spark.range(0, 10).toDF("seq")
     val ex = intercept[IllegalArgumentException] {
