@@ -570,6 +570,31 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_input_broker" -> ((s, dir) => {
+      // broker fan-in input (upstream input_broker.go): two file
+      // children — the parquet table and a gzipped-JSONL rendering of
+      // it — merged by a plan-level unionByName; each child keeps its
+      // own scan and codec, no runtime channel
+      val tmp = java.nio.file.Files.createTempDirectory("graft-broker").toString
+      t(s, dir, "events")
+        .select(to_json(struct(col("event_id"), col("event_type"))).as("value"))
+        .coalesce(2).write.mode("overwrite").option("compression", "gzip").text(tmp)
+      val cfg = graft.dsl.PipelineConfig.parse(
+        s"""input:
+           |  broker:
+           |    inputs:
+           |      - file: { path: "$dir/events.parquet", codec: parquet }
+           |      - file: { path: "$tmp", codec: json,
+           |                schema: "event_id BIGINT, event_type STRING" }
+           |pipeline:
+           |  processors:
+           |    - filter: this.event_id >= 0
+           |""".stripMargin)
+      cfg.transform(cfg.input.get.batch(s))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     "q_cache_kv" -> ((s, dir) => {
       // stateful cache resource: set / add (insert-only) / delete
       val root = java.nio.file.Files.createTempDirectory("graft-kv").toString
@@ -622,6 +647,37 @@ object SparkEntry {
     }),
 
     // ---------------- CDC engine end-to-end (rows-only) ---------------
+
+    "q_cdc_replay_events" -> ((s, dir) => {
+      // The flagship path under a value-exact DuckDB oracle: the
+      // driver's `events` table becomes the CDC log (key (user_id,
+      // event_type) → (repo, path), order event_id → seq, ~5%
+      // deterministic deletes), streamed through the REAL engine —
+      // checkpointed multi-batch replay, salted LWW, fenced file-CoW
+      // merge — and the final lake state must equal plain SQL "row
+      // with max seq per key, whose op is an upsert". Winning-delete
+      // tombstones make that invariant to how the log splits into
+      // files/micro-batches.
+      val work = java.nio.file.Files.createTempDirectory("graft-entry-ev")
+      t(s, dir, "events").select(
+          col("event_id").as("seq"),
+          when(pmod(col("event_id"), lit(20L)) === 0L, "delete")
+            .otherwise("upsert").as("op"),
+          format_string("user-%05d", col("user_id")).as("repo"),
+          col("event_type").as("path"),
+          col("event_id").cast("string").as("commit"),
+          lit("json").as("lang"),
+          col("props").as("content"))
+        .repartitionByRange(6, col("seq"))
+        .write.parquet(s"$work/log")
+      val lake = CdcEngine.replayToEnd(s, CdcEngine.ReplayConfig(
+        logDir = s"$work/log", lakeRoot = s"$work/lake",
+        checkpointDir = s"$work/chk", maxFilesPerTrigger = Some(2)))
+      lake.read(s)
+        .select(col("repo"), col("path"), col("commit"),
+          sha2(col("content"), 256).as("content_sha"))
+        .orderBy("repo", "path")
+    }),
 
     "q_cdc_replay" -> ((s, _) =>
       // generator → streaming replay → fenced LWW merge → final state;
@@ -956,6 +1012,26 @@ object SparkEntry {
 
     "q_file_lines" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+
+    "q_input_broker" ->
+      """SELECT event_type, 2 * count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cdc_replay_events" ->
+      """WITH log AS (
+        |  SELECT event_id AS seq,
+        |         CASE WHEN event_id % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |         printf('user-%05d', user_id) AS repo,
+        |         event_type AS path,
+        |         CAST(event_id AS VARCHAR) AS "commit",
+        |         props AS content
+        |  FROM events),
+        |last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT repo, path, "commit", sha256(content) AS content_sha
+        |FROM last WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY repo, path""".stripMargin,
 
     "q_cache_kv" ->
       """SELECT key, value FROM (

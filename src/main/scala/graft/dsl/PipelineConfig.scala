@@ -52,6 +52,34 @@ object PipelineConfig {
     def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
       throw new IllegalArgumentException("sql_select is a bounded input; use batch()")
   }
+  /** `generate:` input (upstream input_generate.go): the seeded,
+    * wall-clock-free generator — every column a pure function of
+    * (seed, seq), so the same config always yields the same frame.
+    * Bounded by `count`, like upstream's `count` field.
+    */
+  final case class GenerateIn(seed: Long, count: Long,
+                              repos: Int, pathsPerRepo: Int) extends Input {
+    private def cfg = graft.gen.EventLogGen.GenConfig(
+      seed = seed, events = count, repos = repos, pathsPerRepo = pathsPerRepo)
+    def batch(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      graft.gen.EventLogGen.events(spark, cfg, 0L, count)
+    def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      throw new IllegalArgumentException(
+        "generate is bounded (count); use batch(), or writeLog + a file input to stream it")
+  }
+  /** `broker:` fan-in (upstream input_broker.go): N child inputs
+    * merged into one frame. Spark-first this is a plan-level union —
+    * each child keeps its own scan (own pushdown/codec), no runtime
+    * channel; `allowMissingColumns` mirrors upstream's schema-less
+    * tolerance of heterogeneous children.
+    */
+  final case class BrokerIn(inputs: Seq[Input]) extends Input {
+    require(inputs.nonEmpty, "broker input needs at least one child")
+    def batch(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      inputs.map(_.batch(spark)).reduce(_.unionByName(_, allowMissingColumns = true))
+    def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      inputs.map(_.stream(spark)).reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   final case class Pipeline(processors: Seq[Processor],
                             sink: Option[graft.sinks.Sink] = None,
@@ -84,6 +112,15 @@ object PipelineConfig {
         body.get("url").asText,
         body.get("query").asText,
         opt(body, "driver").map(_.asText).getOrElse("org.duckdb.DuckDBDriver"))
+      case "generate" => GenerateIn(
+        opt(body, "seed").map(_.asLong).getOrElse(42L),
+        opt(body, "count").map(_.asLong).getOrElse(1000L),
+        opt(body, "repos").map(_.asInt).getOrElse(20),
+        opt(body, "paths_per_repo").map(_.asInt).getOrElse(200))
+      case "broker" =>
+        val ins = body.get("inputs")
+        require(ins != null && ins.isArray, "broker input needs an `inputs` list")
+        BrokerIn((0 until ins.size).map(i => parseInput(ins.get(i))))
       case other => throw new IllegalArgumentException(s"unknown input: $other")
     }
   }

@@ -136,4 +136,48 @@ class InputsSpec extends SparkTestBase {
     }
     Sink.DropOn(alwaysFail).write(batch, 0L) // must not throw
   }
+
+  test("generate input: YAML-configured, deterministic, bounded") {
+    import graft.dsl.PipelineConfig
+    val yaml =
+      """input:
+        |  generate: { seed: 9, count: 500, repos: 5, paths_per_repo: 10 }
+        |pipeline:
+        |  processors:
+        |    - noop: {}
+        |""".stripMargin
+    val a = PipelineConfig.parse(yaml).input.get.batch(spark)
+    val b = PipelineConfig.parse(yaml).input.get.batch(spark)
+    assert(a.count() == 500)
+    assert(a.columns.toSeq ==
+      Seq("seq", "op", "repo", "path", "commit", "lang", "content"))
+    // same seed => byte-identical frames
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.select("repo").distinct().count() <= 5)
+  }
+
+  test("broker fan-in input: heterogeneous children union by name") {
+    import graft.dsl.PipelineConfig
+    import spark.implicits._
+    val d1 = tmpDir("brk-pq"); val d2 = tmpDir("brk-csv")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag").write.mode("overwrite").parquet(d1)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d2, "part.csv"), "3,x\n") // schema-given csv is headerless
+    val cfg = PipelineConfig.parse(
+      s"""input:
+         |  broker:
+         |    inputs:
+         |      - file: { path: "$d1", codec: parquet }
+         |      - file: { path: "$d2", codec: csv, schema: "id BIGINT, extra STRING" }
+         |pipeline:
+         |  processors:
+         |    - noop: {}
+         |""".stripMargin)
+    val df = cfg.input.get.batch(spark)
+    // union-by-name with missing columns null-filled, all children present
+    assert(df.columns.sorted.toSeq == Seq("extra", "id", "tag"))
+    assert(df.count() == 3)
+    assert(df.filter(col("extra") === "x").count() == 1)
+    assert(df.filter(col("tag").isNull).count() == 1)
+  }
 }
