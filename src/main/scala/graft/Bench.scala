@@ -31,10 +31,15 @@ object Bench {
     s
   }
 
-  /** Events for the replay headline, scaled with the sf of the dir. */
+  /** Events for the replay headline, scaled with the sf of the dir.
+    * sf0.1 -> 4M: large enough that per-micro-batch fixed cost
+    * (plan + snapshot commit, ~3-5s/batch) amortizes below 10% and
+    * the number reflects the engine, not the batching tax; still 4
+    * checkpointed micro-batches (256 files / 64-file triggers).
+    */
   def replayEvents(sfDir: String): Long = {
     val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.01)
-    math.max(20000L, (sf * 10000000L).toLong) // sf0.1 -> 1M events
+    math.max(20000L, (sf * 40000000L).toLong) // sf0.1 -> 4M events
   }
 
   def sink(df: DataFrame): Unit =
@@ -115,7 +120,12 @@ object Bench {
     // measures C2 compilation + page-cache misses, not the engine —
     // same protocol as ScalingBench (BASELINE.md)
     replayBench(spark, math.max(events / 8, 20000L), s"$work/warm")
-    val (replaySec, eps) = replayBench(spark, events, work)
+    // min-of-2 like the queries: this VM shows sporadic 2-4x host-level
+    // noise (measured: identical 1M replays 37.4s vs 89.5s minutes
+    // apart) and a single sample can triple the headline
+    val (replaySec, eps) = Seq(
+      replayBench(spark, events, work),
+      replayBench(spark, events, work, reuseLog = true)).minBy(_._1)
 
     // min-of-2 per query: this sandbox VM shows sporadic 2-4x
     // host-level noise, and the first run additionally pays JIT

@@ -163,6 +163,14 @@ object ExprCompiler {
       hofMethod(compile(t, ctx), name, args, ctx)
     case MethodCall(t, "apply", Seq(StrLit(mapName))) =>
       applyNamedMap(compile(t, ctx), mapName, ctx)
+    // peephole: `.re_find_all(p).size()` fuses to the native match
+    // counter — same non-overlapping match count (incl. null → null)
+    // without materializing the match array. NOT Spark's
+    // `regexp_count`: that is RuntimeReplaceable sugar the optimizer
+    // inlines right back into size(regexp_extract_all(...)).
+    case MethodCall(MethodCall(t, "re_find_all", Seq(StrLit(p))), "size", Seq()) =>
+      val tc = compile(t, ctx)
+      CVal(graft.functions.RegexExpressions.regexpCount(tc.col, lit(p)), tc.deleted)
     case MethodCall(t, name, args) => method(compile(t, ctx), name, args, ctx)
   }
 

@@ -116,8 +116,15 @@ object Processor {
   /** Static-unroll bound for PWhile (see its compile case). */
   val MaxWhileIters = 12
 
-  def compile(ps: Seq[Processor]): DataFrame => DataFrame =
-    ps.map(compileOne).foldLeft(identity[DataFrame] _)(_ andThen _)
+  def compile(ps: Seq[Processor]): DataFrame => DataFrame = {
+    val chain = ps.map(compileOne).foldLeft(identity[DataFrame] _)(_ andThen _)
+    df => {
+      // session-level one-time setup: the filter/projection CSE rule
+      // (see ReclaimExpensiveFilter) rides with every compiled pipeline
+      graft.plans.GraftOptimizer.install(df.sparkSession)
+      chain(df)
+    }
+  }
 
   def compileOne(p: Processor): DataFrame => DataFrame = p match {
     case PMapping(src) => MappingCompiler.compileMapping(src, startFromThis = false)
@@ -127,6 +134,11 @@ object Processor {
     case PFilter(check) => df => {
       val ast = Parser.parseExpr(check)
       val d = BatchOrdinals.withOrdinals(df, BatchOrdinals.needsExpr(ast))
+      // NB: when this predicate reads a column computed by a previous
+      // processor, Catalyst's pushdown clones the defining expression
+      // into the pushed filter; ReclaimExpensiveFilter (installed by
+      // Processor.compile) hoists the expensive cases back above the
+      // projection so regex/hash/json work is evaluated once per row.
       BatchOrdinals.dropOrdinals(
         d.filter(ExprCompiler.compile(ast, Ctx.of(d)).col))
     }

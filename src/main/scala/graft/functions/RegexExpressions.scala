@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.commons.text.StringEscapeUtils
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native regex match counter (the hot expression of the standard CDC
+  * pipeline's `re_find_all(pat).size()` token count).
+  *
+  * Spark's own `regexp_count` is `RuntimeReplaceable` sugar for
+  * `size(regexp_extract_all(...))`: the optimizer inlines the
+  * replacement, so every counted token still allocates a group-0
+  * UTF8String into an array that is immediately reduced to its
+  * length. This expression runs the same `java.util.regex` matcher
+  * loop but only increments a counter — identical count semantics
+  * (non-overlapping `find()` matches, null in → null out), no
+  * per-match allocation.
+  *
+  * Codegen mirrors Spark's `StringRegexExpression`: a foldable
+  * pattern compiles once into class state; whole-stage codegen stays
+  * intact (this is a real `doGenCode`, not a fallback).
+  */
+case class RegexpCountFast(subject: Expression, regexp: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = subject
+  override def right: Expression = regexp
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_regexp_count"
+
+  @transient private lazy val foldablePattern: java.util.regex.Pattern =
+    if (regexp.foldable && regexp.eval() != null)
+      java.util.regex.Pattern.compile(regexp.eval().toString)
+    else null
+
+  override protected def nullSafeEval(subj: Any, pat: Any): Any = {
+    val p =
+      if (foldablePattern != null) foldablePattern
+      else java.util.regex.Pattern.compile(pat.asInstanceOf[UTF8String].toString)
+    val m = p.matcher(subj.asInstanceOf[UTF8String].toString)
+    var c = 0
+    while (m.find()) c += 1
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (regexp.foldable && regexp.eval() != null) {
+      val patStr = StringEscapeUtils.escapeJava(regexp.eval().toString)
+      val patRef = ctx.addMutableState("java.util.regex.Pattern", "graftRcfPattern",
+        v => s"""$v = java.util.regex.Pattern.compile("$patStr");""")
+      nullSafeCodeGen(ctx, ev, (subj, _) =>
+        s"""
+           |java.util.regex.Matcher graftRcfM = $patRef.matcher($subj.toString());
+           |int graftRcfC = 0;
+           |while (graftRcfM.find()) { graftRcfC++; }
+           |${ev.value} = graftRcfC;
+         """.stripMargin)
+    } else {
+      nullSafeCodeGen(ctx, ev, (subj, pat) =>
+        s"""
+           |java.util.regex.Matcher graftRcfM =
+           |  java.util.regex.Pattern.compile($pat.toString()).matcher($subj.toString());
+           |int graftRcfC = 0;
+           |while (graftRcfM.find()) { graftRcfC++; }
+           |${ev.value} = graftRcfC;
+         """.stripMargin)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RegexpCountFast =
+    copy(subject = newLeft, regexp = newRight)
+}
+
+object RegexExpressions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_regexp_count",
+      (es: Seq[Expression]) => RegexpCountFast(es(0), es(1)), "built-in")
+  }
+
+  def regexpCount(subject: Column, pattern: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_regexp_count", subject, pattern)
+  }
+}

@@ -103,4 +103,49 @@ class PlanSpec extends SparkTestBase {
     val got = lake.readRepos(spark, Seq(repo)).select("repo").distinct().collect().map(_.getString(0))
     assert(got.toSeq == Seq(repo))
   }
+
+  test("expensive filter predicate is hoisted above the projection, not cloned into it") {
+    // Catalyst's pushdown substitutes projected aliases into the
+    // predicate (regex evaluated twice per row); ReclaimExpensiveFilter
+    // must hoist it back so the regex appears exactly once in the plan
+    val work = tmpDir("hoist") + "/p"
+    spark.range(64).selectExpr("concat('w ', id) as content", "'X' as lang")
+      .write.parquet(work)
+    val pipe = graft.dsl.PipelineConfig.parse(Bench.standardPipelineYaml).transform
+    val out = pipe(spark.read.parquet(work))
+    val opt = out.queryExecution.optimizedPlan.toString
+    val regexCount = "graft_regexp_count|regexp_extract_all".r.findAllIn(opt).size
+    assert(regexCount == 1, s"regex must be evaluated once, plan:\n$opt")
+    // the filter sits ABOVE the project, reading the alias
+    val lines = opt.linesIterator.toSeq
+    val fi = lines.indexWhere(_.contains("Filter"))
+    val pi = lines.indexWhere(_.contains("Project"))
+    assert(fi >= 0 && pi >= 0 && fi < pi, s"Filter must be above Project:\n$opt")
+    // cheap predicates keep pushing into the scan (rule must not
+    // blanket-block pushdown)
+    val cheap = graft.dsl.Processor.compile(Seq(
+      graft.dsl.Processor.PFilter("this.lang == \"X\"")))(spark.read.parquet(work))
+    assert(plan(cheap).contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,X)]"),
+      plan(cheap).linesIterator.filter(_.contains("FileScan")).mkString)
+  }
+
+  test("native regexp count matches size(re_find_all) incl. edge cases") {
+    import spark.implicits._
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    val rows = Seq("", "   ", "abc", "a1!b2?", "héllo wörld 42", "\ttabs\nnewlines",
+      "!!!", "mixed 12ab34 ** xx", null).toDF("s")
+    val diffs = rows.select(
+        size(regexp_extract_all(col("s"), lit(pat), lit(0))).as("a"),
+        graft.functions.RegexExpressions.regexpCount(col("s"), lit(pat)).as("b"))
+      .filter(!(col("a") <=> col("b")) &&
+        // size(null)=-1 vs count(null)=null is the one allowed delta
+        !(col("a") === -1 && col("b").isNull))
+      .count()
+    assert(diffs == 0)
+    // null propagates as null (regexp_count semantics)
+    val nullOut = rows.filter(col("s").isNull)
+      .select(graft.functions.RegexExpressions.regexpCount(col("s"), lit(pat)))
+      .head().isNullAt(0)
+    assert(nullOut)
+  }
 }
