@@ -69,6 +69,54 @@ object SparkEntry {
       .orderBy("repo", "path")
   }
 
+  /** The driver's `events` table rendered as a deterministic CDC log:
+    * six parquet files named in replay order, file i holding events
+    * with `event_id % 6 == i` — so with maxFilesPerTrigger=2 the
+    * file→micro-batch mapping is pinned (batch k = files 2k, 2k+1)
+    * and per-version oracles (time travel) are SQL-expressible.
+    */
+  private def eventsCdcLog(s: SparkSession, dir: String, logDir: String): Unit = {
+    val log = t(s, dir, "events").select(
+      col("event_id").as("seq"),
+      when(pmod(col("event_id"), lit(20L)) === 0L, "delete")
+        .otherwise("upsert").as("op"),
+      format_string("user-%05d", col("user_id")).as("repo"),
+      col("event_type").as("path"),
+      col("event_id").cast("string").as("commit"),
+      lit("json").as("lang"),
+      col("props").as("content"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evlog")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+    (0 until 6).foreach { i =>
+      val part = s"$tmp/f$i"
+      log.filter(pmod(col("seq"), lit(6L)) === i.toLong)
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val file = java.nio.file.Files.list(java.nio.file.Paths.get(part))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(file,
+        java.nio.file.Paths.get(logDir, f"evt-$i%04d.parquet"))
+    }
+  }
+
+  /** Replay the events-derived CDC log through the streaming engine;
+    * returns the lake and its pre-replay snapshot version (version
+    * +k = state after micro-batch k).
+    */
+  private def eventsCdcReplay(s: SparkSession, dir: String): (graft.lake.LakeTable, Long) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-entry-ev")
+    eventsCdcLog(s, dir, s"$work/log")
+    val lake = CdcEngine.replayToEnd(s, CdcEngine.ReplayConfig(
+      logDir = s"$work/log", lakeRoot = s"$work/lake",
+      checkpointDir = s"$work/chk", maxFilesPerTrigger = Some(2)))
+    val base = lake.currentVersion() - 3 // 3 committed micro-batches
+    (lake, base)
+  }
+
+  private def cdcStateDump(s: SparkSession, state: DataFrame): DataFrame =
+    state.select(col("repo"), col("path"), col("commit"),
+        sha2(col("content"), 256).as("content_sha"))
+      .orderBy("repo", "path")
+
   // ====================================================================
   // queries
   // ====================================================================
@@ -658,25 +706,27 @@ object SparkEntry {
       // with max seq per key, whose op is an upsert". Winning-delete
       // tombstones make that invariant to how the log splits into
       // files/micro-batches.
-      val work = java.nio.file.Files.createTempDirectory("graft-entry-ev")
-      t(s, dir, "events").select(
-          col("event_id").as("seq"),
-          when(pmod(col("event_id"), lit(20L)) === 0L, "delete")
-            .otherwise("upsert").as("op"),
-          format_string("user-%05d", col("user_id")).as("repo"),
-          col("event_type").as("path"),
-          col("event_id").cast("string").as("commit"),
-          lit("json").as("lang"),
-          col("props").as("content"))
-        .repartitionByRange(6, col("seq"))
-        .write.parquet(s"$work/log")
-      val lake = CdcEngine.replayToEnd(s, CdcEngine.ReplayConfig(
-        logDir = s"$work/log", lakeRoot = s"$work/lake",
-        checkpointDir = s"$work/chk", maxFilesPerTrigger = Some(2)))
-      lake.read(s)
-        .select(col("repo"), col("path"), col("commit"),
-          sha2(col("content"), 256).as("content_sha"))
-        .orderBy("repo", "path")
+      val (lake, _) = eventsCdcReplay(s, dir)
+      cdcStateDump(s, lake.read(s))
+    }),
+
+    "q_time_travel" -> ((s, dir) => {
+      // snapshot-chain time travel: read the table AS OF the version
+      // committed by the FIRST micro-batch (files evt-0000/evt-0001 =
+      // events with event_id % 6 in (0,1) — the log writer pins the
+      // file->batch mapping, see eventsCdcLog). Oracle = plain LWW SQL
+      // over exactly that event subset.
+      val (lake, v0) = eventsCdcReplay(s, dir)
+      cdcStateDump(s, lake.readVersion(s, v0 + 1))
+    }),
+
+    "q_cdc_compacted" -> ((s, dir) => {
+      // OPTIMIZE must be invisible to readers: compact every bucket
+      // down to one clustered file, then the table must still equal
+      // the same LWW oracle as q_cdc_replay_events (same SQL).
+      val (lake, _) = eventsCdcReplay(s, dir)
+      lake.compact(s, maxFilesPerBucket = 1)
+      cdcStateDump(s, lake.read(s))
     }),
 
     "q_cdc_replay" -> ((s, _) =>
@@ -691,6 +741,26 @@ object SparkEntry {
   // ====================================================================
   // oracle SQL (DuckDB dialect) — keys must mirror `queries`
   // ====================================================================
+
+  /** Shared LWW-replay oracle (DuckDB): final state = per (repo,path)
+    * the max-seq event, kept iff it is an upsert — over an optional
+    * event subset (`filterSql`) for per-version time travel.
+    */
+  private def cdcLwwOracle(filterSql: String): String =
+    s"""WITH log AS (
+       |  SELECT event_id AS seq,
+       |         CASE WHEN event_id % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+       |         printf('user-%05d', user_id) AS repo,
+       |         event_type AS path,
+       |         CAST(event_id AS VARCHAR) AS "commit",
+       |         props AS content
+       |  FROM events $filterSql),
+       |last AS (
+       |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+       |  FROM log)
+       |SELECT repo, path, "commit", sha256(content) AS content_sha
+       |FROM last WHERE rn = 1 AND op = 'upsert'
+       |ORDER BY repo, path""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1017,21 +1087,11 @@ object SparkEntry {
       """SELECT event_type, 2 * count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "q_cdc_replay_events" ->
-      """WITH log AS (
-        |  SELECT event_id AS seq,
-        |         CASE WHEN event_id % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op,
-        |         printf('user-%05d', user_id) AS repo,
-        |         event_type AS path,
-        |         CAST(event_id AS VARCHAR) AS "commit",
-        |         props AS content
-        |  FROM events),
-        |last AS (
-        |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
-        |  FROM log)
-        |SELECT repo, path, "commit", sha256(content) AS content_sha
-        |FROM last WHERE rn = 1 AND op = 'upsert'
-        |ORDER BY repo, path""".stripMargin,
+    "q_cdc_replay_events" -> cdcLwwOracle(""),
+
+    "q_cdc_compacted" -> cdcLwwOracle(""),
+
+    "q_time_travel" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
 
     "q_cache_kv" ->
       """SELECT key, value FROM (
