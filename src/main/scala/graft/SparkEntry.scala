@@ -75,7 +75,8 @@ object SparkEntry {
     * file→micro-batch mapping is pinned (batch k = files 2k, 2k+1)
     * and per-version oracles (time travel) are SQL-expressible.
     */
-  private def eventsCdcLog(s: SparkSession, dir: String, logDir: String): Unit = {
+  private def eventsCdcLog(s: SparkSession, dir: String, logDir: String,
+                           evolveAt: Int = Int.MaxValue): Unit = {
     val log = t(s, dir, "events").select(
       col("event_id").as("seq"),
       when(pmod(col("event_id"), lit(20L)) === 0L, "delete")
@@ -89,8 +90,14 @@ object SparkEntry {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
     (0 until 6).foreach { i =>
       val part = s"$tmp/f$i"
-      log.filter(pmod(col("seq"), lit(6L)) === i.toLong)
-        .coalesce(1).write.mode("overwrite").parquet(part)
+      val slice = log.filter(pmod(col("seq"), lit(6L)) === i.toLong)
+      // schema evolution: files >= evolveAt carry an extra column the
+      // earlier files lack — the engine must evolve and null-backfill
+      val withSchema =
+        if (i >= evolveAt)
+          slice.withColumn("size_bytes", length(col("content")).cast("long"))
+        else slice
+      withSchema.coalesce(1).write.mode("overwrite").parquet(part)
       val file = java.nio.file.Files.list(java.nio.file.Paths.get(part))
         .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
       java.nio.file.Files.move(file,
@@ -720,6 +727,58 @@ object SparkEntry {
       cdcStateDump(s, lake.readVersion(s, v0 + 1))
     }),
 
+    "q_cdc_resume" -> ((s, dir) => {
+      // exactly-once resume: the first engine run sees only the log's
+      // first 4 files (2 checkpointed micro-batches) and stops; the
+      // remaining files then arrive and a SECOND run resumes from the
+      // same checkpoint. Batch-id fencing + checkpoint offsets must
+      // make the two-run state equal the one-shot LWW oracle exactly.
+      val work = java.nio.file.Files.createTempDirectory("graft-entry-res")
+      eventsCdcLog(s, dir, s"$work/stage")
+      val log = java.nio.file.Paths.get(s"$work/log")
+      java.nio.file.Files.createDirectories(log)
+      def arrive(i: Int): Unit = java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$work/stage", f"evt-$i%04d.parquet"),
+        log.resolve(f"evt-$i%04d.parquet"))
+      (0 until 4).foreach(arrive)
+      val cfg = CdcEngine.ReplayConfig(
+        logDir = log.toString, lakeRoot = s"$work/lake",
+        checkpointDir = s"$work/chk", maxFilesPerTrigger = Some(2))
+      CdcEngine.replayToEnd(s, cfg)
+      (4 until 6).foreach(arrive)
+      val lake = CdcEngine.replayToEnd(s, cfg)
+      cdcStateDump(s, lake.read(s))
+    }),
+
+    "q_schema_evolution" -> ((s, dir) => {
+      // REAL mid-replay schema evolution: the first engine run ingests
+      // files 0/1 under the v0 read schema (no size_bytes) — the lake
+      // is created with v0. Files 2..5 then arrive carrying the new
+      // column and a second run resumes from the same checkpoint with
+      // the widened read schema: the merge's evolve() adds the column,
+      // pre-evolution winners surface NULL, and every value must still
+      // match the SQL oracle exactly.
+      val work = java.nio.file.Files.createTempDirectory("graft-entry-evo")
+      eventsCdcLog(s, dir, s"$work/stage", evolveAt = 2)
+      val log = java.nio.file.Paths.get(s"$work/log")
+      java.nio.file.Files.createDirectories(log)
+      def arrive(i: Int): Unit = java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$work/stage", f"evt-$i%04d.parquet"),
+        log.resolve(f"evt-$i%04d.parquet"))
+      (0 until 2).foreach(arrive)
+      val cfg = CdcEngine.ReplayConfig(
+        logDir = log.toString, lakeRoot = s"$work/lake",
+        checkpointDir = s"$work/chk", maxFilesPerTrigger = Some(2),
+        schema = graft.model.Model.eventSchemaV0)
+      CdcEngine.replayToEnd(s, cfg)
+      (2 until 6).foreach(arrive)
+      val lake = CdcEngine.replayToEnd(s,
+        cfg.copy(schema = graft.model.Model.eventSchemaWidest))
+      lake.read(s).select(col("repo"), col("path"), col("commit"),
+          sha2(col("content"), 256).as("content_sha"), col("size_bytes"))
+        .orderBy("repo", "path")
+    }),
+
     "q_cdc_compacted" -> ((s, dir) => {
       // OPTIMIZE must be invisible to readers: compact every bucket
       // down to one clustered file, then the table must still equal
@@ -1091,7 +1150,26 @@ object SparkEntry {
 
     "q_cdc_compacted" -> cdcLwwOracle(""),
 
+    "q_cdc_resume" -> cdcLwwOracle(""),
+
     "q_time_travel" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
+
+    "q_schema_evolution" ->
+      """WITH log AS (
+        |  SELECT event_id AS seq,
+        |         CASE WHEN event_id % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |         printf('user-%05d', user_id) AS repo,
+        |         event_type AS path,
+        |         CAST(event_id AS VARCHAR) AS "commit",
+        |         props AS content
+        |  FROM events),
+        |last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT repo, path, "commit", sha256(content) AS content_sha,
+        |       CASE WHEN seq % 6 >= 2 THEN CAST(length(content) AS BIGINT) END AS size_bytes
+        |FROM last WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY repo, path""".stripMargin,
 
     "q_cache_kv" ->
       """SELECT key, value FROM (
