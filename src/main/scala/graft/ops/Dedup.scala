@@ -102,7 +102,7 @@ object Dedup {
                     cfg: MinHashConfig): DataFrame = {
     val sh = if (cfg.charShingles) charShingles(col(textCol), cfg.shingleSize)
              else wordShingles(col(textCol), cfg.shingleSize)
-    df.select(col(idCol).as("id"), sh.as("shingles"))
+    spread(df).select(col(idCol).as("id"), sh.as("shingles"))
       .withColumn("sig", minHashSignature(col("shingles"), cfg))
   }
 
@@ -188,7 +188,7 @@ object Dedup {
       shiftright(sim, offsets(i)).bitwiseAND(
         lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
     val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
-    val sigs = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("simhash"))
+    val sigs = spread(df).select(col(idCol).as("id"), simHash64(col(textCol)).as("simhash"))
     val keyed = sigs.select(col("id"), col("simhash"),
       posexplode(array(combos.map { c =>
         xxhash64(c.map(i => blockVal(col("simhash"), i)): _*)

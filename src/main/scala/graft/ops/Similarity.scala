@@ -53,7 +53,7 @@ object Similarity {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
@@ -101,7 +101,7 @@ object Similarity {
     val sigCols = (0 until tables).map { t =>
       lshSignature(col(vecCol), hyperplanes(numPlanes, d, seed + t)).as(s"sig_$t")
     }
-    val sigs = df.select((col(idCol).as("id") +: col(vecCol).as("v") +: sigCols): _*)
+    val sigs = spread(df).select((col(idCol).as("id") +: col(vecCol).as("v") +: sigCols): _*)
     val buckets = sigs.select(col("id"), col("v"),
       posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
         .as(Seq("table_idx", "sig")))

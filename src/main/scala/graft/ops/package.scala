@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+package object ops {
+  /** Compute-heavy per-row operators (minhash/simhash signatures,
+    * shingling) must not inherit SCAN parallelism: a small parquet
+    * input is one partition, so a 5000-doc corpus would compute 64
+    * hash passes per doc on a single core while 31 idle (measured:
+    * signatures 5.6 s -> sub-second at local[32]). Spread to the
+    * session's default parallelism when the input has fewer
+    * partitions; a no-op at real scale, where inputs already carry
+    * more partitions than cores and the shuffle would be pure cost.
+    */
+  private[ops] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}
