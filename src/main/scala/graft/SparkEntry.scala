@@ -359,18 +359,19 @@ object SparkEntry {
     // ---------------- training-data ops: text analysis ----------------
 
     "q_langid" -> ((s, dir) =>
-      t(s, dir, "documents")
+      // per-row regex ratios: spread past the single-file scan partition
+      graft.ops.spread(t(s, dir, "documents"))
         .select(col("doc_id") +: TextOps.langId(col("text")).as("lang_pred") +:
           TextOps.langScores(col("text")): _*)
         .orderBy("doc_id")),
 
     "q_quality" -> ((s, dir) =>
-      t(s, dir, "documents")
+      graft.ops.spread(t(s, dir, "documents"))
         .select(col("doc_id") +: TextOps.qualityFeatures(col("text")): _*)
         .orderBy("doc_id")),
 
     "q_tokcount" -> ((s, dir) =>
-      t(s, dir, "documents")
+      graft.ops.spread(t(s, dir, "documents"))
         .groupBy("source")
         .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("ws_tokens"),
           sum(TextOps.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"),
@@ -725,6 +726,24 @@ object SparkEntry {
       // over exactly that event subset.
       val (lake, v0) = eventsCdcReplay(s, dir)
       cdcStateDump(s, lake.readVersion(s, v0 + 1))
+    }),
+
+    "q_metrics" -> ((s, dir) => {
+      // the replay's per-batch metrics table, value-exact: with the
+      // pinned file->batch mapping, batch k ingests events with
+      // event_id % 6 in {2k, 2k+1}, so rowsIn / rowsUpserted /
+      // rowsDeleted (post-LWW winners per op) are plain SQL aggregates
+      val work = java.nio.file.Files.createTempDirectory("graft-entry-met")
+      eventsCdcLog(s, dir, s"$work/log")
+      CdcEngine.replayToEnd(s, CdcEngine.ReplayConfig(
+        logDir = s"$work/log", lakeRoot = s"$work/lake",
+        checkpointDir = s"$work/chk", maxFilesPerTrigger = Some(2),
+        metricsDir = Some(s"$work/m")))
+      s.read.parquet(s"$work/m/metrics")
+        .select(col("batchId").as("batch_id"), col("rowsIn").as("rows_in"),
+          col("rowsUpserted").as("rows_upserted"),
+          col("rowsDeleted").as("rows_deleted"))
+        .orderBy("batch_id")
     }),
 
     "q_cdc_resume" -> ((s, dir) => {
@@ -1151,6 +1170,25 @@ object SparkEntry {
     "q_cdc_compacted" -> cdcLwwOracle(""),
 
     "q_cdc_resume" -> cdcLwwOracle(""),
+
+    "q_metrics" ->
+      """WITH log AS (
+        |  SELECT event_id AS seq,
+        |         CASE WHEN event_id % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |         printf('user-%05d', user_id) AS repo,
+        |         event_type AS path,
+        |         CAST(floor((event_id % 6) / 2) AS BIGINT) AS batch_id
+        |  FROM events),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY batch_id, repo, path ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT batch_id, b.rows_in, w2.rows_upserted, w2.rows_deleted
+        |FROM (SELECT batch_id, count(*) AS rows_in FROM log GROUP BY batch_id) b
+        |JOIN (SELECT batch_id,
+        |             count(*) FILTER (WHERE op = 'upsert') AS rows_upserted,
+        |             count(*) FILTER (WHERE op = 'delete') AS rows_deleted
+        |      FROM w WHERE rn = 1 GROUP BY batch_id) w2 USING (batch_id)
+        |ORDER BY batch_id""".stripMargin,
 
     "q_time_travel" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
 

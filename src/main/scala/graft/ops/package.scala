@@ -12,7 +12,7 @@ package object ops {
     * partitions; a no-op at real scale, where inputs already carry
     * more partitions than cores and the shuffle would be pure cost.
     */
-  private[ops] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
