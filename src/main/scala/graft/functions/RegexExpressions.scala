@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.commons.text.StringEscapeUtils
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -11,18 +10,28 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native regex match counter (the hot expression of the standard CDC
   * pipeline's `re_find_all(pat).size()` token count).
   *
-  * Spark's own `regexp_count` is `RuntimeReplaceable` sugar for
-  * `size(regexp_extract_all(...))`: the optimizer inlines the
-  * replacement, so every counted token still allocates a group-0
-  * UTF8String into an array that is immediately reduced to its
-  * length. This expression runs the same `java.util.regex` matcher
-  * loop but only increments a counter — identical count semantics
-  * (non-overlapping `find()` matches, null in → null out), no
-  * per-match allocation.
+  * Two layers beat the built-in path:
   *
-  * Codegen mirrors Spark's `StringRegexExpression`: a foldable
-  * pattern compiles once into class state; whole-stage codegen stays
-  * intact (this is a real `doGenCode`, not a fallback).
+  *  1. Spark's own `regexp_count` is `RuntimeReplaceable` sugar for
+  *     `size(regexp_extract_all(...))` — the optimizer inlines the
+  *     replacement, so every counted token allocates a group-0
+  *     UTF8String into an array that is immediately reduced to its
+  *     length. This expression only increments a counter.
+  *  2. Tokenizer-shaped patterns — an ordered alternation of
+  *     character classes, e.g. `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` —
+  *     need no regex engine at all: with nothing following the
+  *     alternation there is no backtracking, so leftmost-first
+  *     alternative choice + greedy `+` is a single linear scan.
+  *     [[TokenCounter.analyze]] recognizes exactly that grammar
+  *     (conservatively — anything unrecognized falls back to
+  *     `java.util.regex`) and runs a table-driven scan, matching
+  *     Java's code-point semantics incl. surrogate pairs.
+  *
+  * Codegen embeds the compiled counter as a reference object — one
+  * interface call per row inside whole-stage codegen, zero per-row
+  * allocation. Count semantics are identical to
+  * `size(regexp_extract_all(s, p, 0))` on non-null input (verified by
+  * a ScalaCheck equivalence spec); null in → null out.
   */
 case class RegexpCountFast(subject: Expression, regexp: Expression)
     extends BinaryExpression {
@@ -32,48 +41,192 @@ case class RegexpCountFast(subject: Expression, regexp: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_regexp_count"
 
-  @transient private lazy val foldablePattern: java.util.regex.Pattern =
+  @transient private lazy val foldedCounter: TokenCounter.Counter =
     if (regexp.foldable && regexp.eval() != null)
-      java.util.regex.Pattern.compile(regexp.eval().toString)
+      TokenCounter.compile(regexp.eval().toString)
     else null
 
   override protected def nullSafeEval(subj: Any, pat: Any): Any = {
-    val p =
-      if (foldablePattern != null) foldablePattern
-      else java.util.regex.Pattern.compile(pat.asInstanceOf[UTF8String].toString)
-    val m = p.matcher(subj.asInstanceOf[UTF8String].toString)
-    var c = 0
-    while (m.find()) c += 1
-    c
+    val c =
+      if (foldedCounter != null) foldedCounter
+      else TokenCounter.compile(pat.asInstanceOf[UTF8String].toString)
+    c.count(subj.asInstanceOf[UTF8String].toString)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     if (regexp.foldable && regexp.eval() != null) {
-      val patStr = StringEscapeUtils.escapeJava(regexp.eval().toString)
-      val patRef = ctx.addMutableState("java.util.regex.Pattern", "graftRcfPattern",
-        v => s"""$v = java.util.regex.Pattern.compile("$patStr");""")
+      val ref = ctx.addReferenceObj("graftCounter", foldedCounter,
+        classOf[TokenCounter.Counter].getName)
       nullSafeCodeGen(ctx, ev, (subj, _) =>
-        s"""
-           |java.util.regex.Matcher graftRcfM = $patRef.matcher($subj.toString());
-           |int graftRcfC = 0;
-           |while (graftRcfM.find()) { graftRcfC++; }
-           |${ev.value} = graftRcfC;
-         """.stripMargin)
+        s"${ev.value} = $ref.count($subj.toString());")
     } else {
+      val cls = TokenCounter.getClass.getName.stripSuffix("$") + "$.MODULE$"
       nullSafeCodeGen(ctx, ev, (subj, pat) =>
-        s"""
-           |java.util.regex.Matcher graftRcfM =
-           |  java.util.regex.Pattern.compile($pat.toString()).matcher($subj.toString());
-           |int graftRcfC = 0;
-           |while (graftRcfM.find()) { graftRcfC++; }
-           |${ev.value} = graftRcfC;
-         """.stripMargin)
+        s"${ev.value} = $cls.compile($pat.toString()).count($subj.toString());")
     }
   }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RegexpCountFast =
     copy(subject = newLeft, regexp = newRight)
+}
+
+object TokenCounter {
+
+  trait Counter extends Serializable { def count(s: String): Int }
+
+  final class RegexCounter(p: java.util.regex.Pattern) extends Counter {
+    def count(s: String): Int = {
+      val m = p.matcher(s)
+      var c = 0
+      while (m.find()) c += 1
+      c
+    }
+  }
+
+  /** Linear scan for `cls1(+)|cls2(+)|...`: at each position the first
+    * alternative whose class contains the code point matches; `+`
+    * consumes the maximal run. ASCII membership is a 128-entry table;
+    * every non-ASCII code point's membership equals the class's
+    * negation flag (classes are built from ASCII items only —
+    * enforced by [[analyze]]).
+    */
+  final class CharClassCounter(tables: Array[Array[Boolean]],
+                               negated: Array[Boolean],
+                               plus: Array[Boolean]) extends Counter {
+    private def member(alt: Int, cp: Int): Boolean =
+      if (cp < 128) tables(alt)(cp) else negated(alt)
+
+    def count(s: String): Int = {
+      val n = s.length
+      var i = 0
+      var c = 0
+      while (i < n) {
+        val cp = s.codePointAt(i)
+        val w = Character.charCount(cp)
+        var alt = 0
+        var hit = -1
+        while (hit < 0 && alt < tables.length) {
+          if (member(alt, cp)) hit = alt
+          alt += 1
+        }
+        i += w
+        if (hit >= 0) {
+          c += 1
+          if (plus(hit)) {
+            var run = true
+            while (run && i < n) {
+              val cp2 = s.codePointAt(i)
+              if (member(hit, cp2)) i += Character.charCount(cp2) else run = false
+            }
+          }
+        }
+      }
+      c
+    }
+  }
+
+  /** Compile a pattern: fast linear scanner when the grammar allows,
+    * else `java.util.regex`.
+    */
+  def compile(pattern: String): Counter =
+    analyze(pattern).getOrElse(
+      new RegexCounter(java.util.regex.Pattern.compile(pattern)))
+
+  /** Recognize `alt(|alt)*` where alt = (`[...]` | `\d`|`\w`|`\s`)`+`?
+    * with classes made of ASCII literals, ranges, and `\d\w\s`
+    * shorthands (optionally `^`-negated). Returns None on ANYTHING
+    * else — correctness never depends on this succeeding.
+    */
+  def analyze(pattern: String): Option[CharClassCounter] = {
+    val tables = scala.collection.mutable.ArrayBuffer[Array[Boolean]]()
+    val negs = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val pluses = scala.collection.mutable.ArrayBuffer[Boolean]()
+    var i = 0
+    val n = pattern.length
+
+    def markShorthand(t: Array[Boolean], c: Char): Boolean = c match {
+      case 'd' => (0 to 9).foreach(d => t('0' + d) = true); true
+      case 'w' =>
+        ('a' to 'z').foreach(ch => t(ch) = true)
+        ('A' to 'Z').foreach(ch => t(ch) = true)
+        ('0' to '9').foreach(ch => t(ch) = true)
+        t('_') = true; true
+      case 's' => // Java \s = [ \t\n\x0B\f\r]
+        Seq(' ', '\t', '\n', '\u000B', '\f', '\r').foreach(ch => t(ch) = true); true
+      case _ => false
+    }
+
+    // one bracket class: i is at '['; returns false on unsupported syntax
+    def parseBracket(): Boolean = {
+      i += 1
+      var neg = false
+      if (i < n && pattern(i) == '^') { neg = true; i += 1 }
+      val t = new Array[Boolean](128)
+      var any = false
+      var ok = true
+      var closed = false
+      while (ok && !closed && i < n) {
+        pattern(i) match {
+          case ']' =>
+            if (any) { closed = true; i += 1 }
+            else ok = false // leading ']' literal — Java rejects; bail
+          case '\\' if i + 1 < n =>
+            val c = pattern(i + 1)
+            if (markShorthand(t, c)) { any = true; i += 2 }
+            else if (!c.isLetterOrDigit && c < 128) { t(c) = true; any = true; i += 2 }
+            else ok = false
+            // an escape followed by a range dash (`[\--z]`, `[\d-x]`)
+            // has Java semantics this scanner does not model — bail
+            if (ok && i < n && pattern(i) == '-' && i + 1 < n && pattern(i + 1) != ']')
+              ok = false
+          case '[' => ok = false // nested class / POSIX — bail
+          case c if c < 128 =>
+            // range a-z (also `-` as range start, `[--z]`); a trailing
+            // `-` before `]` is the literal dash
+            if (i + 2 < n && pattern(i + 1) == '-' && pattern(i + 2) != ']') {
+              val hi = pattern(i + 2)
+              if (hi == '\\' || hi >= 128 || hi < c) ok = false
+              else { (c to hi).foreach(ch => t(ch) = true); any = true; i += 3 }
+            } else { t(c) = true; any = true; i += 1 }
+          case _ => ok = false // non-ASCII literal in class — bail
+        }
+      }
+      if (!ok || !closed) false
+      else {
+        if (neg) {
+          (0 until 128).foreach(k => t(k) = !t(k))
+        }
+        tables += t; negs += neg
+        true
+      }
+    }
+
+    def parseAlt(): Boolean = {
+      if (i >= n) return false
+      val ok = pattern(i) match {
+        case '[' => parseBracket()
+        case '\\' if i + 1 < n =>
+          val t = new Array[Boolean](128)
+          if (markShorthand(t, pattern(i + 1))) {
+            tables += t; negs += false; i += 2; true
+          } else false
+        case _ => false
+      }
+      if (!ok) return false
+      if (i < n && pattern(i) == '+') { pluses += true; i += 1 }
+      else pluses += false
+      true
+    }
+
+    if (!parseAlt()) return None
+    while (i < n) {
+      if (pattern(i) != '|') return None
+      i += 1
+      if (!parseAlt()) return None
+    }
+    Some(new CharClassCounter(tables.toArray, negs.toArray, pluses.toArray))
+  }
 }
 
 object RegexExpressions {

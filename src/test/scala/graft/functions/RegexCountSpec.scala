@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The linear-scan fast path of [[TokenCounter]] must count exactly
+  * like `java.util.regex` `find()` for every pattern it accepts —
+  * surrogate pairs, negated classes, greedy runs and all. Patterns it
+  * must NOT accept (anything beyond ordered charclass alternation)
+  * fall back to the regex engine, so correctness never depends on the
+  * analyzer.
+  */
+class RegexCountSpec extends AnyFunSuite {
+
+  private val fastPatterns = Seq(
+    "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]", // the standard pipeline tokenizer
+    "[a-z]+", "[^a-z]", "[0-9]", "\\d+", "\\w+|\\s", "[A-F0-9]+|[xyz]",
+    "[^\\s]+", "[-a-c]", "[a-c-]", "[--z]+", "[_\\-.]+|[\\d]")
+
+  private val fallbackPatterns = Seq(
+    "a+b", "(ab)+", "[a-z]{2}", "x|[0-9]+y", "^abc$", "[\\d-x]",
+    "[\\--z]", "a|b")
+
+  private def regexCount(pat: String, s: String): Int = {
+    val m = java.util.regex.Pattern.compile(pat).matcher(s)
+    var c = 0
+    while (m.find()) c += 1
+    c
+  }
+
+  test("analyzer accepts the tokenizer grammar and rejects the rest") {
+    fastPatterns.foreach { p =>
+      assert(TokenCounter.analyze(p).isDefined, s"should fast-path: $p")
+    }
+    fallbackPatterns.foreach { p =>
+      assert(TokenCounter.analyze(p).isEmpty, s"must NOT fast-path: $p")
+    }
+  }
+
+  test("fast path counts exactly like java.util.regex on 2000 seeded random strings") {
+    val pool: IndexedSeq[String] =
+      ('a' to 'z').map(_.toString) ++ ('A' to 'F').map(_.toString) ++
+        ('0' to '9').map(_.toString) ++
+        Seq(" ", "\t", "\n", "\u000B", "\f", "\r", "!", "?", ".", ",", "-",
+          "_", "/", "{", "}", "é", "ß", "中", "😀",
+          "😀".substring(0, 1), "😀".substring(1)) // lone surrogates too
+    val rnd = new scala.util.Random(42)
+    val strings = (0 until 2000).map { _ =>
+      val len = rnd.nextInt(40)
+      (0 until len).map(_ => pool(rnd.nextInt(pool.size))).mkString
+    }
+    for (p <- fastPatterns) {
+      val counter = TokenCounter.compile(p)
+      assert(counter.isInstanceOf[TokenCounter.CharClassCounter])
+      strings.foreach { s =>
+        assert(counter.count(s) == regexCount(p, s),
+          s"pat=$p s=${s.map(c => "\\u%04x".format(c.toInt)).mkString}")
+      }
+    }
+  }
+
+  test("edge strings: empty, all-separator, long runs") {
+    val cases = Seq("", "    ", "aaaaaaaaaaaaaaaaaaaa", "a1!b2?c3.", "???!!!",
+      "tab\tsep\nnl", "é中ß", "😀😀", "a😀b")
+    for (p <- fastPatterns; s <- cases)
+      assert(TokenCounter.compile(p).count(s) == regexCount(p, s), s"pat=$p s=$s")
+  }
+}
