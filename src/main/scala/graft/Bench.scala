@@ -21,7 +21,11 @@ object Bench {
     // the rule's N->4N EXECUTOR scaling) instead of local[n] threads
     val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE > cpus gives the scheduler work-stealing
+      // headroom against skewed reduce tasks (AQE cannot re-plan the
+      // streaming side); default stays 1 task per core
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -71,13 +75,22 @@ object Bench {
     // more than K cores for the (CPU-heavy) pipeline phase. 256 files /
     // 64-file triggers keep every core fed at any tested parallelism
     // while still exercising multi-batch checkpointed streaming.
+    // default key space (40 x 500 = 20k keys) is the r1 hot-key regime:
+    // every key is re-written ~events/20k times, stressing the LWW.
+    // SPARK_GRAFT_REPOS/PATHS let ScalingBench also measure the wide
+    // regime (table >> batch, dedup ratio ~1) of a real source-code
+    // lake, where merge I/O rather than dedup dominates.
     val cfg = EventLogGen.GenConfig(seed = 42L, events = events,
-      repos = 40, pathsPerRepo = 500, rowsPerFile = math.max(events / 256, 2000L))
+      repos = sys.env.getOrElse("SPARK_GRAFT_REPOS", "40").toInt,
+      pathsPerRepo = sys.env.getOrElse("SPARK_GRAFT_PATHS", "500").toInt,
+      rowsPerFile = math.max(events / 256, 2000L))
     val logDir = s"$workRoot/log"
     // a stale log from a different GenConfig must never be replayed as
     // if it held `events` rows — the marker pins the generating config
     val marker = java.nio.file.Paths.get(workRoot, "log.genconfig")
-    val stamp = cfg.toString
+    // "v2" = the code-shaped-content generator revision; a log written
+    // by an older generator must not be reused as if equivalent
+    val stamp = "v2:" + cfg.toString
     val fresh = !reuseLog ||
       !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(logDir)) ||
       !java.nio.file.Files.exists(marker) ||
@@ -96,7 +109,7 @@ object Bench {
         maxFilesPerTrigger =
           Some(sys.env.getOrElse("SPARK_GRAFT_MAX_FILES", "64").toInt),
         persistBatch = !sys.env.contains("SPARK_GRAFT_NO_PERSIST"),
-        materialize = sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "cache")),
+        materialize = sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "winner_rows")),
         pipeline)
     }
     (sec, events / sec)

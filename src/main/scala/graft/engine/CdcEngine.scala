@@ -45,17 +45,19 @@ object CdcEngine {
       // reused batch can cost more than recomputing the narrow plan;
       // Catalyst column-prunes each consumer when this is off
       persistBatch: Boolean = true,
-      // "cache" (default): persist the full post-pipeline batch —
-      // fastest whenever the batch fits executor storage (A/B-measured
-      // r1 AND r2; see BASELINE.md). "winners": cache only the LWW
-      // winner-KEY frame; "winner_rows": cache the post-LWW winner
-      // ROWS (smallest cache payload). Both alternatives re-scan the
-      // source for the final write pass, which re-evaluates any
-      // pipeline FILTER (its inputs can't be column-pruned away), so
-      // they only win when batch bytes exceed executor storage memory
-      // — not reachable on this box (measured: winner_rows 231s vs
-      // cache 141s at 8M x 8 cores).
-      materialize: String = "cache")
+      // "winner_rows" (default): the LWW winner ROWS — and only them —
+      // are materialized into executor storage; every merge pass then
+      // runs over that deduplicated frame. Executor memory scales with
+      // per-batch KEY cardinality, not batch size, which is the only
+      // shape that survives 10^10-event batches — and since the r2c
+      // tokenizer fast path it is also the fastest on this box
+      // (winner_rows 25.3s vs cache 32.5s at 8M x 8 cores, A/B table
+      // in BASELINE.md; the r1/r2a measurement that favored "cache"
+      // was dominated by the then-expensive filter re-evaluation).
+      // "winners": cache only the winner-KEY frame, merge re-scans the
+      // source for the write pass. "cache": persist the full
+      // post-pipeline batch (memory ∝ batch size; the r1 default).
+      materialize: String = "winner_rows")
 
   final case class BatchMetrics(
       batchId: Long, rowsIn: Long, rowsUpserted: Long, rowsDeleted: Long,
@@ -106,14 +108,16 @@ object CdcEngine {
     val spark = batch.sparkSession
     val winners = Lww.dedupe(batch, Model.keyCols, "seq", cfg.saltBuckets).persist()
     try {
-      val nKeys = winners.count()
+      val nKeys = graft.util.Prof(s"batch=$batchId lww+materialize") { winners.count() }
       if (nKeys == 0) return None
       // rowsIn (pre-dedupe) costs an extra column-pruned pass over the
       // raw batch — only paid when the metrics table is on
       val rowsIn = if (cfg.metricsDir.isEmpty) nKeys else batch.count()
       val winnerKeys = winners.select((Model.keyCols :+ "seq").map(col): _*)
-      val lineage = lake.merge(winners, batchId,
-        countHint = Some(nKeys), precomputedWinners = Some(winnerKeys))
+      val lineage = graft.util.Prof(s"batch=$batchId merge") {
+        lake.merge(winners, batchId,
+          countHint = Some(nKeys), precomputedWinners = Some(winnerKeys))
+      }
       val ms = (System.nanoTime() - t0) / 1000000L
       val deletes =
         if (cfg.metricsDir.isEmpty) -1L
@@ -183,7 +187,7 @@ object CdcEngine {
     // LWW, touched-bucket discovery, winner joins, the write).
     val b = if (cfg.persistBatch) batch.persist() else batch
     try {
-      val rowsIn = b.count()
+      val rowsIn = graft.util.Prof(s"batch=$batchId persist+count") { b.count() }
       if (rowsIn == 0) return None
       // The merge performs the per-key LWW itself (broadcast winner
       // join / shuffled aggregate fallback), so no separate pre-dedupe
@@ -194,7 +198,9 @@ object CdcEngine {
         else Lww.dedupe(b, Model.keyCols, "seq", cfg.saltBuckets)
           .groupBy("op").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val lineage = lake.merge(b, batchId, countHint = Some(rowsIn))
+      val lineage = graft.util.Prof(s"batch=$batchId merge") {
+        lake.merge(b, batchId, countHint = Some(rowsIn))
+      }
       val ms = (System.nanoTime() - t0) / 1000000L
       val m = BatchMetrics(batchId, rowsIn,
         opCounts.getOrElse(Model.Upsert, 0L), opCounts.getOrElse(Model.Delete, 0L), ms,

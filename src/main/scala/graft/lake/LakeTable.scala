@@ -187,7 +187,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
             countHint: Option[Long] = None,
             precomputedWinners: Option[DataFrame] = None): Seq[LineageEntry] = synchronized {
     val spark = updates.sparkSession
-    val snap = snapshot()
+    val snap = graft.util.Prof("merge.snapshot_read") { snapshot() }
     if (batchId <= snap.lastCommittedBatchId) return Nil // idempotent fence
 
     val oldSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -212,7 +212,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     val winnersKeyed = precomputedWinners.map(w =>
       w.select(col("repo"), col("path"), col("seq").as(SeqCol)))
     val keySrc = winnersKeyed.getOrElse(upd)
-    val updRepos: Array[String] = {
+    val updRepos: Array[String] = graft.util.Prof("merge.prune_keys") {
       val capped = keySrc.select(col("repo")).distinct()
         .limit(PruneRepoCap + 1).collect().map(_.getString(0))
       if (capped.length > PruneRepoCap) null else capped
@@ -301,22 +301,26 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     val commitVersion = snap.version + 1
     val commitRel = f"data/c$commitVersion%08d"
     val outDir = s"$root/$commitRel"
-    writeData(winners.sortWithinPartitions(col(BucketCol), col("repo"), col("path")), outDir)
+    graft.util.Prof("merge.write") {
+      writeData(winners.sortWithinPartitions(col(BucketCol), col("repo"), col("path")), outDir)
+    }
 
-    val newFiles = manifestEntries(outDir)
+    val newFiles = graft.util.Prof("merge.manifest") { manifestEntries(outDir) }
 
     val lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
       LineageEntry(batchId, bk, fs.size, commitVersion)
     }.toSeq.sortBy(_.bucket)
 
-    writeSnapshot(Snapshot(
-      version = commitVersion,
-      schemaId = schemaId,
-      schemaJson = newSchema.json,
-      lastCommittedBatchId = batchId,
-      buckets = b,
-      files = (keptFiles ++ newFiles).sortBy(f => (f.bucket, f.path)),
-      lineage = lineage))
+    graft.util.Prof("merge.snapshot_commit") {
+      writeSnapshot(Snapshot(
+        version = commitVersion,
+        schemaId = schemaId,
+        schemaJson = newSchema.json,
+        lastCommittedBatchId = batchId,
+        buckets = b,
+        files = (keptFiles ++ newFiles).sortBy(f => (f.bucket, f.path)),
+        lineage = lineage))
+    }
     lineage
   }
 

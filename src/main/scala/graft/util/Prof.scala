@@ -1,0 +1,20 @@
+package graft.util
+
+/** Env-gated phase profiler (`GRAFT_PROFILE=1`): prints wall time of
+  * labelled phases to stderr. Used to attribute per-micro-batch time
+  * between the parallel work (scan/pipeline/write) and the fixed
+  * per-batch costs (job launch latency, snapshot commit, footer reads)
+  * when tuning the scaling protocol — see BASELINE.md.
+  */
+object Prof {
+  val on: Boolean = sys.env.contains("GRAFT_PROFILE")
+
+  def apply[A](tag: String)(f: => A): A =
+    if (!on) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[prof] $tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+}
