@@ -168,6 +168,27 @@ object Bench {
   * Usage: ScalingBench <events> <cpus> <workDir>   (one run; prints eps)
   */
 object ScalingBench {
+  import scala.jdk.CollectionConverters._
+
+  /** Delete the per-run lake + checkpoint dirs under `work` (each run
+    * creates `lake-<id>`/`chk-<id>`; several GB apiece in the wide-key
+    * regime). The generated log and its marker are preserved.
+    */
+  def scrubRunDirs(work: String): Unit = {
+    val root = java.nio.file.Paths.get(work)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val doomed = java.nio.file.Files.list(root).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("lake-") || n.startsWith("chk-")
+      }.toList
+    doomed.foreach { d =>
+      java.nio.file.Files.walk(d).iterator().asScala.toList
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val events = args(0).toLong
     val cpus = args(1)
@@ -183,7 +204,19 @@ object ScalingBench {
     // full volume — a 1/8-size replay (own work dir, own log) keeps
     // warm-up cost sub-linear in the measured size
     Bench.replayBench(spark, math.max(events / 8, 250000L), s"$work/warm", reuseLog = true)
-    val runs = (1 to repeats).map(_ => Bench.replayBench(spark, events, work, reuseLog = true))
+    scrubRunDirs(s"$work/warm")
+    val runs = (1 to repeats).map { _ =>
+      val r = Bench.replayBench(spark, events, work, reuseLog = true)
+      // measurement hygiene between repeats: drop the run's lake +
+      // checkpoint (several GB each in the wide-key regime — left in
+      // place they fill the disk across a session) and sync, so one
+      // run's dirty-page writeback does not bleed into the next
+      // repeat's timed window
+      scrubRunDirs(work)
+      scala.sys.process.Process(Seq("sync")).!
+      Thread.sleep(3000)
+      r
+    }
     val (sec, eps) = runs.minBy(_._1)
     val all = runs.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
     println(s"""{"metric":"scaling_run","events":$events,"cpus":$cpus,"sec":${f"$sec%.3f"},"events_per_sec":${f"$eps%.0f"},"all_secs":$all}""")
