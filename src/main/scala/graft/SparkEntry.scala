@@ -807,6 +807,29 @@ object SparkEntry {
       cdcStateDump(s, lake.read(s))
     }),
 
+    "q_lake_maintenance" -> ((s, dir) => {
+      // retention + GC must be invisible to current-state readers:
+      // compact every bucket, expire all but the newest snapshot,
+      // vacuum the superseded CoW files — then the table must still
+      // equal the same LWW oracle as q_cdc_replay_events.
+      val (lake, _) = eventsCdcReplay(s, dir)
+      lake.compact(s, maxFilesPerBucket = 1)
+      lake.expireSnapshots(keepLast = 1)
+      lake.vacuum()
+      cdcStateDump(s, lake.read(s))
+    }),
+
+    "q_rollback" -> ((s, dir) => {
+      // rollback_to_snapshot: after the full replay, roll the table
+      // back to the state committed by the FIRST micro-batch; the
+      // current read must equal the LWW oracle over that event subset
+      // (the same oracle as q_time_travel, reached forward via a new
+      // commit instead of backward via versioned read).
+      val (lake, v0) = eventsCdcReplay(s, dir)
+      lake.rollback(v0 + 1)
+      cdcStateDump(s, lake.read(s))
+    }),
+
     "q_cdc_replay" -> ((s, _) =>
       // generator → streaming replay → fenced LWW merge → final state;
       // the sha-equality oracle is the fold oracle in EndToEndReplaySpec
@@ -1168,6 +1191,10 @@ object SparkEntry {
     "q_cdc_replay_events" -> cdcLwwOracle(""),
 
     "q_cdc_compacted" -> cdcLwwOracle(""),
+
+    "q_lake_maintenance" -> cdcLwwOracle(""),
+
+    "q_rollback" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
 
     "q_cdc_resume" -> cdcLwwOracle(""),
 

@@ -363,6 +363,82 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     Some(commitVersion)
   }
 
+  /** All snapshot versions currently on disk, ascending. */
+  def versions(): Seq[Long] =
+    if (!Files.isDirectory(metaDir)) Nil
+    else listDir(metaDir)
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong)
+      .sorted
+
+  /** Roll the table back to an earlier snapshot by committing a NEW
+    * snapshot whose content (schema, file list, batch fence) is that
+    * of `toVersion` — the Iceberg `rollback_to_snapshot` pattern: the
+    * chain only moves forward, so time travel across the rollback
+    * still works and no data file is touched. The batch-id fence
+    * reverts with the state, so a re-replay of the rolled-back batches
+    * is accepted again (that is the point of a rollback).
+    */
+  def rollback(toVersion: Long): Long = synchronized {
+    val cur = currentVersion()
+    require(toVersion >= 0 && toVersion <= cur, s"rollback: no snapshot v$toVersion")
+    val target = snapshot(toVersion)
+    val v = cur + 1
+    writeSnapshot(target.copy(version = v))
+    v
+  }
+
+  /** Expire all but the newest `keepLast` snapshots: their meta files
+    * are deleted, ending time travel to them. Data files they
+    * reference are NOT touched here — files shared with retained
+    * snapshots must survive; [[vacuum]] afterwards deletes the ones
+    * no retained snapshot references. Returns the expired versions.
+    */
+  def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
+    require(keepLast >= 1, "expireSnapshots: keepLast must be >= 1")
+    val vs = versions()
+    val doomed = vs.dropRight(keepLast)
+    doomed.foreach(v => Files.deleteIfExists(metaDir.resolve(f"v$v%08d.json")))
+    doomed
+  }
+
+  /** Garbage-collect data files referenced by NO remaining snapshot
+    * (orphans left behind by copy-on-write rewrites, compaction, and
+    * aborted writes, once the snapshots that referenced them expire).
+    * Empty commit/bucket directories are removed too. Metadata-only:
+    * the referenced set comes from the snapshot chain, no data scan.
+    * Returns the deleted file paths (relative to the table root).
+    */
+  def vacuum(): Seq[String] = synchronized {
+    val referenced: Set[String] =
+      versions().flatMap(v => snapshot(v).files.map(_.path)).toSet
+    val deleted = Seq.newBuilder[String]
+    // two passes per dir: referenced parquet anywhere below keeps the
+    // dir (and its marker files — _SUCCESS etc.); otherwise the whole
+    // subtree including markers is an orphan and goes
+    def sweep(dir: Path): Boolean = {
+      val (dirs, plain) = listDir(dir).partition(Files.isDirectory(_))
+      val liveBelow = dirs.map(sweep).count(identity) > 0
+      val liveHere = plain.exists { p =>
+        val rel = Paths.get(root).relativize(p).toString
+        rel.endsWith(".parquet") && referenced.contains(rel)
+      }
+      plain.foreach { p =>
+        val rel = Paths.get(root).relativize(p).toString
+        val keep =
+          if (rel.endsWith(".parquet")) referenced.contains(rel)
+          else liveHere || liveBelow
+        if (!keep) { Files.delete(p); deleted += rel }
+      }
+      val live = liveHere || liveBelow
+      if (!live && dir != dataDir) Files.delete(dir)
+      live
+    }
+    if (Files.isDirectory(dataDir)) { sweep(dataDir); () }
+    deleted.result()
+  }
+
   // ------------------------------------------------------------------
   // helpers
   // ------------------------------------------------------------------

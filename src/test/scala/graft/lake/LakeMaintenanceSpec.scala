@@ -1,0 +1,135 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import graft.SparkTestBase
+
+/** Snapshot-chain maintenance: rollback (forward-commit of an old
+  * state, Iceberg `rollback_to_snapshot` style), snapshot expiration
+  * (retention), and vacuum (orphan-file GC). The invariants that
+  * matter at scale: rollback never touches data files, expiration
+  * never breaks retained snapshots, and vacuum deletes exactly the
+  * files no retained snapshot references.
+  */
+class LakeMaintenanceSpec extends SparkTestBase {
+
+  private val userSchema = StructType(Seq(
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("content", StringType, nullable = false)))
+
+  private def batch(rows: Seq[(Long, String, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("seq", "op", "repo", "path", "content")
+  }
+
+  private def freshLake(): LakeTable = {
+    val lake = new LakeTable(tmpDir("maint"), buckets = 2)
+    lake.initIfNeeded(userSchema)
+    lake
+  }
+
+  private def contentOf(lake: LakeTable, version: Long = -1L): Map[(String, String), String] = {
+    val df = if (version < 0) lake.read(spark) else lake.readVersion(spark, version)
+    df.select("repo", "path", "content").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+  }
+
+  private def seedThreeVersions(lake: LakeTable): (Long, Long, Long) = {
+    lake.merge(batch(Seq((0L, "upsert", "rA", "p0", "v0"), (1L, "upsert", "rB", "p0", "v0"))), 0L)
+    val v0 = lake.currentVersion()
+    lake.merge(batch(Seq((2L, "upsert", "rA", "p0", "v1"))), 1L)
+    val v1 = lake.currentVersion()
+    lake.merge(batch(Seq((3L, "upsert", "rA", "p1", "v2"), (4L, "delete", "rB", "p0", ""))), 2L)
+    (v0, v1, lake.currentVersion())
+  }
+
+  test("rollback restores old content as a NEW version; data files untouched") {
+    val lake = freshLake()
+    val (v0, v1, v2) = seedThreeVersions(lake)
+    val stateAtV1 = contentOf(lake, v1)
+    val filesBefore = lake.snapshot(v1).files.map(_.path).toSet
+
+    val rolled = lake.rollback(v1)
+    assert(rolled == v2 + 1, "rollback must commit forward")
+    assert(lake.currentVersion() == rolled)
+    assert(contentOf(lake) == stateAtV1)
+    // time travel across the rollback still works
+    assert(contentOf(lake, v2) != stateAtV1)
+    assert(lake.snapshot(rolled).files.map(_.path).toSet == filesBefore)
+    assert(contentOf(lake, v0).keySet == Set(("rA", "p0"), ("rB", "p0")))
+  }
+
+  test("rollback reverts the batch fence so rolled-back batches re-apply") {
+    val lake = freshLake()
+    val (_, v1, _) = seedThreeVersions(lake)
+    lake.rollback(v1)
+    assert(lake.snapshot().lastCommittedBatchId == 1L)
+    // batch 2 replays with different content and is accepted again
+    lake.merge(batch(Seq((5L, "upsert", "rA", "p1", "v2-replay"))), 2L)
+    assert(contentOf(lake)(("rA", "p1")) == "v2-replay")
+  }
+
+  test("expireSnapshots keeps the newest K and ends time travel to the rest") {
+    val lake = freshLake()
+    val (v0, v1, v2) = seedThreeVersions(lake)
+    val stateNow = contentOf(lake)
+    val expired = lake.expireSnapshots(keepLast = 2)
+    assert(expired.contains(v0) && !expired.contains(v1) && !expired.contains(v2))
+    assert(lake.versions() == Seq(v1, v2))
+    assert(contentOf(lake) == stateNow)
+    intercept[Exception] { lake.snapshot(v0) }
+  }
+
+  test("vacuum deletes exactly the files no retained snapshot references") {
+    val lake = freshLake()
+    val (_, _, v2) = seedThreeVersions(lake)
+    // extra churn so CoW leaves superseded files behind
+    lake.merge(batch(Seq((6L, "upsert", "rA", "p0", "v3"))), 3L)
+    val v3 = lake.currentVersion()
+    val stateNow = contentOf(lake)
+    val root = Paths.get(lake.root)
+
+    def parquetOnDisk(): Set[String] = {
+      val out = Set.newBuilder[String]
+      Files.walk(root).forEach { p =>
+        if (p.toString.endsWith(".parquet")) out += root.relativize(p).toString
+      }
+      out.result()
+    }
+
+    val referencedByAll = lake.versions().flatMap(v => lake.snapshot(v).files.map(_.path)).toSet
+    assert(parquetOnDisk().size >= referencedByAll.size)
+
+    // nothing to GC while every snapshot is retained and references its files
+    lake.expireSnapshots(keepLast = 2)
+    val retained = lake.versions().flatMap(v => lake.snapshot(v).files.map(_.path)).toSet
+    val deleted = lake.vacuum()
+    val onDisk = parquetOnDisk()
+    assert(onDisk == retained, s"disk $onDisk != retained $retained")
+    assert(deleted.toSet.intersect(retained).isEmpty)
+    // retained snapshots still read cleanly
+    assert(contentOf(lake) == stateNow)
+    assert(contentOf(lake, v2) != null)
+    assert(lake.currentVersion() == v3)
+  }
+
+  test("vacuum keeps marker files in live dirs and removes empty orphan dirs") {
+    val lake = freshLake()
+    seedThreeVersions(lake)
+    lake.merge(batch(Seq((7L, "upsert", "rA", "p0", "v3"))), 3L)
+    lake.expireSnapshots(keepLast = 1)
+    lake.vacuum()
+    val root = Paths.get(lake.root)
+    // every surviving directory under data/ still holds referenced parquet below it
+    val live = lake.snapshot().files.map(f => root.resolve(f.path).getParent).toSet
+    Files.walk(root.resolve("data")).forEach { p =>
+      if (Files.isDirectory(p) && p != root.resolve("data")) {
+        val hasLiveBelow = live.exists(_.startsWith(p))
+        assert(hasLiveBelow, s"orphan dir survived vacuum: $p")
+      }
+    }
+  }
+}
