@@ -232,6 +232,22 @@ object SparkEntry {
       pipe(t(s, dir, "part")).orderBy("id")
     }),
 
+    "q_crypto_fns" -> ((s, dir) => {
+      // keyed/crypto methods under the gate: AES-CBC roundtrip must be
+      // the identity (value-exact vs the raw text), ciphertext length
+      // follows PKCS padding + 16-byte iv prefix (SQL-computable), and
+      // the hmac digest length pins the mac path (exact hmac values
+      // are pinned against RFC vectors in CryptoObjectOpsSpec — DuckDB
+      // cannot compose sha256 over binary, so no SQL twin exists).
+      val pipe = compile(Seq(PMapping(
+        """root.id = this.doc_id
+          |root.aes_rt = this.text.encrypt_aes("cbc", "0123456789abcdef", "fedcba9876543210").decrypt_aes("cbc", "0123456789abcdef")
+          |root.ct_len = this.text.encrypt_aes("cbc", "0123456789abcdef", "fedcba9876543210").length().int64()
+          |root.mac_len = this.text.hash("hmac_sha256", "key").length().int64()
+          |""".stripMargin)))
+      pipe(t(s, dir, "documents")).orderBy("id")
+    }),
+
     "q_text_fns" -> ((s, dir) => {
       val pipe = compile(Seq(PMapping(
         """root.id = this.c_custkey
@@ -925,6 +941,12 @@ object SparkEntry {
       """SELECT event_id,
         |CASE WHEN value <= 450.0 THEN value ELSE -1.0 END AS value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_crypto_fns" ->
+      """SELECT doc_id AS id, text AS aes_rt,
+        |CAST(16 + 16 * (floor(strlen(text) / 16) + 1) AS BIGINT) AS ct_len,
+        |CAST(64 AS BIGINT) AS mac_len
+        |FROM documents ORDER BY id""".stripMargin,
 
     "q_hash_fns" ->
       """SELECT p_partkey AS id, sha256(p_name) AS h256, md5(p_name) AS hmd5,

@@ -175,7 +175,7 @@ object ExprCompiler {
   }
 
   private val HofMethods =
-    Set("map_each", "filter", "fold", "any", "all", "sort_by")
+    Set("map_each", "filter", "fold", "any", "all", "sort_by", "map_each_key")
 
   /** Higher-order array methods: the Lambda arg compiles with its
     * params bound in `ctx.bindings` (shadowing input fields), producing
@@ -206,6 +206,8 @@ object ExprCompiler {
         transform(
           array_sort(transform(c, x => struct(body1(rawArgs.head)(x).as("k"), x.as("v")))),
           e => e.getField("v"))
+      case "map_each_key" =>
+        transform_keys(c, (k, _) => body1(rawArgs.head)(k))
       case other => throw new IllegalArgumentException(s"hof $other")
     }
     CVal(out, t.deleted)
@@ -403,6 +405,16 @@ object ExprCompiler {
       case "re_find_all" => regexp_extract_all(c, lit(str(0)), lit(0))
       case "re_find" => regexp_extract(c, str(0), 0)
       case "re_replace_all" => regexp_replace(c, str(0), str(1))
+      case "re_find_object" =>
+        // groups resolved at COMPILE time from the literal pattern
+        // (named `(?<x>...)` by name, unnamed by index, "0" = full
+        // match) → one map-literal projection, no per-row group scan
+        val pat = str(0)
+        val entries = ("0" -> regexp_extract(c, pat, 0)) +:
+          regexGroupNames(pat).zipWithIndex.map { case (nameOpt, i) =>
+            nameOpt.getOrElse((i + 1).toString) -> regexp_extract(c, pat, i + 1)
+          }
+        map(entries.flatMap { case (k, v) => Seq(lit(k), v) }: _*)
       // json
       case "parse_json" => parse_json(c)
       case "format_json" => to_json(c)
@@ -451,8 +463,28 @@ object ExprCompiler {
         case "md5" => md5(c)
         case "xxhash64" => xxhash64(c).cast(StringType)
         case "crc32" => crc32(c.cast(BinaryType)).cast(StringType)
+        // keyed hashes: hash("hmac_sha256", key) — key is the 2nd arg
+        case algo if algo.startsWith("hmac_") =>
+          lower(hex(graft.functions.CryptoFunctions.hmac(
+            algo, c.cast(BinaryType), a(1).cast(BinaryType))))
         case other => throw new IllegalArgumentException(s"hash($other)")
       }
+      // AES encryption (reference methods_encryption.go encrypt_aes /
+      // decrypt_aes). Scheme → Spark aes mode: cbc/gcm/ecb (the
+      // reference's ctr/ofb streams have no Spark builtin — rejected,
+      // not approximated). The iv (3rd arg, raw bytes) makes cbc/gcm
+      // deterministic; Spark prepends it to the ciphertext, so decrypt
+      // needs no iv back.
+      case "encrypt_aes" =>
+        val (mode, pad) = aesMode(str(0))
+        if (args.size >= 3)
+          aes_encrypt(c.cast(BinaryType), a(1).cast(BinaryType), lit(mode), lit(pad),
+            a(2).cast(BinaryType))
+        else aes_encrypt(c.cast(BinaryType), a(1).cast(BinaryType), lit(mode), lit(pad))
+      case "decrypt_aes" =>
+        val (mode, pad) = aesMode(str(0))
+        aes_decrypt(c.cast(BinaryType), a(1).cast(BinaryType), lit(mode), lit(pad))
+          .cast(StringType)
       case "encode" => str(0) match {
         case "base64" => base64(c.cast(BinaryType))
         case "hex" => lower(hex(c.cast(BinaryType)))
@@ -493,6 +525,7 @@ object ExprCompiler {
       // objects / maps
       case "keys" => map_keys(c)
       case "values" => map_values(c)
+      case "key_values" => map_entries(c)
       case "merge" => map_concat(c, a(0))
       case "exists" => c.getField(str(0)).isNotNull
       case "with_field" => c.withField(str(0), a(1))
@@ -510,6 +543,46 @@ object ExprCompiler {
       case other => throw new IllegalArgumentException(s"unknown method .$other()")
     }
     CVal(out, del)
+  }
+
+  /** Capture groups of a regex literal, in order: Some(name) for
+    * named `(?<name>...)` groups, None for plain `(...)`. Non-capturing
+    * `(?:`/lookaround groups and escaped/char-class parens are skipped.
+    */
+  private[dsl] def regexGroupNames(pattern: String): Seq[Option[String]] = {
+    val out = Seq.newBuilder[Option[String]]
+    var i = 0
+    var inClass = false
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' => i += 1 // skip escaped char
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass =>
+          val rest = pattern.substring(i)
+          // Java named group `(?<name>`; `(?<=`/`(?<!` are lookbehinds
+          val named = "^\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r.findFirstMatchIn(rest)
+          named match {
+            case Some(m) =>
+              out += Some(m.group(1))
+              i += m.end - 1
+            case None if rest.startsWith("(?") => // non-capturing / lookaround
+            case None => out += None
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Reference AES scheme name → (Spark aes mode, padding). */
+  private def aesMode(scheme: String): (String, String) = scheme match {
+    case "cbc" => ("CBC", "PKCS")
+    case "gcm" => ("GCM", "NONE")
+    case "ecb" => ("ECB", "PKCS")
+    case other => throw new IllegalArgumentException(
+      s"encrypt_aes($other): cbc/gcm/ecb supported (no ctr/ofb builtin)")
   }
 
   private val DurationPart = raw"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)".r

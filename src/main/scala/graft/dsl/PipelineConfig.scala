@@ -219,6 +219,9 @@ object PipelineConfig {
       case "select_parts" =>
         val arr = if (body.isArray) body else body.get("parts")
         PSelectParts((0 until arr.size).map(arr.get(_).asInt))
+      case "insert_part" =>
+        PInsertPart(opt(body, "index").map(_.asInt).getOrElse(-1),
+          body.get("content").asText)
       case "avro" =>
         PAvro(body.get("operator").asText,
           { val s = body.get("schema"); if (s.isTextual) s.asText else s.toString },

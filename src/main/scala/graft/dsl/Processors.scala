@@ -105,6 +105,14 @@ object Processor {
     * Expressible since batch ordinals became distributed — r1 marked
     * this non-survivable. */
   final case class PSelectParts(indices: Seq[Int]) extends Processor
+  /** positional insert (processor_insert_part.go): add one part whose
+    * `content` is a static string at 0-based batch position `index`
+    * (negative counts from the end, -1 = append, like the reference);
+    * parts at/after the position shift right and `seq` is renumbered
+    * to the new 0..n ordinals so later positional ops stay consistent.
+    * The reference's per-part interpolation context has no columnar
+    * equivalent, so content is literal-only — the honest subset. */
+  final case class PInsertPart(index: Int, content: String) extends Processor
   /** avro (de)serialization (processor_avro.go) on avro-core, no
     * spark-avro module: operator `from_json` = JSON string field →
     * raw avro binary; `to_json` = avro binary field → JSON string.
@@ -351,6 +359,31 @@ object Processor {
         else col(BatchOrdinals.IndexCol) === col(BatchOrdinals.SizeCol) + i.toLong
       }
       BatchOrdinals.dropOrdinals(d.filter(conds.reduce(_ || _)))
+    }
+
+    case PInsertPart(index, content) => df => {
+      val d = BatchOrdinals.withOrdinals(df,
+        BatchOrdinals.Needs(index = true, size = true))
+      // insertion position p ∈ [0, n]: clamp positives, -1 = append
+      val p =
+        if (index >= 0) least(lit(index.toLong), col(BatchOrdinals.SizeCol))
+        else greatest(col(BatchOrdinals.SizeCol) + index + 1L, lit(0L))
+      val shifted = d.withColumn("_pos",
+        when(col(BatchOrdinals.IndexCol) >= p, col(BatchOrdinals.IndexCol) + 1L)
+          .otherwise(col(BatchOrdinals.IndexCol)))
+      // the new part is built from a 1-row scalar aggregate (needs the
+      // batch size for negative indices) — no driver-side collect
+      val newPart = df.agg(count(lit(1)).as(BatchOrdinals.SizeCol)).select(
+        df.schema.fields.map { f =>
+          if (f.name == "content") lit(content).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } :+ p.as("_pos"): _*)
+      val unioned = shifted.select((df.columns.map(col) :+ col("_pos")): _*)
+        .unionByName(newPart)
+      val renumbered =
+        if (df.columns.contains("seq")) unioned.withColumn("seq", col("_pos"))
+        else unioned
+      renumbered.drop("_pos")
     }
 
     case PAvro(op, schema, field) => df => op match {

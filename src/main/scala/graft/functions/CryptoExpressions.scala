@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Keyed-hash (HMAC) as a native Catalyst expression — the
+  * reference's `hash("hmac_sha256", key)` bloblang method (upstream
+  * `internal/bloblang/query/methods_strings.go` hashMethod, hmac
+  * branches). Spark has no hmac builtin, so this wraps `javax.crypto.Mac`
+  * the same way the gzip expressions wrap `java.util.zip`: a
+  * `CodegenFallback` expression keeps null semantics and leaves the
+  * surrounding projection in whole-stage codegen.
+  *
+  * `algorithm` is resolved at plan time (compile-time literal in the
+  * DSL), so the per-row cost is one `Mac.getInstance` + update; Mac
+  * instances are not thread-safe and cheap to create, so no pooling.
+  */
+case class Hmac(left: Expression, right: Expression, algorithm: String)
+    extends BinaryExpression with CodegenFallback {
+  private val jcaName = algorithm match {
+    case "hmac_sha1"   => "HmacSHA1"
+    case "hmac_sha256" => "HmacSHA256"
+    case "hmac_sha512" => "HmacSHA512"
+    case other => throw new IllegalArgumentException(s"hmac: unknown algorithm $other")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_hmac"
+  // left = data bytes, right = key bytes
+  override protected def nullSafeEval(data: Any, key: Any): Any = {
+    val mac = javax.crypto.Mac.getInstance(jcaName)
+    mac.init(new javax.crypto.spec.SecretKeySpec(key.asInstanceOf[Array[Byte]], jcaName))
+    mac.doFinal(data.asInstanceOf[Array[Byte]])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Hmac =
+    copy(left = l, right = r)
+}
+
+object CryptoFunctions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    Seq("hmac_sha1", "hmac_sha256", "hmac_sha512").foreach { algo =>
+      reg.createOrReplaceTempFunction(s"graft_$algo",
+        (es: Seq[Expression]) => Hmac(es.head, es(1), algo), "built-in")
+    }
+  }
+
+  def hmac(algo: String, data: Column, key: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function(s"graft_$algo", data, key)
+  }
+}

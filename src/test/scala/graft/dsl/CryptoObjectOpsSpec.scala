@@ -1,0 +1,106 @@
+package graft.dsl
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import Processor._
+
+/** Conformance for the crypto + object-shaping bloblang additions:
+  * hmac keyed hashes (RFC 2202 / de-facto "quick brown fox" vectors),
+  * AES encrypt/decrypt roundtrip, key_values, map_each_key, and
+  * re_find_object named-group extraction; plus the insert_part
+  * positional processor.
+  */
+class CryptoObjectOpsSpec extends SparkTestBase {
+
+  private val fox = "The quick brown fox jumps over the lazy dog"
+
+  private def one(mapping: String, content: String = fox): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    val df = Seq(content).toDF("content")
+    Processor.compile(Seq(PMutation(mapping)))(df).collect().head
+  }
+
+  test("hash(hmac_*) matches published vectors") {
+    val r = one(
+      """root.h256 = content().hash("hmac_sha256", "key")
+        |root.h1 = content().hash("hmac_sha1", "key")
+        |root.h512 = content().hash("hmac_sha512", "key")""".stripMargin)
+    assert(r.getAs[String]("h256") ==
+      "f7bc83f430538424b13298e6aa6fb143ef4d59a14946175997479dbc2d1a3cd8")
+    assert(r.getAs[String]("h1") ==
+      "de7c9b85b8b78aa6bc8a7a36f70a90701c9db4d9")
+    assert(r.getAs[String]("h512") ==
+      "b42af09057bac1e2d41708e48a902e09b5ff7f12ab428a4fe86653c73dd248fb" +
+      "82f948a549f7b791a5b41915ee4d1ec3935357e4e2317250d0372afa2ebeeb3a")
+  }
+
+  test("encrypt_aes/decrypt_aes roundtrip (cbc + gcm, fixed iv ⇒ deterministic)") {
+    val key16 = "0123456789abcdef"
+    val iv16 = "fedcba9876543210"
+    val iv12 = "fedcba987654"
+    val r = one(
+      s"""root.cbc = content().encrypt_aes("cbc", "$key16", "$iv16").decrypt_aes("cbc", "$key16")
+         |root.gcm = content().encrypt_aes("gcm", "$key16", "$iv12").decrypt_aes("gcm", "$key16")
+         |root.ct1 = content().encrypt_aes("cbc", "$key16", "$iv16").encode("hex")
+         |root.ct2 = content().encrypt_aes("cbc", "$key16", "$iv16").encode("hex")""".stripMargin)
+    assert(r.getAs[String]("cbc") == fox)
+    assert(r.getAs[String]("gcm") == fox)
+    // fixed iv ⇒ stable ciphertext (what the correctness gate hashes)
+    assert(r.getAs[String]("ct1") == r.getAs[String]("ct2"))
+    intercept[IllegalArgumentException] { one("""root.x = content().encrypt_aes("ctr", "k")""") }
+  }
+
+  test("key_values and map_each_key over an object") {
+    val r = one(
+      """let m = content().parse_urlencoded()
+        |root.kv = $m.key_values().sort_by(e -> e.key).map_each(e -> e.key + "=" + e.value).join(",")
+        |root.up = $m.map_each_key(k -> k.uppercase()).keys().sort().join(",")""".stripMargin,
+      content = "b=2&a=1")
+    assert(r.getAs[String]("kv") == "a=1,b=2")
+    assert(r.getAs[String]("up") == "A,B")
+  }
+
+  test("re_find_object: named and positional groups") {
+    val r = one(
+      """let o = content().re_find_object("(?<user>[a-z]+)@([a-z.]+)")
+        |root.user = $o.user
+        |root.all = $o.key_values().sort_by(e -> e.key).map_each(e -> e.key + ":" + e.value).join(" ")""".stripMargin,
+      content = "mail ada@example.com please")
+    assert(r.getAs[String]("user") == "ada")
+    assert(r.getAs[String]("all") ==
+      "0:ada@example.com 2:example.com user:ada")
+  }
+
+  test("regexGroupNames: classes, escapes, non-capturing, lookaround") {
+    assert(ExprCompiler.regexGroupNames("(a)(?<x>b)(?:c)(?=d)[)(](\\()") ==
+      Seq(None, Some("x"), None))
+  }
+
+  test("insert_part: front, middle, append; seq renumbered") {
+    import spark.implicits._
+    val df = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("seq", "content")
+    def contents(idx: Int): Seq[(Long, String)] =
+      Processor.compile(Seq(PInsertPart(idx, "NEW")))(df)
+        .orderBy("seq").select("seq", "content").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(contents(0) == Seq(0L -> "NEW", 1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(contents(1) == Seq(0L -> "a", 1L -> "NEW", 2L -> "b", 3L -> "c"))
+    assert(contents(-1) == Seq(0L -> "a", 1L -> "b", 2L -> "c", 3L -> "NEW"))
+    assert(contents(99) == Seq(0L -> "a", 1L -> "b", 2L -> "c", 3L -> "NEW"))
+  }
+
+  test("insert_part parses from YAML config") {
+    import spark.implicits._
+    val yaml =
+      """pipeline:
+        |  processors:
+        |    - insert_part:
+        |        index: 0
+        |        content: header
+        |""".stripMargin
+    val pipe = PipelineConfig.parse(yaml)
+    val out = pipe.transform(Seq((0L, "x")).toDF("seq", "content"))
+      .orderBy("seq").select("content").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("header", "x"))
+  }
+}
