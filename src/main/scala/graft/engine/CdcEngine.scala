@@ -57,7 +57,18 @@ object CdcEngine {
       // "winners": cache only the winner-KEY frame, merge re-scans the
       // source for the write pass. "cache": persist the full
       // post-pipeline batch (memory ∝ batch size; the r1 default).
-      materialize: String = "winner_rows")
+      materialize: String = "winner_rows",
+      // background maintenance inside the replay loop (0 = off): a
+      // 10^10-event replay is ~thousands of micro-batches, and without
+      // it per-bucket file counts AND the snapshot chain (each
+      // snapshot carries the full file list) grow linearly with batch
+      // count. Every `autoCompactEvery` batches: compact buckets above
+      // `autoCompactMaxFiles`, and — when `autoExpireKeep` > 0 —
+      // expire all but the newest K snapshots and vacuum the orphaned
+      // CoW files, keeping disk + manifest size O(table), not O(log).
+      autoCompactEvery: Int = 0,
+      autoCompactMaxFiles: Int = 8,
+      autoExpireKeep: Int = 0)
 
   final case class BatchMetrics(
       batchId: Long, rowsIn: Long, rowsUpserted: Long, rowsDeleted: Long,
@@ -82,9 +93,29 @@ object CdcEngine {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(lake, batch, batchId, cfg)
-        ()
+        maintainIfDue(spark, lake, batchId, cfg)
       }
       .start()
+  }
+
+  /** In-loop maintenance (see ReplayConfig.autoCompactEvery). Runs
+    * AFTER the batch commit, so a crash between commit and maintenance
+    * loses nothing — maintenance is state-preserving and re-runnable.
+    * Expiration keeps ≥2 snapshots so the pre-maintenance state stays
+    * reachable for debugging the current batch.
+    */
+  private def maintainIfDue(spark: SparkSession, lake: LakeTable,
+                            batchId: Long, cfg: ReplayConfig): Unit = {
+    if (cfg.autoCompactEvery <= 0 || (batchId + 1) % cfg.autoCompactEvery != 0) return
+    val compacted = graft.util.Prof(s"batch=$batchId compact") {
+      lake.compact(spark, cfg.autoCompactMaxFiles)
+    }
+    if (cfg.autoExpireKeep > 0) {
+      val expired = lake.expireSnapshots(math.max(cfg.autoExpireKeep, 2))
+      val vacuumed = if (expired.nonEmpty) lake.vacuum() else Nil
+      log.info(s"batch=$batchId maintenance: compacted=${compacted.nonEmpty} " +
+        s"expired=${expired.size} vacuumed=${vacuumed.size}")
+    }
   }
 
   /** The per-micro-batch apply: LWW dedupe → fenced MERGE → metrics. */

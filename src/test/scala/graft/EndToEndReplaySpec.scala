@@ -75,6 +75,42 @@ class EndToEndReplaySpec extends SparkTestBase {
     }
   }
 
+  test("in-loop auto-maintenance preserves the fold oracle and bounds growth") {
+    val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
+    EventLogGen.writeLog(spark, cfg, log)
+    // maintenance after EVERY batch (the most aggressive schedule),
+    // CoW-splitting files so there is real compaction + vacuum work
+    val rcfg = ReplayConfig(log, lakeRoot, ckpt, maxFilesPerTrigger = Some(2),
+      lakeMaxRecordsPerFile = 400L,
+      autoCompactEvery = 1, autoCompactMaxFiles = 2, autoExpireKeep = 2)
+    val lake = CdcEngine.replayToEnd(spark, rcfg)
+
+    val oracle = FoldOracle.replay(spark, log)
+    val got = lake.read(spark)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got.size == oracle.size, "row count differs from oracle")
+    oracle.foreach { case (k, fr) =>
+      assert(got.get(k).contains(FoldOracle.rowSha256(fr.content)), s"sha mismatch at $k")
+    }
+    // metadata growth is bounded: ≤2 retained snapshots, not one per
+    // batch+compaction; per-bucket file counts held at the compact cap
+    assert(lake.versions().size <= 2, s"snapshots not expired: ${lake.versions()}")
+    val perBucket = lake.snapshot().files.groupBy(_.bucket).view.mapValues(_.size)
+    assert(perBucket.values.forall(_ <= 2),
+      s"bucket exceeded compact cap: ${perBucket.toMap}")
+    // vacuum actually reclaimed the superseded CoW files: every parquet
+    // on disk is referenced by a retained snapshot
+    val root = java.nio.file.Paths.get(lakeRoot)
+    val referenced = lake.versions()
+      .flatMap(v => lake.snapshot(v).files.map(_.path)).toSet
+    java.nio.file.Files.walk(root).forEach { p =>
+      val rel = root.relativize(p).toString
+      if (rel.endsWith(".parquet"))
+        assert(referenced.contains(rel), s"orphan survived: $rel")
+    }
+  }
+
   test("fencing: re-merging a committed batch is a no-op") {
     val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
     val small = cfg.copy(events = 2000L)
