@@ -347,10 +347,27 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     val keep = snap.files.filterNot(f => fat.contains(f.bucket))
     val commitVersion = snap.version + 1
     val outDir = s"$root/" + f"data/c$commitVersion%08d"
+    // range-partition on (bucket, repo, path) rather than hash on
+    // bucket alone: the dynamic partitionBy write routes rows to
+    // bucket dirs regardless of task layout, so a fat bucket compacts
+    // across the whole cluster (not one task per bucket — at 100 TB a
+    // single bucket can be TBs), while ranges keep each output file
+    // key-clustered with tight manifest min/max repo stats. Task count
+    // is sized from the manifest row stats so small tables keep the
+    // one-task-per-bucket (= one output file) shape; only genuinely
+    // large rewrites fan out past the bucket count.
+    val totalRows =
+      if (fatFiles.forall(_.rows >= 0)) fatFiles.map(_.rows).sum else -1L
+    val targetRowsPerTask = math.max(maxRecordsPerFile, 1L << 22)
+    val parallelism =
+      if (totalRows < 0) math.max(fat.size, 1)
+      else math.max(fat.size,
+        math.min(((totalRows + targetRowsPerTask - 1) / targetRowsPerTask).toInt,
+          spark.sparkContext.defaultParallelism * 4))
     val rewritten = spark.read.schema(internalSchema(sch))
       .parquet(fatFiles.map(f => s"$root/${f.path}"): _*)
       .withColumn(BucketCol, bucketExpr(col("repo"), snap.buckets))
-      .repartition(math.max(fat.size, 1), col(BucketCol))
+      .repartitionByRange(parallelism, col(BucketCol), col("repo"), col("path"))
       .sortWithinPartitions(col(BucketCol), col("repo"), col("path"))
     writeData(rewritten, outDir)
     val newFiles = manifestEntries(outDir)
