@@ -762,6 +762,27 @@ object SparkEntry {
         .orderBy("batch_id")
     }),
 
+    "q_lineage" -> ((s, dir) => {
+      // per-partition lineage: each micro-batch commits exactly one
+      // snapshot, in batch order (version = base + batch + 1), with
+      // ≥1 per-bucket lineage rows. Bucket membership is xxhash-based
+      // (no SQL twin), so the gate checks the batch→snapshot spine;
+      // the per-bucket file accounting is pinned in EndToEndReplaySpec.
+      val work = java.nio.file.Files.createTempDirectory("graft-entry-lin")
+      eventsCdcLog(s, dir, s"$work/log")
+      CdcEngine.replayToEnd(s, CdcEngine.ReplayConfig(
+        logDir = s"$work/log", lakeRoot = s"$work/lake",
+        checkpointDir = s"$work/chk", maxFilesPerTrigger = Some(2),
+        metricsDir = Some(s"$work/m")))
+      s.read.parquet(s"$work/m/lineage")
+        .groupBy(col("batchId").as("batch_id"))
+        .agg(min(col("snapshotVersion")).as("snapshot_version"),
+          max(col("snapshotVersion")).as("snapshot_version_max"))
+        .select(col("batch_id"), col("snapshot_version"),
+          (col("snapshot_version") === col("snapshot_version_max")).as("one_snapshot"))
+        .orderBy("batch_id")
+    }),
+
     "q_cdc_resume" -> ((s, dir) => {
       // exactly-once resume: the first engine run sees only the log's
       // first 4 files (2 checkpointed micro-batches) and stops; the
@@ -1219,6 +1240,12 @@ object SparkEntry {
     "q_rollback" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
 
     "q_cdc_resume" -> cdcLwwOracle(""),
+
+    "q_lineage" ->
+      """SELECT DISTINCT CAST(floor((event_id % 6) / 2) AS BIGINT) AS batch_id,
+        |CAST(floor((event_id % 6) / 2) + 1 AS BIGINT) AS snapshot_version,
+        |true AS one_snapshot
+        |FROM events ORDER BY batch_id""".stripMargin,
 
     "q_metrics" ->
       """WITH log AS (

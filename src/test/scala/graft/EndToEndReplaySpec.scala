@@ -111,6 +111,37 @@ class EndToEndReplaySpec extends SparkTestBase {
     }
   }
 
+  test("lineage rows account per-bucket files and cover the batch's buckets") {
+    val log = tmpDir("log"); val lakeRoot = tmpDir("lake")
+    val ckpt = tmpDir("ckpt"); val mdir = tmpDir("metrics")
+    val small = cfg.copy(events = 4000L, rowsPerFile = 1000L)
+    EventLogGen.writeLog(spark, small, log)
+    val lake = CdcEngine.replayToEnd(spark,
+      ReplayConfig(log, lakeRoot, ckpt, maxFilesPerTrigger = Some(2),
+        metricsDir = Some(mdir)))
+    val lin = spark.read.parquet(s"$mdir/lineage")
+      .select("batchId", "bucket", "filesWritten", "snapshotVersion")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(lin.nonEmpty)
+    // one snapshot per batch, strictly increasing with batch order
+    val verByBatch = lin.groupBy(_._1).view.mapValues(_.map(_._4).distinct).toMap
+    assert(verByBatch.values.forall(_.size == 1), "batch spans snapshots")
+    val ordered = verByBatch.toSeq.sortBy(_._1).map(_._2.head)
+    assert(ordered == ordered.sorted && ordered.distinct == ordered)
+    // per batch: buckets are distinct, every row wrote ≥1 file
+    lin.groupBy(_._1).foreach { case (b, rows) =>
+      assert(rows.map(_._2).distinct.length == rows.length, s"dup bucket in batch $b")
+      assert(rows.forall(_._3 > 0), s"zero-file lineage row in batch $b")
+    }
+    // the final snapshot's per-bucket files all trace back to some
+    // lineage row of the bucket (bucket coverage of the written state)
+    val writtenBuckets = lin.map(_._2).toSet
+    val stateBuckets = lake.snapshot().files.map(_.bucket).toSet
+    assert(stateBuckets.subsetOf(writtenBuckets),
+      s"state buckets $stateBuckets not covered by lineage $writtenBuckets")
+  }
+
   test("fencing: re-merging a committed batch is a no-op") {
     val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
     val small = cfg.copy(events = 2000L)
