@@ -696,6 +696,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_sink_jsonl" -> ((s, dir) => {
+      // file output, lines/JSONL codec (the reference's default
+      // serialization): write the batch as gzipped JSON-per-line,
+      // read it back, and every value must survive the text roundtrip
+      val out = java.nio.file.Files.createTempDirectory("graft-jl").toString
+      graft.sinks.Sink.TextDir(out, codec = "json", compression = Some("gzip"))
+        .write(t(s, dir, "events").select("event_id", "event_type", "user_id"), 0L)
+      s.read.json(out)
+        .select(col("event_id").cast("long"), col("event_type"),
+          col("user_id").cast("long"))
+        .orderBy("event_id")
+    }),
+
     "q_sink_fanout" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-fo").toString
       val sink = graft.sinks.Sink.FanOut(Seq(
@@ -1297,6 +1310,10 @@ object SparkEntry {
     "q_sink_switch" ->
       """SELECT event_id,
         |CASE WHEN value >= 250.0 THEN 'hi' ELSE 'lo' END AS route
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sink_jsonl" ->
+      """SELECT event_id, event_type, user_id
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_sink_fanout" ->

@@ -134,7 +134,15 @@ object PipelineConfig {
     val body = node.get(name)
     name match {
       case "parquet" | "file" =>
-        ParquetDir(if (body.isTextual) body.asText else body.get("path").asText)
+        val path = if (body.isTextual) body.asText else body.get("path").asText
+        val codec = if (body.isTextual) "parquet"
+          else opt(body, "codec").map(_.asText).getOrElse("parquet")
+        codec match {
+          case "parquet" => ParquetDir(path)
+          case c => TextDir(path, c,
+            opt(body, "column").map(_.asText).getOrElse("content"),
+            opt(body, "compression").map(_.asText))
+        }
       case "lake" =>
         Lake(body.get("root").asText,
           opt(body, "buckets").map(_.asInt).getOrElse(16))
@@ -241,10 +249,12 @@ object PipelineConfig {
       case "archive" =>
         PArchive(body.get("format").asText,
           opt(body, "group_by").map(g => (0 until g.size).map(g.get(_).asText)).getOrElse(Nil),
-          opt(body, "field").map(_.asText).getOrElse("content"))
+          opt(body, "field").map(_.asText).getOrElse("content"),
+          opt(body, "key").map(_.asText).getOrElse("key"))
       case "unarchive" =>
         PUnarchive(body.get("format").asText,
-          opt(body, "field").map(_.asText).getOrElse("content"))
+          opt(body, "field").map(_.asText).getOrElse("content"),
+          opt(body, "key").map(_.asText).getOrElse("key"))
       case "workflow" =>
         val br = body.get("branches")
         val names = br.fieldNames()

@@ -41,9 +41,9 @@ object Processor {
     * (processor_catch.go). */
   final case class PCatch(processors: Seq[Processor]) extends Processor
   /** fold the batch into one row per group (processor_archive.go). */
-  final case class PArchive(format: String, groupBy: Seq[String] = Nil, field: String = "content") extends Processor
+  final case class PArchive(format: String, groupBy: Seq[String] = Nil, field: String = "content", keyField: String = "key") extends Processor
   /** explode one row into many (processor_unarchive.go). */
-  final case class PUnarchive(format: String, field: String = "content") extends Processor
+  final case class PUnarchive(format: String, field: String = "content", keyField: String = "key") extends Processor
   /** no-op (processor_noop.go). */
   case object PNoop extends Processor
   /** DAG of named branches executed in topological stages
@@ -230,12 +230,17 @@ object Processor {
 
     case PSplit(n) => df => df.repartition(n)
 
-    case PArchive(format, groupBy, field) => df => {
+    case PArchive(format, groupBy, field, keyField) => df => {
       val keys = groupBy.map(col)
       val grouped = if (keys.isEmpty) df.groupBy(lit(1).as("_g")) else df.groupBy(keys: _*)
       val agg = format match {
         case "json_array" => to_json(array_sort(collect_list(col(field))))
         case "lines" | "concat" => concat_ws("\n", array_sort(collect_list(col(field))))
+        // one JSON object per group, keyed by `keyField` (upstream
+        // json_map keys parts by metadata; columnar form = a key col)
+        case "json_map" => to_json(map_from_entries(array_sort(
+          collect_list(struct(col(keyField).cast(StringType).as("key"),
+            col(field).as("value"))))))
         case other => throw new IllegalArgumentException(s"archive format $other")
       }
       val out = grouped.agg(agg.as(field))
@@ -397,7 +402,7 @@ object Processor {
         s"avro operator $other (from_json | to_json)")
     }
 
-    case PUnarchive(format, field) => df => format match {
+    case PUnarchive(format, field, keyField) => df => format match {
       case "json_array" =>
         val others = df.columns.filterNot(_ == field).map(col)
         df.select(others :+ explode(from_json(col(field),
@@ -405,6 +410,12 @@ object Processor {
       case "lines" =>
         val others = df.columns.filterNot(_ == field).map(col)
         df.select(others :+ explode(split(col(field), "\n")).as(field): _*)
+      case "json_map" =>
+        val others = df.columns.filterNot(c => c == field || c == keyField).map(col)
+        df.select(others :+ explode(from_json(col(field),
+            org.apache.spark.sql.types.MapType(StringType, StringType))): _*)
+          .withColumnRenamed("key", keyField)
+          .withColumnRenamed("value", field)
       case other => throw new IllegalArgumentException(s"unarchive format $other")
     }
   }

@@ -43,6 +43,40 @@ object Sink {
         .parquet(path)
   }
 
+  /** Line-oriented file output (reference `file` output with the
+    * `lines` codec, upstream internal/impl/io/output_file.go +
+    * codec/writer.go): `json` renders each row as one JSON document
+    * per line (JSONL — the reference's default message serialization),
+    * `lines` writes the single `column` (default `content`) as raw
+    * text lines. Same batch-id dynamic-partition idempotence as
+    * [[ParquetDir]]; compression (e.g. "gzip") is the Spark writer
+    * codec, transparent on read-back.
+    */
+  final case class TextDir(path: String, codec: String = "json",
+                           column: String = "content",
+                           compression: Option[String] = None) extends Sink {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val keyed = batch.withColumn("_batch_id", lit(batchId))
+      val w0 = keyed.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+      val w = compression.fold(w0)(c => w0.option("compression", c))
+      codec match {
+        case "json" => w.json(path)
+        case "lines" =>
+          keyed.select(col(column).cast(org.apache.spark.sql.types.StringType),
+              col("_batch_id"))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .options(compression.map("compression" -> _).toMap)
+            .text(path)
+        case other => throw new IllegalArgumentException(
+          s"file output codec $other (json | lines)")
+      }
+    }
+  }
+
   /** Exactly-once MERGE into a lake table (the engine's primary sink). */
   final case class Lake(root: String, buckets: Int = 16) extends Sink {
     @transient private lazy val table = new LakeTable(root, buckets)

@@ -31,6 +31,22 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(out(4L)._1.isEmpty && out(4L)._2.isEmpty)
   }
 
+  test("archive/unarchive json_map: keyed object roundtrip") {
+    import spark.implicits._
+    val df = Seq(("g1", "a", "va"), ("g1", "b", "vb"), ("g2", "c", "vc"))
+      .toDF("grp", "key", "content")
+    val archived = Processor.compile(Seq(
+      PArchive("json_map", groupBy = Seq("grp"))))(df)
+    val byGrp = archived.collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[String]("content")).toMap
+    assert(byGrp("g1") == """{"a":"va","b":"vb"}""")
+    assert(byGrp("g2") == """{"c":"vc"}""")
+    val back = Processor.compile(Seq(PUnarchive("json_map")))(archived)
+    val rows = back.select("grp", "key", "content").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(rows == Seq(("g1", "a", "va"), ("g1", "b", "vb"), ("g2", "c", "vc")))
+  }
+
   test("retry processor: state-repairing children converge over attempts") {
     import spark.implicits._
     val df = Seq(-15.0, -5.0, 5.0).toDF("v")

@@ -40,6 +40,40 @@ class SinksSpec extends SparkTestBase {
     assert(readDir(s"$d/b").count() == 3)
   }
 
+  test("file output codecs: JSONL + gzipped lines roundtrip, replay idempotent") {
+    val d = tmpDir("textsink")
+    val batch = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0))
+      .toDF("seq", "content", "score")
+    // JSONL: full rows, one document per line
+    val js = Sink.TextDir(s"$d/jsonl", codec = "json")
+    js.write(batch, 0L)
+    js.write(batch, 0L) // replayed batch must not duplicate
+    val back = spark.read.json(s"$d/jsonl").drop("_batch_id")
+    assert(back.count() == 2)
+    assert(back.select("seq", "content", "score").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq ==
+      Seq((1L, "alpha", 1.5), (2L, "beta", -2.0)))
+    // lines codec + gzip: just the content column, transparent on read
+    Sink.TextDir(s"$d/lines", codec = "lines",
+      compression = Some("gzip")).write(batch, 0L)
+    val lines = spark.read.text(s"$d/lines").collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq("alpha", "beta"))
+    assert(new java.io.File(s"$d/lines/_batch_id=0").listFiles()
+      .exists(_.getName.endsWith(".gz")), "expected gzipped part files")
+    // YAML surface
+    val pipe = PipelineConfig.parse(
+      """pipeline:
+        |  processors:
+        |    - noop: {}
+        |output:
+        |  file:
+        |    path: x
+        |    codec: lines
+        |    compression: gzip
+        |""".stripMargin)
+    assert(pipe.sink.contains(Sink.TextDir("x", "lines", "content", Some("gzip"))))
+  }
+
   test("fallback falls through to the dead-letter output") {
     val d = tmpDir("fb")
     val failing = new Sink {
