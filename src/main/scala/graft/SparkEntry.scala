@@ -465,8 +465,10 @@ object SparkEntry {
         .orderBy("id")),
 
     "q_session_window" -> ((s, dir) =>
-      // gap-based sessionization (beyond the reference; rows-only —
-      // DuckDB has no session_window; Scala spec covers semantics)
+      // gap-based sessionization (beyond the reference). DuckDB has no
+      // session_window, but sessions ARE plain SQL: gaps-and-islands
+      // (break when ts - lag(ts) >= gap; Spark's window end is
+      // EXCLUSIVE, so an exactly-gap-later event starts a new session)
       graft.streaming.Windowing.sessionAgg(
           t(s, dir, "events").filter(col("user_id") < 5),
           "ts", "30 minutes", "0 seconds", Seq("user_id"),
@@ -586,12 +588,14 @@ object SparkEntry {
     }),
 
     "q_compress" -> ((s, dir) =>
-      // gzip has no DuckDB twin — rows-only; determinism + roundtrip
-      // identity are pinned in ExtendedOpsSpec
+      // DuckDB cannot gzip, but the roundtrip identity IS the oracle:
+      // gunzip(gzip(x)) must be value-exact x for every row (output
+      // bytes themselves are pinned deterministic in ExtendedOpsSpec)
       t(s, dir, "part")
         .select(col("p_partkey"),
-          graft.functions.GraftFunctions.gzip(col("p_name").cast("binary")).as("gz"))
-        .select(col("p_partkey"), lower(hex(col("gz"))).as("gz_hex"))
+          graft.functions.GraftFunctions.gunzip(
+            graft.functions.GraftFunctions.gzip(col("p_name").cast("binary")))
+            .cast("string").as("rt"))
         .orderBy("p_partkey")),
 
     // ---------------- round-2: new inputs + stateful cache ------------
@@ -965,6 +969,18 @@ object SparkEntry {
         |(SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
         |GROUP BY word ORDER BY word""".stripMargin,
 
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 5),
+        |m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                          < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM e),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "q_window_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |count(*) AS n,
@@ -975,6 +991,9 @@ object SparkEntry {
       """SELECT event_id,
         |CASE WHEN value <= 450.0 THEN value ELSE -1.0 END AS value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_compress" ->
+      """SELECT p_partkey, p_name AS rt FROM part ORDER BY p_partkey""",
 
     "q_crypto_fns" ->
       """SELECT doc_id AS id, text AS aes_rt,
