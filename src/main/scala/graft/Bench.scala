@@ -109,7 +109,15 @@ object Bench {
         maxFilesPerTrigger =
           Some(sys.env.getOrElse("SPARK_GRAFT_MAX_FILES", "64").toInt),
         persistBatch = !sys.env.contains("SPARK_GRAFT_NO_PERSIST"),
-        materialize = sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "winner_rows")),
+        materialize = sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "winner_rows"),
+        // SPARK_GRAFT_MOR=1 switches the lake to merge-on-read (append
+        // winners + read-side resolve) with in-loop compaction every
+        // SPARK_GRAFT_MOR_COMPACT batches (0 = never during replay)
+        mergeOnRead = sys.env.contains("SPARK_GRAFT_MOR"),
+        autoCompactEvery =
+          if (sys.env.contains("SPARK_GRAFT_MOR"))
+            sys.env.getOrElse("SPARK_GRAFT_MOR_COMPACT", "0").toInt
+          else 0),
         pipeline)
     }
     (sec, events / sec)

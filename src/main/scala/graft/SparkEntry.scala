@@ -884,6 +884,19 @@ object SparkEntry {
       cdcStateDump(s, lake.read(s))
     }),
 
+    "q_cdc_mor" -> ((s, dir) => {
+      // merge-on-read replay: append-only merges + read-side LWW
+      // resolution + in-loop compaction must equal the same plain-SQL
+      // LWW oracle as the copy-on-write flagship (q_cdc_replay_events)
+      val work = java.nio.file.Files.createTempDirectory("graft-entry-mor")
+      eventsCdcLog(s, dir, s"$work/log")
+      val lake = CdcEngine.replayToEnd(s, CdcEngine.ReplayConfig(
+        logDir = s"$work/log", lakeRoot = s"$work/lake",
+        checkpointDir = s"$work/chk", maxFilesPerTrigger = Some(2),
+        mergeOnRead = true, autoCompactEvery = 2, autoCompactMaxFiles = 4))
+      cdcStateDump(s, lake.read(s))
+    }),
+
     "q_cdc_replay" -> ((s, _) =>
       // generator → streaming replay → fenced LWW merge → final state;
       // the sha-equality oracle is the fold oracle in EndToEndReplaySpec
@@ -1268,6 +1281,8 @@ object SparkEntry {
     "q_cdc_compacted" -> cdcLwwOracle(""),
 
     "q_lake_maintenance" -> cdcLwwOracle(""),
+
+    "q_cdc_mor" -> cdcLwwOracle(""),
 
     "q_rollback" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
 

@@ -68,7 +68,15 @@ object CdcEngine {
       // CoW files, keeping disk + manifest size O(table), not O(log).
       autoCompactEvery: Int = 0,
       autoCompactMaxFiles: Int = 8,
-      autoExpireKeep: Int = 0)
+      autoExpireKeep: Int = 0,
+      // merge-on-read lake mode (table property, fixed at init):
+      // merges append only the batch's LWW winner rows — per-batch
+      // write cost O(batch) independent of key-range overlap with the
+      // table — and readers resolve LWW per key until compaction
+      // (pair with autoCompactEvery to bound the read debt). The
+      // write-optimized choice for hot-key/high-frequency ingest;
+      // default CoW remains the read-optimized one.
+      mergeOnRead: Boolean = false)
 
   final case class BatchMetrics(
       batchId: Long, rowsIn: Long, rowsUpserted: Long, rowsDeleted: Long,
@@ -80,7 +88,7 @@ object CdcEngine {
   def replay(spark: SparkSession, cfg: ReplayConfig,
              pipeline: DataFrame => DataFrame = identity,
              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val lake = new LakeTable(cfg.lakeRoot, cfg.lakeBuckets, cfg.lakeMaxRecordsPerFile)
+    val lake = new LakeTable(cfg.lakeRoot, cfg.lakeBuckets, cfg.lakeMaxRecordsPerFile, cfg.mergeOnRead)
     lake.initIfNeeded(userSchemaOf(cfg.schema))
 
     val reader = spark.readStream.schema(cfg.schema)
@@ -284,7 +292,7 @@ object CdcEngine {
                   pipeline: DataFrame => DataFrame = identity): LakeTable = {
     val q = replay(spark, cfg, pipeline)
     q.awaitTermination()
-    new LakeTable(cfg.lakeRoot, cfg.lakeBuckets, cfg.lakeMaxRecordsPerFile)
+    new LakeTable(cfg.lakeRoot, cfg.lakeBuckets, cfg.lakeMaxRecordsPerFile, cfg.mergeOnRead)
   }
 
   private def userSchemaOf(eventSchema: StructType): StructType =

@@ -56,7 +56,8 @@ import org.json4s.jackson.Serialization
   *   lower-seq events than already applied.
   */
 final class LakeTable(val root: String, val buckets: Int = 16,
-                      val maxRecordsPerFile: Long = 0L) {
+                      val maxRecordsPerFile: Long = 0L,
+                      val mergeOnRead: Boolean = false) {
   import LakeTable._
 
   private val metaDir = Paths.get(root, "meta")
@@ -69,7 +70,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       writeSnapshot(Snapshot(
         version = 0, schemaId = 0, schemaJson = schema.json,
         lastCommittedBatchId = -1L, buckets = buckets, files = Nil,
-        lineage = Nil))
+        lineage = Nil, mor = mergeOnRead))
     }
   }
 
@@ -114,12 +115,29 @@ final class LakeTable(val root: String, val buckets: Int = 16,
   /** Current table contents (user-facing: tombstones and internal
     * columns hidden).
     */
-  def read(spark: SparkSession): DataFrame =
-    readInternal(spark).filter(col(OpCol) === "upsert").drop(SeqCol, OpCol)
-
-  def readVersion(spark: SparkSession, version: Long): DataFrame =
-    readSnapshot(spark, snapshot(version))
+  def read(spark: SparkSession): DataFrame = {
+    val s = snapshot()
+    resolve(readSnapshot(spark, s), s)
       .filter(col(OpCol) === "upsert").drop(SeqCol, OpCol)
+  }
+
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    val s = snapshot(version)
+    resolve(readSnapshot(spark, s), s)
+      .filter(col(OpCol) === "upsert").drop(SeqCol, OpCol)
+  }
+
+  /** MoR read-side LWW resolution: one row per key, max `_seq` wins
+    * (tombstones included — the caller filters them). Keys never span
+    * buckets (bucket = f(repo)), so the aggregate shuffles at most
+    * the delta-burdened keys; after compaction it is a near-no-op.
+    * CoW snapshots resolve to themselves, so this is identity there.
+    */
+  private def resolve(df: DataFrame, s: Snapshot): DataFrame =
+    if (!s.mor) df
+    else df.groupBy(col("repo"), col("path"))
+      .agg(max_by(struct(df.columns.map(col): _*), col(SeqCol)).as("w"))
+      .select(col("w.*"))
 
   private[lake] def readInternal(spark: SparkSession): DataFrame =
     readSnapshot(spark, snapshot())
@@ -152,11 +170,12 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     val sch = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     val files = scanFiles(repos)
     if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
-    else spark.read.schema(internalSchema(sch))
-      .parquet(files.map(f => s"$root/${f.path}"): _*)
+    else resolve(
+        spark.read.schema(internalSchema(sch))
+          .parquet(files.map(f => s"$root/${f.path}"): _*)
+          .filter(col("repo").isin(repos: _*)), s)
       .filter(col(OpCol) === "upsert")
       .drop(SeqCol, OpCol)
-      .filter(col("repo").isin(repos: _*))
   }
 
   // ------------------------------------------------------------------
@@ -211,6 +230,50 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     // bucket-granularity CoW.
     val winnersKeyed = precomputedWinners.map(w =>
       w.select(col("repo"), col("path"), col("seq").as(SeqCol)))
+
+    // ---- merge-on-read: append-only commit, NO existing-side I/O ----
+    // Per-batch cost is O(batch) regardless of how many files the
+    // batch's key ranges intersect — the write-optimized half of the
+    // Hudi/Paimon MoR trade (readers pay a per-key LWW resolve until
+    // compaction folds the deltas). Only the batch's own LWW runs
+    // here; out-of-order seqs against existing rows resolve on read.
+    if (snap.mor) {
+      val keys = Seq("repo", "path")
+      val allCols = newSchema.fieldNames.toSeq ++ Seq(SeqCol, OpCol, BucketCol)
+      val updCount = countHint.getOrElse(upd.count())
+      val winnerRows =
+        if (updCount <= BroadcastKeyLimit) {
+          val winnerKeys = winnersKeyed.getOrElse(
+            upd.groupBy(keys.map(col): _*).agg(max(col(SeqCol)).as(SeqCol)))
+          upd.join(broadcast(winnerKeys), keys :+ SeqCol)
+            .select(allCols.map(col): _*)
+        } else
+          upd.groupBy(col("repo"), col("path"))
+            .agg(max_by(struct(allCols.map(col): _*), col(SeqCol)).as("w"))
+            .select(col("w.*"))
+      val commitVersion = snap.version + 1
+      val outDir = s"$root/" + f"data/c$commitVersion%08d"
+      graft.util.Prof("merge.write") {
+        writeData(winnerRows
+          .repartition(math.max(1, math.min(b, 8)), col(BucketCol))
+          .sortWithinPartitions(col(BucketCol), col("repo"), col("path")), outDir)
+      }
+      val newFiles = graft.util.Prof("merge.manifest") { manifestEntries(outDir) }
+      val lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
+        LineageEntry(batchId, bk, fs.size, commitVersion)
+      }.toSeq.sortBy(_.bucket)
+      graft.util.Prof("merge.snapshot_commit") {
+        writeSnapshot(snap.copy(
+          version = commitVersion,
+          schemaId = schemaId,
+          schemaJson = newSchema.json,
+          lastCommittedBatchId = batchId,
+          files = (snap.files ++ newFiles).sortBy(f => (f.bucket, f.path)),
+          lineage = lineage))
+      }
+      return lineage
+    }
+
     val keySrc = winnersKeyed.getOrElse(upd)
     val updRepos: Array[String] = graft.util.Prof("merge.prune_keys") {
       val capped = keySrc.select(col("repo")).distinct()
@@ -364,8 +427,15 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       else math.max(fat.size,
         math.min(((totalRows + targetRowsPerTask - 1) / targetRowsPerTask).toInt,
           spark.sparkContext.defaultParallelism * 4))
-    val rewritten = spark.read.schema(internalSchema(sch))
+    val raw = spark.read.schema(internalSchema(sch))
       .parquet(fatFiles.map(f => s"$root/${f.path}"): _*)
+    // MoR: compaction is where the read-side LWW debt is paid down —
+    // fold the bucket's deltas to one row per key. Keys never span
+    // buckets, and fat buckets are rewritten whole, so the fold is
+    // complete. WINNING tombstones survive the fold (dropping them
+    // would let a late lower-seq upsert resurrect a deleted key).
+    val folded = resolve(raw, snap)
+    val rewritten = folded
       .withColumn(BucketCol, bucketExpr(col("repo"), snap.buckets))
       .repartitionByRange(parallelism, col(BucketCol), col("repo"), col("path"))
       .sortWithinPartitions(col(BucketCol), col("repo"), col("path"))
@@ -546,7 +616,11 @@ object LakeTable {
       lastCommittedBatchId: Long,
       buckets: Int,
       files: Seq[DataFileMeta],
-      lineage: Seq[LineageEntry])
+      lineage: Seq[LineageEntry],
+      // merge-on-read table property (fixed at init, carried by every
+      // snapshot; json4s fills the default for pre-MoR snapshots):
+      // true = merges append winner rows only and readers resolve LWW
+      mor: Boolean = false)
 
   /** Unsigned UTF-8 byte-order comparison — the order parquet binary
     * stats are computed under. All range pruning goes through this so

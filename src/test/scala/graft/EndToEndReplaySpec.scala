@@ -111,6 +111,24 @@ class EndToEndReplaySpec extends SparkTestBase {
     }
   }
 
+  test("merge-on-read replay with auto-compaction matches the fold oracle") {
+    val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
+    EventLogGen.writeLog(spark, cfg, log)
+    val lake = CdcEngine.replayToEnd(spark,
+      ReplayConfig(log, lakeRoot, ckpt, maxFilesPerTrigger = Some(2),
+        mergeOnRead = true, lakeMaxRecordsPerFile = 500L,
+        autoCompactEvery = 2, autoCompactMaxFiles = 2, autoExpireKeep = 2))
+    assert(lake.snapshot().mor)
+    val oracle = FoldOracle.replay(spark, log)
+    val got = lake.read(spark)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got.size == oracle.size, "row count differs from oracle")
+    oracle.foreach { case (k, fr) =>
+      assert(got.get(k).contains(FoldOracle.rowSha256(fr.content)), s"sha mismatch at $k")
+    }
+  }
+
   test("lineage rows account per-bucket files and cover the batch's buckets") {
     val log = tmpDir("log"); val lakeRoot = tmpDir("lake")
     val ckpt = tmpDir("ckpt"); val mdir = tmpDir("metrics")

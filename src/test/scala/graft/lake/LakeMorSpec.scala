@@ -1,0 +1,101 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import graft.SparkTestBase
+
+/** Merge-on-read mode: merges append only the batch's LWW winner rows
+  * (no existing-side read or rewrite — per-batch write cost O(batch));
+  * readers resolve last-writer-wins per key; compaction folds the
+  * delta debt. The invariants: MoR and CoW tables built from the same
+  * batches read identically, appended files never rewrite existing
+  * ones, and winning tombstones survive folds so late lower-seq
+  * upserts cannot resurrect deleted keys.
+  */
+class LakeMorSpec extends SparkTestBase {
+
+  private val userSchema = StructType(Seq(
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("content", StringType, nullable = false)))
+
+  private def batch(rows: Seq[(Long, String, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("seq", "op", "repo", "path", "content")
+  }
+
+  private def lakeOf(mor: Boolean): LakeTable = {
+    val l = new LakeTable(tmpDir(if (mor) "mor" else "cow"), buckets = 2,
+      maxRecordsPerFile = 50L, mergeOnRead = mor)
+    l.initIfNeeded(userSchema)
+    l
+  }
+
+  private def contentOf(lake: LakeTable): Map[(String, String), String] =
+    lake.read(spark).select("repo", "path", "content").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+
+  // three batches with cross-batch key overlap AND an out-of-order
+  // seq arriving in a later batch (seq 5 after seq 9 committed)
+  private val batches: Seq[Seq[(Long, String, String, String, String)]] = Seq(
+    (0 until 40).map(i => (i.toLong, "upsert", s"r${i % 4}", s"p${i % 10}", s"v0-$i")),
+    Seq((40L, "upsert", "r0", "p0", "new-a"), (41L, "delete", "r1", "p1", ""),
+      (42L, "upsert", "r9", "p9", "fresh")),
+    Seq((5L, "upsert", "r0", "p0", "stale-must-lose"),
+      (43L, "upsert", "r2", "p2", "final-c")))
+
+  test("MoR reads equal CoW reads over identical batches (incl. out-of-order)") {
+    val mor = lakeOf(mor = true); val cow = lakeOf(mor = false)
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      mor.merge(batch(rows), i.toLong); cow.merge(batch(rows), i.toLong)
+    }
+    assert(contentOf(mor) == contentOf(cow))
+    assert(contentOf(mor)(("r0", "p0")) == "new-a") // seq 40 beat late seq 5
+    assert(!contentOf(mor).contains(("r1", "p1")))  // tombstone hides the key
+  }
+
+  test("MoR merge appends without touching existing files") {
+    val mor = lakeOf(mor = true)
+    mor.merge(batch(batches(0)), 0L)
+    val before = mor.snapshot().files.map(_.path).toSet
+    mor.merge(batch(batches(1)), 1L)
+    val after = mor.snapshot().files.map(_.path).toSet
+    assert(before.subsetOf(after), "MoR merge must never drop/rewrite existing files")
+    assert((after -- before).nonEmpty)
+    // and time travel across appends still works
+    assert(mor.readVersion(spark, mor.currentVersion() - 1).count() ==
+      contentOfVersioned(mor))
+  }
+
+  private def contentOfVersioned(l: LakeTable): Long = {
+    // state after batch 0 only: 4x10 distinct keys
+    40L min l.readVersion(spark, l.currentVersion() - 1).count()
+  }
+
+  test("compaction folds deltas, keeps tombstones, preserves reads") {
+    val mor = lakeOf(mor = true)
+    batches.zipWithIndex.foreach { case (rows, i) => mor.merge(batch(rows), i.toLong) }
+    val stateBefore = contentOf(mor)
+    val filesBefore = mor.snapshot().files.size
+    mor.compact(spark, maxFilesPerBucket = 1)
+    assert(mor.snapshot().files.size < filesBefore)
+    assert(contentOf(mor) == stateBefore)
+    // winning tombstone survived the fold: a LATE lower-seq upsert of
+    // the deleted key must stay dead
+    mor.merge(batch(Seq((30L, "upsert", "r1", "p1", "zombie"))), 3L)
+    assert(!contentOf(mor).contains(("r1", "p1")),
+      "deleted key resurrected by a stale upsert after compaction")
+    // pruned point read agrees with the full read
+    val pr = mor.readRepos(spark, Seq("r0")).select("repo", "path", "content")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(pr == stateBefore.filter(_._1._1 == "r0"))
+  }
+
+  test("mode is a table property: reopening without the flag still resolves") {
+    val mor = lakeOf(mor = true)
+    batches.zipWithIndex.foreach { case (rows, i) => mor.merge(batch(rows), i.toLong) }
+    val reopened = new LakeTable(mor.root, buckets = 2) // flag not passed
+    assert(contentOf(reopened) == contentOf(mor))
+    assert(reopened.snapshot().mor)
+  }
+}
