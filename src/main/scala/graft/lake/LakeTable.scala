@@ -435,9 +435,14 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     // complete. WINNING tombstones survive the fold (dropping them
     // would let a late lower-seq upsert resurrect a deleted key).
     val folded = resolve(raw, snap)
-    val rewritten = folded
-      .withColumn(BucketCol, bucketExpr(col("repo"), snap.buckets))
-      .repartitionByRange(parallelism, col(BucketCol), col("repo"), col("path"))
+    val bucketed = folded.withColumn(BucketCol, bucketExpr(col("repo"), snap.buckets))
+    // one-task-per-bucket (hash, deterministic file counts) unless the
+    // row volume genuinely needs fanning out past the bucket count —
+    // range sampling is nondeterministic, so only large rewrites use it
+    val partitioned =
+      if (parallelism <= fat.size) bucketed.repartition(math.max(fat.size, 1), col(BucketCol))
+      else bucketed.repartitionByRange(parallelism, col(BucketCol), col("repo"), col("path"))
+    val rewritten = partitioned
       .sortWithinPartitions(col(BucketCol), col("repo"), col("path"))
     writeData(rewritten, outDir)
     val newFiles = manifestEntries(outDir)
