@@ -145,7 +145,8 @@ object PipelineConfig {
         }
       case "lake" =>
         Lake(body.get("root").asText,
-          opt(body, "buckets").map(_.asInt).getOrElse(16))
+          opt(body, "buckets").map(_.asInt).getOrElse(16),
+          opt(body, "merge_on_read").exists(_.asBoolean))
       case "drop" => Drop
       case "switch" =>
         Switch((0 until body.size).map { i =>

@@ -78,8 +78,10 @@ object Sink {
   }
 
   /** Exactly-once MERGE into a lake table (the engine's primary sink). */
-  final case class Lake(root: String, buckets: Int = 16) extends Sink {
-    @transient private lazy val table = new LakeTable(root, buckets)
+  final case class Lake(root: String, buckets: Int = 16,
+                        mergeOnRead: Boolean = false) extends Sink {
+    @transient private lazy val table =
+      new LakeTable(root, buckets, mergeOnRead = mergeOnRead)
     def write(batch: DataFrame, batchId: Long): Unit = {
       val userSchema = org.apache.spark.sql.types.StructType(
         batch.schema.fields.filterNot(f => f.name == "op" || f.name == "seq"))

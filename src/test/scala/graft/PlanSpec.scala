@@ -104,6 +104,31 @@ class PlanSpec extends SparkTestBase {
     assert(got.toSeq == Seq(repo))
   }
 
+  test("CoW read is shuffle-free; MoR read resolves with one partial-agg shuffle") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => (i.toLong, "upsert", s"r${i % 4}", s"p$i", s"v$i"))
+    def mk(mor: Boolean): lake.LakeTable = {
+      val t = new lake.LakeTable(tmpDir(s"plan-mor-$mor"), buckets = 2, mergeOnRead = mor)
+      t.initIfNeeded(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("repo", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.StringType))))
+      t.merge(rows.toDF("seq", "op", "repo", "path", "content"), 0L)
+      t
+    }
+    val cowPlan = plan(mk(mor = false).read(spark))
+    assert(!cowPlan.contains("Exchange"),
+      s"CoW read must be a pure scan+filter, got:\n$cowPlan")
+    val morPlan = plan(mk(mor = true).read(spark))
+    // exactly one exchange — the per-key LWW resolve — preceded by a
+    // partial aggregate (map-side combine shrinks the shuffle to one
+    // row per key per task before any data moves)
+    assert(morPlan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"MoR read needs exactly one key-hash exchange, got:\n$morPlan")
+    assert(morPlan.contains("partial_max_by") || morPlan.contains("partial"),
+      s"MoR resolve must partial-aggregate before the shuffle:\n$morPlan")
+  }
+
   test("expensive filter predicate is hoisted above the projection, not cloned into it") {
     // Catalyst's pushdown substitutes projected aliases into the
     // predicate (regex evaluated twice per row); ReclaimExpensiveFilter
