@@ -884,6 +884,19 @@ object SparkEntry {
       cdcStateDump(s, lake.read(s))
     }),
 
+    "q_changelog" -> ((s, dir) => {
+      // incremental read (Delta-CDF-style): the changelog between the
+      // post-batch-0 snapshot and the final state = every key whose
+      // LWW winner landed in batches 1-2, deletes included — exactly
+      // the keys a downstream consumer must re-process. State-based
+      // definition, so the SQL oracle is two winner frames anti-joined.
+      val (lake, v0) = eventsCdcReplay(s, dir)
+      lake.changesBetween(s, v0 + 1, lake.currentVersion())
+        .select(col("repo"), col("path"), col("_change").as("change"),
+          col("_seq").as("seq"), sha2(col("content"), 256).as("content_sha"))
+        .orderBy("repo", "path")
+    }),
+
     "q_cdc_mor" -> ((s, dir) => {
       // merge-on-read replay: append-only merges + read-side LWW
       // resolution + in-loop compaction must equal the same plain-SQL
@@ -1283,6 +1296,25 @@ object SparkEntry {
     "q_lake_maintenance" -> cdcLwwOracle(""),
 
     "q_cdc_mor" -> cdcLwwOracle(""),
+
+    "q_changelog" ->
+      """WITH log AS (
+        |  SELECT event_id AS seq,
+        |         CASE WHEN event_id % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |         printf('user-%05d', user_id) AS repo,
+        |         event_type AS path,
+        |         props AS content
+        |  FROM events),
+        |cur AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        |  FROM log) WHERE rn = 1),
+        |fb AS (SELECT repo, path, seq FROM (
+        |  SELECT repo, path, seq, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        |  FROM log WHERE seq % 6 IN (0, 1)) WHERE rn = 1)
+        |SELECT c.repo, c.path, c.op AS change, c.seq, sha256(c.content) AS content_sha
+        |FROM cur c LEFT JOIN fb ON c.repo = fb.repo AND c.path = fb.path AND c.seq = fb.seq
+        |WHERE fb.seq IS NULL
+        |ORDER BY c.repo, c.path""".stripMargin,
 
     "q_rollback" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
 

@@ -127,6 +127,30 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       .filter(col(OpCol) === "upsert").drop(SeqCol, OpCol)
   }
 
+  /** Changelog between two snapshots (the Delta CDF / Iceberg
+    * incremental-read pattern, downstream-consumer facing): one row
+    * per key whose WINNER changed between `vFrom` and `vTo`, carrying
+    * the vTo winner's data plus `_change` ("upsert" | "delete").
+    * Definition is state-based (winner differs), so it is invariant
+    * to how many intermediate batches, compactions, or rollbacks lie
+    * between the versions — compaction-only commits produce an empty
+    * changelog. Unchanged keys never appear; a key deleted in the
+    * window appears once as a delete carrying the tombstone's seq.
+    */
+  def changesBetween(spark: SparkSession, vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom <= vTo, s"changesBetween: $vFrom > $vTo")
+    val sFrom = snapshot(vFrom); val sTo = snapshot(vTo)
+    val to = resolve(readSnapshot(spark, sTo), sTo)
+    val from = resolve(readSnapshot(spark, sFrom), sFrom)
+      .select(col("repo"), col("path"), col(SeqCol))
+    // winner changed ⇔ the vTo winner's (key, seq) is absent at vFrom
+    // (seq is globally unique per row version); CoW state is already
+    // one resolved row per key, so resolve() is identity there
+    to.join(from, Seq("repo", "path", SeqCol), "left_anti")
+      .withColumn("_change", col(OpCol))
+      .drop(OpCol)
+  }
+
   /** MoR read-side LWW resolution: one row per key, max `_seq` wins
     * (tombstones included — the caller filters them). Keys never span
     * buckets (bucket = f(repo)), so the aggregate shuffles at most

@@ -91,6 +91,26 @@ class LakeMorSpec extends SparkTestBase {
     assert(pr == stateBefore.filter(_._1._1 == "r0"))
   }
 
+  test("changelog: winner-changed keys only; compaction-only commits yield nothing") {
+    val mor = lakeOf(mor = true)
+    batches.zipWithIndex.foreach { case (rows, i) => mor.merge(batch(rows), i.toLong) }
+    val vAfterB0 = mor.currentVersion() - 2
+    val changes = mor.changesBetween(spark, vAfterB0, mor.currentVersion())
+      .select("repo", "path", "_change").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    // winners that landed in batches 1-2: r0/p0 (seq 40 upsert),
+    // r1/p1 (seq 41 delete), r9/p9 (seq 42), r2/p2 (seq 43); the
+    // stale seq-5 upsert changed nothing and must not appear
+    assert(changes == Map(
+      ("r0", "p0") -> "upsert", ("r1", "p1") -> "delete",
+      ("r9", "p9") -> "upsert", ("r2", "p2") -> "upsert"))
+    // compaction rewrites files but no winner changes ⇒ empty changelog
+    val preCompact = mor.currentVersion()
+    mor.compact(spark, maxFilesPerBucket = 1)
+    assert(mor.currentVersion() > preCompact)
+    assert(mor.changesBetween(spark, preCompact, mor.currentVersion()).isEmpty)
+  }
+
   test("mode is a table property: reopening without the flag still resolves") {
     val mor = lakeOf(mor = true)
     batches.zipWithIndex.foreach { case (rows, i) => mor.merge(batch(rows), i.toLong) }
