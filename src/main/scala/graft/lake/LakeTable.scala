@@ -299,11 +299,29 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     }
 
     val keySrc = winnersKeyed.getOrElse(upd)
-    val updRepos: Array[String] = graft.util.Prof("merge.prune_keys") {
-      val capped = keySrc.select(col("repo")).distinct()
-        .limit(PruneRepoCap + 1).collect().map(_.getString(0))
-      if (capped.length > PruneRepoCap) null else capped
+    // one driver-side collect serves two pruning tiers: full (repo,
+    // path) pairs enable PATH-range file skipping inside hot repos
+    // (the Zipf regime, where every file of the hot repo shares
+    // minRepo == maxRepo and repo ranges cannot discriminate); past
+    // PrunePairCap fall back to repo-only, past PruneRepoCap to
+    // bucket-granularity
+    val updPairs: Array[(String, String)] = graft.util.Prof("merge.prune_keys") {
+      val capped = keySrc.select(col("repo"), col("path")).distinct()
+        .limit(PrunePairCap + 1).collect().map(r => (r.getString(0), r.getString(1)))
+      if (capped.length > PrunePairCap) null else capped
     }
+    val updRepos: Array[String] =
+      if (updPairs != null) updPairs.map(_._1).distinct
+      else {
+        val capped = keySrc.select(col("repo")).distinct()
+          .limit(PruneRepoCap + 1).collect().map(_.getString(0))
+        if (capped.length > PruneRepoCap) null else capped
+      }
+    val pathsByRepo: Map[String, Array[String]] =
+      if (updPairs == null) Map.empty
+      else updPairs.groupBy(_._1).map { case (r, ps) =>
+        r -> ps.map(_._2).sortWith(ubCompare(_, _) < 0)
+      }
     val touched: Set[Int] =
       if (updRepos != null) updRepos.map(r => bucketOfRepo(r, b)).toSet
       else keySrc.select(bucketExpr(col("repo"), b).as(BucketCol))
@@ -314,7 +332,8 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       else {
         val byBucket = updRepos.groupBy(r => bucketOfRepo(r, b))
           .map { case (k, v) => k -> v.sortWith(ubCompare(_, _) < 0) }
-        inTouched.partition(f => rangeIntersects(f, byBucket(f.bucket)))
+        inTouched.partition(f => rangeIntersects(f, byBucket(f.bucket)) &&
+          (updPairs == null || pathRangeIntersects(f, pathsByRepo)))
       }
     val keptFiles = untouched ++ prunedFiles
 
@@ -575,7 +594,8 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       val rel = Paths.get(root).relativize(p).toString
       val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
       val st = FooterStats.repoStats(p)
-      DataFileMeta(rel, bucket, st.minRepo, st.maxRepo, st.rows)
+      DataFileMeta(rel, bucket, st.minRepo, st.maxRepo, st.rows,
+        st.minPath, st.maxPath)
     }
 
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
@@ -627,6 +647,12 @@ object LakeTable {
     */
   val PruneRepoCap: Int = 500000
 
+  /** Max distinct (repo, path) pairs collected for path-level file
+    * skipping (~2 strings per pair); beyond it pruning degrades to
+    * repo ranges only.
+    */
+  val PrunePairCap: Int = 200000
+
   /** One data file: manifest entry with Iceberg-style column stats.
     * `minRepo`/`maxRepo` bound the repos in the file under UNSIGNED
     * UTF-8 byte order (parquet's BINARY sort order — comparisons must
@@ -636,7 +662,13 @@ object LakeTable {
   final case class DataFileMeta(path: String, bucket: Int,
                                 minRepo: Option[String] = None,
                                 maxRepo: Option[String] = None,
-                                rows: Long = -1L)
+                                rows: Long = -1L,
+                                // path-range stats: only usable for
+                                // pruning when minRepo == maxRepo (a
+                                // multi-repo file's path range spans
+                                // per-repo path spaces)
+                                minPath: Option[String] = None,
+                                maxPath: Option[String] = None)
   final case class LineageEntry(batchId: Long, bucket: Int, filesWritten: Int, snapshotVersion: Long)
   final case class Snapshot(
       version: Long,
@@ -679,6 +711,29 @@ object LakeTable {
           if (ubCompare(sortedRepos(m), lo) < 0) l = m + 1 else r = m
         }
         l < sortedRepos.length && ubCompare(sortedRepos(l), hi) <= 0
+      case _ => true
+    }
+
+  /** Second-tier file skipping for SINGLE-repo files (minRepo ==
+    * maxRepo): does any updated path of that repo fall in the file's
+    * [minPath, maxPath]? Multi-repo files and missing stats → true
+    * (conservative: rewrite). Callers must have already established
+    * repo-range intersection, so the repo lookup hits by construction.
+    */
+  def pathRangeIntersects(f: DataFileMeta,
+                          pathsByRepo: Map[String, Array[String]]): Boolean =
+    (f.minRepo, f.maxRepo, f.minPath, f.maxPath) match {
+      case (Some(r0), Some(r1), Some(pLo), Some(pHi)) if r0 == r1 =>
+        pathsByRepo.get(r0) match {
+          case Some(paths) =>
+            var l = 0; var r = paths.length
+            while (l < r) {
+              val m = (l + r) >>> 1
+              if (ubCompare(paths(m), pLo) < 0) l = m + 1 else r = m
+            }
+            l < paths.length && ubCompare(paths(l), pHi) <= 0
+          case None => true
+        }
       case _ => true
     }
 
@@ -733,13 +788,15 @@ object XxHash64Util {
 
 /** Metadata-only parquet footer reader for manifest stats. */
 object FooterStats {
-  final case class RepoStats(rows: Long, minRepo: Option[String], maxRepo: Option[String])
+  final case class RepoStats(rows: Long, minRepo: Option[String], maxRepo: Option[String],
+                             minPath: Option[String] = None, maxPath: Option[String] = None)
 
-  /** min/max of the `repo` column + total row count from the file's
-    * footer (column-chunk statistics; written by parquet-mr under the
-    * UNSIGNED lexicographic order for UTF8 binary). Any anomaly —
-    * missing/empty stats, truncation, unexpected types — degrades to
-    * None, which the pruner treats as "intersects everything".
+  /** min/max of the `repo` AND `path` columns + total row count from
+    * the file's footer (column-chunk statistics; written by parquet-mr
+    * under the UNSIGNED lexicographic order for UTF8 binary). Any
+    * anomaly — missing/empty stats, truncation, unexpected types —
+    * degrades that column to None, which the pruner treats as
+    * "intersects everything".
     */
   def repoStats(p: java.nio.file.Path): RepoStats = {
     try {
@@ -749,30 +806,34 @@ object FooterStats {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         var rows = 0L
-        var lo: String = null
-        var hi: String = null
-        var ok = true
+        val lo = Array[String](null, null)
+        val hi = Array[String](null, null)
+        val ok = Array(true, true)
+        val names = Array("repo", "path")
         reader.getFooter.getBlocks.forEach { blk =>
           rows += blk.getRowCount
-          var sawRepo = false
+          val saw = Array(false, false)
           blk.getColumns.forEach { cc =>
-            if (cc.getPath.toDotString == "repo") {
-              sawRepo = true
+            val i = names.indexOf(cc.getPath.toDotString)
+            if (i >= 0) {
+              saw(i) = true
               val s = cc.getStatistics
-              if (s == null || s.isEmpty || !s.hasNonNullValue) ok = false
+              if (s == null || s.isEmpty || !s.hasNonNullValue) ok(i) = false
               else (s.genericGetMin, s.genericGetMax) match {
                 case (a: org.apache.parquet.io.api.Binary, z: org.apache.parquet.io.api.Binary) =>
                   val as = a.toStringUsingUTF8; val zs = z.toStringUsingUTF8
-                  if (lo == null || LakeTable.ubCompare(as, lo) < 0) lo = as
-                  if (hi == null || LakeTable.ubCompare(zs, hi) > 0) hi = zs
-                case _ => ok = false
+                  if (lo(i) == null || LakeTable.ubCompare(as, lo(i)) < 0) lo(i) = as
+                  if (hi(i) == null || LakeTable.ubCompare(zs, hi(i)) > 0) hi(i) = zs
+                case _ => ok(i) = false
               }
             }
           }
-          if (!sawRepo) ok = false
+          (0 to 1).foreach(i => if (!saw(i)) ok(i) = false)
         }
-        if (ok && lo != null) RepoStats(rows, Some(lo), Some(hi))
-        else RepoStats(rows, None, None)
+        def rng(i: Int): (Option[String], Option[String]) =
+          if (ok(i) && lo(i) != null) (Some(lo(i)), Some(hi(i))) else (None, None)
+        val (rLo, rHi) = rng(0); val (pLo, pHi) = rng(1)
+        RepoStats(rows, rLo, rHi, pLo, pHi)
       } finally reader.close()
     } catch {
       case scala.util.control.NonFatal(_) => RepoStats(-1L, None, None)

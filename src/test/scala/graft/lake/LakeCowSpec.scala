@@ -83,6 +83,36 @@ class LakeCowSpec extends SparkTestBase {
     assert(state(("r02", "p000")) == "v0-2-0")
   }
 
+  test("hot-repo path-range pruning: point update rewrites one file, not the repo") {
+    // ONE repo split across many files purely by path (the Zipf
+    // regime: every file shares minRepo == maxRepo, repo ranges are
+    // useless) — a single-path update must rewrite only the file
+    // whose [minPath, maxPath] contains it
+    val lake = new LakeTable(tmpDir("hot"), buckets = 2, maxRecordsPerFile = 50L)
+    lake.initIfNeeded(userSchema)
+    val hot = (0 until 400).map(p =>
+      (p.toLong, "upsert", "hot-repo", f"p$p%04d", s"v0-$p"))
+    lake.merge(batch(hot), 0L)
+    val before = lake.snapshot().files
+    val singleRepo = before.filter(f => f.minRepo == f.maxRepo && f.minRepo.contains("hot-repo"))
+    assert(singleRepo.size >= 4, s"premise: several single-repo files, got ${singleRepo.size}")
+    assert(singleRepo.forall(f => f.minPath.isDefined && f.maxPath.isDefined))
+
+    lake.merge(batch(Seq((1000L, "upsert", "hot-repo", "p0100", "v1"))), 1L)
+    val after = lake.snapshot().files
+    val rewritten = before.map(_.path).toSet -- after.map(_.path).toSet
+    val intersecting = singleRepo.count(f =>
+      LakeTable.pathRangeIntersects(f, Map("hot-repo" -> Array("p0100"))))
+    assert(rewritten.size <= intersecting && intersecting < singleRepo.size,
+      s"rewrote ${rewritten.size}, path-intersecting $intersecting of ${singleRepo.size}")
+
+    val state = lake.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(state(("hot-repo", "p0100")) == "v1")
+    assert(state(("hot-repo", "p0099")) == "v0-99")
+    assert(state.size == 400)
+  }
+
   test("scanFiles skips files by manifest repo range, not just bucket") {
     val lake = freshLake()
     lake.merge(batch(initial), 0L)
