@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `BINARY` columns with a typed metadata struct,
   * plus batch decode / feature-extract / resize / frame-sample hooks.
   *
-  * The container ships no image/audio codecs, so the decode kernels are
-  * STUBS — deterministic fakes clearly marked below — while everything
-  * Spark-side is real and tested: the envelope schema, the
-  * partition-preserving batch shape (`mapPartitions` over a typed
-  * Dataset, the JVM twin of `mapInPandas`: one iterator per partition,
-  * so a real decoder amortizes model/codec init per partition, not per
-  * row), and the pure-Column metadata path that needs no decode at all.
+  * Decode is REAL for the uncompressed formats the bare JVM can parse
+  * (24-bit BMP pixels, PCM-16 WAV samples — see `decodeBmp`/
+  * `decodeWav`); compressed codecs (jpeg/mp3/mp4) are absent from the
+  * container, so those payloads fall to a deterministic STUB fake,
+  * clearly marked below. Everything Spark-side is real and tested: the
+  * envelope schema, the partition-preserving batch shape
+  * (`mapPartitions` over a typed Dataset, the JVM twin of
+  * `mapInPandas`: one iterator per partition, so a decoder amortizes
+  * codec/model init per partition, not per row), and the pure-Column
+  * metadata path that needs no decode at all.
   */
 object Multimodal {
 
@@ -71,11 +74,103 @@ object Multimodal {
       }
   }
 
+  /** Decode kernel. REAL for the uncompressed container formats the
+    * JVM can parse without codec jars — 24-bit BI_RGB BMP (geometry +
+    * per-band mean luminance) and PCM-16 WAV (rate/channels + per-band
+    * RMS energy); compressed formats (jpeg/mp3/mp4 — codecs absent in
+    * this container) fall through to the deterministic STUB fake, a
+    * pure function of the payload so tests stay reproducible.
+    */
+  private def decodeOne(r: MediaRow, featureDim: Int): MediaFeatures =
+    decodeBmp(r, featureDim)
+      .orElse(decodeWav(r, featureDim))
+      .getOrElse(stubDecode(r, featureDim))
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+
+  /** 24-bit uncompressed (BI_RGB) BMP: real pixel decode. Features =
+    * `featureDim` horizontal bands' mean luminance (Rec.601), in
+    * [0, 1]. Returns None if the payload is not such a BMP.
+    */
+  private[ops] def decodeBmp(r: MediaRow, featureDim: Int): Option[MediaFeatures] = {
+    val b = r.payload
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(b, 10)
+    val width = le32(b, 18)
+    val height = le32(b, 22)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (bpp != 24 || compression != 0 || width <= 0 || height <= 0) return None
+    val rowBytes = ((width * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+    if (dataOff + rowBytes.toLong * height > b.length) return None
+    val bandSum = new Array[Double](featureDim)
+    val bandN = new Array[Long](featureDim)
+    var y = 0
+    while (y < height) {
+      val band = math.min(y * featureDim / height, featureDim - 1)
+      val row = dataOff + (height - 1 - y) * rowBytes // BMP rows are bottom-up
+      var x = 0
+      while (x < width) {
+        val o = row + x * 3 // BGR order
+        val lum = 0.114 * (b(o) & 0xFF) + 0.587 * (b(o + 1) & 0xFF) + 0.299 * (b(o + 2) & 0xFF)
+        bandSum(band) += lum / 255.0
+        bandN(band) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val feats = Array.tabulate(featureDim)(i =>
+      if (bandN(i) == 0) 0f else (bandSum(i) / bandN(i)).toFloat)
+    Some(MediaFeatures(r.media_id, r.modality, r.n_bytes, width, height, feats))
+  }
+
+  /** PCM-16 WAV: real sample decode. width = sample rate, height =
+    * channel count; features = RMS energy of `featureDim` equal time
+    * bands, in [0, 1]. Returns None if not a PCM-16 RIFF/WAVE.
+    */
+  private[ops] def decodeWav(r: MediaRow, featureDim: Int): Option[MediaFeatures] = {
+    val b = r.payload
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var o = 12
+    var rate = 0; var channels = 0; var bits = 0; var fmt = 0
+    var dataOff = -1; var dataLen = 0
+    while (o + 8 <= b.length) {
+      val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(b, o + 4)
+      if (id == "fmt " && o + 24 <= b.length) {
+        fmt = le16(b, o + 8); channels = le16(b, o + 10)
+        rate = le32(b, o + 12); bits = le16(b, o + 22)
+      } else if (id == "data") { dataOff = o + 8; dataLen = sz }
+      o += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (fmt != 1 || bits != 16 || channels <= 0 || dataOff < 0 ||
+        dataOff + dataLen > b.length) return None
+    val n = dataLen / 2
+    if (n == 0) return None
+    val bandSq = new Array[Double](featureDim)
+    val bandN = new Array[Long](featureDim)
+    var i = 0
+    while (i < n) {
+      val band = math.min(i * featureDim / n, featureDim - 1)
+      val s = le16(b, dataOff + i * 2).toShort / 32768.0
+      bandSq(band) += s * s
+      bandN(band) += 1
+      i += 1
+    }
+    val feats = Array.tabulate(featureDim)(i =>
+      if (bandN(i) == 0) 0f else math.sqrt(bandSq(i) / bandN(i)).toFloat)
+    Some(MediaFeatures(r.media_id, r.modality, r.n_bytes, rate, channels, feats))
+  }
+
   /** STUB: deterministic fake decode — derives geometry and a feature
     * vector from payload bytes instead of decoding pixels. Every output
     * is a pure function of the payload, so tests are reproducible.
     */
-  private def decodeOne(r: MediaRow, featureDim: Int): MediaFeatures = {
+  private def stubDecode(r: MediaRow, featureDim: Int): MediaFeatures = {
     val h = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
     val feats = Array.tabulate(featureDim) { i =>
       ((h(i % h.length) & 0xFF) / 255.0f)

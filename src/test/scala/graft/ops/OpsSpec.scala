@@ -235,6 +235,58 @@ class OpsSpec extends SparkTestBase {
   // multimodal plumbing
   // ------------------------------------------------------------------
 
+  test("real BMP decode: geometry + band luminance from synthesized pixels") {
+    // 4x4 24-bit BMP: top half pure white rows, bottom half pure black
+    def bmp(w: Int, h: Int, rowColor: Int => Int): Array[Byte] = {
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      val data = 54 + rowBytes * h
+      val bb = java.nio.ByteBuffer.allocate(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(data).putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+      bb.putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      // pixel rows bottom-up: row y=0 (stored last row) is the TOP
+      for (yStored <- 0 until h; x <- 0 until w) {
+        val yTop = h - 1 - yStored
+        val v = rowColor(yTop).toByte
+        bb.position(54 + yStored * rowBytes + x * 3)
+        bb.put(v).put(v).put(v)
+      }
+      bb.array()
+    }
+    val payload = bmp(4, 4, y => if (y < 2) 0xFF else 0x00)
+    val r = Multimodal.decodeBmp(
+      Multimodal.MediaRow(1L, "image", "image/bmp", payload, payload.length.toLong),
+      featureDim = 2).get
+    assert(r.width == 4 && r.height == 4)
+    assert(math.abs(r.feature(0) - 1.0f) < 1e-3, s"top band ${r.feature(0)}")
+    assert(math.abs(r.feature(1)) < 1e-3, s"bottom band ${r.feature(1)}")
+    // flows through the real Dataset kernel path too
+    import spark.implicits._
+    val env = Seq((1L, "image", "image/bmp", payload, payload.length.toLong))
+      .toDF("media_id", "modality", "mime", "payload", "n_bytes")
+    val out = Multimodal.decodeAndFeaturize(env, featureDim = 2).collect().head
+    assert(out.width == 4 && out.height == 4 && out.feature.sameElements(r.feature))
+  }
+
+  test("real WAV decode: rate/channels + band RMS from synthesized PCM") {
+    // mono 8kHz PCM-16: first half silence, second half full-scale square
+    val n = 1000
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(n * 2)
+    for (i <- 0 until n)
+      bb.putShort(if (i < n / 2) 0 else if (i % 2 == 0) 32767 else -32767)
+    val payload = bb.array()
+    val r = Multimodal.decodeWav(
+      Multimodal.MediaRow(2L, "audio", "audio/wav", payload, payload.length.toLong),
+      featureDim = 2).get
+    assert(r.width == 8000 && r.height == 1)
+    assert(math.abs(r.feature(0)) < 1e-3, s"silent band ${r.feature(0)}")
+    assert(math.abs(r.feature(1) - 1.0f) < 1e-2, s"loud band ${r.feature(1)}")
+  }
+
   test("media envelope + stub decode are deterministic and schema-stable") {
     val env = Multimodal.asMediaEnvelope(docs.limit(50), "doc_id", "text")
     assert(env.schema.fieldNames.toSeq ==
