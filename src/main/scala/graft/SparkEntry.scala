@@ -587,6 +587,43 @@ object SparkEntry {
       pipe(t(s, dir, "customer")).orderBy("id")
     }),
 
+    "q_csv_archive" -> ((s, dir) => {
+      // csv archive -> unarchive roundtrip: fold each region's nations
+      // into one CSV document (header + sorted rows), explode it back
+      // (header types the row as MAP<STRING,STRING>), project the cells
+      val pipe = compile(Seq(
+        PArchive("csv", groupBy = Seq("n_regionkey")),
+        PUnarchive("csv"),
+        PMapping(
+          """root.rk = this.n_regionkey
+            |root.id = this.content.n_nationkey.int64()
+            |root.name = this.content.n_name
+            |""".stripMargin)))
+      pipe(t(s, dir, "nation").select("n_regionkey", "n_nationkey", "n_name"))
+        .orderBy("id")
+    }),
+
+    "q_xml" -> ((s, dir) => {
+      // xml processor (to_json operator) + parse_xml/format_xml/xpath_*
+      // methods, gated as a value-exact roundtrip: build XML from table
+      // columns, convert/parse it back, compare the extracted fields
+      // against the direct SQL projection
+      val pipe = compile(Seq(
+        PMutation(
+          """root.x = {"nationkey": this.n_nationkey, "name": this.n_name}.format_xml()
+            |root.xj = {"nationkey": this.n_nationkey, "name": this.n_name}.format_xml()
+            |""".stripMargin),
+        PXml("to_json", "nationkey BIGINT, name STRING", "xj"),
+        PMapping(
+          """root.id = this.n_nationkey
+            |root.pk = this.x.parse_xml("nationkey BIGINT, name STRING").nationkey
+            |root.pname = this.x.xpath_string("/ROW/name")
+            |root.pkx = this.x.xpath_long("/ROW/nationkey")
+            |root.jname = this.xj.json_path("$.name")
+            |""".stripMargin)))
+      pipe(t(s, dir, "nation")).orderBy("id")
+    }),
+
     "q_compress" -> ((s, dir) =>
       // DuckDB cannot gzip, but the roundtrip identity IS the oracle:
       // gunzip(gzip(x)) must be value-exact x for every row (output
@@ -1275,6 +1312,15 @@ object SparkEntry {
         |CAST(c_custkey AS VARCHAR) AS qid,
         |CAST(epoch(TIMESTAMP '2024-01-01 01:30:00') AS BIGINT) AS t90
         |FROM customer ORDER BY id""".stripMargin,
+
+    "q_csv_archive" ->
+      """SELECT n_regionkey AS rk, n_nationkey AS id, n_name AS name
+        |FROM nation ORDER BY id""".stripMargin,
+
+    "q_xml" ->
+      """SELECT n_nationkey AS id, CAST(n_name AS VARCHAR) AS jname,
+        |n_nationkey AS pk, n_nationkey AS pkx, n_name AS pname
+        |FROM nation ORDER BY id""".stripMargin,
 
     "q_sql_select" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",

@@ -237,7 +237,8 @@ object ExprCompiler {
     "uppercase", "lowercase", "capitalize", "trim", "trim_prefix",
     "trim_suffix", "replace_all", "re_replace_all", "re_find", "slice",
     "string", "hash", "encode", "decode", "ts_format", "format_timestamp",
-    "join", "format_json", "json_path", "quote", "unquote", "reverse",
+    "join", "format_json", "json_path", "format_xml", "xpath_string",
+    "quote", "unquote", "reverse",
     "type", "first", "last", "index", "not_null", "or", "catch")
 
   /** Static "is this expression string-typed?" — drives `+` dispatch
@@ -419,6 +420,25 @@ object ExprCompiler {
       case "parse_json" => parse_json(c)
       case "format_json" => to_json(c)
       case "json_path" => get_json_object(c, str(0))
+      // xml (reference methods_parsing.go parse_xml, processor_xml.go).
+      // The reference parses XML into an untyped dynamic value; a
+      // columnar engine needs a type, so parse_xml takes a DDL schema
+      // literal (documented semantic delta). The schema-free
+      // navigation twins are the xpath_* methods (one scalar per
+      // call, Spark's codegen'd xpath family).
+      case "parse_xml" => from_xml(c, StructType.fromDDL(str(0)))
+      case "format_xml" =>
+        if (args.isEmpty) to_xml(c)
+        else {
+          val opts = new java.util.HashMap[String, String]()
+          opts.put("rootTag", str(0))
+          to_xml(c, opts)
+        }
+      case "xpath" => xpath(c, lit(str(0)))
+      case "xpath_string" => xpath_string(c, lit(str(0)))
+      case "xpath_long" => xpath_long(c, lit(str(0)))
+      case "xpath_double" => xpath_double(c, lit(str(0)))
+      case "xpath_bool" => xpath_boolean(c, lit(str(0)))
       // structured-text parsers (reference methods_parsing.go)
       case "parse_csv" =>
         // simple CSV (no quoted separators): rows of cell arrays

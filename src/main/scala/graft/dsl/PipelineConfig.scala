@@ -235,6 +235,10 @@ object PipelineConfig {
         PAvro(body.get("operator").asText,
           { val s = body.get("schema"); if (s.isTextual) s.asText else s.toString },
           opt(body, "field").map(_.asText).getOrElse("content"))
+      case "xml" =>
+        PXml(opt(body, "operator").map(_.asText).getOrElse("to_json"),
+          body.get("schema").asText,
+          opt(body, "field").map(_.asText).getOrElse("content"))
       case "try" => PTry(parseProcessors(body))
       case "catch" => PCatch(parseProcessors(body))
       case "switch" =>

@@ -119,6 +119,13 @@ object Processor {
     * Record-of-primitives schema subset (see AvroSupport). */
   final case class PAvro(operator: String, schemaJson: String, field: String) extends Processor
 
+  /** xml → JSON conversion (processor_xml.go, operator `to_json`).
+    * The reference infers the structure per message; a columnar engine
+    * needs one type for the whole column, so the element shape is a
+    * DDL schema config (documented delta — same contract as [[PAvro]]).
+    */
+  final case class PXml(operator: String, schemaDdl: String, field: String) extends Processor
+
   // ------------------------------------------------------------------
 
   /** Static-unroll bound for PWhile (see its compile case). */
@@ -241,6 +248,15 @@ object Processor {
         case "json_map" => to_json(map_from_entries(array_sort(
           collect_list(struct(col(keyField).cast(StringType).as("key"),
             col(field).as("value"))))))
+        // one CSV document per group: header = the non-group columns,
+        // rows sorted for determinism (processor_archive.go csv format;
+        // same documented simple-CSV contract as parse_csv — cell
+        // values must not embed the separators)
+        case "csv" =>
+          val cells = df.columns.filterNot(groupBy.contains)
+          concat_ws("\n", lit(cells.mkString(",")),
+            concat_ws("\n", array_sort(collect_list(
+              concat_ws(",", cells.map(c => col(c).cast(StringType)): _*)))))
         case other => throw new IllegalArgumentException(s"archive format $other")
       }
       val out = grouped.agg(agg.as(field))
@@ -402,6 +418,17 @@ object Processor {
         s"avro operator $other (from_json | to_json)")
     }
 
+    case PXml(op, ddl, field) => df => op match {
+      case "to_json" =>
+        df.withColumn(field, to_json(from_xml(col(field),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))))
+      case "from_json" =>
+        df.withColumn(field, to_xml(from_json(col(field),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))))
+      case other => throw new IllegalArgumentException(
+        s"xml operator $other (to_json | from_json)")
+    }
+
     case PUnarchive(format, field, keyField) => df => format match {
       case "json_array" =>
         val others = df.columns.filterNot(_ == field).map(col)
@@ -416,6 +443,18 @@ object Processor {
             org.apache.spark.sql.types.MapType(StringType, StringType))): _*)
           .withColumnRenamed("key", keyField)
           .withColumnRenamed("value", field)
+      // one row per CSV data line; the header line types the row as a
+      // MAP<STRING,STRING> (the header is per-document data, so the
+      // columnar type must be a map, not static columns — callers
+      // project fields out with `.field` / element_at)
+      case "csv" =>
+        val others = df.columns.filterNot(_ == field).map(col)
+        val lines = split(col(field), "\r?\n")
+        val header = split(element_at(lines, 1), ",")
+        df.select((others :+ header.as("_hdr") :+
+            explode(slice(lines, lit(2), size(lines) - 1)).as("_line")): _*)
+          .withColumn(field, map_from_arrays(col("_hdr"), split(col("_line"), ",")))
+          .drop("_hdr", "_line")
       case other => throw new IllegalArgumentException(s"unarchive format $other")
     }
   }

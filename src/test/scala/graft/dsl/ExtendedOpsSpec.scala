@@ -192,4 +192,42 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(p.processors(2).isInstanceOf[PJsonSchema])
     assert(p.sink.exists(_.isInstanceOf[graft.sinks.Sink.Retry]))
   }
+
+  test("xml: format_xml/parse_xml/xpath methods and the xml processor roundtrip") {
+    import spark.implicits._
+    val df = Seq((7L, "alpha"), (9L, "<beta&>")).toDF("k", "v")
+    val pipe = Processor.compile(Seq(
+      PMutation(
+        """root.x = {"k": this.k, "v": this.v}.format_xml()
+          |root.xj = {"k": this.k, "v": this.v}.format_xml()
+          |""".stripMargin),
+      PXml("to_json", "k BIGINT, v STRING", "xj"),
+      PMapping(
+        """root.k = this.k
+          |root.pk = this.x.parse_xml("k BIGINT, v STRING").k
+          |root.pv = this.x.parse_xml("k BIGINT, v STRING").v
+          |root.xv = this.x.xpath_string("/ROW/v")
+          |root.xk = this.x.xpath_long("/ROW/k")
+          |root.jv = this.xj.json_path("$.v")
+          |""".stripMargin)))
+    val out = pipe(df).collect().map(r => r.getAs[Long]("k") ->
+      (r.getAs[Long]("pk"), r.getAs[String]("pv"), r.getAs[String]("xv"),
+        r.getAs[Long]("xk"), r.getAs[String]("jv"))).toMap
+    // XML-special characters must survive the escape/unescape roundtrip
+    assert(out(7L) == ((7L, "alpha", "alpha", 7L, "alpha")))
+    assert(out(9L) == ((9L, "<beta&>", "<beta&>", 9L, "<beta&>")))
+
+    // xml processor from_json: JSON field -> XML wire form
+    val back = Processor.compile(Seq(PXml("from_json", "k BIGINT, v STRING", "j")))(
+      Seq(("""{"k":3,"v":"x<y"}""")).toDF("j")).collect()(0).getAs[String]("j")
+    assert(back.contains("<k>3</k>") && back.contains("x&lt;y"))
+
+    // YAML surface
+    val p = PipelineConfig.parse(
+      """pipeline:
+        |  processors:
+        |    - xml: { operator: to_json, schema: "k BIGINT", field: doc }
+        |""".stripMargin)
+    assert(p.processors.head == PXml("to_json", "k BIGINT", "doc"))
+  }
 }
