@@ -17,8 +17,23 @@ import org.json4s.jackson.Serialization
   * its code:
   *
   *   root/
-  *     meta/v%08d.json         -- immutable snapshot chain
-  *     data/c%08d/bucket=N/    -- data files of commit N (parquet)
+  *     meta/v%08d.json           -- immutable snapshot chain
+  *     meta/manifests/m%08d-b%04d.json -- immutable per-bucket manifests
+  *     data/c%08d/bucket=N/      -- data files of commit N (parquet)
+  *
+  * Metadata is TWO-LEVEL (the Iceberg snapshot → manifest-list →
+  * manifest pattern): a snapshot holds only `ManifestRef`s — (bucket,
+  * path, fileCount, rows) — and the per-file stats live in immutable
+  * per-bucket manifest JSONs. A commit therefore writes O(touched
+  * buckets) manifest bytes + an O(buckets) snapshot, never the whole
+  * file list: at 10^10 events / ~10^5-10^6 data files an inline file
+  * list would make every micro-batch commit rewrite and re-read
+  * ~100 MB of JSON on the driver. Copy-on-write merges fold each
+  * touched bucket to a single new ref; merge-on-read merges APPEND one
+  * ref per bucket written (zero manifest reads per commit) and
+  * compaction folds the accumulated refs back to one per bucket.
+  * Manifest files are immutable and shared across snapshots (rollback
+  * and time travel copy refs); vacuum deletes the unreferenced ones.
   *
   * - Atomic commit: snapshot JSON is written to a temp file then moved
   *   into place with ATOMIC_MOVE; the highest v*.json is current.
@@ -61,6 +76,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
   import LakeTable._
 
   private val metaDir = Paths.get(root, "meta")
+  private val manifestDir = metaDir.resolve("manifests")
   private val dataDir = Paths.get(root, "data")
 
   def initIfNeeded(schema: StructType): Unit = {
@@ -69,10 +85,58 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     if (currentVersion() < 0) {
       writeSnapshot(Snapshot(
         version = 0, schemaId = 0, schemaJson = schema.json,
-        lastCommittedBatchId = -1L, buckets = buckets, files = Nil,
+        lastCommittedBatchId = -1L, buckets = buckets, manifests = Nil,
         lineage = Nil, mor = mergeOnRead))
     }
   }
+
+  // ------------------------------------------------------------------
+  // manifests (second metadata level)
+  // ------------------------------------------------------------------
+
+  /** Manifests are immutable once written, so caching by path is
+    * always sound; the cache makes repeated read-path loads (and the
+    * same-commit write→read) metadata-free. Crude size bound: cleared
+    * wholesale past 512 entries (manifests are per-bucket small).
+    */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[DataFileMeta]]()
+
+  private def writeManifest(version: Long, bucket: Int,
+                            files: Seq[DataFileMeta]): ManifestRef = {
+    implicit val fmt: Formats = DefaultFormats
+    Files.createDirectories(manifestDir)
+    val name = f"m$version%08d-b$bucket%04d.json"
+    val tmp = Files.createTempFile(manifestDir, ".tmp-m", ".json")
+    Files.writeString(tmp, Serialization.write(files))
+    Files.move(tmp, manifestDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    val rel = s"meta/manifests/$name"
+    manifestCache.put(rel, files.toVector)
+    ManifestRef(bucket, rel, files.size, files.map(f => math.max(f.rows, 0L)).sum)
+  }
+
+  private def loadManifest(ref: ManifestRef): Seq[DataFileMeta] = {
+    val cached = manifestCache.get(ref.path)
+    if (cached != null) return cached
+    implicit val fmt: Formats = DefaultFormats
+    val v = JsonMethods.parse(Files.readString(Paths.get(root, ref.path)))
+      .extract[Seq[DataFileMeta]].toVector
+    if (manifestCache.size > 512) manifestCache.clear()
+    manifestCache.put(ref.path, v)
+    v
+  }
+
+  /** File entries of the given buckets only — the merge's metadata
+    * read is O(touched buckets), not O(table).
+    */
+  def filesOf(s: Snapshot, wanted: Set[Int]): Seq[DataFileMeta] =
+    s.manifests.filter(r => wanted.contains(r.bucket)).flatMap(loadManifest)
+
+  def allFiles(s: Snapshot): Seq[DataFileMeta] = s.manifests.flatMap(loadManifest)
+
+  /** Full file listing of a version (read path / tests / tools). */
+  def files(version: Long = currentVersion()): Seq[DataFileMeta] =
+    allFiles(snapshot(version))
 
   // ------------------------------------------------------------------
   // snapshot chain
@@ -168,8 +232,9 @@ final class LakeTable(val root: String, val buckets: Int = 16,
 
   private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame = {
     val sch = internalSchema(DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
-    if (s.files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
-    else spark.read.schema(sch).parquet(s.files.map(f => s"$root/${f.path}"): _*)
+    val fs = allFiles(s)
+    if (fs.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    else spark.read.schema(sch).parquet(fs.map(f => s"$root/${f.path}"): _*)
   }
 
   private def internalSchema(user: StructType): StructType = user
@@ -186,7 +251,9 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     val snap = snapshot()
     val wanted = repos.map(r => bucketOfRepo(r, snap.buckets)).toSet
     val sorted = repos.toArray.sortWith(ubCompare(_, _) < 0)
-    snap.files.filter(f => wanted.contains(f.bucket) && rangeIntersects(f, sorted))
+    // bucket pruning happens at the MANIFEST level — unwanted buckets'
+    // file lists are never even loaded
+    filesOf(snap, wanted).filter(f => rangeIntersects(f, sorted))
   }
 
   def readRepos(spark: SparkSession, repos: Seq[String]): DataFrame = {
@@ -287,12 +354,17 @@ final class LakeTable(val root: String, val buckets: Int = 16,
         LineageEntry(batchId, bk, fs.size, commitVersion)
       }.toSeq.sortBy(_.bucket)
       graft.util.Prof("merge.snapshot_commit") {
+        // append-only at the metadata level too: one new manifest ref
+        // per bucket written, NO existing manifest is read or rewritten
+        val newRefs = newFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
+          .map { case (bk, fs) =>
+            writeManifest(commitVersion, bk, fs.sortBy(_.path)) }
         writeSnapshot(snap.copy(
           version = commitVersion,
           schemaId = schemaId,
           schemaJson = newSchema.json,
           lastCommittedBatchId = batchId,
-          files = (snap.files ++ newFiles).sortBy(f => (f.bucket, f.path)),
+          manifests = (snap.manifests ++ newRefs).sortBy(r => (r.bucket, r.path)),
           lineage = lineage))
       }
       return lineage
@@ -326,7 +398,10 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       if (updRepos != null) updRepos.map(r => bucketOfRepo(r, b)).toSet
       else keySrc.select(bucketExpr(col("repo"), b).as(BucketCol))
         .distinct().collect().map(_.getInt(0)).toSet
-    val (inTouched, untouched) = snap.files.partition(f => touched.contains(f.bucket))
+    // only the touched buckets' manifests are ever loaded; untouched
+    // buckets survive the commit as unopened manifest REFS
+    val untouchedRefs = snap.manifests.filterNot(r => touched.contains(r.bucket))
+    val inTouched = filesOf(snap, touched)
     val (rewriteFiles, prunedFiles) =
       if (updRepos == null) (inTouched, Seq.empty[DataFileMeta])
       else {
@@ -335,7 +410,6 @@ final class LakeTable(val root: String, val buckets: Int = 16,
         inTouched.partition(f => rangeIntersects(f, byBucket(f.bucket)) &&
           (updPairs == null || pathRangeIntersects(f, pathsByRepo)))
       }
-    val keptFiles = untouched ++ prunedFiles
 
     val existing =
       if (rewriteFiles.isEmpty) emptyDf(spark, newSchema)
@@ -418,13 +492,18 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     }.toSeq.sortBy(_.bucket)
 
     graft.util.Prof("merge.snapshot_commit") {
+      // each touched bucket folds to ONE new manifest (its surviving
+      // pruned files + this commit's files); untouched refs are reused
+      val newRefs = (prunedFiles ++ newFiles).groupBy(_.bucket)
+        .toSeq.sortBy(_._1).map { case (bk, fs) =>
+          writeManifest(commitVersion, bk, fs.sortBy(_.path)) }
       writeSnapshot(Snapshot(
         version = commitVersion,
         schemaId = schemaId,
         schemaJson = newSchema.json,
         lastCommittedBatchId = batchId,
         buckets = b,
-        files = (keptFiles ++ newFiles).sortBy(f => (f.bucket, f.path)),
+        manifests = (untouchedRefs ++ newRefs).sortBy(r => (r.bucket, r.path)),
         lineage = lineage))
     }
     lineage
@@ -445,12 +524,14 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     */
   def compact(spark: SparkSession, maxFilesPerBucket: Int = 8): Option[Long] = synchronized {
     val snap = snapshot()
-    val byBucket = snap.files.groupBy(_.bucket)
-    val fat = byBucket.filter(_._2.size > maxFilesPerBucket).keySet
+    // fat-bucket detection is metadata-free: per-ref fileCount sums
+    val counts = snap.manifests.groupBy(_.bucket).view
+      .mapValues(_.map(_.fileCount).sum)
+    val fat = counts.filter(_._2 > maxFilesPerBucket).keySet.toSet
     if (fat.isEmpty) return None
     val sch = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val fatFiles = snap.files.filter(f => fat.contains(f.bucket))
-    val keep = snap.files.filterNot(f => fat.contains(f.bucket))
+    val fatFiles = filesOf(snap, fat)
+    val keepRefs = snap.manifests.filterNot(r => fat.contains(r.bucket))
     val commitVersion = snap.version + 1
     val outDir = s"$root/" + f"data/c$commitVersion%08d"
     // range-partition on (bucket, repo, path) rather than hash on
@@ -489,9 +570,11 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       .sortWithinPartitions(col(BucketCol), col("repo"), col("path"))
     writeData(rewritten, outDir)
     val newFiles = manifestEntries(outDir)
+    val newRefs = newFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
+      .map { case (bk, fs) => writeManifest(commitVersion, bk, fs.sortBy(_.path)) }
     writeSnapshot(snap.copy(
       version = commitVersion,
-      files = (keep ++ newFiles).sortBy(f => (f.bucket, f.path)),
+      manifests = (keepRefs ++ newRefs).sortBy(r => (r.bucket, r.path)),
       lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
         LineageEntry(-1L, bk, fs.size, commitVersion)
       }.toSeq.sortBy(_.bucket)))
@@ -546,9 +629,17 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     * Returns the deleted file paths (relative to the table root).
     */
   def vacuum(): Seq[String] = synchronized {
-    val referenced: Set[String] =
-      versions().flatMap(v => snapshot(v).files.map(_.path)).toSet
+    val snaps = versions().map(snapshot(_))
+    val refManifests: Set[String] = snaps.flatMap(_.manifests.map(_.path)).toSet
+    val referenced: Set[String] = snaps.flatMap(s => allFiles(s).map(_.path)).toSet
     val deleted = Seq.newBuilder[String]
+    // manifests unreferenced by every retained snapshot are orphans too
+    if (Files.isDirectory(manifestDir)) listDir(manifestDir).foreach { p =>
+      val rel = Paths.get(root).relativize(p).toString
+      if (p.getFileName.toString.endsWith(".json") && !refManifests.contains(rel)) {
+        Files.delete(p); manifestCache.remove(rel); deleted += rel
+      }
+    }
     // two passes per dir: referenced parquet anywhere below keeps the
     // dir (and its marker files — _SUCCESS etc.); otherwise the whole
     // subtree including markers is an orphan and goes
@@ -670,13 +761,22 @@ object LakeTable {
                                 minPath: Option[String] = None,
                                 maxPath: Option[String] = None)
   final case class LineageEntry(batchId: Long, bucket: Int, filesWritten: Int, snapshotVersion: Long)
+
+  /** Pointer to one immutable per-bucket manifest file, with the
+    * summary stats (file count, row sum) that let compaction and
+    * planning reason about a bucket WITHOUT opening its manifest.
+    * A bucket may have several refs (MoR appends one per commit);
+    * CoW merges and compaction fold a bucket back to a single ref.
+    */
+  final case class ManifestRef(bucket: Int, path: String, fileCount: Int, rows: Long)
+
   final case class Snapshot(
       version: Long,
       schemaId: Int,
       schemaJson: String,
       lastCommittedBatchId: Long,
       buckets: Int,
-      files: Seq[DataFileMeta],
+      manifests: Seq[ManifestRef],
       lineage: Seq[LineageEntry],
       // merge-on-read table property (fixed at init, carried by every
       // snapshot; json4s fills the default for pre-MoR snapshots):

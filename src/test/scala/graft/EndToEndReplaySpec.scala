@@ -96,14 +96,14 @@ class EndToEndReplaySpec extends SparkTestBase {
     // metadata growth is bounded: ≤2 retained snapshots, not one per
     // batch+compaction; per-bucket file counts held at the compact cap
     assert(lake.versions().size <= 2, s"snapshots not expired: ${lake.versions()}")
-    val perBucket = lake.snapshot().files.groupBy(_.bucket).view.mapValues(_.size)
+    val perBucket = lake.files().groupBy(_.bucket).view.mapValues(_.size)
     assert(perBucket.values.forall(_ <= 2),
       s"bucket exceeded compact cap: ${perBucket.toMap}")
     // vacuum actually reclaimed the superseded CoW files: every parquet
     // on disk is referenced by a retained snapshot
     val root = java.nio.file.Paths.get(lakeRoot)
     val referenced = lake.versions()
-      .flatMap(v => lake.snapshot(v).files.map(_.path)).toSet
+      .flatMap(v => lake.files(v).map(_.path)).toSet
     java.nio.file.Files.walk(root).forEach { p =>
       val rel = root.relativize(p).toString
       if (rel.endsWith(".parquet"))
@@ -155,7 +155,7 @@ class EndToEndReplaySpec extends SparkTestBase {
     // the final snapshot's per-bucket files all trace back to some
     // lineage row of the bucket (bucket coverage of the written state)
     val writtenBuckets = lin.map(_._2).toSet
-    val stateBuckets = lake.snapshot().files.map(_.bucket).toSet
+    val stateBuckets = lake.files().map(_.bucket).toSet
     assert(stateBuckets.subsetOf(writtenBuckets),
       s"state buckets $stateBuckets not covered by lineage $writtenBuckets")
   }
@@ -230,12 +230,12 @@ class EndToEndReplaySpec extends SparkTestBase {
       .select(col("repo"), col("path"), sha2(col("content"), 256))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     val fence = lake.snapshot().lastCommittedBatchId
-    val fatBefore = lake.snapshot().files.groupBy(_.bucket)
+    val fatBefore = lake.files().groupBy(_.bucket)
       .collect { case (bk, fs) if fs.size > 2 => bk }.toSet
     assert(fatBefore.nonEmpty, "test premise: at least one fat bucket")
     val compacted = lake.compact(spark, maxFilesPerBucket = 2)
     assert(compacted.isDefined, "expected at least one fat bucket")
-    val filesAfter = lake.snapshot().files.groupBy(_.bucket).view.mapValues(_.size)
+    val filesAfter = lake.files().groupBy(_.bucket).view.mapValues(_.size)
     fatBefore.foreach { bk =>
       assert(filesAfter(bk) <= 2,
         s"bucket $bk still has ${filesAfter(bk)} files after compaction")

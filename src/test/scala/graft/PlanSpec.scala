@@ -97,7 +97,7 @@ class PlanSpec extends SparkTestBase {
     val lake = engine.CdcEngine.replayToEnd(spark,
       engine.CdcEngine.ReplayConfig(s"$work/log", s"$work/lake", s"$work/chk", lakeBuckets = 8))
     val repo = lake.read(spark).select("repo").head().getString(0)
-    val all = lake.snapshot().files.size
+    val all = lake.files().size
     val pruned = lake.scanFiles(Seq(repo)).size
     assert(pruned < all, s"expected manifest pruning: $pruned of $all files")
     val got = lake.readRepos(spark, Seq(repo)).select("repo").distinct().collect().map(_.getString(0))

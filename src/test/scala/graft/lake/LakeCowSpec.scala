@@ -39,7 +39,7 @@ class LakeCowSpec extends SparkTestBase {
   test("manifest entries carry footer stats (repo range + row counts)") {
     val lake = freshLake()
     lake.merge(batch(initial), 0L)
-    val files = lake.snapshot().files
+    val files = lake.files()
     assert(files.size > 4, s"expected several size-bounded files, got ${files.size}")
     files.foreach { f =>
       assert(f.minRepo.isDefined && f.maxRepo.isDefined, s"missing stats: $f")
@@ -52,7 +52,7 @@ class LakeCowSpec extends SparkTestBase {
   test("narrow-range batch rewrites only intersecting files of a hot bucket") {
     val lake = freshLake()
     lake.merge(batch(initial), 0L)
-    val before = lake.snapshot().files
+    val before = lake.files()
     val hotBucket = LakeTable.bucketOfRepo("r03", 2)
     val bucketFilesBefore = before.filter(_.bucket == hotBucket)
     assert(bucketFilesBefore.size >= 3, "need several files in the bucket for the test to mean anything")
@@ -65,7 +65,7 @@ class LakeCowSpec extends SparkTestBase {
       ((10000 + p).toLong, "upsert", "r03", f"p$p%03d", s"v1-$p")))
     lake.merge(upd, 1L)
 
-    val after = lake.snapshot().files
+    val after = lake.files()
     val survived = before.map(_.path).toSet.intersect(after.map(_.path).toSet)
     val rewritten = before.size - survived.size
     assert(rewritten <= intersecting,
@@ -93,13 +93,13 @@ class LakeCowSpec extends SparkTestBase {
     val hot = (0 until 400).map(p =>
       (p.toLong, "upsert", "hot-repo", f"p$p%04d", s"v0-$p"))
     lake.merge(batch(hot), 0L)
-    val before = lake.snapshot().files
+    val before = lake.files()
     val singleRepo = before.filter(f => f.minRepo == f.maxRepo && f.minRepo.contains("hot-repo"))
     assert(singleRepo.size >= 4, s"premise: several single-repo files, got ${singleRepo.size}")
     assert(singleRepo.forall(f => f.minPath.isDefined && f.maxPath.isDefined))
 
     lake.merge(batch(Seq((1000L, "upsert", "hot-repo", "p0100", "v1"))), 1L)
-    val after = lake.snapshot().files
+    val after = lake.files()
     val rewritten = before.map(_.path).toSet -- after.map(_.path).toSet
     val intersecting = singleRepo.count(f =>
       LakeTable.pathRangeIntersects(f, Map("hot-repo" -> Array("p0100"))))
@@ -117,7 +117,7 @@ class LakeCowSpec extends SparkTestBase {
     val lake = freshLake()
     lake.merge(batch(initial), 0L)
     val hotBucket = LakeTable.bucketOfRepo("r03", 2)
-    val bucketFiles = lake.snapshot().files.count(_.bucket == hotBucket)
+    val bucketFiles = lake.files().count(_.bucket == hotBucket)
     val pruned = lake.scanFiles(Seq("r03"))
     assert(pruned.nonEmpty && pruned.forall(_.bucket == hotBucket))
     assert(pruned.size < bucketFiles,
@@ -135,6 +135,33 @@ class LakeCowSpec extends SparkTestBase {
     lake.merge(batch(Seq((40000L, "upsert", "r03", "p007", "stale"))), 2L)
     assert(lake.read(spark).filter(col("repo") === "r03" && col("path") === "p007").count() == 0)
     assert(lake.read(spark).count() == initial.size - 1)
+  }
+
+  test("two-level metadata: untouched buckets keep their manifest refs by pointer") {
+    val lake = freshLake()
+    lake.merge(batch(initial), 0L)
+    val refsBefore = lake.snapshot().manifests
+    assert(refsBefore.map(_.bucket).distinct.size == 2, "both buckets populated")
+    // update only repos of one bucket
+    val hotBucket = LakeTable.bucketOfRepo("r03", 2)
+    lake.merge(batch(Seq((9000L, "upsert", "r03", "p001", "v9"))), 1L)
+    val refsAfter = lake.snapshot().manifests
+    val untouchedBefore = refsBefore.filter(_.bucket != hotBucket)
+    val untouchedAfter = refsAfter.filter(_.bucket != hotBucket)
+    // the OTHER bucket's manifest file must be byte-identical reuse —
+    // same path, never rewritten (the O(touched) commit property)
+    assert(untouchedAfter == untouchedBefore,
+      s"untouched refs changed: $untouchedBefore -> $untouchedAfter")
+    // the touched bucket folds to exactly one fresh ref
+    assert(refsAfter.count(_.bucket == hotBucket) == 1)
+    assert(refsAfter.filter(_.bucket == hotBucket) !=
+      refsBefore.filter(_.bucket == hotBucket))
+    // ref summary stats agree with the loaded manifests
+    refsAfter.foreach { r =>
+      val fs = lake.filesOf(lake.snapshot(), Set(r.bucket)).filter(_.bucket == r.bucket)
+      assert(fs.map(_.rows).sum ==
+        refsAfter.filter(_.bucket == r.bucket).map(_.rows).sum)
+    }
   }
 
   test("unsigned UTF-8 range order: non-ASCII repo is never wrongly pruned") {

@@ -50,7 +50,7 @@ class LakeMaintenanceSpec extends SparkTestBase {
     val lake = freshLake()
     val (v0, v1, v2) = seedThreeVersions(lake)
     val stateAtV1 = contentOf(lake, v1)
-    val filesBefore = lake.snapshot(v1).files.map(_.path).toSet
+    val filesBefore = lake.files(v1).map(_.path).toSet
 
     val rolled = lake.rollback(v1)
     assert(rolled == v2 + 1, "rollback must commit forward")
@@ -58,7 +58,7 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(contentOf(lake) == stateAtV1)
     // time travel across the rollback still works
     assert(contentOf(lake, v2) != stateAtV1)
-    assert(lake.snapshot(rolled).files.map(_.path).toSet == filesBefore)
+    assert(lake.files(rolled).map(_.path).toSet == filesBefore)
     assert(contentOf(lake, v0).keySet == Set(("rA", "p0"), ("rB", "p0")))
   }
 
@@ -100,12 +100,12 @@ class LakeMaintenanceSpec extends SparkTestBase {
       out.result()
     }
 
-    val referencedByAll = lake.versions().flatMap(v => lake.snapshot(v).files.map(_.path)).toSet
+    val referencedByAll = lake.versions().flatMap(v => lake.files(v).map(_.path)).toSet
     assert(parquetOnDisk().size >= referencedByAll.size)
 
     // nothing to GC while every snapshot is retained and references its files
     lake.expireSnapshots(keepLast = 2)
-    val retained = lake.versions().flatMap(v => lake.snapshot(v).files.map(_.path)).toSet
+    val retained = lake.versions().flatMap(v => lake.files(v).map(_.path)).toSet
     val deleted = lake.vacuum()
     val onDisk = parquetOnDisk()
     assert(onDisk == retained, s"disk $onDisk != retained $retained")
@@ -114,6 +114,22 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(contentOf(lake) == stateNow)
     assert(contentOf(lake, v2) != null)
     assert(lake.currentVersion() == v3)
+
+    // manifest GC: every manifest left on disk is referenced by a
+    // retained snapshot, and the expired versions' orphaned manifests
+    // are gone
+    val refManifests = lake.versions()
+      .flatMap(v => lake.snapshot(v).manifests.map(_.path)).toSet
+    val manifestsOnDisk = {
+      val out = Set.newBuilder[String]
+      val mdir = root.resolve("meta/manifests")
+      if (Files.isDirectory(mdir))
+        Files.list(mdir).forEach(p =>
+          if (p.toString.endsWith(".json")) out += root.relativize(p).toString)
+      out.result()
+    }
+    assert(manifestsOnDisk == refManifests,
+      s"manifest orphans: ${manifestsOnDisk -- refManifests}")
   }
 
   test("vacuum keeps marker files in live dirs and removes empty orphan dirs") {
@@ -124,7 +140,7 @@ class LakeMaintenanceSpec extends SparkTestBase {
     lake.vacuum()
     val root = Paths.get(lake.root)
     // every surviving directory under data/ still holds referenced parquet below it
-    val live = lake.snapshot().files.map(f => root.resolve(f.path).getParent).toSet
+    val live = lake.files().map(f => root.resolve(f.path).getParent).toSet
     Files.walk(root.resolve("data")).forEach { p =>
       if (Files.isDirectory(p) && p != root.resolve("data")) {
         val hasLiveBelow = live.exists(_.startsWith(p))

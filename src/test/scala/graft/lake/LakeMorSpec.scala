@@ -57,11 +57,17 @@ class LakeMorSpec extends SparkTestBase {
   test("MoR merge appends without touching existing files") {
     val mor = lakeOf(mor = true)
     mor.merge(batch(batches(0)), 0L)
-    val before = mor.snapshot().files.map(_.path).toSet
+    val before = mor.files().map(_.path).toSet
+    val refsBefore = mor.snapshot().manifests
     mor.merge(batch(batches(1)), 1L)
-    val after = mor.snapshot().files.map(_.path).toSet
+    val after = mor.files().map(_.path).toSet
     assert(before.subsetOf(after), "MoR merge must never drop/rewrite existing files")
     assert((after -- before).nonEmpty)
+    // metadata is append-only too: every pre-existing manifest ref
+    // survives the commit verbatim (zero manifest reads/rewrites)
+    val refsAfter = mor.snapshot().manifests
+    assert(refsBefore.toSet.subsetOf(refsAfter.toSet))
+    assert(refsAfter.size > refsBefore.size)
     // and time travel across appends still works
     assert(mor.readVersion(spark, mor.currentVersion() - 1).count() ==
       contentOfVersioned(mor))
@@ -76,9 +82,9 @@ class LakeMorSpec extends SparkTestBase {
     val mor = lakeOf(mor = true)
     batches.zipWithIndex.foreach { case (rows, i) => mor.merge(batch(rows), i.toLong) }
     val stateBefore = contentOf(mor)
-    val filesBefore = mor.snapshot().files.size
+    val filesBefore = mor.files().size
     mor.compact(spark, maxFilesPerBucket = 1)
-    assert(mor.snapshot().files.size < filesBefore)
+    assert(mor.files().size < filesBefore)
     assert(contentOf(mor) == stateBefore)
     // winning tombstone survived the fold: a LATE lower-seq upsert of
     // the deleted key must stay dead
