@@ -92,9 +92,24 @@ object PipelineConfig {
     val procs = Option(root.get("pipeline")).map(_.get("processors"))
       .orElse(Option(root.get("processors")))
       .getOrElse(throw new IllegalArgumentException("config has no pipeline.processors"))
+    // `processor_resources:` (upstream processor_resource.go): a list
+    // of labelled processors referenced by `- resource: label`. Parsed
+    // in order, so a resource may reference earlier ones.
+    val resources: Map[String, Processor] =
+      Option(root.get("processor_resources")).map { arr =>
+        require(arr.isArray, "processor_resources must be a list")
+        (0 until arr.size).foldLeft(Map.empty[String, Processor]) { (acc, i) =>
+          val n = arr.get(i)
+          val label = Option(n.get("label")).map(_.asText).getOrElse(
+            throw new IllegalArgumentException("processor resource needs a label"))
+          val obj = n.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          obj.remove("label")
+          acc + (label -> parseProcessor(obj, acc))
+        }
+      }.getOrElse(Map.empty)
     val sink = Option(root.get("output")).map(parseSink)
     val input = Option(root.get("input")).map(parseInput)
-    Pipeline(parseProcessors(procs), sink, input)
+    Pipeline(parseProcessors(procs, resources), sink, input)
   }
 
   def parseInput(node: JsonNode): Input = {
@@ -175,17 +190,23 @@ object PipelineConfig {
     }
   }
 
-  def parseProcessors(arr: JsonNode): Seq[Processor] = {
+  def parseProcessors(arr: JsonNode,
+                      resources: Map[String, Processor] = Map.empty): Seq[Processor] = {
     require(arr.isArray, s"processors must be a list, got $arr")
-    (0 until arr.size).map(i => parseProcessor(arr.get(i)))
+    (0 until arr.size).map(i => parseProcessor(arr.get(i), resources))
   }
 
-  private def parseProcessor(node: JsonNode): Processor = {
+  private def parseProcessor(node: JsonNode,
+                             resources: Map[String, Processor] = Map.empty): Processor = {
     require(node.isObject && node.size == 1,
       s"each processor must be a single-key object, got $node")
     val name = node.fieldNames().next()
     val body = node.get(name)
     name match {
+      case "resource" =>
+        val label = if (body.isTextual) body.asText else body.get("name").asText
+        resources.getOrElse(label, throw new IllegalArgumentException(
+          s"unknown processor resource: $label (defined: ${resources.keys.toSeq.sorted.mkString(", ")})"))
       case "mapping" | "bloblang" => PMapping(body.asText)
       case "mutation" => PMutation(body.asText)
       case "filter" =>
@@ -220,10 +241,10 @@ object PipelineConfig {
         PGroupBy((0 until body.size).map { i =>
           val g = body.get(i)
           (g.get("check").asText,
-            opt(g, "processors").map(parseProcessors).getOrElse(Nil))
+            opt(g, "processors").map(parseProcessors(_, resources)).getOrElse(Nil))
         })
       case "retry" =>
-        PRetry(parseProcessors(body.get("processors")),
+        PRetry(parseProcessors(body.get("processors"), resources),
           opt(body, "attempts").map(_.asInt).getOrElse(3))
       case "select_parts" =>
         val arr = if (body.isArray) body else body.get("parts")
@@ -239,17 +260,17 @@ object PipelineConfig {
         PXml(opt(body, "operator").map(_.asText).getOrElse("to_json"),
           body.get("schema").asText,
           opt(body, "field").map(_.asText).getOrElse("content"))
-      case "try" => PTry(parseProcessors(body))
-      case "catch" => PCatch(parseProcessors(body))
+      case "try" => PTry(parseProcessors(body, resources))
+      case "catch" => PCatch(parseProcessors(body, resources))
       case "switch" =>
         PSwitch((0 until body.size).map { i =>
           val c = body.get(i)
-          SwitchCase(opt(c, "check").map(_.asText), parseProcessors(c.get("processors")))
+          SwitchCase(opt(c, "check").map(_.asText), parseProcessors(c.get("processors"), resources))
         })
       case "branch" =>
         PBranch(
           body.get("request_map").asText,
-          opt(body, "processors").map(parseProcessors).getOrElse(Nil),
+          opt(body, "processors").map(parseProcessors(_, resources)).getOrElse(Nil),
           body.get("result_map").asText)
       case "archive" =>
         PArchive(body.get("format").asText,
@@ -266,7 +287,7 @@ object PipelineConfig {
         val branches = scala.collection.mutable.LinkedHashMap[String, PBranch]()
         while (names.hasNext) {
           val n = names.next()
-          parseProcessor(mapper.createObjectNode().set("branch", br.get(n))) match {
+          parseProcessor(mapper.createObjectNode().set("branch", br.get(n)), resources) match {
             case b: PBranch => branches(n) = b
             case _ => ()
           }
@@ -301,12 +322,12 @@ object PipelineConfig {
           opt(body, "target").map(_.asText).getOrElse("cached"))
       case "while" =>
         PWhile(body.get("check").asText,
-          parseProcessors(body.get("processors")),
+          parseProcessors(body.get("processors"), resources),
           opt(body, "max_loops").map(_.asInt).getOrElse(3))
       case "for_each" | "parallel" =>
         // per-part isolation / concurrency are inherent to a columnar
         // plan (SURVEY.md §2.3) — children apply directly
-        if (body.isArray) PSwitch(Seq(SwitchCase(None, parseProcessors(body))))
+        if (body.isArray) PSwitch(Seq(SwitchCase(None, parseProcessors(body, resources))))
         else PNoop
       case other => throw new IllegalArgumentException(s"unknown processor: $other")
     }

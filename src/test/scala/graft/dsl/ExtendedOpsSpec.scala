@@ -193,6 +193,32 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(p.sink.exists(_.isInstanceOf[graft.sinks.Sink.Retry]))
   }
 
+  test("processor_resources: labelled processors referenced by resource, in order") {
+    val yaml =
+      """processor_resources:
+        |  - label: tag_big
+        |    mutation: 'root.label = if this.value >= 300.0 { "big" } else { "small" }'
+        |  - label: big_only
+        |    switch:
+        |      - check: 'this.label == "big"'
+        |        processors:
+        |          - resource: tag_big
+        |pipeline:
+        |  processors:
+        |    - resource: tag_big
+        |    - filter: 'this.label == "big"'
+        |""".stripMargin
+    val p = PipelineConfig.parse(yaml)
+    val out = p.transform(df3).collect()
+    assert(out.map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 3L))
+    // unknown label is a parse-time error, not a runtime surprise
+    val bad = intercept[IllegalArgumentException] {
+      PipelineConfig.parse(
+        "pipeline:\n  processors:\n    - resource: nope\n")
+    }
+    assert(bad.getMessage.contains("unknown processor resource"))
+  }
+
   test("xml: format_xml/parse_xml/xpath methods and the xml processor roundtrip") {
     import spark.implicits._
     val df = Seq((7L, "alpha"), (9L, "<beta&>")).toDF("k", "v")
