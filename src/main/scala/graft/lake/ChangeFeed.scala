@@ -1,0 +1,73 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Incremental changelog consumer over a [[LakeTable]] — the
+  * downstream half of the Delta-CDF / Iceberg-incremental-read
+  * pattern: instead of re-reading a 100 TB table, a consumer follows
+  * the snapshot chain and receives only the keys whose WINNER changed
+  * since the version it last acknowledged.
+  *
+  * Delivery is at-least-once with exactly-once downstream effect if
+  * the consumer is idempotent on the ack protocol:
+  *
+  *   feed.poll(spark) match {
+  *     case Some(batch) => process(batch.changes); feed.commit(batch.toVersion)
+  *     case None        => // caught up
+  *   }
+  *
+  * The cursor (last acknowledged version) is a one-line file moved
+  * into place atomically; a crash between poll and commit simply
+  * re-delivers the same version range — `changesBetween` is
+  * state-based (winner differs), so re-delivery is deterministic.
+  * Consuming is O(changed keys), driver metadata is O(buckets), and
+  * nothing here blocks or is blocked by the writer (snapshots are
+  * immutable; the feed reads the chain strictly behind the head).
+  */
+final class ChangeFeed(val lake: LakeTable, val cursorDir: String) {
+
+  private val cursorFile = Paths.get(cursorDir, "cursor")
+
+  /** Last acknowledged snapshot version; -1 before the first commit
+    * (the first poll then delivers everything since table creation).
+    */
+  def position(): Long =
+    if (Files.exists(cursorFile)) Files.readString(cursorFile).trim.toLong
+    else -1L
+
+  final case class Batch(changes: DataFrame, fromVersion: Long, toVersion: Long)
+
+  /** Changes in `(position, head]`, or None when caught up. The
+    * returned `toVersion` must be passed to [[commit]] after the
+    * consumer has durably processed `changes`.
+    */
+  def poll(spark: SparkSession): Option[Batch] = {
+    // v0 is the empty init snapshot, so an unseeded cursor starts at 0
+    val from = math.max(position(), 0L)
+    val head = lake.currentVersion()
+    if (head <= from) None
+    else if (!lake.versions().contains(from))
+      // the writer's snapshot retention outpaced this consumer — the
+      // incremental contract is broken and silently re-reading the
+      // full table would be a very expensive surprise; make the
+      // operator decide (re-seed the cursor, or widen retention)
+      throw new IllegalStateException(
+        s"change feed cursor v$from has been expired by snapshot retention; " +
+          s"earliest retained is v${lake.versions().headOption.getOrElse(-1L)}")
+    else Some(Batch(lake.changesBetween(spark, from, head), from, head))
+  }
+
+  /** Acknowledge everything up to and including `version`. Atomic;
+    * monotonic (a stale commit below the cursor is a no-op, so a
+    * replayed consumer cannot move the feed backwards).
+    */
+  def commit(version: Long): Unit = {
+    if (version <= position()) return
+    Files.createDirectories(cursorFile.getParent)
+    val tmp = Files.createTempFile(cursorFile.getParent, ".tmp-cursor", "")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, cursorFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

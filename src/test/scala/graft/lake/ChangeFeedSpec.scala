@@ -1,0 +1,73 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkTestBase
+
+/** Downstream incremental-consumer contract of [[ChangeFeed]]:
+  * poll/commit cadence, crash re-delivery, monotonic cursor, and the
+  * retention-outpaced failure mode.
+  */
+class ChangeFeedSpec extends SparkTestBase {
+
+  private val userSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("repo", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.StringType, nullable = false)))
+
+  private def batch(rows: Seq[(Long, String, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("seq", "op", "repo", "path", "content")
+  }
+
+  private def keysOf(df: DataFrame): Set[(String, String, String)] =
+    df.collect().map(r => (r.getAs[String]("repo"), r.getAs[String]("path"),
+      r.getAs[String]("_change"))).toSet
+
+  test("poll delivers only changes since the committed cursor") {
+    val lake = new LakeTable(tmpDir("feed"), buckets = 2)
+    lake.initIfNeeded(userSchema)
+    val feed = new ChangeFeed(lake, tmpDir("feed-cursor"))
+
+    assert(feed.poll(spark).isEmpty, "empty table: nothing to deliver")
+
+    lake.merge(batch(Seq(
+      (1L, "upsert", "rA", "p1", "a1"), (2L, "upsert", "rB", "p1", "b1"))), 0L)
+    val first = feed.poll(spark).get
+    assert(keysOf(first.changes) ==
+      Set(("rA", "p1", "upsert"), ("rB", "p1", "upsert")))
+
+    // crash before commit: the SAME batch is re-delivered
+    val again = feed.poll(spark).get
+    assert(again.fromVersion == first.fromVersion && again.toVersion == first.toVersion)
+    assert(keysOf(again.changes) == keysOf(first.changes))
+
+    feed.commit(first.toVersion)
+    assert(feed.poll(spark).isEmpty, "caught up after commit")
+
+    // two more writer commits accumulate into ONE poll, deletes included
+    lake.merge(batch(Seq((3L, "upsert", "rA", "p1", "a2"))), 1L)
+    lake.merge(batch(Seq((4L, "delete", "rB", "p1", ""))), 2L)
+    val second = feed.poll(spark).get
+    assert(keysOf(second.changes) ==
+      Set(("rA", "p1", "upsert"), ("rB", "p1", "delete")))
+    // stale commit below the cursor cannot move the feed backwards
+    feed.commit(second.toVersion)
+    feed.commit(first.toVersion)
+    assert(feed.position() == second.toVersion)
+    assert(feed.poll(spark).isEmpty)
+  }
+
+  test("retention that expires the cursor version fails loudly, not with a full re-read") {
+    val lake = new LakeTable(tmpDir("feed2"), buckets = 2)
+    lake.initIfNeeded(userSchema)
+    val feed = new ChangeFeed(lake, tmpDir("feed2-cursor"))
+    lake.merge(batch(Seq((1L, "upsert", "rA", "p1", "a1"))), 0L)
+    val b = feed.poll(spark).get
+    feed.commit(b.toVersion)
+    lake.merge(batch(Seq((2L, "upsert", "rA", "p2", "a2"))), 1L)
+    lake.merge(batch(Seq((3L, "upsert", "rA", "p3", "a3"))), 2L)
+    lake.expireSnapshots(keepLast = 1)
+    val e = intercept[IllegalStateException](feed.poll(spark))
+    assert(e.getMessage.contains("expired by snapshot retention"))
+  }
+}
