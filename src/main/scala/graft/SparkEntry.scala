@@ -708,6 +708,44 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q_lake_input" -> ((s, dir) => {
+      // lake as a YAML pipeline input (multi-hop composition): write
+      // nation into a lake via two merges, then a second pipeline
+      // reads the snapshot AND the v1->v2 changelog window through
+      // `input: lake` config — gated against plain SQL over nation
+      val root = java.nio.file.Files.createTempDirectory("graft-lakein").toString
+      val lake = new graft.lake.LakeTable(s"$root/t", buckets = 2)
+      lake.initIfNeeded(org.apache.spark.sql.types.StructType.fromDDL(
+        "repo STRING, path STRING, content STRING"))
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("seq"), lit("upsert").as("op"),
+        concat(lit("region-"), col("n_regionkey")).as("repo"),
+        col("n_name").as("path"), col("n_name").as("content"))
+      lake.merge(base, 0L)
+      lake.merge(base.withColumn("seq", col("seq") + lit(1000L))
+        .withColumn("content", upper(col("content"))), 1L)
+      val snapCfg = graft.dsl.PipelineConfig.parse(
+        s"""input:
+           |  lake: { root: "$root/t" }
+           |pipeline:
+           |  processors:
+           |    - mutation: 'root.up = this.content'
+           |""".stripMargin)
+      val chgCfg = graft.dsl.PipelineConfig.parse(
+        s"""input:
+           |  lake: { root: "$root/t", changes_from: 1, changes_to: 2 }
+           |pipeline:
+           |  processors:
+           |    - filter: this._change == "upsert"
+           |""".stripMargin)
+      val snap = snapCfg.transform(snapCfg.input.get.batch(s))
+        .select(col("repo"), col("path"), col("up"))
+      val chg = chgCfg.transform(chgCfg.input.get.batch(s))
+        .select(col("repo"), col("path"), col("content").as("up"))
+      // both reads see the same v2 winners: snapshot == changelog here
+      snap.unionByName(chg).orderBy("repo", "path", "up")
+    }),
+
     "q_cache_kv" -> ((s, dir) => {
       // stateful cache resource: set / add (insert-only) / delete
       val root = java.nio.file.Files.createTempDirectory("graft-kv").toString
@@ -1330,6 +1368,14 @@ object SparkEntry {
 
     "q_file_lines" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+
+    "q_lake_input" ->
+      """WITH rows AS (
+        |  SELECT 'region-' || CAST(n_regionkey AS VARCHAR) AS repo,
+        |         n_name AS path, upper(n_name) AS up
+        |  FROM nation)
+        |SELECT * FROM (SELECT * FROM rows UNION ALL SELECT * FROM rows)
+        |ORDER BY repo, path, up""".stripMargin,
 
     "q_input_broker" ->
       """SELECT event_type, 2 * count(*) AS n

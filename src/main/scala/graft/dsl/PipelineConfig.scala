@@ -67,6 +67,31 @@ object PipelineConfig {
       throw new IllegalArgumentException(
         "generate is bounded (count); use batch(), or writeLog + a file input to stream it")
   }
+  /** `lake:` input — read a graft lake table as a pipeline source,
+    * composing multi-hop pipelines (the bronze→silver pattern: a
+    * downstream config consumes an upstream pipeline's lake). Three
+    * pure read modes: current snapshot, AS-OF `version` time travel,
+    * and a `changes_from`/`changes_to` changelog window. Cursor-based
+    * incremental consumption (ack lifecycle) is deliberately NOT a
+    * config mode — commit timing belongs to the consumer's success
+    * path, so programmatic users drive [[graft.lake.ChangeFeed]].
+    */
+  final case class LakeIn(root: String, version: Option[Long],
+                          changesFrom: Option[Long], changesTo: Option[Long]) extends Input {
+    def batch(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      val lake = new graft.lake.LakeTable(root)
+      (version, changesFrom) match {
+        case (Some(v), _) => lake.readVersion(spark, v)
+        case (_, Some(f)) =>
+          lake.changesBetween(spark, f, changesTo.getOrElse(lake.currentVersion()))
+        case _ => lake.read(spark)
+      }
+    }
+    def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      throw new IllegalArgumentException(
+        "lake input is bounded; poll incrementally with graft.lake.ChangeFeed")
+  }
+
   /** `broker:` fan-in (upstream input_broker.go): N child inputs
     * merged into one frame. Spark-first this is a plan-level union —
     * each child keeps its own scan (own pushdown/codec), no runtime
@@ -136,6 +161,11 @@ object PipelineConfig {
         val ins = body.get("inputs")
         require(ins != null && ins.isArray, "broker input needs an `inputs` list")
         BrokerIn((0 until ins.size).map(i => parseInput(ins.get(i))))
+      case "lake" => LakeIn(
+        if (body.isTextual) body.asText else body.get("root").asText,
+        opt(body, "version").map(_.asLong),
+        opt(body, "changes_from").map(_.asLong),
+        opt(body, "changes_to").map(_.asLong))
       case other => throw new IllegalArgumentException(s"unknown input: $other")
     }
   }

@@ -180,4 +180,36 @@ class InputsSpec extends SparkTestBase {
     assert(df.filter(col("extra") === "x").count() == 1)
     assert(df.filter(col("tag").isNull).count() == 1)
   }
+
+  test("lake input: snapshot, AS-OF version, and changelog window modes") {
+    import spark.implicits._
+    val root = tmpDir("lake-in")
+    val lake = new graft.lake.LakeTable(s"$root/t", buckets = 2)
+    lake.initIfNeeded(org.apache.spark.sql.types.StructType.fromDDL(
+      "repo STRING, path STRING, content STRING"))
+    lake.merge(Seq((1L, "upsert", "rA", "p1", "v1"))
+      .toDF("seq", "op", "repo", "path", "content"), 0L)
+    lake.merge(Seq((2L, "upsert", "rA", "p1", "v2"))
+      .toDF("seq", "op", "repo", "path", "content"), 1L)
+
+    def read(extra: String) = {
+      val cfg = graft.dsl.PipelineConfig.parse(
+        s"""input:
+           |  lake: { root: "$root/t"$extra }
+           |pipeline:
+           |  processors:
+           |    - noop: {}
+           |""".stripMargin)
+      cfg.input.get.batch(spark)
+    }
+    assert(read("").select("content").as[String].collect().toSeq == Seq("v2"))
+    assert(read(", version: 1").select("content").as[String].collect().toSeq == Seq("v1"))
+    val chg = read(", changes_from: 1, changes_to: 2")
+    assert(chg.select("content").as[String].collect().toSeq == Seq("v2"))
+    assert(chg.columns.contains("_change"))
+    // bounded input: streaming must refuse, pointing at ChangeFeed
+    val e = intercept[IllegalArgumentException](
+      graft.dsl.PipelineConfig.LakeIn(s"$root/t", None, None, None).stream(spark))
+    assert(e.getMessage.contains("ChangeFeed"))
+  }
 }
