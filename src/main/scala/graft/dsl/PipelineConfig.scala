@@ -290,6 +290,12 @@ object PipelineConfig {
         PXml(opt(body, "operator").map(_.asText).getOrElse("to_json"),
           body.get("schema").asText,
           opt(body, "field").map(_.asText).getOrElse("content"))
+      case "compress" =>
+        PCompress(opt(body, "field").map(_.asText).getOrElse("content"),
+          opt(body, "algorithm").map(_.asText).getOrElse("gzip"))
+      case "decompress" =>
+        PDecompress(opt(body, "field").map(_.asText).getOrElse("content"),
+          opt(body, "algorithm").map(_.asText).getOrElse("gzip"))
       case "try" => PTry(parseProcessors(body, resources))
       case "catch" => PCatch(parseProcessors(body, resources))
       case "switch" =>

@@ -119,6 +119,13 @@ object Processor {
     * Record-of-primitives schema subset (see AvroSupport). */
   final case class PAvro(operator: String, schemaJson: String, field: String) extends Processor
 
+  /** compress / decompress a column in place (processor_compress.go /
+    * processor_decompress.go; gzip only — the sandbox's codec set).
+    * compress leaves BINARY, decompress casts back to STRING.
+    */
+  final case class PCompress(field: String, algorithm: String) extends Processor
+  final case class PDecompress(field: String, algorithm: String) extends Processor
+
   /** xml → JSON conversion (processor_xml.go, operator `to_json`).
     * The reference infers the structure per message; a columnar engine
     * needs one type for the whole column, so the element shape is a
@@ -417,6 +424,16 @@ object Processor {
       case other => throw new IllegalArgumentException(
         s"avro operator $other (from_json | to_json)")
     }
+
+    case PCompress(field, algo) => df =>
+      require(algo == "gzip", s"compress: only gzip (got $algo)")
+      df.withColumn(field,
+        graft.functions.GraftFunctions.gzip(col(field).cast(org.apache.spark.sql.types.BinaryType)))
+
+    case PDecompress(field, algo) => df =>
+      require(algo == "gzip", s"decompress: only gzip (got $algo)")
+      df.withColumn(field,
+        graft.functions.GraftFunctions.gunzip(col(field)).cast(StringType))
 
     case PXml(op, ddl, field) => df => op match {
       case "to_json" =>

@@ -193,6 +193,23 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(p.sink.exists(_.isInstanceOf[graft.sinks.Sink.Retry]))
   }
 
+  test("compress/decompress processors: in-place gzip roundtrip via YAML") {
+    import spark.implicits._
+    val p = PipelineConfig.parse(
+      """pipeline:
+        |  processors:
+        |    - compress: { field: doc }
+        |    - decompress: { field: doc }
+        |""".stripMargin)
+    assert(p.processors == Seq(PCompress("doc", "gzip"), PDecompress("doc", "gzip")))
+    val out = p.transform(Seq("payload-α", "").toDF("doc"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("payload-α", ""))
+    val bad = intercept[IllegalArgumentException](
+      Processor.compile(Seq(PCompress("doc", "zstd")))(Seq("x").toDF("doc")))
+    assert(bad.getMessage.contains("only gzip"))
+  }
+
   test("processor_resources: labelled processors referenced by resource, in order") {
     val yaml =
       """processor_resources:
