@@ -587,6 +587,26 @@ object SparkEntry {
       pipe(t(s, dir, "customer")).orderBy("id")
     }),
 
+    "q_parse_log" -> ((s, dir) => {
+      // parse_log over synthesized RFC3164 syslog lines; every parsed
+      // field compares value-exact against the SQL that built the line
+      val pipe = compile(Seq(
+        PMutation(
+          """root.content = "<13>Oct 11 22:14:15 host-" + this.n_regionkey.string() + " app" + "[" + this.n_nationkey.string() + "]: hello " + this.n_name
+            |""".stripMargin),
+        PParseLog("content", "syslog_rfc3164"),
+        PMapping(
+          """root.id = this.n_nationkey
+            |root.facility = this.facility
+            |root.severity = this.severity
+            |root.hostname = this.hostname
+            |root.appname = this.appname
+            |root.procid = this.procid.int64()
+            |root.message = this.message
+            |""".stripMargin)))
+      pipe(t(s, dir, "nation")).orderBy("id")
+    }),
+
     "q_csv_archive" -> ((s, dir) => {
       // csv archive -> unarchive roundtrip: fold each region's nations
       // into one CSV document (header + sorted rows), explode it back
@@ -1353,6 +1373,13 @@ object SparkEntry {
 
     "q_csv_archive" ->
       """SELECT n_regionkey AS rk, n_nationkey AS id, n_name AS name
+        |FROM nation ORDER BY id""".stripMargin,
+
+    "q_parse_log" ->
+      """SELECT n_nationkey AS id, 1 AS facility, 5 AS severity,
+        |'host-' || CAST(n_regionkey AS VARCHAR) AS hostname,
+        |'app' AS appname, CAST(n_nationkey AS BIGINT) AS procid,
+        |'hello ' || n_name AS message
         |FROM nation ORDER BY id""".stripMargin,
 
     "q_xml" ->

@@ -119,6 +119,14 @@ object Processor {
     * Record-of-primitives schema subset (see AvroSupport). */
   final case class PAvro(operator: String, schemaJson: String, field: String) extends Processor
 
+  /** syslog line → typed columns (processor_parse_log.go; formats
+    * syslog_rfc3164 / syslog_rfc5424). The reference emits a JSON
+    * object; the columnar twin emits one column per field plus the
+    * derived facility/severity split of the priority value — all
+    * codegen'd regexp extraction, no per-row parser object.
+    */
+  final case class PParseLog(field: String, format: String) extends Processor
+
   /** compress / decompress a column in place (processor_compress.go /
     * processor_decompress.go; gzip only — the sandbox's codec set).
     * compress leaves BINARY, decompress casts back to STRING.
@@ -423,6 +431,40 @@ object Processor {
           to_json(graft.functions.AvroFunctions.decode(col(field), schema)))
       case other => throw new IllegalArgumentException(
         s"avro operator $other (from_json | to_json)")
+    }
+
+    case PParseLog(field, format) => df => {
+      val c = col(field)
+      val pri = regexp_extract(c, "^<(\\d+)>", 1).cast("int")
+      def ext(re: String, i: Int) = regexp_extract(c, re, i)
+      val withPri = df
+        .withColumn("facility", floor(pri / 8).cast("int"))
+        .withColumn("severity", pmod(pri, lit(8)).cast("int"))
+      format match {
+        case "syslog_rfc3164" =>
+          // <pri>Mmm dd hh:mm:ss host tag[pid]: message
+          val re = "^<\\d+>([A-Z][a-z]{2}\\s+\\d+ \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[\\s]+)(?:\\[(\\d+)\\])?: (.*)$"
+          withPri
+            .withColumn("log_timestamp", ext(re, 1))
+            .withColumn("hostname", ext(re, 2))
+            .withColumn("appname", ext(re, 3))
+            .withColumn("procid", ext(re, 4))
+            .withColumn("message", ext(re, 5))
+        case "syslog_rfc5424" =>
+          // <pri>version timestamp host app procid msgid [sd]|- message
+          val re = "^<\\d+>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\[.*?\\]|-) ?(.*)$"
+          withPri
+            .withColumn("log_version", ext(re, 1).cast("int"))
+            .withColumn("log_timestamp", ext(re, 2))
+            .withColumn("hostname", ext(re, 3))
+            .withColumn("appname", ext(re, 4))
+            .withColumn("procid", ext(re, 5))
+            .withColumn("msgid", ext(re, 6))
+            .withColumn("structured_data", ext(re, 7))
+            .withColumn("message", ext(re, 8))
+        case other => throw new IllegalArgumentException(
+          s"parse_log format $other (syslog_rfc3164 | syslog_rfc5424)")
+      }
     }
 
     case PCompress(field, algo) => df =>

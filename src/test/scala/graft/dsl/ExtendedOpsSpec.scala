@@ -193,6 +193,35 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(p.sink.exists(_.isInstanceOf[graft.sinks.Sink.Retry]))
   }
 
+  test("parse_log: syslog rfc5424 and rfc3164 lines to typed columns") {
+    import spark.implicits._
+    val r5 = Processor.compile(Seq(PParseLog("content", "syslog_rfc5424")))(
+      Seq("<165>1 2024-01-02T03:04:05Z web01 nginx 77 ID47 [x a=\"1\"] request done")
+        .toDF("content")).collect()(0)
+    assert(r5.getAs[Int]("facility") == 20 && r5.getAs[Int]("severity") == 5)
+    assert(r5.getAs[Int]("log_version") == 1)
+    assert(r5.getAs[String]("log_timestamp") == "2024-01-02T03:04:05Z")
+    assert(r5.getAs[String]("hostname") == "web01")
+    assert(r5.getAs[String]("appname") == "nginx")
+    assert(r5.getAs[String]("procid") == "77")
+    assert(r5.getAs[String]("msgid") == "ID47")
+    assert(r5.getAs[String]("structured_data") == "[x a=\"1\"]")
+    assert(r5.getAs[String]("message") == "request done")
+
+    val r3 = Processor.compile(Seq(PParseLog("content", "syslog_rfc3164")))(
+      Seq("<34>Oct 11 22:14:15 mymachine su[123]: 'su root' failed")
+        .toDF("content")).collect()(0)
+    assert(r3.getAs[Int]("facility") == 4 && r3.getAs[Int]("severity") == 2)
+    assert(r3.getAs[String]("hostname") == "mymachine")
+    assert(r3.getAs[String]("appname") == "su")
+    assert(r3.getAs[String]("procid") == "123")
+    assert(r3.getAs[String]("message") == "'su root' failed")
+
+    val p = PipelineConfig.parse(
+      "pipeline:\n  processors:\n    - parse_log: { format: syslog_rfc3164 }\n")
+    assert(p.processors.head == PParseLog("content", "syslog_rfc3164"))
+  }
+
   test("compress/decompress processors: in-place gzip roundtrip via YAML") {
     import spark.implicits._
     val p = PipelineConfig.parse(
