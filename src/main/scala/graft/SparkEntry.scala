@@ -587,6 +587,23 @@ object SparkEntry {
       pipe(t(s, dir, "customer")).orderBy("id")
     }),
 
+    "q_msgpack" -> ((s, dir) => {
+      // msgpack wire roundtrip (native no-jar codec): struct -> msgpack
+      // map bytes -> decode -> fields, gated value-exact vs plain SQL;
+      // the wire bytes themselves are spec-pinned in MsgpackSpec
+      val pipe = compile(Seq(
+        PMutation(
+          """root.doc = {"nationkey": this.n_nationkey.int64(), "name": this.n_name}.format_msgpack()
+            |""".stripMargin),
+        PMsgpack("to_json", "nationkey BIGINT, name STRING", "doc"),
+        PMapping(
+          """root.id = this.n_nationkey
+            |root.pk = this.doc.json_path("$.nationkey").int64()
+            |root.pname = this.doc.json_path("$.name")
+            |""".stripMargin)))
+      pipe(t(s, dir, "nation")).orderBy("id")
+    }),
+
     "q_parse_log" -> ((s, dir) => {
       // parse_log over synthesized RFC3164 syslog lines; every parsed
       // field compares value-exact against the SQL that built the line
@@ -1374,6 +1391,10 @@ object SparkEntry {
     "q_csv_archive" ->
       """SELECT n_regionkey AS rk, n_nationkey AS id, n_name AS name
         |FROM nation ORDER BY id""".stripMargin,
+
+    "q_msgpack" ->
+      """SELECT n_nationkey AS id, CAST(n_nationkey AS BIGINT) AS pk,
+        |n_name AS pname FROM nation ORDER BY id""".stripMargin,
 
     "q_parse_log" ->
       """SELECT n_nationkey AS id, 1 AS facility, 5 AS severity,

@@ -434,6 +434,12 @@ object ExprCompiler {
           opts.put("rootTag", str(0))
           to_xml(c, opts)
         }
+      // msgpack (reference methods_parsing.go parse_msgpack /
+      // format_msgpack): decode takes a DDL schema literal (typed
+      // column contract, like parse_xml); encode derives the wire
+      // map from the struct's own type
+      case "parse_msgpack" => graft.functions.MsgpackFunctions.decode(c, str(0))
+      case "format_msgpack" => graft.functions.MsgpackFunctions.encode(c)
       case "xpath" => xpath(c, lit(str(0)))
       case "xpath_string" => xpath_string(c, lit(str(0)))
       case "xpath_long" => xpath_long(c, lit(str(0)))

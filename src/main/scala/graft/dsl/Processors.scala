@@ -141,6 +141,13 @@ object Processor {
     */
   final case class PXml(operator: String, schemaDdl: String, field: String) extends Processor
 
+  /** msgpack ↔ JSON (processor_msgpack.go): `to_json` decodes a
+    * msgpack-bytes field under the DDL schema, `from_json` encodes a
+    * JSON field to msgpack map bytes. Native expressions, no jar
+    * (see [[graft.functions.MsgpackSupport]]).
+    */
+  final case class PMsgpack(operator: String, schemaDdl: String, field: String) extends Processor
+
   // ------------------------------------------------------------------
 
   /** Static-unroll bound for PWhile (see its compile case). */
@@ -486,6 +493,17 @@ object Processor {
           org.apache.spark.sql.types.StructType.fromDDL(ddl))))
       case other => throw new IllegalArgumentException(
         s"xml operator $other (to_json | from_json)")
+    }
+
+    case PMsgpack(op, ddl, field) => df => op match {
+      case "to_json" =>
+        df.withColumn(field,
+          to_json(graft.functions.MsgpackFunctions.decode(col(field), ddl)))
+      case "from_json" =>
+        df.withColumn(field, graft.functions.MsgpackFunctions.encode(
+          from_json(col(field), org.apache.spark.sql.types.StructType.fromDDL(ddl))))
+      case other => throw new IllegalArgumentException(
+        s"msgpack operator $other (to_json | from_json)")
     }
 
     case PUnarchive(format, field, keyField) => df => format match {

@@ -1,0 +1,263 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MessagePack (de)serialization as native Catalyst expressions
+  * (reference `msgpack` processor, upstream
+  * internal/impl/msgpack/processor_msgpack.go). No msgpack jar exists
+  * in the sandbox, so the wire format is implemented from the public
+  * spec (github.com/msgpack/msgpack/blob/master/spec.md): a record is
+  * one map of field-name → value, field order = schema order, ints in
+  * canonical smallest encoding — byte-deterministic, so encoded
+  * columns are safe under the hash-comparing gate.
+  *
+  * Same typed-schema subset as the avro path: flat records of
+  * string/long/int/double/float/boolean/binary, nullable.
+  */
+object MsgpackSupport {
+
+  def supported(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | DoubleType | FloatType |
+         BooleanType | BinaryType => true
+    case _ => false
+  }
+
+  def requireSupported(st: StructType): StructType = {
+    st.fields.foreach(f => require(supported(f.dataType),
+      s"msgpack: unsupported field type ${f.dataType} for ${f.name}"))
+    st
+  }
+
+  // ---- encode -------------------------------------------------------
+
+  private def packLen(o: java.io.ByteArrayOutputStream,
+                      n: Int, fix: Int, t8: Int, t16: Int, t32: Int,
+                      fixMax: Int): Unit = {
+    if (fix >= 0 && n <= fixMax) o.write(fix | n)
+    else if (t8 >= 0 && n <= 0xff) { o.write(t8); o.write(n) }
+    else if (n <= 0xffff) { o.write(t16); o.write(n >>> 8); o.write(n) }
+    else { o.write(t32); o.write(n >>> 24); o.write(n >>> 16); o.write(n >>> 8); o.write(n) }
+  }
+
+  def packString(o: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    packLen(o, b.length, 0xa0, 0xd9, 0xda, 0xdb, 31)
+    o.write(b)
+  }
+
+  def packBinary(o: java.io.ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    packLen(o, b.length, -1, 0xc4, 0xc5, 0xc6, 0)
+    o.write(b)
+  }
+
+  def packLong(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    def wide(tag: Int, bytes: Int): Unit = {
+      o.write(tag)
+      var i = bytes - 1
+      while (i >= 0) { o.write(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+    if (v >= 0) {
+      if (v < 0x80) o.write(v.toInt)
+      else if (v <= 0xff) wide(0xcc, 1)
+      else if (v <= 0xffff) wide(0xcd, 2)
+      else if (v <= 0xffffffffL) wide(0xce, 4)
+      else wide(0xcf, 8)
+    } else {
+      if (v >= -32) o.write((v & 0xff).toInt)
+      else if (v >= Byte.MinValue) wide(0xd0, 1)
+      else if (v >= Short.MinValue) wide(0xd1, 2)
+      else if (v >= Int.MinValue) wide(0xd2, 4)
+      else wide(0xd3, 8)
+    }
+  }
+
+  def packDouble(o: java.io.ByteArrayOutputStream, v: Double): Unit = {
+    o.write(0xcb)
+    val bits = java.lang.Double.doubleToLongBits(v)
+    var i = 7
+    while (i >= 0) { o.write(((bits >>> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+
+  def packFloat(o: java.io.ByteArrayOutputStream, v: Float): Unit = {
+    o.write(0xca)
+    val bits = java.lang.Float.floatToIntBits(v)
+    var i = 3
+    while (i >= 0) { o.write((bits >>> (8 * i)) & 0xff); i -= 1 }
+  }
+
+  // ---- decode -------------------------------------------------------
+
+  /** Cursor-based reader for the subset we emit (plus all int widths
+    * and both str/bin families, so foreign writers interoperate).
+    */
+  final class Unpacker(buf: Array[Byte]) {
+    private var pos = 0
+    private def u8(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
+    private def uN(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (buf(pos) & 0xff); pos += 1; i += 1 }
+      v
+    }
+    private def take(n: Int): Array[Byte] = {
+      val a = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; a
+    }
+
+    def readMapHeader(): Int = {
+      val t = u8()
+      if ((t & 0xf0) == 0x80) t & 0x0f
+      else if (t == 0xde) uN(2).toInt
+      else if (t == 0xdf) uN(4).toInt
+      else throw new IllegalArgumentException(f"msgpack: expected map, got 0x$t%02x")
+    }
+
+    def readValue(): Any = {
+      val t = u8()
+      if (t < 0x80) t.toLong                                   // pos fixint
+      else if (t >= 0xe0) (t - 256).toLong                     // neg fixint
+      else if ((t & 0xe0) == 0xa0) new String(take(t & 0x1f), "UTF-8")
+      else t match {
+        case 0xc0 => null
+        case 0xc2 => java.lang.Boolean.FALSE
+        case 0xc3 => java.lang.Boolean.TRUE
+        case 0xc4 => take(uN(1).toInt)
+        case 0xc5 => take(uN(2).toInt)
+        case 0xc6 => take(uN(4).toInt)
+        case 0xca => java.lang.Float.intBitsToFloat(uN(4).toInt)
+        case 0xcb => java.lang.Double.longBitsToDouble(uN(8))
+        case 0xcc => uN(1)
+        case 0xcd => uN(2)
+        case 0xce => uN(4)
+        case 0xcf => uN(8) // may wrap for > Long.Max — documented subset
+        case 0xd0 => uN(1).toByte.toLong
+        case 0xd1 => uN(2).toShort.toLong
+        case 0xd2 => uN(4).toInt.toLong
+        case 0xd3 => uN(8)
+        case 0xd9 => new String(take(uN(1).toInt), "UTF-8")
+        case 0xda => new String(take(uN(2).toInt), "UTF-8")
+        case 0xdb => new String(take(uN(4).toInt), "UTF-8")
+        case other => throw new IllegalArgumentException(
+          f"msgpack: unsupported tag 0x$other%02x (flat-record subset)")
+      }
+    }
+  }
+}
+
+/** struct → msgpack map bytes (field order = struct order). */
+case class MsgpackEncode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import MsgpackSupport._
+  @transient private lazy val structType =
+    requireSupported(child.dataType.asInstanceOf[StructType])
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_msgpack_encode"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StructType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"msgpack encode needs a struct, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val o = new java.io.ByteArrayOutputStream()
+    val n = structType.fields.length
+    if (n <= 15) o.write(0x80 | n) else { o.write(0xde); o.write(n >>> 8); o.write(n) }
+    structType.fields.zipWithIndex.foreach { case (f, i) =>
+      packString(o, f.name)
+      if (row.isNullAt(i)) o.write(0xc0)
+      else f.dataType match {
+        case StringType => packString(o, row.getUTF8String(i).toString)
+        case LongType => packLong(o, row.getLong(i))
+        case IntegerType => packLong(o, row.getInt(i).toLong)
+        case DoubleType => packDouble(o, row.getDouble(i))
+        case FloatType => packFloat(o, row.getFloat(i))
+        case BooleanType => o.write(if (row.getBoolean(i)) 0xc3 else 0xc2)
+        case BinaryType => packBinary(o, row.getBinary(i))
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+    }
+    o.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MsgpackEncode =
+    copy(child = newChild)
+}
+
+/** msgpack map bytes → struct under the literal DDL schema. Unknown
+  * keys are skipped, missing keys decode as null (the reference's
+  * dynamic-object tolerance, projected onto a typed column).
+  */
+case class MsgpackDecode(child: Expression, schemaDdl: String)
+    extends UnaryExpression with CodegenFallback {
+  import MsgpackSupport._
+  @transient private lazy val structType =
+    requireSupported(StructType.fromDDL(schemaDdl))
+
+  override def dataType: DataType = StructType.fromDDL(schemaDdl)
+  override def prettyName: String = "graft_msgpack_decode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val up = new Unpacker(input.asInstanceOf[Array[Byte]])
+    val n = up.readMapHeader()
+    val byName = new java.util.HashMap[String, Any]()
+    var i = 0
+    while (i < n) {
+      val k = up.readValue().asInstanceOf[String]
+      byName.put(k, up.readValue())
+      i += 1
+    }
+    InternalRow.fromSeq(structType.fields.toIndexedSeq.map { f =>
+      val v = byName.get(f.name)
+      if (v == null) null
+      else (f.dataType, v) match {
+        case (StringType, s: String) => UTF8String.fromString(s)
+        case (LongType, l: java.lang.Long) => l
+        case (IntegerType, l: java.lang.Long) => java.lang.Integer.valueOf(l.toInt)
+        case (DoubleType, d: java.lang.Double) => d
+        case (DoubleType, l: java.lang.Long) => java.lang.Double.valueOf(l.toDouble)
+        case (FloatType, fl: java.lang.Float) => fl
+        case (BooleanType, b: java.lang.Boolean) => b
+        case (BinaryType, b: Array[Byte]) => b
+        case (dt, other) => throw new IllegalArgumentException(
+          s"msgpack: field ${f.name} expected $dt, wire value ${other.getClass.getSimpleName}")
+      }
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MsgpackDecode =
+    copy(child = newChild)
+}
+
+object MsgpackFunctions {
+  private def literalString(e: Expression): String = e match {
+    case Literal(s, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"msgpack schema must be a string literal, got $other")
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_msgpack_encode",
+      (es: Seq[Expression]) => MsgpackEncode(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_msgpack_decode",
+      (es: Seq[Expression]) => MsgpackDecode(es.head, literalString(es(1))), "built-in")
+  }
+
+  def encode(structCol: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_msgpack_encode", structCol)
+  }
+
+  def decode(binCol: Column, schemaDdl: String): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_msgpack_decode", binCol,
+      org.apache.spark.sql.functions.lit(schemaDdl))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.dsl.Processor, Processor._
+
+/** Msgpack codec: wire bytes pinned against the PUBLIC spec examples
+  * (github.com/msgpack/msgpack spec.md), roundtrip identity, null and
+  * foreign-width tolerance, and the YAML processor surface.
+  */
+class MsgpackSpec extends SparkTestBase {
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("wire bytes match the msgpack spec (hand-computed fixture)") {
+    import spark.implicits._
+    val out = Seq((7L, "hi", true)).toDF("k", "v", "f")
+      .select(MsgpackFunctions.encode(struct(col("k"), col("v"), col("f"))).as("b"))
+      .collect()(0).getAs[Array[Byte]]("b")
+    // fixmap(3) | fixstr"k" 0x07 | fixstr"v" fixstr"hi" | fixstr"f" true
+    assert(hex(out) == "83" + "a16b" + "07" + "a176" + "a26869" + "a166" + "c3")
+  }
+
+  test("encode->decode roundtrip incl. nulls, negatives, doubles, binary") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("α-β"), Some(-130L), Some(2.5d), Some(true)),
+      (2L, None, Some(-7L), Some(-0.0d), Some(false)),
+      (3L, Some(""), None, None, None)
+    ).toDF("id", "s", "n", "d", "b")
+    val ddl = "id BIGINT, s STRING, n BIGINT, d DOUBLE, b BOOLEAN"
+    val back = df.select(MsgpackFunctions.decode(
+        MsgpackFunctions.encode(struct(col("id"), col("s"), col("n"), col("d"), col("b"))),
+        ddl).as("r"))
+      .select(col("r.*"))
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      df.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("decoder tolerates unknown keys and missing fields") {
+    import spark.implicits._
+    // wire: {"x": 1, "id": 9} decoded under (id, s) -> id=9, s=null
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(0x82)
+    MsgpackSupport.packString(o, "x"); MsgpackSupport.packLong(o, 1L)
+    MsgpackSupport.packString(o, "id"); MsgpackSupport.packLong(o, 9L)
+    val row = Seq(o.toByteArray).toDF("b")
+      .select(MsgpackFunctions.decode(col("b"), "id BIGINT, s STRING").as("r"))
+      .select(col("r.*")).collect()(0)
+    assert(row.getLong(0) == 9L && row.isNullAt(1))
+  }
+
+  test("msgpack processor + mapping methods via YAML") {
+    import spark.implicits._
+    val pipe = Processor.compile(Seq(
+      PMutation("""root.doc = {"k": this.k, "v": this.v}.format_msgpack()"""),
+      PMsgpack("to_json", "k BIGINT, v STRING", "doc"),
+      PMutation("""root.back = this.doc.json_path("$.v")""")))
+    val out = pipe(Seq((5L, "x<y")).toDF("k", "v")).collect()(0)
+    assert(out.getAs[String]("back") == "x<y")
+
+    val p = graft.dsl.PipelineConfig.parse(
+      "pipeline:\n  processors:\n    - msgpack: { operator: to_json, schema: \"k BIGINT\", field: doc }\n")
+    assert(p.processors.head == PMsgpack("to_json", "k BIGINT", "doc"))
+
+    // parse_msgpack method: decode then project a field
+    val m = Processor.compile(Seq(
+      PMutation("""root.k2 = this.doc.parse_msgpack("k BIGINT, v STRING").k""")))
+    val enc = Seq((5L, "x")).toDF("k", "v")
+      .select(MsgpackFunctions.encode(struct(col("k"), col("v"))).as("doc"))
+    assert(m(enc).collect()(0).getAs[Long]("k2") == 5L)
+  }
+}
