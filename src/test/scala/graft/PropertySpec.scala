@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import graft.lake.LakeTable
+import graft.engine.Lww
+
+/** Property-based invariants (scalacheck over a fixed initial seed so
+  * runs are reproducible): the unsigned-byte manifest order, schema
+  * evolution algebra, msgpack roundtrip identity, and LWW dedupe
+  * equivalence across both physical strategies against a sequential
+  * fold — randomized inputs where the e2e suites use fixed seeds.
+  */
+class PropertySpec extends SparkTestBase {
+
+  private def check(p: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n)
+        .withInitialSeed(Seed(42L)), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ubCompare is exactly unsigned byte-array lexicographic order") {
+    val gs = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('é'),
+      Gen.const('ÿ'), Gen.const('中'), Gen.const(''))).map(_.mkString)
+    check(Prop.forAll(gs, gs) { (a: String, b: String) =>
+      val ref = java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      Integer.signum(LakeTable.ubCompare(a, b)) == Integer.signum(ref)
+    })
+  }
+
+  test("evolve is idempotent, reflexive, and only widens") {
+    import org.apache.spark.sql.types._
+    val fieldGen = for {
+      n <- Gen.oneOf("a", "b", "c", "d", "e")
+      t <- Gen.oneOf(IntegerType: DataType, LongType, FloatType, DoubleType, StringType)
+    } yield StructField(n, t)
+    val schemaGen = Gen.listOf(fieldGen)
+      .map(fs => StructType(fs.groupBy(_.name).map(_._2.head).toArray.sortBy(_.name)))
+    check(Prop.forAll(schemaGen) { (a: StructType) =>
+      LakeTable.evolve(a, a) == a
+    })
+    check(Prop.forAll(schemaGen, schemaGen) { (a: StructType, b: StructType) =>
+      val compatible = b.fields.forall { bf =>
+        a.fields.find(_.name == bf.name).forall { af =>
+          af.dataType == bf.dataType ||
+            (Set[DataType](IntegerType, LongType, FloatType, DoubleType, ShortType)
+              .contains(af.dataType) &&
+             Set[DataType](IntegerType, LongType, FloatType, DoubleType, ShortType)
+              .contains(bf.dataType) &&
+             scala.util.Try(LakeTable.evolve(
+               StructType(Seq(af)), StructType(Seq(bf)))).isSuccess)
+        }
+      }
+      if (!compatible) Prop.passed
+      else {
+        val e = LakeTable.evolve(a, b)
+        // idempotent: re-applying b changes nothing
+        val stable = LakeTable.evolve(e, b) == e
+        // every original column survives under an equal-or-wider type
+        val widensOnly = a.fields.forall { af =>
+          e.fields.find(_.name == af.name).exists { ef =>
+            ef.dataType == af.dataType ||
+              Seq((IntegerType, LongType), (FloatType, DoubleType),
+                (ShortType, IntegerType), (ShortType, LongType))
+                .contains((af.dataType, ef.dataType))
+          }
+        }
+        Prop(stable && widensOnly)
+      }
+    }, n = 200)
+  }
+
+  test("msgpack encode->decode is the identity on random records") {
+    import spark.implicits._
+    val recGen = for {
+      id <- Gen.choose(Long.MinValue, Long.MaxValue)
+      s <- Gen.option(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('中'),
+        Gen.const('"'), Gen.const('\n'))).map(_.mkString))
+      n <- Gen.option(Gen.choose(Long.MinValue, Long.MaxValue))
+      d <- Gen.option(Gen.oneOf(Gen.choose(-1e18, 1e18),
+        Gen.oneOf(0.0, -0.0, Double.MaxValue, Double.MinPositiveValue)))
+      b <- Gen.option(Gen.oneOf(true, false))
+    } yield (id, s, n, d, b)
+    check(Prop.forAll(Gen.listOfN(8, recGen)) { recs =>
+      if (recs.isEmpty) Prop.passed
+      else {
+        val df = recs.toDF("id", "s", "n", "d", "b")
+        val ddl = "id BIGINT, s STRING, n BIGINT, d DOUBLE, b BOOLEAN"
+        val back = df.select(graft.functions.MsgpackFunctions.decode(
+            graft.functions.MsgpackFunctions.encode(
+              struct(col("id"), col("s"), col("n"), col("d"), col("b"))), ddl).as("r"))
+          .select(col("r.*")).collect().map(_.toString).sorted.toSeq
+        Prop(back == df.collect().map(_.toString).sorted.toSeq)
+      }
+    }, n = 15)
+  }
+
+  test("LWW dedupe: broadcast == salted shuffle == sequential fold, any input") {
+    import spark.implicits._
+    val evGen = for {
+      repo <- Gen.oneOf("rA", "rB")
+      path <- Gen.oneOf("p1", "p2", "p3")
+      seq <- Gen.choose(0L, 1000000L)
+      op <- Gen.oneOf("upsert", "delete")
+    } yield (seq, op, repo, path, s"c-$seq")
+    check(Prop.forAll(Gen.listOfN(40, evGen)) { evsRaw =>
+      // seq must be unique (the engine's global-total-order contract)
+      val evs = evsRaw.groupBy(_._1).map(_._2.head).toSeq
+      if (evs.isEmpty) Prop.passed
+      else {
+        val df = evs.toDF("seq", "op", "repo", "path", "content")
+        val expected = evs.groupBy(e => (e._3, e._4))
+          .map { case (k, g) => k -> g.maxBy(_._1) }
+        def got(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(r => (r.getAs[String]("repo"), r.getAs[String]("path")) ->
+            ((r.getAs[Long]("seq"), r.getAs[String]("op"), r.getAs[String]("repo"),
+              r.getAs[String]("path"), r.getAs[String]("content")))).toMap
+        val bc = got(Lww.dedupe(df, strategy = Lww.Broadcast))
+        val sh = got(Lww.dedupe(df, strategy = Lww.Shuffle, saltBuckets = 4))
+        Prop(bc == expected && sh == expected)
+      }
+    }, n = 15)
+  }
+}

@@ -73,6 +73,32 @@ class LakeMorSpec extends SparkTestBase {
       contentOfVersioned(mor))
   }
 
+  test("snapshot metadata stays O(refs) across many commits; compaction folds refs") {
+    import spark.implicits._
+    val mor = lakeOf(mor = true)
+    (0 until 20).foreach { i =>
+      mor.merge(Seq((100L + i, "upsert", s"r${i % 4}", s"p$i", s"v$i"))
+        .toDF("seq", "op", "repo", "path", "content"), i.toLong)
+    }
+    val snapBytes = java.nio.file.Files.size(java.nio.file.Paths.get(
+      mor.root, "meta", f"v${mor.currentVersion()}%08d.json"))
+    val refs = mor.snapshot().manifests.size
+    val fileCount = mor.files().size
+    // the snapshot carries refs, not file entries: it must stay small
+    // even as files accumulate (at 10^5-10^6 files an inline list is
+    // ~100 MB rewritten per commit — the property under test)
+    assert(fileCount >= 20, s"premise: files accumulated, got $fileCount")
+    assert(refs <= fileCount)
+    assert(snapBytes < 64 * 1024,
+      s"snapshot grew to $snapBytes bytes for $fileCount files / $refs refs")
+    val state = contentOf(mor)
+    mor.compact(spark, maxFilesPerBucket = 1)
+    val after = mor.snapshot().manifests
+    assert(after.size <= mor.snapshot().buckets,
+      s"compaction must fold to <= 1 ref per bucket, got ${after.size}")
+    assert(contentOf(mor) == state)
+  }
+
   private def contentOfVersioned(l: LakeTable): Long = {
     // state after batch 0 only: 4x10 distinct keys
     40L min l.readVersion(spark, l.currentVersion() - 1).count()
