@@ -587,6 +587,32 @@ object SparkEntry {
       pipe(t(s, dir, "customer")).orderBy("id")
     }),
 
+    "q_change_feed" -> ((s, dir) => {
+      // cursor-acked incremental consumption: merge nation twice,
+      // commit the cursor between, and emit ONLY the second poll's
+      // delta — i.e. the winner-changed keys of commit 2, which the
+      // oracle reproduces as the updated rows
+      val root = java.nio.file.Files.createTempDirectory("graft-feed").toString
+      val lake = new graft.lake.LakeTable(s"$root/t", buckets = 2)
+      lake.initIfNeeded(org.apache.spark.sql.types.StructType.fromDDL(
+        "repo STRING, path STRING, content STRING"))
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("seq"), lit("upsert").as("op"),
+        concat(lit("region-"), col("n_regionkey")).as("repo"),
+        col("n_name").as("path"), col("n_name").as("content"))
+      lake.merge(base, 0L)
+      val feed = new graft.lake.ChangeFeed(lake, s"$root/cursor")
+      feed.poll(s).foreach(b => feed.commit(b.toVersion))
+      // second commit updates only ODD nation keys
+      lake.merge(base.filter(col("seq") % 2 === 1)
+        .withColumn("seq", col("seq") + lit(1000L))
+        .withColumn("content", upper(col("content"))), 1L)
+      val delta = feed.poll(s).get
+      delta.changes.select(col("repo"), col("path"),
+          col("content").as("up"), col("_change"))
+        .orderBy("repo", "path")
+    }),
+
     "q_msgpack" -> ((s, dir) => {
       // msgpack wire roundtrip (native no-jar codec): struct -> msgpack
       // map bytes -> decode -> fields, gated value-exact vs plain SQL;
@@ -1391,6 +1417,12 @@ object SparkEntry {
     "q_csv_archive" ->
       """SELECT n_regionkey AS rk, n_nationkey AS id, n_name AS name
         |FROM nation ORDER BY id""".stripMargin,
+
+    "q_change_feed" ->
+      """SELECT 'region-' || CAST(n_regionkey AS VARCHAR) AS repo,
+        |n_name AS path, upper(n_name) AS up, 'upsert' AS _change
+        |FROM nation WHERE n_nationkey % 2 = 1
+        |ORDER BY repo, path""".stripMargin,
 
     "q_msgpack" ->
       """SELECT n_nationkey AS id, CAST(n_nationkey AS BIGINT) AS pk,

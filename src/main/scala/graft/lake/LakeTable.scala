@@ -680,14 +680,32 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     * footers (metadata-only; no data re-scan — the Iceberg
     * manifest-building pattern).
     */
-  private def manifestEntries(outDir: String): Seq[DataFileMeta] =
-    listParquet(Paths.get(outDir)).map { p =>
-      val rel = Paths.get(root).relativize(p).toString
-      val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-      val st = FooterStats.repoStats(p)
-      DataFileMeta(rel, bucket, st.minRepo, st.maxRepo, st.rows,
-        st.minPath, st.maxPath)
-    }
+  private def manifestEntries(outDir: String): Seq[DataFileMeta] = {
+    val files = listParquet(Paths.get(outDir))
+    if (files.isEmpty) return Nil
+    // footer reads are independent small I/Os; reading them serially
+    // on the driver adds a per-commit fixed cost that grows with files
+    // written (measured ~0.3-0.7 s/batch) — fan them out on a bounded
+    // pool instead
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(files.size, 8))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: java.util.List[java.util.concurrent.Callable[DataFileMeta]] =
+        files.map { p =>
+          new java.util.concurrent.Callable[DataFileMeta] {
+            def call(): DataFileMeta = {
+              val rel = Paths.get(root).relativize(p).toString
+              val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+              val st = FooterStats.repoStats(p)
+              DataFileMeta(rel, bucket, st.minRepo, st.maxRepo, st.rows,
+                st.minPath, st.maxPath)
+            }
+          }: java.util.concurrent.Callable[DataFileMeta]
+        }.asJava
+      pool.invokeAll(tasks).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+  }
 
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
