@@ -613,6 +613,23 @@ object SparkEntry {
         .orderBy("repo", "path")
     }),
 
+    "q_escape_fns" -> ((s, dir) => {
+      // escape_html/unescape_html/strip_html/escape_url_query/format/
+      // parse_duration — escape outputs compare vs DuckDB replace
+      // chains; url-query via roundtrip (space '+' convention differs
+      // from DuckDB's %20, pinned in spec instead)
+      val pipe = compile(Seq(PMapping(
+        """root.id = this.n_nationkey
+          |root.esc = ("<b>" + this.n_name + " & co</b>").escape_html()
+          |root.unesc = ("<b>" + this.n_name + " & co</b>").escape_html().unescape_html()
+          |root.plain = ("<p id='x'>" + this.n_name + "</p>").strip_html()
+          |root.urlrt = ("a b&c=" + this.n_name).escape_url_query().unescape_url_query()
+          |root.fmt = "%s#%d".format(this.n_name, this.n_nationkey)
+          |root.dur = "1h30m".parse_duration()
+          |""".stripMargin)))
+      pipe(t(s, dir, "nation")).orderBy("id")
+    }),
+
     "q_msgpack" -> ((s, dir) => {
       // msgpack wire roundtrip (native no-jar codec): struct -> msgpack
       // map bytes -> decode -> fields, gated value-exact vs plain SQL;
@@ -1423,6 +1440,16 @@ object SparkEntry {
         |n_name AS path, upper(n_name) AS up, 'upsert' AS _change
         |FROM nation WHERE n_nationkey % 2 = 1
         |ORDER BY repo, path""".stripMargin,
+
+    "q_escape_fns" ->
+      """SELECT n_nationkey AS id,
+        |'&lt;b&gt;' || n_name || ' &amp; co&lt;/b&gt;' AS esc,
+        |'<b>' || n_name || ' & co</b>' AS unesc,
+        |n_name AS plain,
+        |'a b&c=' || n_name AS urlrt,
+        |n_name || '#' || CAST(n_nationkey AS VARCHAR) AS fmt,
+        |CAST(5400000000000 AS BIGINT) AS dur
+        |FROM nation ORDER BY id""".stripMargin,
 
     "q_msgpack" ->
       """SELECT n_nationkey AS id, CAST(n_nationkey AS BIGINT) AS pk,

@@ -171,6 +171,11 @@ object ExprCompiler {
     case MethodCall(MethodCall(t, "re_find_all", Seq(StrLit(p))), "size", Seq()) =>
       val tc = compile(t, ctx)
       CVal(graft.functions.RegexExpressions.regexpCount(tc.col, lit(p)), tc.deleted)
+    // Go-duration string -> nanoseconds (reference parse_duration),
+    // constant-folded at compile time like the ts_add duration args
+    case MethodCall(StrLit(s), "parse_duration", Seq()) =>
+      CVal(lit(goDurationMillis(s) * 1000000L))
+
     case MethodCall(t, name, args) => method(compile(t, ctx), name, args, ctx)
   }
 
@@ -238,6 +243,8 @@ object ExprCompiler {
     "trim_suffix", "replace_all", "re_replace_all", "re_find", "slice",
     "string", "hash", "encode", "decode", "ts_format", "format_timestamp",
     "join", "format_json", "json_path", "format_xml", "xpath_string",
+    "escape_html", "unescape_html", "strip_html", "escape_url_query",
+    "unescape_url_query", "format",
     "quote", "unquote", "reverse",
     "type", "first", "last", "index", "not_null", "or", "catch")
 
@@ -434,6 +441,26 @@ object ExprCompiler {
           opts.put("rootTag", str(0))
           to_xml(c, opts)
         }
+      // html / url escaping (reference methods_strings.go; the five
+      // entities Go html.EscapeString emits)
+      case "escape_html" =>
+        Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+          "\"" -> "&#34;", "'" -> "&#39;")
+          .foldLeft(c) { case (acc, (a, b)) => replace(acc, lit(a), lit(b)) }
+      case "unescape_html" =>
+        // five-entity subset (+ the quot/apos spellings); &amp; last so
+        // double-escaped text unescapes one level, like the reference
+        Seq("&lt;" -> "<", "&gt;" -> ">", "&#34;" -> "\"", "&quot;" -> "\"",
+          "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+          .foldLeft(c) { case (acc, (a, b)) => replace(acc, lit(a), lit(b)) }
+      case "strip_html" => regexp_replace(c, "<[^>]*>", "")
+      case "escape_url_query" => url_encode(c)
+      case "unescape_url_query" => url_decode(c)
+      // printf-style format (reference `format`; Go fmt verbs beyond
+      // the printf-common %s/%d/%f subset are unsupported)
+      case "format" => call_function("printf", (c +: args.map(_.col)): _*)
+      case "parse_duration" => throw new IllegalArgumentException(
+        "parse_duration: only supported on a string literal (compile-time fold)")
       // msgpack (reference methods_parsing.go parse_msgpack /
       // format_msgpack): decode takes a DDL schema literal (typed
       // column contract, like parse_xml); encode derives the wire

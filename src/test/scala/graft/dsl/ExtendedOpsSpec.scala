@@ -193,6 +193,24 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(p.sink.exists(_.isInstanceOf[graft.sinks.Sink.Retry]))
   }
 
+  test("escape methods: entities, url-query '+' convention, printf, durations") {
+    import spark.implicits._
+    val pipe = Processor.compile(Seq(PMutation(
+      """root.e = this.v.escape_html()
+        |root.u = this.v.escape_html().unescape_html()
+        |root.q = this.v.escape_url_query()
+        |root.f = "%05d".format(this.k)
+        |root.d = "250ms".parse_duration()
+        |""".stripMargin)))
+    val r = pipe(Seq(("a b&\"c\"<d>'e'", 42L)).toDF("v", "k")).collect()(0)
+    assert(r.getAs[String]("e") == "a b&amp;&#34;c&#34;&lt;d&gt;&#39;e&#39;")
+    assert(r.getAs[String]("u") == "a b&\"c\"<d>'e'")
+    // Go url.QueryEscape spells space '+'
+    assert(r.getAs[String]("q") == "a+b%26%22c%22%3Cd%3E%27e%27")
+    assert(r.getAs[String]("f") == "00042")
+    assert(r.getAs[Long]("d") == 250000000L)
+  }
+
   test("parse_log: syslog rfc5424 and rfc3164 lines to typed columns") {
     import spark.implicits._
     val r5 = Processor.compile(Seq(PParseLog("content", "syslog_rfc5424")))(
