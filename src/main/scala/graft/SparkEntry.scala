@@ -613,6 +613,29 @@ object SparkEntry {
         .orderBy("repo", "path")
     }),
 
+    "q_sql_enrich" -> ((s, dir) => {
+      // sql_select PROCESSOR (per-row lookup inverted to one JDBC load
+      // + broadcast join): enrich nations with their region row
+      val db = java.nio.file.Files.createTempDirectory("graft-enrich").toString + "/r.db"
+      val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
+      try {
+        val st = conn.createStatement()
+        st.execute(s"CREATE TABLE r AS SELECT * FROM read_parquet('$dir/region.parquet')")
+        st.close()
+      } finally conn.close()
+      val pipe = compile(Seq(
+        PSqlSelect(s"jdbc:duckdb:$db",
+          "SELECT r_regionkey, r_name FROM r", key = "${! n_regionkey }",
+          lookupKey = "r_regionkey", target = "region",
+          driver = "org.duckdb.DuckDBDriver"),
+        PMapping(
+          """root.id = this.n_nationkey
+            |root.nation = this.n_name
+            |root.region = this.region.r_name
+            |""".stripMargin)))
+      pipe(t(s, dir, "nation")).orderBy("id")
+    }),
+
     "q_escape_fns" -> ((s, dir) => {
       // escape_html/unescape_html/strip_html/escape_url_query/format/
       // parse_duration — escape outputs compare vs DuckDB replace
@@ -1440,6 +1463,11 @@ object SparkEntry {
         |n_name AS path, upper(n_name) AS up, 'upsert' AS _change
         |FROM nation WHERE n_nationkey % 2 = 1
         |ORDER BY repo, path""".stripMargin,
+
+    "q_sql_enrich" ->
+      """SELECT n_nationkey AS id, n_name AS nation, r_name AS region
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY id""".stripMargin,
 
     "q_escape_fns" ->
       """SELECT n_nationkey AS id,

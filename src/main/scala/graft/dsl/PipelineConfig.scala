@@ -363,6 +363,11 @@ object PipelineConfig {
         PCacheGet(body.get("source").asText, body.get("key").asText,
           body.get("lookup_key").asText,
           opt(body, "target").map(_.asText).getOrElse("cached"))
+      case "sql_select" =>
+        PSqlSelect(body.get("url").asText, body.get("query").asText,
+          body.get("key").asText, body.get("lookup_key").asText,
+          opt(body, "target").map(_.asText).getOrElse("result"),
+          opt(body, "driver").map(_.asText).getOrElse("org.duckdb.DuckDBDriver"))
       case "while" =>
         PWhile(body.get("check").asText,
           parseProcessors(body.get("processors"), resources),

@@ -75,6 +75,15 @@ object Processor {
     * struct, like a cache miss. */
   final case class PCacheGet(source: String, key: String, lookupKey: String,
                              target: String) extends Processor
+  /** per-row SQL enrichment (processor_sql.go `sql_select`): the
+    * reference issues one SELECT per message; the columnar inversion
+    * loads the query ONCE over JDBC and broadcast-joins it — same
+    * result column, zero per-row round trips (the only shape that
+    * survives 10^10 rows against a SQL store).
+    */
+  final case class PSqlSelect(url: String, query: String, key: String,
+                              lookupKey: String, target: String,
+                              driver: String) extends Processor
   /** bounded per-row fixpoint (processor_while.go, statically
     * unrolled): children (mapping/mutation only) re-apply to rows still
     * matching `check`, at most `maxIters` times. The reference loops a
@@ -334,6 +343,16 @@ object Processor {
       df.withColumn("_cache_key", interpolate(key, df).cast(packed.schema("_cache_key").dataType))
         .join(broadcast(packed), Seq("_cache_key"), "left")
         .drop("_cache_key")
+    }
+
+    case PSqlSelect(url, query, key, lookupKey, target, driver) => df => {
+      val dim = graft.sources.SqlInput.read(df.sparkSession, url, query, driver)
+      val dimCols = dim.columns.filterNot(_ == lookupKey)
+      val packed = dim.select(col(lookupKey).as("_sql_key"),
+        struct(dimCols.map(col): _*).as(target))
+      df.withColumn("_sql_key", interpolate(key, df).cast(packed.schema("_sql_key").dataType))
+        .join(broadcast(packed), Seq("_sql_key"), "left")
+        .drop("_sql_key")
     }
 
     case PWhile(check, children, maxIters) => df => {

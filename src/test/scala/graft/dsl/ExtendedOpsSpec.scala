@@ -193,6 +193,20 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(p.sink.exists(_.isInstanceOf[graft.sinks.Sink.Retry]))
   }
 
+  test("sql_select processor YAML surface parses to the broadcast-enrich plan") {
+    val p = PipelineConfig.parse(
+      """pipeline:
+        |  processors:
+        |    - sql_select:
+        |        url: jdbc:duckdb:/tmp/x.db
+        |        query: SELECT k, v FROM t
+        |        key: "${! id }"
+        |        lookup_key: k
+        |""".stripMargin)
+    assert(p.processors.head == PSqlSelect("jdbc:duckdb:/tmp/x.db",
+      "SELECT k, v FROM t", "${! id }", "k", "result", "org.duckdb.DuckDBDriver"))
+  }
+
   test("escape methods: entities, url-query '+' convention, printf, durations") {
     import spark.implicits._
     val pipe = Processor.compile(Seq(PMutation(
