@@ -613,6 +613,30 @@ object SparkEntry {
         .orderBy("repo", "path")
     }),
 
+    "q_unarchive_zip" -> ((s, dir) => {
+      // unarchive zip: one deterministic zip blob (nation rows as
+      // entries, built driver-side from the 25-row dim table) exploded
+      // columnar into one row per archived file, value-exact vs SQL
+      import s.implicits._
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => (r.get(0).toString, r.getString(1))).sortBy(_._1)
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      rows.foreach { case (k, name) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(s"n/$k.txt"))
+        z.write(name.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close()
+      val pipe = compile(Seq(
+        PUnarchive("zip", field = "content", keyField = "key"),
+        PMapping(
+          """root.key = this.key
+            |root.name = this.content
+            |""".stripMargin)))
+      pipe(Seq(bos.toByteArray).toDF("content")).orderBy("key")
+    }),
+
     "q_sql_enrich" -> ((s, dir) => {
       // sql_select PROCESSOR (per-row lookup inverted to one JDBC load
       // + broadcast join): enrich nations with their region row
@@ -1463,6 +1487,10 @@ object SparkEntry {
         |n_name AS path, upper(n_name) AS up, 'upsert' AS _change
         |FROM nation WHERE n_nationkey % 2 = 1
         |ORDER BY repo, path""".stripMargin,
+
+    "q_unarchive_zip" ->
+      """SELECT 'n/' || CAST(n_nationkey AS VARCHAR) || '.txt' AS key,
+        |n_name AS name FROM nation ORDER BY key""".stripMargin,
 
     "q_sql_enrich" ->
       """SELECT n_nationkey AS id, n_name AS nation, r_name AS region

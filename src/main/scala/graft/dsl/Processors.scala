@@ -539,6 +539,15 @@ object Processor {
             org.apache.spark.sql.types.MapType(StringType, StringType))): _*)
           .withColumnRenamed("key", keyField)
           .withColumnRenamed("value", field)
+      // one row per archived file: keyField = entry name, field = the
+      // entry bytes as string (processor_unarchive.go zip format)
+      case "zip" =>
+        val others = df.columns.filterNot(c => c == field || c == keyField).map(col)
+        df.select(others :+ explode(
+            graft.functions.ZipFunctions.zipEntries(col(field).cast(org.apache.spark.sql.types.BinaryType))).as("_ze"): _*)
+          .withColumn(keyField, col("_ze.name"))
+          .withColumn(field, col("_ze.content").cast(StringType))
+          .drop("_ze")
       // one row per CSV data line; the header line types the row as a
       // MAP<STRING,STRING> (the header is per-document data, so the
       // columnar type must be a map, not static columns — callers

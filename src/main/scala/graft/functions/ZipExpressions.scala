@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** zip archive explode (reference `unarchive` format `zip`, upstream
+  * internal/impl/pure/processor_unarchive.go): one zip blob → an array
+  * of (name, content) entries, exploded downstream into one row per
+  * archived file — the reference's one-message-per-file behavior with
+  * the entry name carried as data instead of metadata. Pure
+  * java.util.zip, streaming the central directory once per blob.
+  */
+case class ZipEntries(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_zip_entries"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
+    val out = Seq.newBuilder[InternalRow]
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = zin.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = zin.read(chunk) }
+          out += InternalRow(UTF8String.fromString(e.getName), buf.toByteArray)
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    new GenericArrayData(out.result().toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ZipEntries =
+    copy(child = newChild)
+}
+
+object ZipFunctions {
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zip_entries", (es: Seq[Expression]) => ZipEntries(es.head), "built-in")
+
+  def zipEntries(binCol: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_zip_entries", binCol)
+  }
+}

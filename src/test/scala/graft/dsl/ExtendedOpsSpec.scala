@@ -193,6 +193,26 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(p.sink.exists(_.isInstanceOf[graft.sinks.Sink.Retry]))
   }
 
+  test("unarchive zip: one row per entry, binary content survives, dirs skipped") {
+    import spark.implicits._
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("d/"))         // dir: skipped
+    z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("d/a.txt"))
+    z.write("alpha".getBytes("UTF-8")); z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("b.bin"))
+    z.write(Array[Byte](0, 1, 2)); z.closeEntry()
+    z.close()
+    val out = Processor.compile(Seq(PUnarchive("zip")))(
+      Seq((bos.toByteArray, 7L)).toDF("content", "extra"))
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[String]("content"), r.getAs[Long]("extra")))).toMap
+    assert(out.keySet == Set("d/a.txt", "b.bin"))
+    assert(out("d/a.txt") == (("alpha", 7L)), "payload + passthrough columns")
+    assert(out("b.bin")._1 == new String(Array[Byte](0, 1, 2), "UTF-8"))
+  }
+
   test("sql_select processor YAML surface parses to the broadcast-enrich plan") {
     val p = PipelineConfig.parse(
       """pipeline:
