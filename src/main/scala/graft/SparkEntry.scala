@@ -614,27 +614,21 @@ object SparkEntry {
     }),
 
     "q_unarchive_zip" -> ((s, dir) => {
-      // unarchive zip: one deterministic zip blob (nation rows as
-      // entries, built driver-side from the 25-row dim table) exploded
-      // columnar into one row per archived file, value-exact vs SQL
-      import s.implicits._
-      val rows = t(s, dir, "nation")
-        .select("n_nationkey", "n_name").collect()
-        .map(r => (r.get(0).toString, r.getString(1))).sortBy(_._1)
-      val bos = new java.io.ByteArrayOutputStream()
-      val z = new java.util.zip.ZipOutputStream(bos)
-      rows.foreach { case (k, name) =>
-        z.putNextEntry(new java.util.zip.ZipEntry(s"n/$k.txt"))
-        z.write(name.getBytes("UTF-8")); z.closeEntry()
-      }
-      z.close()
+      // zip archive -> unarchive roundtrip, fully columnar: fold each
+      // region's nations into one zip blob (ZipCreate, epoch-pinned
+      // entry times => deterministic bytes), explode it back
+      // (ZipEntries), compare entries value-exact vs plain SQL
+      val prep = t(s, dir, "nation").select(
+        concat(lit("n/"), col("n_nationkey").cast("string"), lit(".txt")).as("key"),
+        col("n_name").as("content"), col("n_regionkey").as("grp"))
       val pipe = compile(Seq(
-        PUnarchive("zip", field = "content", keyField = "key"),
+        PArchive("zip", groupBy = Seq("grp")),
+        PUnarchive("zip"),
         PMapping(
           """root.key = this.key
             |root.name = this.content
             |""".stripMargin)))
-      pipe(Seq(bos.toByteArray).toDF("content")).orderBy("key")
+      pipe(prep).orderBy("key")
     }),
 
     "q_sql_enrich" -> ((s, dir) => {

@@ -288,6 +288,12 @@ object Processor {
           concat_ws("\n", lit(cells.mkString(",")),
             concat_ws("\n", array_sort(collect_list(
               concat_ws(",", cells.map(c => col(c).cast(StringType)): _*)))))
+        // one zip blob per group, entries keyed by `keyField`, sorted
+        // for determinism; entry times pinned (see ZipCreate)
+        case "zip" =>
+          graft.functions.ZipFunctions.zipCreate(array_sort(
+            collect_list(struct(col(keyField).cast(StringType).as("name"),
+              col(field).cast(org.apache.spark.sql.types.BinaryType).as("content")))))
         case other => throw new IllegalArgumentException(s"archive format $other")
       }
       val out = grouped.agg(agg.as(field))

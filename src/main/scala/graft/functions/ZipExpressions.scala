@@ -49,13 +49,54 @@ case class ZipEntries(child: Expression)
     copy(child = newChild)
 }
 
+/** (name, content) entries → one zip blob. Entry times are pinned to
+  * epoch so the output bytes are deterministic (a wall-clock zip
+  * timestamp would break value-exact gates and replay idempotence).
+  */
+case class ZipCreate(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_zip_create"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    var i = 0
+    while (i < arr.numElements()) {
+      val row = arr.getStruct(i, 2)
+      val e = new java.util.zip.ZipEntry(row.getUTF8String(0).toString)
+      e.setTime(0L)
+      z.putNextEntry(e)
+      z.write(row.getBinary(1))
+      z.closeEntry()
+      i += 1
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ZipCreate =
+    copy(child = newChild)
+}
+
 object ZipFunctions {
-  def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_zip_entries", (es: Seq[Expression]) => ZipEntries(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_zip_create", (es: Seq[Expression]) => ZipCreate(es.head), "built-in")
+  }
 
   def zipEntries(binCol: Column): Column = {
     ensureRegistered(SparkSession.active)
     call_function("graft_zip_entries", binCol)
+  }
+
+  def zipCreate(entriesCol: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_zip_create", entriesCol)
   }
 }

@@ -211,6 +211,19 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(out.keySet == Set("d/a.txt", "b.bin"))
     assert(out("d/a.txt") == (("alpha", 7L)), "payload + passthrough columns")
     assert(out("b.bin")._1 == new String(Array[Byte](0, 1, 2), "UTF-8"))
+
+    // archive zip is byte-deterministic (epoch-pinned entry times):
+    // same group twice -> identical blobs; roundtrip restores entries
+    val df = Seq(("g", "x.txt", "hello"), ("g", "y.txt", "world")).toDF("grp", "key", "content")
+    val zipped1 = Processor.compile(Seq(PArchive("zip", groupBy = Seq("grp"))))(df)
+      .collect()(0).getAs[Array[Byte]]("content")
+    val zipped2 = Processor.compile(Seq(PArchive("zip", groupBy = Seq("grp"))))(df)
+      .collect()(0).getAs[Array[Byte]]("content")
+    assert(java.util.Arrays.equals(zipped1, zipped2), "zip bytes must be deterministic")
+    val rt = Processor.compile(Seq(
+      PArchive("zip", groupBy = Seq("grp")), PUnarchive("zip")))(df)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("content")).toMap
+    assert(rt == Map("x.txt" -> "hello", "y.txt" -> "world"))
   }
 
   test("sql_select processor YAML surface parses to the broadcast-enrich plan") {
