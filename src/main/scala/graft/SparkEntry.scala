@@ -631,6 +631,22 @@ object SparkEntry {
       pipe(prep).orderBy("key")
     }),
 
+    "q_tar_roundtrip" -> ((s, dir) => {
+      // ustar archive -> unarchive columnar roundtrip (from-spec codec,
+      // system-tar cross-validated in TarSpec); same shape as the zip gate
+      val prep = t(s, dir, "nation").select(
+        concat(lit("n/"), col("n_nationkey").cast("string"), lit(".txt")).as("key"),
+        col("n_name").as("content"), col("n_regionkey").as("grp"))
+      val pipe = compile(Seq(
+        PArchive("tar", groupBy = Seq("grp")),
+        PUnarchive("tar"),
+        PMapping(
+          """root.key = this.key
+            |root.name = this.content
+            |""".stripMargin)))
+      pipe(prep).orderBy("key")
+    }),
+
     "q_sql_enrich" -> ((s, dir) => {
       // sql_select PROCESSOR (per-row lookup inverted to one JDBC load
       // + broadcast join): enrich nations with their region row
@@ -1483,6 +1499,10 @@ object SparkEntry {
         |ORDER BY repo, path""".stripMargin,
 
     "q_unarchive_zip" ->
+      """SELECT 'n/' || CAST(n_nationkey AS VARCHAR) || '.txt' AS key,
+        |n_name AS name FROM nation ORDER BY key""".stripMargin,
+
+    "q_tar_roundtrip" ->
       """SELECT 'n/' || CAST(n_nationkey AS VARCHAR) || '.txt' AS key,
         |n_name AS name FROM nation ORDER BY key""".stripMargin,
 

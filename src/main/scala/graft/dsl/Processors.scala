@@ -294,6 +294,10 @@ object Processor {
           graft.functions.ZipFunctions.zipCreate(array_sort(
             collect_list(struct(col(keyField).cast(StringType).as("name"),
               col(field).cast(org.apache.spark.sql.types.BinaryType).as("content")))))
+        case "tar" =>
+          graft.functions.TarFunctions.tarCreate(array_sort(
+            collect_list(struct(col(keyField).cast(StringType).as("name"),
+              col(field).cast(org.apache.spark.sql.types.BinaryType).as("content")))))
         case other => throw new IllegalArgumentException(s"archive format $other")
       }
       val out = grouped.agg(agg.as(field))
@@ -554,6 +558,13 @@ object Processor {
           .withColumn(keyField, col("_ze.name"))
           .withColumn(field, col("_ze.content").cast(StringType))
           .drop("_ze")
+      case "tar" =>
+        val others = df.columns.filterNot(c => c == field || c == keyField).map(col)
+        df.select(others :+ explode(
+            graft.functions.TarFunctions.tarEntries(col(field).cast(org.apache.spark.sql.types.BinaryType))).as("_te"): _*)
+          .withColumn(keyField, col("_te.name"))
+          .withColumn(field, col("_te.content").cast(StringType))
+          .drop("_te")
       // one row per CSV data line; the header line types the row as a
       // MAP<STRING,STRING> (the header is per-document data, so the
       // columnar type must be a map, not static columns — callers

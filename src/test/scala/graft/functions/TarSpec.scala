@@ -1,0 +1,54 @@
+package graft.functions
+
+import java.nio.file.{Files, Paths}
+import graft.SparkTestBase
+import graft.dsl.Processor, Processor._
+
+/** tar codec validated against the system `tar` binary in BOTH
+  * directions — a self-consistent-but-wrong ustar implementation
+  * cannot pass these.
+  */
+class TarSpec extends SparkTestBase {
+  import scala.sys.process._
+
+  private def haveTar: Boolean =
+    scala.util.Try(Seq("tar", "--version").!!).isSuccess
+
+  test("TarEntries parses archives the system tar produced") {
+    assume(haveTar, "system tar unavailable")
+    val dir = Paths.get(tmpDir("tar-sys"))
+    Files.createDirectories(dir.resolve("sub"))
+    Files.writeString(dir.resolve("a.txt"), "alpha")
+    Files.writeString(dir.resolve("sub/b.txt"), "beta-β")
+    val tarFile = dir.resolve("t.tar").toString
+    assert(Seq("tar", "-cf", tarFile, "-C", dir.toString, "a.txt", "sub/b.txt").! == 0)
+    val got = TarSupport.entries(Files.readAllBytes(Paths.get(tarFile)))
+      .map { case (n, c) => n -> new String(c, "UTF-8") }.toMap
+    assert(got == Map("a.txt" -> "alpha", "sub/b.txt" -> "beta-β"))
+  }
+
+  test("system tar extracts archives TarCreate produced; bytes deterministic") {
+    assume(haveTar, "system tar unavailable")
+    val blob = TarSupport.create(Seq(
+      "x.txt" -> "hello".getBytes("UTF-8"),
+      "d/y.bin" -> Array[Byte](0, 1, 2)))
+    assert(java.util.Arrays.equals(blob, TarSupport.create(Seq(
+      "x.txt" -> "hello".getBytes("UTF-8"),
+      "d/y.bin" -> Array[Byte](0, 1, 2)))), "tar bytes must be deterministic")
+    val dir = Paths.get(tmpDir("tar-x"))
+    Files.write(dir.resolve("our.tar"), blob)
+    assert(Seq("tar", "-xf", dir.resolve("our.tar").toString, "-C", dir.toString).! == 0)
+    assert(Files.readString(dir.resolve("x.txt")) == "hello")
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(dir.resolve("d/y.bin")), Array[Byte](0, 1, 2)))
+  }
+
+  test("archive/unarchive tar processors roundtrip") {
+    import spark.implicits._
+    val df = Seq(("g", "x.txt", "hello"), ("g", "y.txt", "world")).toDF("grp", "key", "content")
+    val rt = Processor.compile(Seq(
+      PArchive("tar", groupBy = Seq("grp")), PUnarchive("tar")))(df)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("content")).toMap
+    assert(rt == Map("x.txt" -> "hello", "y.txt" -> "world"))
+  }
+}
