@@ -147,11 +147,13 @@ object Bench {
     // measures C2 compilation + page-cache misses, not the engine —
     // same protocol as ScalingBench (BASELINE.md)
     replayBench(spark, math.max(events / 8, 20000L), s"$work/warm")
-    // min-of-2 like the queries: this VM shows sporadic 2-4x host-level
-    // noise (measured: identical 1M replays 37.4s vs 89.5s minutes
-    // apart) and a single sample can triple the headline
+    // min-of-3: this VM shows sporadic 2-4x host-level noise (measured:
+    // identical 1M replays 37.4s vs 89.5s minutes apart, and 4M replays
+    // 8.7s vs 24.9s an hour apart on identical code) — two samples can
+    // both land in one bad window; three rarely do
     val (replaySec, eps) = Seq(
       replayBench(spark, events, work),
+      replayBench(spark, events, work, reuseLog = true),
       replayBench(spark, events, work, reuseLog = true)).minBy(_._1)
 
     // min-of-2 per query: this sandbox VM shows sporadic 2-4x
