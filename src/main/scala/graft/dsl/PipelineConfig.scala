@@ -200,7 +200,15 @@ object PipelineConfig {
         })
       case "broker" =>
         val outs = body.get("outputs")
-        FanOut((0 until outs.size).map(i => parseSink(outs.get(i))))
+        val children = (0 until outs.size).map(i => parseSink(outs.get(i)))
+        opt(body, "pattern").map(_.asText).getOrElse("fan_out") match {
+          // sequential = same writes in declared order, which FanOut's
+          // loop already guarantees
+          case "fan_out" | "fan_out_sequential" => FanOut(children)
+          case "round_robin" => RoundRobin(children)
+          case other => throw new IllegalArgumentException(
+            s"broker pattern $other (fan_out | fan_out_sequential | round_robin)")
+        }
       case "fallback" =>
         Fallback((0 until body.size).map(i => parseSink(body.get(i))))
       case "reject_errored" =>

@@ -114,12 +114,34 @@ object Sink {
     }
   }
 
-  /** Write the same batch to every child (reference `broker` fan_out). */
+  /** Write the same batch to every child (reference `broker` fan_out;
+    * `fan_out_sequential` is the same writes in declared order — which
+    * this loop already guarantees, so both patterns map here).
+    */
   final case class FanOut(outputs: Seq[Sink]) extends Sink {
     def write(batch: DataFrame, batchId: Long): Unit = {
       val b = batch.persist()
       try outputs.foreach(_.write(b, batchId))
       finally { b.unpersist(); () }
+    }
+  }
+
+  /** Partition the batch across children (reference `broker`
+    * round_robin pattern): child i receives the rows whose stable
+    * per-batch ordinal ≡ i (mod n) — deterministic under retry, unlike
+    * upstream's arrival-order rotation, so exactly-once fencing keeps
+    * holding downstream.
+    */
+  final case class RoundRobin(outputs: Seq[Sink]) extends Sink {
+    require(outputs.nonEmpty, "round_robin broker needs children")
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val n = outputs.size
+      val withOrd = graft.dsl.BatchOrdinals.withOrdinals(batch,
+        graft.dsl.BatchOrdinals.Needs(index = true, size = false)).persist()
+      try outputs.zipWithIndex.foreach { case (s, i) =>
+        s.write(graft.dsl.BatchOrdinals.dropOrdinals(withOrd
+          .filter(pmod(col(graft.dsl.BatchOrdinals.IndexCol), lit(n.toLong)) === i)), batchId)
+      } finally { withOrd.unpersist(); () }
     }
   }
 

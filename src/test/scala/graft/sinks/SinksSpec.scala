@@ -138,4 +138,25 @@ class SinksSpec extends SparkTestBase {
     assert(lakeRows.count() ==
       graft.oracle.FoldOracle.replay(spark, s"$work/log").size)
   }
+
+  test("broker round_robin partitions the batch across children, deterministically") {
+    val d = tmpDir("rr")
+    val batch = Seq((10L, "a"), (20L, "b"), (30L, "c"), (40L, "d"), (50L, "e"))
+      .toDF("seq", "v")
+    val sink = PipelineConfig.parseSink(
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(
+        s"""{"broker": {"pattern": "round_robin", "outputs": [
+           |  {"parquet": "$d/o0"}, {"parquet": "$d/o1"}]}}""".stripMargin))
+    sink.write(batch, 0L)
+    val o0 = readDir(s"$d/o0").select("seq").as[Long].collect().sorted.toSeq
+    val o1 = readDir(s"$d/o1").select("seq").as[Long].collect().sorted.toSeq
+    // ordinal follows seq order: even positions -> child 0, odd -> child 1
+    assert(o0 == Seq(10L, 30L, 50L) && o1 == Seq(20L, 40L))
+    // every row lands exactly once
+    assert((o0 ++ o1).sorted == Seq(10L, 20L, 30L, 40L, 50L))
+    // retry of the same batch is idempotent per child (parquet sink
+    // overwrite-by-batch) and the split is the same
+    sink.write(batch, 0L)
+    assert(readDir(s"$d/o0").select("seq").as[Long].collect().sorted.toSeq == o0)
+  }
 }
