@@ -99,6 +99,53 @@ class PropertySpec extends SparkTestBase {
     }, n = 15)
   }
 
+  test("zip and tar create->entries roundtrip on random archives") {
+    // constructive generator (no suchThat): scalacheck shrinking does
+    // not re-check filters, so build names that are valid by shape —
+    // segments of word chars joined by single slashes
+    val segGen = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.const('.'), Gen.const('中'))).map(_.mkString.take(20))
+    // ≤32 chars so even all-CJK names stay under tar's 100-BYTE limit;
+    // truncation can land exactly on a '/' (a zip DIRECTORY name) —
+    // strip it (segments are non-empty, so one strip suffices)
+    val nameGen = Gen.choose(1, 3)
+      .flatMap(k => Gen.listOfN(k, segGen))
+      .map(_.mkString("/").take(32).stripSuffix("/"))
+    val entryGen = for {
+      n <- nameGen
+      c <- Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    } yield (n, c)
+    val archiveGen = Gen.listOfN(5, entryGen)
+      .map(_.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)) // unique names
+    check(Prop.forAllNoShrink(archiveGen) { entries =>
+      def eq(got: Seq[(String, Array[Byte])]): Boolean =
+        got.size == entries.size && got.sortBy(_._1).zip(entries).forall {
+          case ((gn, gc), (en, ec)) => gn == en && java.util.Arrays.equals(gc, ec)
+        }
+      val tarRt = graft.functions.TarSupport.entries(
+        graft.functions.TarSupport.create(entries))
+      // zip via the expressions' underlying streams
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (n, c) =>
+        val e = new java.util.zip.ZipEntry(n); e.setTime(0L)
+        z.putNextEntry(e); z.write(c); z.closeEntry()
+      }
+      z.close()
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      val zipRt = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .filterNot(_.isDirectory).map { e =>
+          val b = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          var n = zin.read(chunk)
+          while (n >= 0) { b.write(chunk, 0, n); n = zin.read(chunk) }
+          e.getName -> b.toByteArray
+        }.toSeq
+      Prop(eq(tarRt) && eq(zipRt))
+    }, n = 50)
+  }
+
   test("LWW dedupe: broadcast == salted shuffle == sequential fold, any input") {
     import spark.implicits._
     val evGen = for {
