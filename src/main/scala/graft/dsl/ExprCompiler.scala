@@ -174,7 +174,7 @@ object ExprCompiler {
     // Go-duration string -> nanoseconds (reference parse_duration),
     // constant-folded at compile time like the ts_add duration args
     case MethodCall(StrLit(s), "parse_duration", Seq()) =>
-      CVal(lit(goDurationMillis(s) * 1000000L))
+      CVal(lit(goDurationNanos(s)))
 
     case MethodCall(t, name, args) => method(compile(t, ctx), name, args, ctx)
   }
@@ -661,5 +661,34 @@ object ExprCompiler {
       v * unit
     }.sum
     sign * ms.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+  }
+
+  /** Go-style duration literal → exact integer NANOSECONDS — the
+    * reference parse_duration's return unit ("100ns" → 100, "1.5us" →
+    * 1500, "1.5ms" → 1500000). Rounding through milliseconds first
+    * loses every sub-ms part (ADVICE r2), so each part folds at ns
+    * precision; fractional ns (e.g. "0.5ns") round half-up like Go's
+    * fraction accumulation.
+    */
+  def goDurationNanos(s: String): Long = {
+    val trimmed = s.trim
+    val (sign, body) =
+      if (trimmed.startsWith("-")) (-1L, trimmed.substring(1)) else (1L, trimmed)
+    val parts = DurationPart.findAllMatchIn(body).toSeq
+    require(parts.nonEmpty && parts.map(_.matched).mkString == body,
+      s"invalid duration literal: '$s'")
+    val ns = parts.map { m =>
+      val v = BigDecimal(m.group(1))
+      val unit = m.group(2) match {
+        case "ns" => BigDecimal(1)
+        case "us" | "µs" => BigDecimal(1000)
+        case "ms" => BigDecimal(1000000)
+        case "s" => BigDecimal(1000000000L)
+        case "m" => BigDecimal(60000000000L)
+        case "h" => BigDecimal(3600000000000L)
+      }
+      v * unit
+    }.sum
+    sign * ns.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
   }
 }

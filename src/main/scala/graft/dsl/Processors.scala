@@ -347,21 +347,19 @@ object Processor {
 
     case PCacheGet(source, key, lookupKey, target) => df => {
       val dim = df.sparkSession.read.parquet(source)
-      val dimCols = dim.columns.filterNot(_ == lookupKey)
-      val packed = dim.select(col(lookupKey).as("_cache_key"),
-        struct(dimCols.map(col): _*).as(target))
-      df.withColumn("_cache_key", interpolate(key, df).cast(packed.schema("_cache_key").dataType))
-        .join(broadcast(packed), Seq("_cache_key"), "left")
+      df.withColumn("_cache_key",
+          interpolate(key, df).cast(dim.schema(lookupKey).dataType))
+        .join(broadcast(packDim(dim, lookupKey, "_cache_key", target)),
+          Seq("_cache_key"), "left")
         .drop("_cache_key")
     }
 
     case PSqlSelect(url, query, key, lookupKey, target, driver) => df => {
       val dim = graft.sources.SqlInput.read(df.sparkSession, url, query, driver)
-      val dimCols = dim.columns.filterNot(_ == lookupKey)
-      val packed = dim.select(col(lookupKey).as("_sql_key"),
-        struct(dimCols.map(col): _*).as(target))
-      df.withColumn("_sql_key", interpolate(key, df).cast(packed.schema("_sql_key").dataType))
-        .join(broadcast(packed), Seq("_sql_key"), "left")
+      df.withColumn("_sql_key",
+          interpolate(key, df).cast(dim.schema(lookupKey).dataType))
+        .join(broadcast(packDim(dim, lookupKey, "_sql_key", target)),
+          Seq("_sql_key"), "left")
         .drop("_sql_key")
     }
 
@@ -618,6 +616,20 @@ object Processor {
       if (tail.nonEmpty) sb.append(java.util.regex.Pattern.quote(tail))
       (sb.toString, names.result())
     }
+  }
+
+  /** Pack an enrichment dimension to ONE struct row per lookup key.
+    * A dimension with duplicate keys must not multiply input rows
+    * (ADVICE r2: the reference attaches matches to the message, it
+    * never fans the message out); `min` over the packed struct picks
+    * a deterministic representative regardless of JDBC/scan order.
+    */
+  private def packDim(dim: DataFrame, lookupKey: String,
+                      keyAlias: String, target: String): DataFrame = {
+    val dimCols = dim.columns.filterNot(_ == lookupKey)
+    dim.select(col(lookupKey).as(keyAlias),
+        struct(dimCols.map(col).toIndexedSeq: _*).as(target))
+      .groupBy(keyAlias).agg(min(col(target)).as(target))
   }
 
   /** Compile a check/expression string against a frame's schema. */

@@ -31,7 +31,10 @@ object CdcEngine {
       // source admission control = the reference's rate_limit resource
       // (§2.3) re-expressed as per-trigger byte/file caps
       maxBytesPerTrigger: Option[Long] = None,
-      saltBuckets: Int = 16,
+      // LWW shuffle-strategy salt; -1 (default) = adaptive from the
+      // observed per-key skew of the batch (SURVEY.md §4). Unused by
+      // the default Broadcast LWW strategy, which needs no salting.
+      saltBuckets: Int = -1,
       lakeBuckets: Int = 16,
       // CoW rewrite quantum: bound data-file size so a merge rewrites
       // O(intersecting files), not whole buckets (0 = unbounded)

@@ -37,11 +37,16 @@ object Lww {
   case object Broadcast extends Strategy
   case object Shuffle extends Strategy
 
-  /** `saltBuckets < 0` in the Shuffle strategy = adaptive: derive the
-    * factor from observed per-key counts (SURVEY.md §4).
+  /** `saltBuckets < 0` in the Shuffle strategy = adaptive (the
+    * DEFAULT, per SURVEY.md §4 "salt factor chosen from observed
+    * per-key counts"): derive the factor from one column-pruned
+    * aggregate over the batch. Fixed positive values remain available
+    * for callers that know their skew. The Broadcast strategy never
+    * salts — its shuffle carries one (key, seq) pair per map partition,
+    * so hot keys cost reducers nothing.
     */
   def dedupe(df: DataFrame, keys: Seq[String] = Seq("repo", "path"),
-             orderCol: String = "seq", saltBuckets: Int = 16,
+             orderCol: String = "seq", saltBuckets: Int = -1,
              strategy: Strategy = Broadcast): DataFrame = strategy match {
     case Broadcast => dedupeBroadcast(df, keys, orderCol)
     case Shuffle =>

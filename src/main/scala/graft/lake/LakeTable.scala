@@ -111,6 +111,10 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     Files.writeString(tmp, Serialization.write(files))
     Files.move(tmp, manifestDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
     val rel = s"meta/manifests/$name"
+    // same bound as loadManifest: a long MoR replay writes one manifest
+    // per touched bucket per commit — unconditional puts would grow the
+    // driver cache without bound (ADVICE r2)
+    if (manifestCache.size > 512) manifestCache.clear()
     manifestCache.put(rel, files.toVector)
     ManifestRef(bucket, rel, files.size, files.map(f => math.max(f.rows, 0L)).sum)
   }

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `BINARY` columns with a typed metadata struct,
   * plus batch decode / feature-extract / resize / frame-sample hooks.
   *
-  * Decode is REAL for the uncompressed formats the bare JVM can parse
-  * (24-bit BMP pixels, PCM-16 WAV samples — see `decodeBmp`/
-  * `decodeWav`); compressed codecs (jpeg/mp3/mp4) are absent from the
-  * container, so those payloads fall to a deterministic STUB fake,
-  * clearly marked below. Everything Spark-side is real and tested: the
+  * Decode is REAL for every format the bare JVM can parse: 24-bit BMP
+  * pixels and PCM-16 WAV samples from-spec (`decodeBmp`/`decodeWav`),
+  * and PNG/JPEG/GIF through the JDK's own ImageIO readers
+  * (`decodeImageIO` — java.desktop ships these decoders, no codec jar
+  * needed). Only compressed AUDIO/VIDEO codecs (mp3/mp4) are genuinely
+  * absent from the container; those payloads fall to a deterministic
+  * STUB fake, clearly marked below. Everything Spark-side is real and tested: the
   * envelope schema, the partition-preserving batch shape
   * (`mapPartitions` over a typed Dataset, the JVM twin of
   * `mapInPandas`: one iterator per partition, so a decoder amortizes
@@ -74,16 +76,17 @@ object Multimodal {
       }
   }
 
-  /** Decode kernel. REAL for the uncompressed container formats the
-    * JVM can parse without codec jars — 24-bit BI_RGB BMP (geometry +
-    * per-band mean luminance) and PCM-16 WAV (rate/channels + per-band
-    * RMS energy); compressed formats (jpeg/mp3/mp4 — codecs absent in
-    * this container) fall through to the deterministic STUB fake, a
-    * pure function of the payload so tests stay reproducible.
+  /** Decode kernel. REAL for 24-bit BI_RGB BMP (geometry + per-band
+    * mean luminance), PCM-16 WAV (rate/channels + per-band RMS
+    * energy), and PNG/JPEG/GIF via JDK ImageIO; only audio/video
+    * formats whose codecs genuinely need jars (mp3/mp4) fall through
+    * to the deterministic STUB fake, a pure function of the payload so
+    * tests stay reproducible.
     */
   private def decodeOne(r: MediaRow, featureDim: Int): MediaFeatures =
     decodeBmp(r, featureDim)
       .orElse(decodeWav(r, featureDim))
+      .orElse(decodeImageIO(r, featureDim))
       .getOrElse(stubDecode(r, featureDim))
 
   private def le32(b: Array[Byte], o: Int): Int =
@@ -140,15 +143,24 @@ object Multimodal {
     var dataOff = -1; var dataLen = 0
     while (o + 8 <= b.length) {
       val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = le32(b, o + 4)
+      // chunk size is an UNSIGNED le32: a corrupt/crafted size with the
+      // top bit set read as signed makes the step 0 or negative and
+      // hangs the executor (ADVICE r2) — keep it as an unsigned long
+      // and insist the walk strictly advances
+      val sz = le32(b, o + 4).toLong & 0xFFFFFFFFL
       if (id == "fmt " && o + 24 <= b.length) {
         fmt = le16(b, o + 8); channels = le16(b, o + 10)
         rate = le32(b, o + 12); bits = le16(b, o + 22)
-      } else if (id == "data") { dataOff = o + 8; dataLen = sz }
-      o += 8 + sz + (sz & 1) // chunks are word-aligned
+      } else if (id == "data") {
+        if (sz > Int.MaxValue || o + 8 + sz > b.length) return None
+        dataOff = o + 8; dataLen = sz.toInt
+      }
+      val next = o.toLong + 8L + sz + (sz & 1L) // chunks are word-aligned
+      if (next <= o || next > Int.MaxValue) return None // corrupt: would not advance
+      o = next.toInt
     }
     if (fmt != 1 || bits != 16 || channels <= 0 || dataOff < 0 ||
-        dataOff + dataLen > b.length) return None
+        dataOff.toLong + dataLen > b.length) return None
     val n = dataLen / 2
     if (n == 0) return None
     val bandSq = new Array[Double](featureDim)
@@ -164,6 +176,46 @@ object Multimodal {
     val feats = Array.tabulate(featureDim)(i =>
       if (bandN(i) == 0) 0f else math.sqrt(bandSq(i) / bandN(i)).toFloat)
     Some(MediaFeatures(r.media_id, r.modality, r.n_bytes, rate, channels, feats))
+  }
+
+  /** PNG / JPEG / GIF: REAL pixel decode via the JDK's own ImageIO
+    * readers (the java.desktop module ships these decoders — no
+    * external codec jar needed, which narrows the stub below to the
+    * genuinely jar-less formats: mp3/mp4/etc audio-video). Gated on
+    * the magic bytes so arbitrary payloads never pay an ImageIO
+    * attempt; features = `featureDim` horizontal bands' mean Rec.601
+    * luminance in [0, 1], same contract as [[decodeBmp]].
+    */
+  private[ops] def decodeImageIO(r: MediaRow, featureDim: Int): Option[MediaFeatures] = {
+    val b = r.payload
+    val isPng = b.length > 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    val isJpeg = b.length > 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF
+    val isGif = b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+    if (!isPng && !isJpeg && !isGif) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None
+      val width = img.getWidth; val height = img.getHeight
+      if (width <= 0 || height <= 0) return None
+      val bandSum = new Array[Double](featureDim)
+      val bandN = new Array[Long](featureDim)
+      var y = 0
+      while (y < height) {
+        val band = math.min(y * featureDim / height, featureDim - 1)
+        var x = 0
+        while (x < width) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          bandSum(band) += lum / 255.0
+          bandN(band) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feats = Array.tabulate(featureDim)(i =>
+        if (bandN(i) == 0) 0f else (bandSum(i) / bandN(i)).toFloat)
+      Some(MediaFeatures(r.media_id, r.modality, r.n_bytes, width, height, feats))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** STUB: deterministic fake decode — derives geometry and a feature

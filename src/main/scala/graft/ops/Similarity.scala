@@ -102,18 +102,26 @@ object Similarity {
       lshSignature(col(vecCol), hyperplanes(numPlanes, d, seed + t)).as(s"sig_$t")
     }
     val sigs = spread(df).select((col(idCol).as("id") +: col(vecCol).as("v") +: sigCols): _*)
-    val buckets = sigs.select(col("id"), col("v"),
+    // bucket rows carry IDS ONLY: the pair-distinct below is the wide
+    // shuffle of this plan, and dragging 2×dim×8 bytes of vectors per
+    // candidate pair through it just to dedupe by id pair was the r2
+    // scale leak (VERDICT #3) — dedupe ids, then re-join the vectors
+    // once per SURVIVING pair (same shape as minHashNearDups)
+    val buckets = sigs.select(col("id"),
       posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
         .as(Seq("table_idx", "sig")))
     val a = buckets.as("a")
     val b = buckets.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.table_idx") === col("b.table_idx") &&
         col("a.sig") === col("b.sig") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val vecs = sigs.select(col("id"), col("v"))
+    pairs
+      .join(vecs.withColumnsRenamed(Map("id" -> "id_a", "v" -> "va")), "id_a")
+      .join(vecs.withColumnsRenamed(Map("id" -> "id_b", "v" -> "vb")), "id_b")
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -77,6 +77,40 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"assign must not shuffle:\n${p.take(2000)}")
   }
 
+  test("lshNearDups: candidate + pair-distinct shuffles carry ids only, never vectors") {
+    // AQE wraps the plan before exchanges are visible — switch it off
+    // for the inspection (the production plan shape is identical)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val shuffles = try {
+      val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+      val out = ops.Similarity.lshNearDups(e, threshold = 0.9)
+      out.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    def partNames(s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec): Set[String] =
+      s.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name)).toSet
+        case _ => Set.empty
+      }
+    def carriesArray(s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec): Boolean =
+      s.child.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    // the candidate bucket join (partitioned by sig) and the pair
+    // dedupe (partitioned by id_a AND id_b) are the wide shuffles of
+    // this plan; 2×dim×8 bytes of vectors per candidate pair riding
+    // them was the r2 scale leak (VERDICT #3). The only shuffles
+    // allowed to carry an embedding array are the final one-row-per-doc
+    // vector re-joins (partitioned by a single id).
+    val offenders = shuffles.filter { s =>
+      val n = partNames(s)
+      (n.contains("sig") || (n.contains("id_a") && n.contains("id_b"))) && carriesArray(s)
+    }
+    assert(shuffles.nonEmpty)
+    assert(offenders.isEmpty,
+      s"candidate/pair shuffle carries embedding arrays:\n${offenders.map(_.child.output).mkString("\n")}")
+  }
+
   test("batch ordinals never use a single-partition window over the data") {
     val df = spark.range(0, 500).toDF("seq")
       .withColumn("v", col("seq") * 2).repartition(7)

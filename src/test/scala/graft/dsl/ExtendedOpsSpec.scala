@@ -258,6 +258,25 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("d") == 250000000L)
   }
 
+  test("parse_duration: exact integer nanoseconds for sub-ms and fractional parts") {
+    import spark.implicits._
+    // upstream parse_duration returns exact ns — rounding through
+    // whole milliseconds zeroed everything below 1ms (ADVICE r2)
+    val pipe = Processor.compile(Seq(PMutation(
+      """root.ns = "100ns".parse_duration()
+        |root.us = "1.5us".parse_duration()
+        |root.ms = "1.5ms".parse_duration()
+        |root.mix = "1h30m".parse_duration()
+        |root.neg = "-2.5s".parse_duration()
+        |""".stripMargin)))
+    val r = pipe(Seq(1).toDF("one")).collect()(0)
+    assert(r.getAs[Long]("ns") == 100L)
+    assert(r.getAs[Long]("us") == 1500L)
+    assert(r.getAs[Long]("ms") == 1500000L)
+    assert(r.getAs[Long]("mix") == 5400000000000L)
+    assert(r.getAs[Long]("neg") == -2500000000L)
+  }
+
   test("parse_log: syslog rfc5424 and rfc3164 lines to typed columns") {
     import spark.implicits._
     val r5 = Processor.compile(Seq(PParseLog("content", "syslog_rfc5424")))(

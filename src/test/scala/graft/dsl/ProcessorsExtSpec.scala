@@ -103,6 +103,23 @@ class ProcessorsExtSpec extends SparkTestBase {
     assert(out(2L).isEmpty) // cache miss
   }
 
+  test("cache get: duplicate dimension keys do not multiply input rows") {
+    // the reference attaches the enrichment to the message; it never
+    // fans the message out (ADVICE r2) — a dup-keyed dimension picks
+    // one deterministic representative instead
+    val dimPath = tmpDir("dimdup") + "/dim.parquet"
+    Seq((7L, "gold", 1.5), (7L, "zinc", 9.9), (8L, "silver", 1.1))
+      .toDF("cust_id", "tier", "mult").write.parquet(dimPath)
+    val df = Seq((1L, 7L), (2L, 8L), (3L, 7L)).toDF("id", "uid")
+    val out = Processor.compileOne(
+      PCacheGet(dimPath, "${! this.uid }", "cust_id", "enrich"))(df)
+    assert(out.count() == 3L, "dup dim keys must not change row count")
+    val tiers = out.select(col("id"), col("enrich.tier").as("tier"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // min(struct(tier, mult)) is the deterministic representative
+    assert(tiers(1L) == "gold" && tiers(3L) == "gold" && tiers(2L) == "silver")
+  }
+
   test("higher-order lambdas: map_each / filter / fold / any / all / sort_by") {
     val df = Seq(1).toDF("one")
     val out = Processor.compileOne(PMapping(

@@ -37,6 +37,14 @@ class LwwSpec extends SparkTestBase {
     val plain = Lww.dedupe(skewed, Seq("k"), "seq", 16, Lww.Shuffle)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(adaptive == plain)
+    // the salt genuinely SPREADS the hot key: the partial aggregate
+    // must emit multiple rows for it (one per salt bucket hit), so no
+    // single reducer sees the whole hot key's load
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit, count}
+    val partialGroups = skewed
+      .groupBy(col("k"), pmod(xxhash64(col("seq")), lit(s.toLong)).as("_salt"))
+      .agg(count(lit(1))).filter(col("k") === 0L).count()
+    assert(partialGroups > 1, s"hot key not spread: $partialGroups partial groups")
   }
 
   test("broadcast dedupe keeps exactly the max-order row per key, schema unchanged") {

@@ -287,6 +287,50 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(r.feature(1) - 1.0f) < 1e-2, s"loud band ${r.feature(1)}")
   }
 
+  test("real PNG decode via JDK ImageIO: geometry + band luminance") {
+    // synthesize a 6x4 PNG: top half white, bottom half black
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.setRGB(x, y, if (y < 2) 0xFFFFFF else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val payload = bos.toByteArray
+    val r = Multimodal.decodeImageIO(
+      Multimodal.MediaRow(3L, "image", "image/png", payload, payload.length.toLong),
+      featureDim = 2).get
+    assert(r.width == 6 && r.height == 4)
+    assert(math.abs(r.feature(0) - 1.0f) < 1e-3, s"top band ${r.feature(0)}")
+    assert(math.abs(r.feature(1)) < 1e-3, s"bottom band ${r.feature(1)}")
+    // jpeg goes through the same real path (lossy, so only geometry +
+    // rough luminance ordering are pinned)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val jp = jbos.toByteArray
+    val rj = Multimodal.decodeImageIO(
+      Multimodal.MediaRow(4L, "image", "image/jpeg", jp, jp.length.toLong),
+      featureDim = 2).get
+    assert(rj.width == 6 && rj.height == 4)
+    assert(rj.feature(0) > rj.feature(1))
+    // non-image payloads never reach ImageIO (magic gate)
+    assert(Multimodal.decodeImageIO(
+      Multimodal.MediaRow(5L, "image", "x", "not an image".getBytes, 12L), 2).isEmpty)
+  }
+
+  test("corrupt WAV chunk size cannot hang the decoder") {
+    // craft a RIFF/WAVE whose first chunk claims size 0xFFFFFFF8 —
+    // read as SIGNED le32 that is -8, stepping the walk by 0 (ADVICE r2)
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    bb.put("junk".getBytes).putInt(0xFFFFFFF8)
+    val payload = bb.array()
+    val t0 = System.nanoTime()
+    val r = Multimodal.decodeWav(
+      Multimodal.MediaRow(6L, "audio", "audio/wav", payload, payload.length.toLong),
+      featureDim = 2)
+    assert(r.isEmpty)
+    assert(System.nanoTime() - t0 < 2000000000L, "decoder must fail fast, not spin")
+  }
+
   test("media envelope + stub decode are deterministic and schema-stable") {
     val env = Multimodal.asMediaEnvelope(docs.limit(50), "doc_id", "text")
     assert(env.schema.fieldNames.toSeq ==

@@ -159,4 +159,28 @@ class SinksSpec extends SparkTestBase {
     sink.write(batch, 0L)
     assert(readDir(s"$d/o0").select("seq").as[Long].collect().sorted.toSeq == o0)
   }
+
+  test("broker round_robin without a seq column routes by content hash, retry-stable") {
+    // no `seq` => no stable ordinal exists; the r2 fallback
+    // (monotonically_increasing_id) could differ across a foreachBatch
+    // retry — rows must instead route by content hash (VERDICT r2 #4)
+    val d = tmpDir("rrhash")
+    val batch = (0 until 40).map(i => (s"k$i", i * 3)).toDF("k", "v")
+    val sink = PipelineConfig.parseSink(
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(
+        s"""{"broker": {"pattern": "round_robin", "outputs": [
+           |  {"parquet": "$d/o0"}, {"parquet": "$d/o1"}]}}""".stripMargin))
+    sink.write(batch, 0L)
+    def split() = (
+      readDir(s"$d/o0").select("k").as[String].collect().sorted.toSeq,
+      readDir(s"$d/o1").select("k").as[String].collect().sorted.toSeq)
+    val (a1, b1) = split()
+    // every row lands exactly once, both children get work
+    assert((a1 ++ b1).sorted == (0 until 40).map(i => s"k$i").sorted)
+    assert(a1.nonEmpty && b1.nonEmpty)
+    // a retry (same batch, even reordered/repartitioned) routes identically
+    sink.write(batch.repartition(7), 0L)
+    val (a2, b2) = split()
+    assert(a1 == a2 && b1 == b2)
+  }
 }
