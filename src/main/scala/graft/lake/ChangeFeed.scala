@@ -21,9 +21,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * into place atomically; a crash between poll and commit simply
   * re-delivers the same version range — `changesBetween` is
   * state-based (winner differs), so re-delivery is deterministic.
-  * Consuming is O(changed keys), driver metadata is O(buckets), and
-  * nothing here blocks or is blocked by the writer (snapshots are
-  * immutable; the feed reads the chain strictly behind the head).
+  * A poll SCANS only the files the window's commits added plus the
+  * files those commits displaced (`LakeTable.fileDiff` — manifest-
+  * level diff, O(touched buckets) metadata), never a full snapshot:
+  * a consumer polling after every commit costs O(that commit), not
+  * O(table). Nothing here blocks or is blocked by the writer
+  * (snapshots are immutable; the feed reads strictly behind the head).
   */
 final class ChangeFeed(val lake: LakeTable, val cursorDir: String) {
 

@@ -195,6 +195,31 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       .filter(col(OpCol) === "upsert").drop(SeqCol, OpCol)
   }
 
+  /** Manifest-level file diff between two snapshots: the data files
+    * `(added, removed)` going vFrom → vTo, by path. Metadata cost is
+    * O(buckets whose manifest REFS differ) — refs shared between the
+    * snapshots point at immutable identical manifests and are never
+    * opened, so a poll after one small commit opens only that commit's
+    * touched buckets' manifests, not the table's.
+    */
+  def fileDiff(vFrom: Long, vTo: Long): (Seq[DataFileMeta], Seq[DataFileMeta]) = {
+    val sFrom = snapshot(vFrom); val sTo = snapshot(vTo)
+    val fromRefSet = sFrom.manifests.map(_.path).toSet
+    val toRefSet = sTo.manifests.map(_.path).toSet
+    val toDiff = sTo.manifests.filterNot(r => fromRefSet.contains(r.path))
+    val fromDiff = sFrom.manifests.filterNot(r => toRefSet.contains(r.path))
+    // a surviving file can move between manifests across a CoW fold
+    // (pruned files are re-listed in the bucket's new manifest), so the
+    // diff is at FILE granularity within the differing refs' buckets;
+    // files never change bucket (bucket = f(repo)), so the membership
+    // checks only need the peer snapshot's SAME-bucket manifests
+    val fromPeer = filesOf(sFrom, toDiff.map(_.bucket).toSet).map(_.path).toSet
+    val toPeer = filesOf(sTo, fromDiff.map(_.bucket).toSet).map(_.path).toSet
+    val added = toDiff.flatMap(loadManifest).filterNot(f => fromPeer.contains(f.path))
+    val removed = fromDiff.flatMap(loadManifest).filterNot(f => toPeer.contains(f.path))
+    (added, removed)
+  }
+
   /** Changelog between two snapshots (the Delta CDF / Iceberg
     * incremental-read pattern, downstream-consumer facing): one row
     * per key whose WINNER changed between `vFrom` and `vTo`, carrying
@@ -204,19 +229,52 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     * between the versions — compaction-only commits produce an empty
     * changelog. Unchanged keys never appear; a key deleted in the
     * window appears once as a delete carrying the tombstone's seq.
+    *
+    * INCREMENTAL: the scan is driven by [[fileDiff]], never a full
+    * snapshot read (the r2 top scale gap — two O(table) scans per
+    * ChangeFeed poll).
+    *
+    *  - CoW: a changed winner can only live in a file ADDED in the
+    *    window (merges rewrite every file a winner displaces), and an
+    *    unchanged row in an added file was carried forward from a
+    *    REMOVED file — so `added ⟕̸ removed` on (key, seq) is exactly
+    *    the winner diff, reading only those files.
+    *  - MoR: winners resolve across files, so candidate keys come from
+    *    the added files and both sides resolve over manifest-pruned
+    *    reads of the candidate repos' key ranges — O(candidate ranges),
+    *    falling back to full resolve past [[LakeTable.PruneRepoCap]].
     */
   def changesBetween(spark: SparkSession, vFrom: Long, vTo: Long): DataFrame = {
     require(vFrom <= vTo, s"changesBetween: $vFrom > $vTo")
     val sFrom = snapshot(vFrom); val sTo = snapshot(vTo)
-    val to = resolve(readSnapshot(spark, sTo), sTo)
-    val from = resolve(readSnapshot(spark, sFrom), sFrom)
-      .select(col("repo"), col("path"), col(SeqCol))
-    // winner changed ⇔ the vTo winner's (key, seq) is absent at vFrom
-    // (seq is globally unique per row version); CoW state is already
-    // one resolved row per key, so resolve() is identity there
-    to.join(from, Seq("repo", "path", SeqCol), "left_anti")
-      .withColumn("_change", col(OpCol))
-      .drop(OpCol)
+    val (added, removed) = fileDiff(vFrom, vTo)
+    val diffed =
+      if (!sTo.mor) {
+        val to = readFiles(spark, sTo, added)
+        val from = readFiles(spark, sFrom, removed)
+          .select(col("repo"), col("path"), col(SeqCol))
+        // winner changed ⇔ the vTo winner's (key, seq) is absent at
+        // vFrom (seq is globally unique per row version)
+        to.join(from, Seq("repo", "path", SeqCol), "left_anti")
+      } else {
+        val cand = readFiles(spark, sTo, added)
+          .select(col("repo"), col("path")).distinct()
+        val candRepos = readFiles(spark, sTo, added).select(col("repo"))
+          .distinct().limit(PruneRepoCap + 1).collect().map(_.getString(0))
+        def pruned(s: Snapshot): Seq[DataFileMeta] =
+          if (candRepos.length > PruneRepoCap) allFiles(s)
+          else {
+            val wanted = candRepos.map(r => bucketOfRepo(r, s.buckets)).toSet
+            val sorted = candRepos.sortWith(ubCompare(_, _) < 0)
+            filesOf(s, wanted).filter(f => rangeIntersects(f, sorted))
+          }
+        val toState = resolve(readFiles(spark, sTo, pruned(sTo)), sTo)
+          .join(cand, Seq("repo", "path"), "left_semi")
+        val fromKeyed = resolve(readFiles(spark, sFrom, pruned(sFrom)), sFrom)
+          .select(col("repo"), col("path"), col(SeqCol))
+        toState.join(fromKeyed, Seq("repo", "path", SeqCol), "left_anti")
+      }
+    diffed.withColumn("_change", col(OpCol)).drop(OpCol)
   }
 
   /** MoR read-side LWW resolution: one row per key, max `_seq` wins
@@ -234,9 +292,13 @@ final class LakeTable(val root: String, val buckets: Int = 16,
   private[lake] def readInternal(spark: SparkSession): DataFrame =
     readSnapshot(spark, snapshot())
 
-  private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame = {
+  private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame =
+    readFiles(spark, s, allFiles(s))
+
+  /** Read a specific file subset under the snapshot's (widest) schema. */
+  private def readFiles(spark: SparkSession, s: Snapshot,
+                        fs: Seq[DataFileMeta]): DataFrame = {
     val sch = internalSchema(DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
-    val fs = allFiles(s)
     if (fs.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
     else spark.read.schema(sch).parquet(fs.map(f => s"$root/${f.path}"): _*)
   }

@@ -57,6 +57,55 @@ class ChangeFeedSpec extends SparkTestBase {
     assert(feed.poll(spark).isEmpty)
   }
 
+  test("a poll after one small commit scans O(that commit's files), not O(table)") {
+    // build up a table with many files across many buckets...
+    val lake = new LakeTable(tmpDir("feedinc"), buckets = 8, maxRecordsPerFile = 8)
+    lake.initIfNeeded(userSchema)
+    var seq = 0L
+    // commits touch DISJOINT repo sets, so file-level CoW leaves prior
+    // commits' files untouched and the table accumulates many files
+    (0 until 12).foreach { b =>
+      val rows = (0 until 24).map { i =>
+        seq += 1
+        (seq, "upsert", f"repo-${b * 4 + i % 4}%03d", s"p$i", s"c$b-$i")
+      }
+      lake.merge(batch(rows), b.toLong)
+    }
+    val totalFiles = lake.files().size
+    assert(totalFiles > 20, s"fixture too small: $totalFiles files")
+
+    // ...then one small commit touching a single key
+    val vBefore = lake.currentVersion()
+    seq += 1
+    lake.merge(batch(Seq((seq, "upsert", "repo-007", "p1", "hot"))), 99L)
+    val vAfter = lake.currentVersion()
+
+    // manifest-level diff is O(commit), not O(table)
+    val (added, removed) = lake.fileDiff(vBefore, vAfter)
+    assert(added.nonEmpty)
+    assert(added.size + removed.size < totalFiles / 3,
+      s"diff ${added.size}+${removed.size} of $totalFiles files — not incremental")
+
+    // and the changelog's ACTUAL scan reads exactly those files
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scanned = try {
+      lake.changesBetween(spark, vBefore, vAfter)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.inputFiles.length
+        }.sum
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scanned == added.size + removed.size,
+      s"changelog scanned $scanned files, diff is ${added.size}+${removed.size}")
+
+    // the incremental result is still the exact winner diff
+    assert(keysOf(lake.changesBetween(spark, vBefore, vAfter)) ==
+      Set(("repo-007", "p1", "upsert")))
+    // and across a wider window (12 commits) it matches the expected keys
+    val wide = lake.changesBetween(spark, 0L, vAfter)
+    assert(wide.count() == lake.read(spark).count(), "from v0 = whole state")
+  }
+
   test("retention that expires the cursor version fails loudly, not with a full re-read") {
     val lake = new LakeTable(tmpDir("feed2"), buckets = 2)
     lake.initIfNeeded(userSchema)
