@@ -1122,6 +1122,157 @@ object SparkEntry {
       cdcStateDump(s, lake.read(s))
     }),
 
+    // ---------------- round-3: gates for the spec-only components ------
+
+    "q_cache_ttl" -> ((s, dir) => {
+      // TTL'd cache (reference cache_memory/ttlru; the windowed-dedupe
+      // substrate): seq-time expiry, permanent refresh, add-after-expiry
+      val root = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+      val cache = new graft.engine.CacheResource(root, buckets = 8)
+      val cust = t(s, dir, "customer")
+      // everything written at seq=10 with ttl=20 → expires at 30
+      cache.set(cust.select(col("c_custkey").cast("string").as("key"),
+        upper(col("c_name")).as("value")), batchId = 0L, seq = 10L, ttl = 20L)
+      // a third refreshed permanently before expiry
+      cache.set(cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").cast("string").as("key"), lit("KEEP").as("value")),
+        batchId = 1L, seq = 25L)
+      // after expiry, add() wins for another third (the TTL cache forgot)
+      cache.add(cust.filter(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey").cast("string").as("key"), lit("READD").as("value")),
+        batchId = 2L, seq = 40L, ttl = 50L)
+      cache.read(s, nowSeq = 41L).orderBy("key")
+    }),
+
+    "q_csv_input" -> ((s, dir) => {
+      // csv input (reference input_csv.go): stage as headered CSV,
+      // read back through the file input's csv codec
+      val out = java.nio.file.Files.createTempDirectory("graft-csvin").toString
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .coalesce(1).write.option("header", "true").mode("overwrite").csv(out)
+      graft.sources.FileInput.batch(s, out, "csv")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_insert_part" -> ((s, dir) => {
+      // positional batch surgery (processor_insert_part.go): insert a
+      // literal part at ordinal 2 of the first five events in seq order
+      val src = t(s, dir, "events").filter(col("event_id") <= 5)
+        .select(col("event_id").as("seq"), col("event_type").as("content"))
+      compile(Seq(PInsertPart(2, "INSERTED")))(src)
+        .select(col("seq"), col("content")).orderBy("seq")
+    }),
+
+    "q_json_ptr" -> ((s, dir) => {
+      // v3 json processor pointer ops re-expressed as struct surgery:
+      // build a doc, pointer-SET (with_field), pointer-DELETE (without),
+      // pointer-SELECT scalars back out
+      val pipe = compile(Seq(PMapping(
+        """let doc = {"a": this.value, "drop_me": "x", "t": this.event_type}
+          |let doc2 = $doc.with_field("a2", this.value * 2.0).without("drop_me")
+          |root.event_id = this.event_id
+          |root.a = $doc2.a
+          |root.a2 = $doc2.a2
+          |root.t = $doc2.t
+          |root.clean = !$doc2.format_json().contains("drop_me")
+          |""".stripMargin)))
+      pipe(t(s, dir, "events"))
+        .select("event_id", "a", "a2", "t", "clean").orderBy("event_id")
+    }),
+
+    "q_metadata" -> ((s, dir) => {
+      // metadata namespace (v3 metadata processor): `meta k = v` writes,
+      // `@k` / meta("k") read back
+      val pipe = compile(Seq(
+        PMutation("meta etype = this.event_type\nmeta uid = this.user_id.string()"),
+        PMapping("root.event_id = this.event_id\nroot.typ = @etype\nroot.uid_s = meta(\"uid\")")))
+      pipe(t(s, dir, "events"))
+        .select("event_id", "typ", "uid_s").orderBy("event_id")
+    }),
+
+    "q_for_each" -> ((s, dir) => {
+      // for_each / parallel: per-part isolation and concurrency are
+      // inherent to a columnar plan — children apply directly
+      val yaml =
+        """pipeline:
+          |  processors:
+          |    - for_each:
+          |        - mutation: 'root.vv = this.value + 1.0'
+          |    - parallel: { cap: 8 }
+          |""".stripMargin
+      graft.dsl.PipelineConfig.parse(yaml).transform(t(s, dir, "events"))
+        .select(col("event_id"), col("vv")).orderBy("event_id")
+    }),
+
+    "q_noop_log" -> ((s, dir) => {
+      // noop + log processors pass rows through untouched (log emits a
+      // sampled driver-side line, never a per-row effect)
+      val yaml =
+        """pipeline:
+          |  processors:
+          |    - noop: {}
+          |    - log: 'gate batch passing through'
+          |    - mutation: 'root.et = this.event_type.uppercase()'
+          |""".stripMargin
+      graft.dsl.PipelineConfig.parse(yaml).transform(t(s, dir, "events"))
+        .select(col("event_id"), col("et")).orderBy("event_id")
+    }),
+
+    "q_sink_fallback" -> ((s, dir) => {
+      // fallback output: first child deterministically fails (JDBC url
+      // pointing into a nonexistent dir), second receives the batch
+      val out = java.nio.file.Files.createTempDirectory("graft-fb").toString
+      val sink = graft.sinks.Sink.Fallback(Seq(
+        graft.sinks.Sink.Jdbc(s"jdbc:duckdb:$out/no/such/dir/x.db", "t"),
+        graft.sinks.Sink.ParquetDir(s"$out/dead")))
+      sink.write(t(s, dir, "region").select("r_regionkey", "r_name"), batchId = 0L)
+      s.read.parquet(s"$out/dead").select("r_regionkey", "r_name").orderBy("r_regionkey")
+    }),
+
+    "q_sink_drop" -> ((s, dir) => {
+      // drop output as a real routing target: switch keeps hot rows,
+      // everything else is explicitly discarded
+      val out = java.nio.file.Files.createTempDirectory("graft-drop").toString
+      val sink = graft.sinks.Sink.Switch(Seq(
+        Some("this.value >= 150.0") -> graft.sinks.Sink.ParquetDir(s"$out/keep"),
+        None -> graft.sinks.Sink.Drop))
+      sink.write(t(s, dir, "events"), batchId = 0L)
+      s.read.parquet(s"$out/keep").select("event_id", "value").orderBy("event_id")
+    }),
+
+    "q_sink_drop_on" -> ((s, dir) => {
+      // drop_on: a failing inner output loses the batch BY POLICY and
+      // the pipeline continues; a healthy inner output is untouched
+      val out = java.nio.file.Files.createTempDirectory("graft-dropon").toString
+      graft.sinks.Sink.DropOn(graft.sinks.Sink.Jdbc(
+        s"jdbc:duckdb:$out/no/such/dir/x.db", "t"))
+        .write(t(s, dir, "region").select("r_regionkey", "r_name"), batchId = 0L)
+      graft.sinks.Sink.DropOn(graft.sinks.Sink.ParquetDir(s"$out/ok"))
+        .write(t(s, dir, "region").select("r_regionkey", "r_name"), batchId = 0L)
+      s.read.parquet(s"$out/ok").select("r_regionkey", "r_name").orderBy("r_regionkey")
+    }),
+
+    "q_sink_retry" -> ((s, dir) => {
+      // retry output: transient failure on the first attempt, success on
+      // the second — the batch lands exactly once (idempotent overwrite)
+      val out = java.nio.file.Files.createTempDirectory("graft-rty").toString
+      val inner = graft.sinks.Sink.ParquetDir(s"$out/r")
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val flaky = new graft.sinks.Sink {
+        def write(b: DataFrame, id: Long): Unit = {
+          if (calls.incrementAndGet() == 1)
+            throw new RuntimeException("transient sink failure")
+          inner.write(b, id)
+        }
+      }
+      graft.sinks.Sink.Retry(flaky, attempts = 3, backoffMs = 1)
+        .write(t(s, dir, "region").select("r_regionkey", "r_name"), batchId = 0L)
+      s.read.parquet(s"$out/r").select("r_regionkey", "r_name").orderBy("r_regionkey")
+    }),
+
     "q_cdc_replay" -> ((s, _) =>
       // generator → streaming replay → fenced LWW merge → final state;
       // the sha-equality oracle is the fold oracle in EndToEndReplaySpec
@@ -1659,7 +1810,59 @@ object SparkEntry {
     "q_sink_reject" ->
       """SELECT event_id,
         |CASE WHEN value <= 450.0 THEN 'ok' ELSE 'rejected' END AS route
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // ---------------- round-3 gates ----------------
+
+    "q_cache_ttl" ->
+      """SELECT key, value FROM (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS key, 'KEEP' AS value
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS VARCHAR) AS key, 'READD' AS value
+        |  FROM customer WHERE c_custkey % 3 = 1)
+        |ORDER BY key""".stripMargin,
+
+    "q_csv_input" ->
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_insert_part" ->
+      """SELECT seq, content FROM (
+        |  SELECT CASE WHEN rn - 1 >= 2 THEN rn ELSE rn - 1 END AS seq,
+        |         event_type AS content
+        |  FROM (SELECT event_type, row_number() OVER (ORDER BY event_id) AS rn
+        |        FROM events WHERE event_id <= 5)
+        |  UNION ALL SELECT 2 AS seq, 'INSERTED' AS content)
+        |ORDER BY seq""".stripMargin,
+
+    "q_json_ptr" ->
+      """SELECT event_id, value AS a, value * 2.0 AS a2, event_type AS t,
+        |       true AS clean
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_metadata" ->
+      """SELECT event_id, event_type AS typ, CAST(user_id AS VARCHAR) AS uid_s
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_for_each" ->
+      """SELECT event_id, value + 1.0 AS vv FROM events ORDER BY event_id""",
+
+    "q_noop_log" ->
+      """SELECT event_id, upper(event_type) AS et FROM events ORDER BY event_id""",
+
+    "q_sink_fallback" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "q_sink_drop" ->
+      """SELECT event_id, value FROM events WHERE value >= 150.0
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sink_drop_on" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "q_sink_retry" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""
     // q_dedup_simhash, q_knn_ivf, q_fingerprint_rolling, q_media_features,
     // q_compress, q_cdc_replay: intentionally no SQL oracle (xxhash64 /
     // approximate / stubbed-decode / gzip / generator semantics); Scala

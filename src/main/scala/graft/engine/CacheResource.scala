@@ -7,11 +7,11 @@ import graft.lake.LakeTable
 
 /** Stateful cache resource (SURVEY.md §2.3 cache resources; upstream
   * `internal/impl/pure/processor_cache.go` operators set/add/delete/
-  * get): a durable KV store re-expressed as a lake table keyed by
-  * `key` — every operation is a fenced LWW MERGE, so the cache
-  * inherits the lake's exactly-once batch fencing, file-level CoW,
-  * snapshot history and manifest pruning instead of needing its own
-  * storage engine.
+  * get, cache backends `cache_{memory,ttlru}.go`): a durable KV store
+  * re-expressed as a lake table keyed by `key` — every operation is a
+  * fenced LWW MERGE, so the cache inherits the lake's exactly-once
+  * batch fencing, file-level CoW, snapshot history and manifest
+  * pruning instead of needing its own storage engine.
   *
   * Semantics mapping (the reference applies these per message; here
   * each call applies a whole batch of KV rows in one merge):
@@ -21,46 +21,64 @@ import graft.lake.LakeTable
   *    the (small) KV batch against the cache's current keys, read
   *    through the manifest's bucket/range pruning so only files whose
   *    key ranges intersect the batch are scanned; matches the
-  *    reference exactly, including add-after-delete succeeding;
+  *    reference exactly, including add-after-delete and
+  *    add-after-expiry succeeding;
   *  - `delete`: tombstone at the caller's seq;
   *  - `get`: a broadcast-join enrichment against `read()` (see
   *    PCacheGet), i.e. per-message RPC inverted into one join.
+  *
+  * TTL (the reference's `memory`/`ttlru` caches expire entries; the
+  * dedupe processor's windowed dedupe is exactly a TTL'd cache): this
+  * engine has no wall clock in data (determinism rule), so TTL is in
+  * units of the caller's `seq` — the same logical clock every write
+  * carries. An entry written at `seq` with `ttl > 0` expires once
+  * `nowSeq >= seq + ttl`:
+  *  - reads at a logical time filter expired rows ([[read(spark,nowSeq)*]]);
+  *  - `add` treats entries expired at its own `seq` as absent (re-add
+  *    after expiry succeeds, as in the reference);
+  *  - [[purgeExpired]] folds expired entries into tombstones — the
+  *    compaction step that keeps storage O(live), matching the
+  *    reference memory-cache's periodic compaction sweep.
   */
 final class CacheResource(val root: String, val buckets: Int = 16) {
 
   private val userSchema = StructType(Seq(
     StructField("repo", StringType, nullable = false),   // the cache key
     StructField("path", StringType, nullable = false),   // fixed "" (unit)
-    StructField("content", StringType, nullable = true)  // the cache value
-  ))
+    StructField("content", StringType, nullable = true), // the cache value
+    StructField("expires", LongType, nullable = true)))  // seq-time expiry (null = never)
 
   private[engine] val lake = new LakeTable(root, buckets)
   lake.initIfNeeded(userSchema)
 
-  private def conform(kv: DataFrame, op: String, seq: Long): DataFrame =
+  private def conform(kv: DataFrame, op: String, seq: Long, ttl: Long): DataFrame =
     kv.select(col("key").cast(StringType).as("repo"), lit("").as("path"),
       col("value").cast(StringType).as("content"),
+      (if (ttl > 0) lit(seq + ttl) else lit(null)).cast(LongType).as("expires"),
       lit(op).as("op"), lit(seq).as("seq"))
 
-  /** Upsert (key, value) rows; last `seq` wins. */
-  def set(kv: DataFrame, batchId: Long, seq: Long): Unit = {
-    lake.merge(conform(kv, "upsert", seq), batchId)
+  /** Upsert (key, value) rows; last `seq` wins. `ttl > 0` expires the
+    * entries at logical time `seq + ttl`.
+    */
+  def set(kv: DataFrame, batchId: Long, seq: Long, ttl: Long = 0L): Unit = {
+    lake.merge(conform(kv, "upsert", seq, ttl), batchId)
     ()
   }
 
-  /** Insert-only: keys currently live in the cache are left untouched;
-    * absent (or deleted) keys are written at `seq`.
+  /** Insert-only: keys live (and unexpired) at `seq` are left
+    * untouched; absent, deleted, or EXPIRED keys are written.
     */
-  def add(kv: DataFrame, batchId: Long, seq: Long): Unit = {
+  def add(kv: DataFrame, batchId: Long, seq: Long, ttl: Long = 0L): Unit = {
     val spark = kv.sparkSession
     val keys = kv.select(col("key").cast(StringType)).distinct()
       .limit(CacheResource.AddKeyCap + 1).collect().map(_.getString(0))
     val live =
       if (keys.length <= CacheResource.AddKeyCap)
-        lake.readRepos(spark, keys.toIndexedSeq).select(col("repo").as("key"))
-      else read(spark).select(col("key"))
+        unexpired(lake.readRepos(spark, keys.toIndexedSeq), seq)
+          .select(col("repo").as("key"))
+      else read(spark, seq).select(col("key"))
     val fresh = kv.join(broadcast(live), Seq("key"), "left_anti")
-    lake.merge(conform(fresh, "upsert", seq), batchId)
+    lake.merge(conform(fresh, "upsert", seq, ttl), batchId)
     ()
   }
 
@@ -69,14 +87,39 @@ final class CacheResource(val root: String, val buckets: Int = 16) {
     lake.merge(
       keys.select(col("key").cast(StringType).as("repo"), lit("").as("path"),
         lit(null).cast(StringType).as("content"),
+        lit(null).cast(LongType).as("expires"),
         lit("delete").as("op"), lit(seq).as("seq")),
       batchId)
     ()
   }
 
-  /** Current cache contents as (key, value). */
+  /** Fold entries expired at `nowSeq` into tombstones (one pruned read
+    * of the expired keys + one merge). Reads already hide expired rows;
+    * this is the storage-reclaim sweep — run it like compaction.
+    */
+  def purgeExpired(spark: SparkSession, nowSeq: Long, batchId: Long, seq: Long): Long = {
+    val expired = lake.read(spark)
+      .filter(col("expires").isNotNull && col("expires") <= nowSeq)
+      .select(col("repo").as("key"))
+    val n = expired.count()
+    if (n > 0) delete(expired, batchId, seq)
+    n
+  }
+
+  private def unexpired(df: DataFrame, nowSeq: Long): DataFrame =
+    df.filter(col("expires").isNull || col("expires") > nowSeq)
+
+  /** Cache contents as (key, value), ignoring TTLs (legacy/full view). */
   def read(spark: SparkSession): DataFrame =
     lake.read(spark).select(col("repo").as("key"), col("content").as("value"))
+
+  /** Cache contents live at logical time `nowSeq`: TTL'd entries whose
+    * `expires <= nowSeq` are gone, exactly as a reference TTL cache
+    * read at that moment.
+    */
+  def read(spark: SparkSession, nowSeq: Long): DataFrame =
+    unexpired(lake.read(spark), nowSeq)
+      .select(col("repo").as("key"), col("content").as("value"))
 }
 
 object CacheResource {

@@ -161,6 +161,31 @@ class ExtendedOpsSpec extends SparkTestBase {
       .head().getString(1) == "2b")
   }
 
+  test("cache resource TTL: seq-time expiry, re-add after expiry, purge folds") {
+    import spark.implicits._
+    val cache = new graft.engine.CacheResource(tmpDir("cachettl"), buckets = 4)
+    def kv(rows: (String, String)*) = rows.toSeq.toDF("key", "value")
+    def state(nowSeq: Long) = cache.read(spark, nowSeq).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // t=10: "a" expires at 10+20=30; "p" is permanent
+    cache.set(kv("a" -> "1", "p" -> "perm"), batchId = 0L, seq = 10L, ttl = 20L)
+    cache.set(kv("p" -> "perm"), batchId = 1L, seq = 11L) // no ttl overrides
+    assert(state(29L) == Map("a" -> "1", "p" -> "perm"), "before expiry: both live")
+    assert(state(30L) == Map("p" -> "perm"), "at expires: entry is gone")
+    // windowed dedupe semantics: add of a LIVE key loses...
+    cache.add(kv("a" -> "dup"), batchId = 2L, seq = 25L, ttl = 20L)
+    assert(state(29L) == Map("a" -> "1", "p" -> "perm"))
+    // ...but add AFTER expiry wins (the reference TTL cache forgets)
+    cache.add(kv("a" -> "readd"), batchId = 3L, seq = 40L, ttl = 20L)
+    assert(state(41L) == Map("a" -> "readd", "p" -> "perm"))
+    assert(state(60L) == Map("p" -> "perm"), "re-added entry expires at 40+20")
+    // full view still shows the unexpired-by-ttl row until purge
+    assert(cache.read(spark).count() == 2L)
+    val purged = cache.purgeExpired(spark, nowSeq = 60L, batchId = 4L, seq = 61L)
+    assert(purged == 1L)
+    assert(cache.read(spark).collect().map(_.getString(0)).toSeq == Seq("p"))
+  }
+
   test("YAML surface: group_by, retry, json_schema schema-form, input section") {
     val yaml =
       """input:
