@@ -135,6 +135,34 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_knn_brute",
     "q_langid", "q_quality", "q_tokcount")
 
+  /** I/O-noise sentinel: write 128 MB to `dir`, fsync, read it back;
+    * returns MB/s moved. This VM's documented failure mode is a
+    * sporadic 2-4x disk-bandwidth window (BASELINE.md round-1 notes:
+    * 117-373 MB/s run-to-run) — probing before and after the replay
+    * section makes a noise-polluted bench run SELF-EVIDENT in the
+    * emitted JSON instead of looking like an engine regression
+    * (VERDICT r2 "What's wrong #2").
+    */
+  def ioProbe(dir: String): Double = {
+    import java.nio.file.{Files, Paths, StandardOpenOption => O}
+    val p = Paths.get(dir, "io-probe.bin")
+    val buf = new Array[Byte](1 << 20)
+    new java.util.Random(42L).nextBytes(buf)
+    val mb = 128
+    val t0 = System.nanoTime()
+    val out = Files.newOutputStream(p, O.CREATE, O.TRUNCATE_EXISTING, O.WRITE)
+    try { var i = 0; while (i < mb) { out.write(buf); i += 1 }; out.flush() }
+    finally out.close()
+    val fc = java.nio.channels.FileChannel.open(p, O.READ, O.WRITE)
+    try fc.force(true) finally fc.close()
+    val in = Files.newInputStream(p)
+    try { var n = in.read(buf); while (n >= 0) n = in.read(buf) }
+    finally in.close()
+    val sec = (System.nanoTime() - t0) / 1e9
+    Files.deleteIfExists(p)
+    2.0 * mb / sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -143,6 +171,7 @@ object Bench {
 
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val events = replayEvents(sfDir)
+    val probeBefore = ioProbe(work)
     // untimed 1/8-size warm-up (own log): a cold single-JVM replay
     // measures C2 compilation + page-cache misses, not the engine —
     // same protocol as ScalingBench (BASELINE.md)
@@ -150,11 +179,16 @@ object Bench {
     // min-of-3: this VM shows sporadic 2-4x host-level noise (measured:
     // identical 1M replays 37.4s vs 89.5s minutes apart, and 4M replays
     // 8.7s vs 24.9s an hour apart on identical code) — two samples can
-    // both land in one bad window; three rarely do
-    val (replaySec, eps) = Seq(
+    // both land in one bad window; three rarely do. ALL samples are
+    // emitted (plus the I/O probes) so a run where even the min sat in
+    // a noise window is readable as such from the JSON alone.
+    val runs = Seq(
       replayBench(spark, events, work),
       replayBench(spark, events, work, reuseLog = true),
-      replayBench(spark, events, work, reuseLog = true)).minBy(_._1)
+      replayBench(spark, events, work, reuseLog = true))
+    val (replaySec, eps) = runs.minBy(_._1)
+    val medianSec = runs.map(_._1).sorted.apply(runs.size / 2)
+    val probeAfter = ioProbe(work)
 
     // min-of-2 per query: this sandbox VM shows sporadic 2-4x
     // host-level noise, and the first run additionally pays JIT
@@ -167,7 +201,8 @@ object Bench {
     val total = replaySec + qTimes.map(_._2).sum
     val qJson = (qTimes :+ ("cdc_replay" -> replaySec))
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cdc_events":$events,"cdc_events_per_sec":${f"$eps%.0f"},"cpus":$cpus}""")
+    val samples = runs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cdc_events":$events,"cdc_events_per_sec":${f"$eps%.0f"},"cdc_events_per_sec_median":${f"${events / medianSec}%.0f"},"cdc_replay_samples":$samples,"io_probe_mbps":[${f"$probeBefore%.0f"},${f"$probeAfter%.0f"}],"cpus":$cpus}""")
     spark.stop()
   }
 }
