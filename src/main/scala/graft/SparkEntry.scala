@@ -1273,6 +1273,17 @@ object SparkEntry {
       s.read.parquet(s"$out/r").select("r_regionkey", "r_name").orderBy("r_regionkey")
     }),
 
+    "q_jq" -> ((s, dir) => {
+      // real jq grammar over the JSON payload (reference processor_jq):
+      // select() row filter, object construction, pipes, builtins
+      val pipe = compile(Seq(
+        PMutation("root.p1 = this.props\nroot.p2 = this.props"),
+        PJq("select(.k > 50) | {kk: .k, big: (.k >= 80), tag: (\"k-\" + (.k | tostring))}", "p1"),
+        PJq(".k + 1", "p2")))
+      pipe(t(s, dir, "events"))
+        .select("event_id", "p1", "p2").orderBy("event_id")
+    }),
+
     "q_cdc_replay" -> ((s, _) =>
       // generator → streaming replay → fenced LWW merge → final state;
       // the sha-equality oracle is the fold oracle in EndToEndReplaySpec
@@ -1862,7 +1873,19 @@ object SparkEntry {
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 
     "q_sink_retry" ->
-      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "q_jq" ->
+      """SELECT event_id,
+        |  '{"kk":' || json_extract_string(props, '$.k') || ',"big":' ||
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 80
+        |         THEN 'true' ELSE 'false' END ||
+        |    ',"tag":"k-' || json_extract_string(props, '$.k') || '"}' AS p1,
+        |  regexp_replace(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) + 1
+        |                      AS VARCHAR), '\.0$', '') AS p2
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+        |ORDER BY event_id""".stripMargin
     // q_dedup_simhash, q_knn_ivf, q_fingerprint_rolling, q_media_features,
     // q_compress, q_cdc_replay: intentionally no SQL oracle (xxhash64 /
     // approximate / stubbed-decode / gzip / generator semantics); Scala

@@ -1,0 +1,483 @@
+package graft.dsl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** jq-subset compiler (reference `jq` processor, upstream
+  * `internal/impl/pure/processor_jq.go`, which embeds gojq over the
+  * structured payload). The payload model is the same — a JSON text
+  * value — re-expressed columnar: jq paths compile to
+  * `get_json_object` (codegen'd, no per-row interpreter), `select`
+  * compiles to a row filter, containers rebuild as JSON text.
+  *
+  * Supported subset (parsed with real jq grammar, not Bloblang):
+  *   identity `.`; paths `.a.b[0]`; pipe `|`; alternative `//`;
+  *   `and` / `or` / `not`; comparisons `== != < <= > >=`; arithmetic
+  *   `+ - * / %`; literals (number, string, true/false/null); object
+  *   `{k: e, "k": e, k}` and array `[e, ...]` construction;
+  *   `select(cond)`; functions `length, has, keys, tostring,
+  *   tonumber, ascii_downcase, ascii_upcase, ltrimstr, rtrimstr,
+  *   startswith, endswith, test, split, join, floor, ceil, fabs`.
+  *
+  * Documented deltas from full jq (SURVEY.md §2.9): no multi-output
+  * streams (`.[]`, the comma operator) — one message in, at most one
+  * message out (columnar plan); numbers evaluate as doubles and render
+  * integral values without the trailing `.0` (jq's own integer
+  * rendering); re-embedding a path value into a container re-infers
+  * its JSON kind textually (get_json_object unquotes strings).
+  */
+object JqCompiler {
+
+  // ---- value model -------------------------------------------------
+
+  sealed trait JqType
+  case object TJson extends JqType // JSON text as get_json_object yields it
+  case object TStr extends JqType
+  case object TNum extends JqType
+  case object TBool extends JqType
+
+  final case class JqVal(col: Column, t: JqType)
+
+  /** A compiled program: input JSON text column → (output value,
+    * optional keep-condition from select()).
+    */
+  final case class Compiled(value: Column => JqVal, keep: Column => Option[Column])
+
+  def compile(program: String): Compiled = {
+    val e = new JqParser(program).parseProgram()
+    // eager validation: an unsupported function must fail at parse
+    // time, not when the plan is first built against real data
+    eval(e, JqVal(lit("{}"), TJson))
+    Compiled(in => eval(e, JqVal(in, TJson))._1, in => eval(e, JqVal(in, TJson))._2)
+  }
+
+  /** Render a value as the processor's output payload text (top
+    * level): numbers drop an integral `.0`, booleans are true/false,
+    * strings are raw text (jq -r behavior of the reference's
+    * structured payload round-trip).
+    */
+  def renderTop(v: JqVal): Column = v.t match {
+    case TJson | TStr => v.col.cast("string")
+    case TNum => stripDot0(v.col)
+    case TBool => when(v.col, "true").otherwise("false")
+  }
+
+  private def stripDot0(c: Column): Column =
+    regexp_replace(c.cast("double").cast("string"), "\\.0$", "")
+
+  /** Render a value for embedding INSIDE a constructed container. */
+  private def renderJson(v: JqVal): Column = v.t match {
+    case TNum => stripDot0(v.col)
+    case TBool => when(v.col, "true").otherwise("false")
+    case TStr => quote(v.col)
+    case TJson =>
+      // get_json_object unquotes strings but keeps objects/arrays/
+      // numbers/booleans in JSON syntax — re-infer the kind textually
+      when(v.col.isNull, "null")
+        .when(v.col.rlike("^(\\{.*\\}|\\[.*\\]|-?[0-9][0-9.eE+-]*|true|false|null)$"), v.col)
+        .otherwise(quote(v.col))
+  }
+
+  private def quote(c: Column): Column =
+    concat(lit("\""),
+      regexp_replace(regexp_replace(c.cast("string"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+      lit("\""))
+
+  private def num(v: JqVal): Column = v.col.cast("double")
+  private def boolOf(v: JqVal): Column = v.t match {
+    case TBool => v.col
+    // jq truthiness: false and null are false, everything else true
+    case _ => v.col.isNotNull && v.col.cast("string") =!= "false"
+  }
+
+  // ---- AST ----------------------------------------------------------
+
+  private sealed trait E
+  private case object Identity extends E
+  private final case class Path(segs: Seq[Either[String, Int]]) extends E // .a.b[0]
+  private final case class Pipe(l: E, r: E) extends E
+  private final case class Alt(l: E, r: E) extends E                      // //
+  private final case class Bin(op: String, l: E, r: E) extends E
+  private final case class Neg(x: E) extends E
+  private final case class Lit(v: Any) extends E                          // Double | String | Boolean | null
+  private final case class Obj(fields: Seq[(String, E)]) extends E
+  private final case class Arr(items: Seq[E]) extends E
+  private final case class Select(cond: E) extends E
+  private final case class Fn(name: String, args: Seq[E]) extends E
+  private final case class PostPath(target: E, segs: Seq[Either[String, Int]]) extends E
+
+  // ---- eval: E × input → (value, keep) -------------------------------
+
+  private def pathStr(segs: Seq[Either[String, Int]]): String =
+    "$" + segs.map {
+      case Left(name) => s".$name"
+      case Right(i) => s"[$i]"
+    }.mkString
+
+  private def eval(e: E, in: JqVal): (JqVal, Option[Column]) = e match {
+    case Identity => (in, None)
+    case Path(segs) =>
+      require(in.t == TJson, s"jq: cannot index a ${in.t} with a path")
+      (JqVal(get_json_object(in.col, pathStr(segs)), TJson), None)
+    case PostPath(t, segs) =>
+      val (v, k) = eval(t, in)
+      require(v.t == TJson, s"jq: cannot index a ${v.t} with a path")
+      (JqVal(get_json_object(v.col, pathStr(segs)), TJson), k)
+    case Pipe(l, r) =>
+      val (lv, lk) = eval(l, in)
+      val (rv, rk) = eval(r, lv)
+      (rv, mergeKeep(lk, rk))
+    case Alt(l, r) =>
+      val (lv, lk) = eval(l, in)
+      val (rv, rk) = eval(r, in)
+      // jq //: right side when left is null or false
+      val lb = lv.t match {
+        case TBool => lv.col
+        case _ => lv.col.isNotNull && lv.col.cast("string") =!= "false"
+      }
+      val t = if (lv.t == rv.t) lv.t else TStr
+      val cast = (v: JqVal) => if (lv.t == rv.t) v.col else renderTop(v)
+      (JqVal(when(lb, cast(lv)).otherwise(cast(rv)), t), mergeKeep(lk, rk))
+    case Lit(v) => v match {
+      case d: Double => (JqVal(lit(d), TNum), None)
+      case s: String => (JqVal(lit(s), TStr), None)
+      case b: Boolean => (JqVal(lit(b), TBool), None)
+      case null => (JqVal(lit(null).cast("string"), TJson), None)
+    }
+    case Neg(x) =>
+      val (v, k) = eval(x, in); (JqVal(-num(v), TNum), k)
+    case Bin(op, l, r) =>
+      val (lv, lk) = eval(l, in)
+      val (rv, rk) = eval(r, in)
+      val k = mergeKeep(lk, rk)
+      val out = op match {
+        case "+" if lv.t == TStr || rv.t == TStr =>
+          JqVal(concat(renderTop(lv), renderTop(rv)), TStr)
+        case "+" => JqVal(num(lv) + num(rv), TNum)
+        case "-" => JqVal(num(lv) - num(rv), TNum)
+        case "*" => JqVal(num(lv) * num(rv), TNum)
+        case "/" => JqVal(num(lv) / num(rv), TNum)
+        case "%" => JqVal(num(lv) % num(rv), TNum)
+        case "==" | "!=" =>
+          val eq =
+            if (lv.t == TNum || rv.t == TNum) num(lv) <=> num(rv)
+            else renderTop(lv) <=> renderTop(rv)
+          JqVal(if (op == "==") eq else !eq, TBool)
+        case "<" => JqVal(cmp(lv, rv, _ < _), TBool)
+        case "<=" => JqVal(cmp(lv, rv, _ <= _), TBool)
+        case ">" => JqVal(cmp(lv, rv, _ > _), TBool)
+        case ">=" => JqVal(cmp(lv, rv, _ >= _), TBool)
+        case "and" => JqVal(boolOf(lv) && boolOf(rv), TBool)
+        case "or" => JqVal(boolOf(lv) || boolOf(rv), TBool)
+      }
+      (out, k)
+    case Obj(fields) =>
+      val parts = fields.map { case (name, fe) =>
+        val (v, _) = eval(fe, in)
+        concat(lit("\"" + name + "\":"), renderJson(v))
+      }
+      val body = if (parts.isEmpty) lit("") else concat_ws(",", parts: _*)
+      (JqVal(concat(lit("{"), body, lit("}")), TJson), None)
+    case Arr(items) =>
+      val parts = items.map { ie => renderJson(eval(ie, in)._1) }
+      val body = if (parts.isEmpty) lit("") else concat_ws(",", parts: _*)
+      (JqVal(concat(lit("["), body, lit("]")), TJson), None)
+    case Select(cond) =>
+      val (cv, ck) = eval(cond, in)
+      (in, mergeKeep(ck, Some(boolOf(cv))))
+    case Fn(name, args) => evalFn(name, args, in)
+  }
+
+  private def cmp(l: JqVal, r: JqVal, f: (Column, Column) => Column): Column =
+    if (l.t == TStr || r.t == TStr) f(renderTop(l), renderTop(r))
+    else f(num(l), num(r))
+
+  private def mergeKeep(a: Option[Column], b: Option[Column]): Option[Column] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(x && y)
+      case (x, None) => x
+      case (None, y) => y
+    }
+
+  private def evalFn(name: String, args: Seq[E], in: JqVal): (JqVal, Option[Column]) = {
+    def arg(i: Int): JqVal = eval(args(i), in)._1
+    val out = name match {
+      case "not" => JqVal(!boolOf(in), TBool)
+      case "length" => in.t match {
+        case TStr => JqVal(length(in.col).cast("double"), TNum)
+        case TJson => JqVal(
+          when(in.col.rlike("^\\["), json_array_length(in.col).cast("double"))
+            .otherwise(length(in.col.cast("string")).cast("double")), TNum)
+        case _ => throw new IllegalArgumentException(s"jq: length on ${in.t}")
+      }
+      case "keys" => JqVal(to_json(array_sort(json_object_keys(in.col))), TJson)
+      case "has" => JqVal(
+        get_json_object(in.col, pathStr(Seq(Left(strLit(args.head))))).isNotNull, TBool)
+      case "tostring" => JqVal(renderTop(in), TStr)
+      case "tonumber" => JqVal(num(in), TNum)
+      case "ascii_downcase" => JqVal(lower(renderTop(in)), TStr)
+      case "ascii_upcase" => JqVal(upper(renderTop(in)), TStr)
+      case "ltrimstr" =>
+        val s = strLit(args.head)
+        val c = renderTop(in)
+        JqVal(when(c.startsWith(s), c.substr(lit(s.length + 1), length(c))).otherwise(c), TStr)
+      case "rtrimstr" =>
+        val s = strLit(args.head)
+        val c = renderTop(in)
+        JqVal(when(c.endsWith(s), c.substr(lit(1), length(c) - s.length)).otherwise(c), TStr)
+      case "startswith" => JqVal(renderTop(in).startsWith(strLit(args.head)), TBool)
+      case "endswith" => JqVal(renderTop(in).endsWith(strLit(args.head)), TBool)
+      case "test" => JqVal(renderTop(in).rlike(strLit(args.head)), TBool)
+      case "split" => JqVal(to_json(split(renderTop(in),
+        java.util.regex.Pattern.quote(strLit(args.head)), -1)), TJson)
+      case "join" =>
+        require(in.t == TJson, "jq: join() needs an array input")
+        JqVal(array_join(from_json(in.col,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)), strLit(args.head)), TStr)
+      case "floor" => JqVal(floor(num(in)).cast("double"), TNum)
+      case "ceil" => JqVal(ceil(num(in)).cast("double"), TNum)
+      case "fabs" => JqVal(abs(num(in)), TNum)
+      case other => throw new IllegalArgumentException(s"jq: unsupported function $other")
+    }
+    (out, None)
+  }
+
+  private def strLit(e: E): String = e match {
+    case Lit(s: String) => s
+    case other => throw new IllegalArgumentException(
+      s"jq: expected a string literal argument, got $other")
+  }
+
+  // ---- parser --------------------------------------------------------
+
+  private final class JqParser(src: String) {
+    private var pos = 0
+
+    def parseProgram(): E = {
+      val e = parsePipe()
+      skipWs()
+      require(pos >= src.length, s"jq: trailing input at $pos: '${src.drop(pos)}'")
+      e
+    }
+
+    private def skipWs(): Unit =
+      while (pos < src.length && src.charAt(pos).isWhitespace) pos += 1
+
+    private def peek(s: String): Boolean = {
+      skipWs(); src.startsWith(s, pos)
+    }
+    private def eat(s: String): Boolean = {
+      skipWs()
+      if (src.startsWith(s, pos)) { pos += s.length; true } else false
+    }
+    private def expect(s: String): Unit =
+      require(eat(s), s"jq: expected '$s' at $pos in '$src'")
+
+    private def parsePipe(): E = {
+      var l = parseAlt()
+      while ({ skipWs(); peek("|") && !peek("||") && { eat("|"); true } })
+        l = Pipe(l, parseAlt())
+      l
+    }
+
+    private def parseAlt(): E = {
+      var l = parseOr()
+      while (eat("//")) l = Alt(l, parseOr())
+      l
+    }
+
+    private def parseOr(): E = {
+      var l = parseAnd()
+      while (peekWord("or")) { eatWord("or"); l = Bin("or", l, parseAnd()) }
+      l
+    }
+
+    private def parseAnd(): E = {
+      var l = parseCmp()
+      while (peekWord("and")) { eatWord("and"); l = Bin("and", l, parseCmp()) }
+      l
+    }
+
+    private def parseCmp(): E = {
+      val l = parseAdd()
+      val op = Seq("==", "!=", "<=", ">=", "<", ">").find(peek)
+      op match {
+        case Some(o) => eat(o); Bin(o, l, parseAdd())
+        case None => l
+      }
+    }
+
+    private def parseAdd(): E = {
+      var l = parseMul()
+      var cont = true
+      while (cont) {
+        skipWs()
+        if (peek("+")) { eat("+"); l = Bin("+", l, parseMul()) }
+        else if (peek("-") && !peek("->")) { eat("-"); l = Bin("-", l, parseMul()) }
+        else cont = false
+      }
+      l
+    }
+
+    private def parseMul(): E = {
+      var l = parseUnary()
+      var cont = true
+      while (cont) {
+        skipWs()
+        if (peek("*")) { eat("*"); l = Bin("*", l, parseUnary()) }
+        else if (peek("/") && !peek("//")) { eat("/"); l = Bin("/", l, parseUnary()) }
+        else if (peek("%")) { eat("%"); l = Bin("%", l, parseUnary()) }
+        else cont = false
+      }
+      l
+    }
+
+    private def parseUnary(): E =
+      if (eat("-")) Neg(parsePostfix()) else parsePostfix()
+
+    /** A primary followed by optional path segments: `(.a).b`, `keys[0]`. */
+    private def parsePostfix(): E = {
+      val p = parsePrimary()
+      skipWs()
+      if (pos < src.length && (src.charAt(pos) == '.' || src.charAt(pos) == '[')) {
+        val segs = parseSegments(allowLeadingDot = true)
+        if (segs.nonEmpty) PostPath(p, segs) else p
+      } else p
+    }
+
+    private def parsePrimary(): E = {
+      skipWs()
+      require(pos < src.length, "jq: unexpected end of program")
+      val c = src.charAt(pos)
+      if (c == '(') { expect("("); val e = parsePipe(); expect(")"); e }
+      else if (c == '{') parseObj()
+      else if (c == '[') parseArr()
+      else if (c == '"') Lit(parseString())
+      else if (c == '.') {
+        pos += 1
+        val segs = parseSegments(allowLeadingDot = false)
+        if (segs.isEmpty) Identity else Path(segs)
+      }
+      else if (c.isDigit) Lit(parseNumber())
+      else {
+        val w = parseWord()
+        w match {
+          case "true" => Lit(true)
+          case "false" => Lit(false)
+          case "null" => Lit(null)
+          case "select" =>
+            expect("("); val cond = parsePipe(); expect(")"); Select(cond)
+          case name =>
+            skipWs()
+            if (pos < src.length && src.charAt(pos) == '(') {
+              expect("(")
+              val args = scala.collection.mutable.ArrayBuffer[E](parsePipe())
+              while (eat(";")) args += parsePipe()
+              expect(")")
+              Fn(name, args.toSeq)
+            } else Fn(name, Nil)
+        }
+      }
+    }
+
+    /** `.a.b[0]` segments; `allowLeadingDot` for the postfix form. */
+    private def parseSegments(allowLeadingDot: Boolean): Seq[Either[String, Int]] = {
+      val segs = scala.collection.mutable.ArrayBuffer[Either[String, Int]]()
+      var cont = true
+      var first = !allowLeadingDot
+      while (cont && pos < src.length) {
+        val c = src.charAt(pos)
+        if (c == '[') {
+          pos += 1
+          skipWs()
+          require(pos < src.length && (src.charAt(pos).isDigit || src.charAt(pos) == '"'),
+            "jq: only literal array indices / key strings are supported in paths")
+          if (src.charAt(pos) == '"') segs += Left(parseString())
+          else segs += Right(parseNumber().toInt)
+          expect("]")
+        } else if ((first || c == '.') && {
+          val at = if (first) pos else pos + 1
+          at < src.length && (src.charAt(at).isLetter || src.charAt(at) == '_')
+        }) {
+          if (!first) pos += 1
+          segs += Left(parseWord())
+        } else cont = false
+        first = false
+      }
+      segs.toSeq
+    }
+
+    private def parseObj(): E = {
+      expect("{")
+      val fields = scala.collection.mutable.ArrayBuffer[(String, E)]()
+      if (!peek("}")) {
+        var cont = true
+        while (cont) {
+          skipWs()
+          val name =
+            if (src.charAt(pos) == '"') parseString() else parseWord()
+          skipWs()
+          val value =
+            if (eat(":")) parsePipe()
+            else Path(Seq(Left(name))) // {k} shorthand for {k: .k}
+          fields += (name -> value)
+          cont = eat(",")
+        }
+      }
+      expect("}")
+      Obj(fields.toSeq)
+    }
+
+    private def parseArr(): E = {
+      expect("[")
+      val items = scala.collection.mutable.ArrayBuffer[E]()
+      if (!peek("]")) {
+        items += parsePipe()
+        while (eat(",")) items += parsePipe()
+      }
+      expect("]")
+      Arr(items.toSeq)
+    }
+
+    private def parseString(): String = {
+      require(src.charAt(pos) == '"', s"jq: expected string at $pos")
+      pos += 1
+      val sb = new StringBuilder
+      while (pos < src.length && src.charAt(pos) != '"') {
+        if (src.charAt(pos) == '\\' && pos + 1 < src.length) {
+          pos += 1
+          sb += (src.charAt(pos) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case other => other
+          })
+        } else sb += src.charAt(pos)
+        pos += 1
+      }
+      expect("\"")
+      sb.toString
+    }
+
+    private def parseNumber(): Double = {
+      skipWs()
+      val start = pos
+      while (pos < src.length && (src.charAt(pos).isDigit || src.charAt(pos) == '.')) pos += 1
+      src.substring(start, pos).toDouble
+    }
+
+    private def parseWord(): String = {
+      skipWs()
+      val start = pos
+      while (pos < src.length && (src.charAt(pos).isLetterOrDigit || src.charAt(pos) == '_')) pos += 1
+      require(pos > start, s"jq: expected identifier at $start in '$src'")
+      src.substring(start, pos)
+    }
+
+    private def peekWord(w: String): Boolean = {
+      skipWs()
+      src.startsWith(w, pos) &&
+        (pos + w.length >= src.length || !src.charAt(pos + w.length).isLetterOrDigit)
+    }
+    private def eatWord(w: String): Unit = { skipWs(); pos += w.length }
+  }
+}

@@ -357,6 +357,10 @@ object PipelineConfig {
         PJmesPath(opt(body, "field").map(_.asText).getOrElse("content"),
           body.get("query").asText,
           opt(body, "target").map(_.asText).getOrElse("result"))
+      case "jq" =>
+        PJq(if (body.isTextual) body.asText else body.get("query").asText,
+          if (body.isTextual) "content"
+          else opt(body, "field").map(_.asText).getOrElse("content"))
       case "log" =>
         PLog(if (body.isTextual) body.asText else body.get("message").asText)
       case "metric" =>

@@ -59,6 +59,10 @@ object Processor {
     * (processor_jmespath.go): dotted paths / array indexing via
     * get_json_object. */
   final case class PJmesPath(field: String, path: String, target: String) extends Processor
+  /** jq program over a JSON text field (processor_jq.go / gojq):
+    * the result replaces the field; a failed `select` drops the row.
+    * Real jq grammar subset, compiled to Columns — see [[JqCompiler]]. */
+  final case class PJq(program: String, field: String = "content") extends Processor
   /** per-batch driver log line (processor_log.go). Logging every row is
     * an executor-side anti-pattern at scale — this logs the message
     * once per compile with the frame's schema (semantic delta
@@ -322,6 +326,17 @@ object Processor {
     case PJmesPath(field, path, target) => df =>
       df.withColumn(target, get_json_object(col(field),
         if (path.startsWith("$")) path else "$." + path))
+
+    case PJq(program, field) => df => {
+      val compiled = JqCompiler.compile(program)
+      // filter BEFORE rewriting the field: the keep condition is an
+      // expression over the ORIGINAL payload
+      val kept = compiled.keep(col(field)) match {
+        case Some(k) => df.filter(coalesce(k, lit(false)))
+        case None => df
+      }
+      kept.withColumn(field, JqCompiler.renderTop(compiled.value(col(field))))
+    }
 
     case PLog(message) => df => {
       // once per compile, on the driver — a per-row executor log is an

@@ -1,0 +1,131 @@
+package graft.dsl
+
+import graft.SparkTestBase
+import graft.dsl.Processor._
+
+/** jq-subset conformance (reference `jq` processor / gojq): each case
+  * pins the documented behavior of the public jq manual for the
+  * supported grammar. Inputs are JSON text payloads, exactly the
+  * reference's structured-payload model.
+  */
+class JqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(program: String, payloads: String*): Seq[Option[String]] = {
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("seq", "content")
+    Processor.compileOne(PJq(program))(df)
+      .orderBy("seq").select("content")
+      .collect().map(r => Option(r.getString(0))).toSeq
+  }
+
+  private def one(program: String, payload: String): Option[String] =
+    run(program, payload).headOption.flatten
+
+  test("identity and paths") {
+    assert(one(".", """{"a":1}""").contains("""{"a":1}"""))
+    assert(one(".a", """{"a":1}""").contains("1"))
+    assert(one(".a.b", """{"a":{"b":"x"}}""").contains("x"))
+    assert(one(".a[1]", """{"a":[10,20,30]}""").contains("20"))
+    assert(one(".missing", """{"a":1}""").isEmpty) // null result
+  }
+
+  test("pipe, parens, postfix paths") {
+    assert(one(".a | .b", """{"a":{"b":7}}""").contains("7"))
+    assert(one("(.a).b", """{"a":{"b":7}}""").contains("7"))
+  }
+
+  test("arithmetic and comparisons (numbers render like jq integers)") {
+    assert(one(".a + 1", """{"a":41}""").contains("42"))
+    assert(one(".a * 2 - 4", """{"a":5}""").contains("6"))
+    assert(one(".a / 2", """{"a":5}""").contains("2.5"))
+    assert(one(".a % 3", """{"a":7}""").contains("1"))
+    assert(one(".a > 3", """{"a":5}""").contains("true"))
+    assert(one(".a == 5", """{"a":5}""").contains("true"))
+    assert(one(".a != 5", """{"a":5}""").contains("false"))
+    assert(one("-.a", """{"a":5}""").contains("-5"))
+  }
+
+  test("string + concatenation") {
+    assert(one("\"id-\" + .name", """{"name":"x"}""").contains("id-x"))
+  }
+
+  test("select keeps matching rows and drops the rest") {
+    val out = run("select(.k > 10)", """{"k":5}""", """{"k":15}""", """{"k":25}""")
+    assert(out == Seq(Some("""{"k":15}"""), Some("""{"k":25}""")))
+    // piped select then projection
+    val out2 = run("select(.k > 10) | .k", """{"k":5}""", """{"k":15}""")
+    assert(out2 == Seq(Some("15")))
+  }
+
+  test("alternative //") {
+    assert(one(".missing // \"dflt\"", """{"a":1}""").contains("dflt"))
+    assert(one(".a // \"dflt\"", """{"a":"v"}""").contains("v"))
+  }
+
+  test("and / or / not") {
+    assert(one(".a > 1 and .b < 5", """{"a":2,"b":3}""").contains("true"))
+    assert(one(".a > 1 or .b > 5", """{"a":0,"b":9}""").contains("true"))
+    assert(one(".a > 1 | not", """{"a":0}""").contains("true"))
+  }
+
+  test("object construction: paths, shorthand, nested containers, quoting") {
+    assert(one("{kk: .k, big: (.k > 50)}", """{"k":87}""")
+      .contains("""{"kk":87,"big":true}"""))
+    assert(one("{k}", """{"k":87}""").contains("""{"k":87}"""))
+    // string values re-embed quoted; objects stay structural
+    assert(one("{s: .s, o: .o}", """{"s":"hi","o":{"x":1}}""")
+      .contains("""{"s":"hi","o":{"x":1}}"""))
+    assert(one("[.k, .k + 1]", """{"k":1}""").contains("[1,2]"))
+  }
+
+  test("builtin functions") {
+    assert(one(".s | length", """{"s":"hello"}""").contains("5"))
+    assert(one(".arr | length", """{"arr":[1,2,3]}""").contains("3"))
+    assert(one("has(\"k\")", """{"k":1}""").contains("true"))
+    assert(one("has(\"z\")", """{"k":1}""").contains("false"))
+    assert(one(".k | tostring", """{"k":7}""").contains("7"))
+    assert(one(".s | tonumber + 1", """{"s":"41"}""").contains("42"))
+    assert(one(".s | ascii_upcase", """{"s":"abc"}""").contains("ABC"))
+    assert(one(".s | ascii_downcase", """{"s":"AbC"}""").contains("abc"))
+    assert(one(".s | ltrimstr(\"pre-\")", """{"s":"pre-x"}""").contains("x"))
+    assert(one(".s | rtrimstr(\"-post\")", """{"s":"x-post"}""").contains("x"))
+    assert(one(".s | startswith(\"ab\")", """{"s":"abc"}""").contains("true"))
+    assert(one(".s | endswith(\"bc\")", """{"s":"abc"}""").contains("true"))
+    assert(one(".s | test(\"^a.c$\")", """{"s":"abc"}""").contains("true"))
+    assert(one(".s | split(\",\") | length", """{"s":"a,b,c"}""").contains("3"))
+    assert(one(".arr | join(\"-\")", """{"arr":["a","b"]}""").contains("a-b"))
+    assert(one(".x | floor", """{"x":2.7}""").contains("2"))
+    assert(one(".x | ceil", """{"x":2.2}""").contains("3"))
+    assert(one(".x | fabs", """{"x":-2.5}""").contains("2.5"))
+    assert(one("keys", """{"b":1,"a":2}""").contains("""["a","b"]"""))
+  }
+
+  test("YAML wiring: jq as a pipeline processor") {
+    val yaml =
+      """pipeline:
+        |  processors:
+        |    - jq: '{kk: .k} | .kk'
+        |""".stripMargin
+    val out = PipelineConfig.parse(yaml)
+      .transform(Seq((1L, """{"k":9}""")).toDF("seq", "content"))
+      .select("content").as[String].collect().toSeq
+    assert(out == Seq("9"))
+    // field override form
+    val yaml2 =
+      """pipeline:
+        |  processors:
+        |    - jq: { query: '.k + 1', field: props }
+        |""".stripMargin
+    val out2 = PipelineConfig.parse(yaml2)
+      .transform(Seq((1L, """{"k":9}""")).toDF("seq", "props"))
+      .select("props").as[String].collect().toSeq
+    assert(out2 == Seq("10"))
+  }
+
+  test("unsupported constructs fail loudly, never silently wrong") {
+    intercept[Exception](JqCompiler.compile(".[]"))
+    intercept[Exception](JqCompiler.compile(".a, .b"))
+    intercept[Exception](JqCompiler.compile("map(.x)"))
+  }
+}
