@@ -1273,6 +1273,23 @@ object SparkEntry {
       s.read.parquet(s"$out/r").select("r_regionkey", "r_name").orderBy("r_regionkey")
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      // near-dup CLUSTERING: pairwise matches → connected components →
+      // one canonical doc per group. Deterministic multi-hop graph over
+      // the mirrored corpus: twin edges (i, i+100000) + chain edges
+      // (i, i+1) within blocks of 10 → clusters of 20 with diameter ~11,
+      // exercising real label propagation (closed-form oracle below).
+      val docs = mirroredDocs(s, dir)
+      val ids = docs.select(col("doc_id").as("id"))
+      val orig = t(s, dir, "documents").select(col("doc_id").as("i"))
+      val twins = orig.select(col("i").as("id_a"), (col("i") + 100000L).as("id_b"))
+      val chain = orig.filter(col("i") % 10 =!= 9)
+        .select(col("i").as("id_a"), (col("i") + 1L).as("id_b"))
+      Dedup.clusters(ids, twins.unionByName(chain))
+        .withColumn("is_canonical", col("id") === col("cluster_id"))
+        .orderBy("id")
+    }),
+
     "q_jq" -> ((s, dir) => {
       // real jq grammar over the JSON payload (reference processor_jq):
       // select() row filter, object construction, pipes, builtins
@@ -1874,6 +1891,14 @@ object SparkEntry {
 
     "q_sink_retry" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "q_dedup_clusters" ->
+      """SELECT id, cluster_id, id = cluster_id AS is_canonical FROM (
+        |  SELECT doc_id AS id, doc_id - doc_id % 10 AS cluster_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS id, doc_id - doc_id % 10 AS cluster_id
+        |  FROM documents)
+        |ORDER BY id""".stripMargin,
 
     "q_jq" ->
       """SELECT event_id,

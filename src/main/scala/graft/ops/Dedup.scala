@@ -236,4 +236,74 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  // ------------------------------------------------------------------
+  // near-dup clustering (connected components)
+  // ------------------------------------------------------------------
+
+  /** Connected components over a near-dup pair list — the step that
+    * turns pairwise matches into deduplication groups: every document
+    * gets a `cluster_id` = the smallest doc id reachable through the
+    * pair graph, and "keep one per cluster" is then a trivial
+    * `filter(id === cluster_id)` (or a `groupBy(cluster_id)` pick).
+    *
+    * Algorithm: distributed hash-min label propagation with POINTER
+    * JUMPING — per round each vertex takes the min of (its label, its
+    * neighbors' labels, its label's label). The label-of-label join
+    * halves remaining path lengths every round (the classic
+    * pointer-jumping/ star-contraction idea from PRAM connectivity,
+    * used by every large-scale CC implementation), so convergence is
+    * O(log diameter) rounds, not O(diameter) — near-dup graphs are
+    * shallow, but one viral chain must not serialize the job. Each
+    * round is two shuffles (edge join + jump join) over (id, label)
+    * pairs ONLY — no payloads ride the loop. Labels decrease
+    * monotonically, so the fixpoint probe (`any label changed?`) is a
+    * cheap anti-monotone existence check.
+    *
+    * Every round ends in an EAGER `localCheckpoint`: an iterative
+    * dataflow must truncate lineage per round — each round's plan
+    * embeds ~3 references to the previous round's, so without the cut
+    * the logical plan (and driver heap) grows 3^rounds. A cluster
+    * deployment swaps this for reliable `checkpoint()` so label blocks
+    * survive executor loss; the loop shape is identical.
+    */
+  def clusters(ids: DataFrame, pairs: DataFrame,
+               idCol: String = "id", aCol: String = "id_a", bCol: String = "id_b",
+               maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct().persist()
+    var labels = ids
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("cluster_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("cluster_id").as("nl")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("nl")).as("nbr"))
+      val jump = labels.select(col("id"), col("cluster_id").as("lid"))
+        .join(labels.select(col("id").as("lid"), col("cluster_id").as("jl")), "lid")
+        .select(col("id"), col("jl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(jump, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr"), col("cluster_id")),
+            coalesce(col("jl"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .filter(col("cluster_id") < col("prev"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -287,6 +287,39 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(r.feature(1) - 1.0f) < 1e-2, s"loud band ${r.feature(1)}")
   }
 
+  test("clusters: chains, isolated vertices, multi-component min labels") {
+    import spark.implicits._
+    // component A: chain 0-1-2-3 (diameter 3, exercises propagation);
+    // component B: triangle 10-11-12; isolated: 20
+    val ids = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("clusters: random graphs agree with a union-find oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val n = 60
+    val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    // driver-side union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val got = Dedup.clusters((0L until n.toLong).toDF("id"),
+        edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("real PNG decode via JDK ImageIO: geometry + band luminance") {
     // synthesize a 6x4 PNG: top half white, bottom half black
     val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
