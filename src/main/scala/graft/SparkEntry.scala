@@ -1273,6 +1273,31 @@ object SparkEntry {
       s.read.parquet(s"$out/r").select("r_regionkey", "r_name").orderBy("r_regionkey")
     }),
 
+    "q_protobuf" -> ((s, dir) => {
+      // REAL proto3 wire-format roundtrip (from-spec codec, vector-
+      // pinned in ProtobufSpec): json -> protobuf bytes -> json must be
+      // the identity, so the SQL oracle is the plain projection
+      val proto =
+        """syntax = "proto3";
+          |message Ord { string status = 1; double total = 2; int64 key = 3; }""".stripMargin
+      val pipe = compile(Seq(
+        PProtobuf("from_json", proto, "Ord", "content"),
+        PProtobuf("to_json", proto, "Ord", "content")))
+      val in = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"),
+          to_json(struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total"),
+            col("o_orderkey").as("key"))).as("content"))
+      pipe(in)
+        .select(col("id"),
+          from_json(col("content"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "status STRING, total DOUBLE, key LONG")).as("rec"))
+        .select(col("id"), col("rec.status").as("status"),
+          col("rec.total").as("total"), col("rec.key").as("key"))
+        .orderBy("id")
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       // near-dup CLUSTERING: pairwise matches → connected components →
       // one canonical doc per group. Deterministic multi-hop graph over
@@ -1891,6 +1916,11 @@ object SparkEntry {
 
     "q_sink_retry" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "q_protobuf" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        |       o_totalprice AS total, o_orderkey AS key
+        |FROM orders ORDER BY id""".stripMargin,
 
     "q_dedup_clusters" ->
       """SELECT id, cluster_id, id = cluster_id AS is_canonical FROM (

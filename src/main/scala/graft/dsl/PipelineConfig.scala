@@ -294,6 +294,11 @@ object PipelineConfig {
         PAvro(body.get("operator").asText,
           { val s = body.get("schema"); if (s.isTextual) s.asText else s.toString },
           opt(body, "field").map(_.asText).getOrElse("content"))
+      case "protobuf" =>
+        PProtobuf(body.get("operator").asText,
+          body.get("proto").asText,
+          body.get("message").asText,
+          opt(body, "field").map(_.asText).getOrElse("content"))
       case "xml" =>
         PXml(opt(body, "operator").map(_.asText).getOrElse("to_json"),
           body.get("schema").asText,

@@ -131,6 +131,13 @@ object Processor {
     * raw avro binary; `to_json` = avro binary field → JSON string.
     * Record-of-primitives schema subset (see AvroSupport). */
   final case class PAvro(operator: String, schemaJson: String, field: String) extends Processor
+  /** protobuf codec (processor_protobuf.go): operator from_json /
+    * to_json against a literal .proto source + message name; the
+    * proto3 wire format is implemented from the public encoding spec
+    * (no protobuf jar in the sandbox) — see
+    * [[graft.functions.ProtobufSupport]]. */
+  final case class PProtobuf(operator: String, protoSrc: String,
+                             message: String, field: String) extends Processor
 
   /** syslog line → typed columns (processor_parse_log.go; formats
     * syslog_rfc3164 / syslog_rfc5424). The reference emits a JSON
@@ -480,6 +487,19 @@ object Processor {
           to_json(graft.functions.AvroFunctions.decode(col(field), schema)))
       case other => throw new IllegalArgumentException(
         s"avro operator $other (from_json | to_json)")
+    }
+
+    case PProtobuf(op, proto, message, field) => df => op match {
+      case "from_json" =>
+        val st = graft.functions.ProtobufSupport.sparkType(
+          graft.functions.ProtobufSupport.parse(proto), message)
+        df.withColumn(field, graft.functions.ProtobufFunctions.encode(
+          from_json(col(field), st), proto, message))
+      case "to_json" =>
+        df.withColumn(field,
+          to_json(graft.functions.ProtobufFunctions.decode(col(field), proto, message)))
+      case other => throw new IllegalArgumentException(
+        s"protobuf operator $other (from_json | to_json)")
     }
 
     case PParseLog(field, format) => df => {

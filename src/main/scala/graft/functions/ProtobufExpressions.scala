@@ -1,0 +1,457 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Protobuf (proto3) wire codec as native Catalyst expressions
+  * (reference `protobuf` processor, upstream
+  * internal/impl/protobuf/processor_protobuf.go: operator to_json /
+  * from_json against compiled .proto descriptors). No protobuf jar
+  * exists in the sandbox, so BOTH halves are implemented from the
+  * published spec, not a library:
+  *
+  *  - a .proto source parser (syntax/package/option headers, message
+  *    definitions, nested messages, scalar + repeated fields) builds
+  *    the descriptor;
+  *  - the wire format follows the public "Protocol Buffers encoding"
+  *    doc: varints, ZigZag for sint*, little-endian fixed32/64,
+  *    length-delimited strings/bytes/sub-messages, PACKED repeated
+  *    scalars (the proto3 default), canonical proto3 default-value
+  *    omission on encode and default materialization on decode —
+  *    so our bytes are what a stock protobuf encoder produces for
+  *    the same data (spec-vector-pinned in ProtobufSpec).
+  *
+  * Unsupported (throw at plan time, never mis-encode): maps, oneof,
+  * enums, groups, extensions, imports.
+  */
+object ProtobufSupport {
+
+  final case class Field(name: String, number: Int, tpe: String,
+                         repeated: Boolean)
+  final case class Message(name: String, fields: Seq[Field])
+
+  private val ScalarTypes = Set(
+    "double", "float", "int32", "int64", "uint32", "uint64",
+    "sint32", "sint64", "fixed32", "fixed64", "sfixed32", "sfixed64",
+    "bool", "string", "bytes")
+
+  /** Parse .proto source → message registry (name → Message). Nested
+    * messages register under their simple name (collisions rejected).
+    */
+  def parse(protoSrc: String): Map[String, Message] = {
+    // strip comments
+    val src = protoSrc
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("//[^\n]*", " ")
+    val tokens = src
+      .replace("{", " { ").replace("}", " } ").replace(";", " ; ")
+      .replace("=", " = ")
+      .split("\\s+").filter(_.nonEmpty).toList
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Message]()
+
+    def parseMessage(name: String, ts: List[String]): List[String] = {
+      val fields = scala.collection.mutable.ArrayBuffer[Field]()
+      var rest = ts
+      while (rest.nonEmpty && rest.head != "}") {
+        rest match {
+          case "message" :: sub :: "{" :: tail =>
+            rest = parseMessage(sub, tail)
+          case "reserved" :: tail =>
+            rest = tail.dropWhile(_ != ";").drop(1)
+          case ("enum" | "oneof" | "map" | "extend" | "group") :: bad =>
+            throw new IllegalArgumentException(
+              s"protobuf: unsupported construct '${rest.head}' in message $name")
+          case _ =>
+            val (repeated, rem0) =
+              if (rest.head == "repeated") (true, rest.tail)
+              else if (rest.head == "optional") (false, rest.tail)
+              else (false, rest)
+            rem0 match {
+              case tpe :: fname :: "=" :: num :: tail =>
+                require(ScalarTypes.contains(tpe) || out.contains(tpe) ||
+                  protoHasMessage(tokens, tpe),
+                  s"protobuf: unknown field type '$tpe' in message $name")
+                val n = num.stripSuffix(";").toInt
+                fields += Field(fname, n, tpe, repeated)
+                // skip past field options `[...]` and the semicolon
+                rest = tail.dropWhile(t => t != ";").drop(1)
+              case other => throw new IllegalArgumentException(
+                s"protobuf: cannot parse field in $name at: ${other.take(5).mkString(" ")}")
+            }
+        }
+      }
+      require(rest.nonEmpty, s"protobuf: unterminated message $name")
+      require(!out.contains(name), s"protobuf: duplicate message name $name")
+      out(name) = Message(name, fields.toSeq.sortBy(_.number))
+      rest.tail // past "}"
+    }
+
+    var rest = tokens
+    while (rest.nonEmpty) {
+      rest match {
+        case "message" :: name :: "{" :: tail => rest = parseMessage(name, tail)
+        case ("syntax" | "package" | "option") :: tail =>
+          rest = tail.dropWhile(_ != ";").drop(1)
+        case "import" :: _ =>
+          throw new IllegalArgumentException("protobuf: imports not supported")
+        case t :: tail => rest = tail // stray token (e.g. ';')
+        case Nil => ()
+      }
+    }
+    out.toMap
+  }
+
+  private def protoHasMessage(tokens: List[String], name: String): Boolean = {
+    // forward references: does ANY `message <name> {` exist in the file?
+    tokens.sliding(2).exists(w => w.headOption.contains("message") && w.lift(1).contains(name))
+  }
+
+  def sparkType(registry: Map[String, Message], msgName: String): StructType = {
+    val m = registry.getOrElse(msgName,
+      throw new IllegalArgumentException(s"protobuf: no message '$msgName'"))
+    StructType(m.fields.map { f =>
+      val base: DataType = f.tpe match {
+        case "double" => DoubleType
+        case "float" => FloatType
+        case "int32" | "sint32" | "sfixed32" => IntegerType
+        case "int64" | "sint64" | "sfixed64" | "uint32" | "uint64" |
+             "fixed32" | "fixed64" => LongType
+        case "bool" => BooleanType
+        case "string" => StringType
+        case "bytes" => BinaryType
+        case msg => sparkType(registry, msg)
+      }
+      StructField(f.name, if (f.repeated) ArrayType(base) else base, nullable = true)
+    })
+  }
+
+  // ---- wire primitives (public encoding spec) ------------------------
+
+  def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+  def zigzag32(v: Int): Long = ((v << 1) ^ (v >> 31)).toLong & 0xFFFFFFFFL
+  def zigzag64(v: Long): Long = (v << 1) ^ (v >> 63)
+  def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  def writeFixed32(out: java.io.ByteArrayOutputStream, v: Int): Unit =
+    (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xFF)))
+  def writeFixed64(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+    (0 until 8).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+
+  def wireType(tpe: String): Int = tpe match {
+    case "double" | "fixed64" | "sfixed64" => 1
+    case "float" | "fixed32" | "sfixed32" => 5
+    case "string" | "bytes" => 2
+    case t if ScalarTypes.contains(t) => 0
+    case _ => 2 // sub-message
+  }
+
+  def isScalarVarint(tpe: String): Boolean = wireType(tpe) == 0
+  def isScalar(tpe: String): Boolean = ScalarTypes.contains(tpe)
+
+  // ---- encode ---------------------------------------------------------
+
+  /** Encode one InternalRow under a message descriptor. Canonical
+    * proto3: fields in number order, default values omitted.
+    */
+  def encode(registry: Map[String, Message], msgName: String,
+             row: InternalRow): Array[Byte] = {
+    val m = registry(msgName)
+    val st = sparkType(registry, msgName)
+    val out = new java.io.ByteArrayOutputStream()
+    m.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        if (f.repeated) {
+          val arr = row.getArray(i)
+          if (arr.numElements() > 0) encodeRepeated(registry, f, st.fields(i), arr, out)
+        } else encodeSingle(registry, f, st.fields(i), row, i, out, skipDefault = true)
+      }
+    }
+    out.toByteArray
+  }
+
+  private def tag(out: java.io.ByteArrayOutputStream, number: Int, wt: Int): Unit =
+    writeVarint(out, (number.toLong << 3) | wt)
+
+  private def scalarVarintValue(tpe: String, row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters, i: Int): Long = tpe match {
+    case "int32" => row.getInt(i).toLong // sign-extended to 10 bytes per spec
+    case "int64" => row.getLong(i)
+    case "uint32" | "uint64" => row.getLong(i)
+    case "sint32" => zigzag32(row.getInt(i))
+    case "sint64" => zigzag64(row.getLong(i))
+    case "bool" => if (row.getBoolean(i)) 1L else 0L
+  }
+
+  private def isDefault(tpe: String, row: InternalRow, i: Int): Boolean = tpe match {
+    case "double" => row.getDouble(i) == 0.0
+    case "float" => row.getFloat(i) == 0.0f
+    case "int32" | "sint32" | "sfixed32" => row.getInt(i) == 0
+    case "int64" | "sint64" | "sfixed64" | "uint32" | "uint64" |
+         "fixed32" | "fixed64" => row.getLong(i) == 0L
+    case "bool" => !row.getBoolean(i)
+    case "string" => row.getUTF8String(i).numBytes() == 0
+    case "bytes" => row.getBinary(i).isEmpty
+    case _ => false
+  }
+
+  private def encodeSingle(registry: Map[String, Message], f: Field,
+                           sf: StructField, row: InternalRow, i: Int,
+                           out: java.io.ByteArrayOutputStream,
+                           skipDefault: Boolean): Unit = {
+    if (skipDefault && isScalar(f.tpe) && isDefault(f.tpe, row, i)) return
+    f.tpe match {
+      case "double" => tag(out, f.number, 1); writeFixed64(out, java.lang.Double.doubleToLongBits(row.getDouble(i)))
+      case "float" => tag(out, f.number, 5); writeFixed32(out, java.lang.Float.floatToIntBits(row.getFloat(i)))
+      case "sfixed32" => tag(out, f.number, 5); writeFixed32(out, row.getInt(i))
+      case "fixed32" => tag(out, f.number, 5); writeFixed32(out, row.getLong(i).toInt)
+      case "sfixed64" | "fixed64" => tag(out, f.number, 1); writeFixed64(out, row.getLong(i))
+      case "string" =>
+        val b = row.getUTF8String(i).getBytes
+        tag(out, f.number, 2); writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+      case "bytes" =>
+        val b = row.getBinary(i)
+        tag(out, f.number, 2); writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+      case t if isScalarVarint(t) =>
+        tag(out, f.number, 0); writeVarint(out, scalarVarintValue(t, row, i))
+      case msg =>
+        val sub = encode(registry, msg,
+          row.getStruct(i, sparkType(registry, msg).fields.length))
+        tag(out, f.number, 2); writeVarint(out, sub.length.toLong); out.write(sub, 0, sub.length)
+    }
+  }
+
+  private def encodeRepeated(registry: Map[String, Message], f: Field,
+                             sf: StructField, arr: ArrayData,
+                             out: java.io.ByteArrayOutputStream): Unit = {
+    val n = arr.numElements()
+    f.tpe match {
+      case "string" | "bytes" =>
+        (0 until n).foreach { j =>
+          val b = if (f.tpe == "string") arr.getUTF8String(j).getBytes else arr.getBinary(j)
+          tag(out, f.number, 2); writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+        }
+      case t if isScalar(t) =>
+        // proto3 default: numeric repeated fields are PACKED
+        val body = new java.io.ByteArrayOutputStream()
+        t match {
+          case "double" => (0 until n).foreach(j => writeFixed64(body, java.lang.Double.doubleToLongBits(arr.getDouble(j))))
+          case "float" => (0 until n).foreach(j => writeFixed32(body, java.lang.Float.floatToIntBits(arr.getFloat(j))))
+          case "sfixed32" => (0 until n).foreach(j => writeFixed32(body, arr.getInt(j)))
+          case "fixed32" => (0 until n).foreach(j => writeFixed32(body, arr.getLong(j).toInt))
+          case "sfixed64" | "fixed64" => (0 until n).foreach(j => writeFixed64(body, arr.getLong(j)))
+          case _ => (0 until n).foreach(j => writeVarint(body, scalarVarintValue(t, arr, j)))
+        }
+        val b = body.toByteArray
+        tag(out, f.number, 2); writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+      case msg =>
+        val st = sparkType(registry, msg)
+        (0 until n).foreach { j =>
+          val sub = encode(registry, msg, arr.getStruct(j, st.fields.length))
+          tag(out, f.number, 2); writeVarint(out, sub.length.toLong); out.write(sub, 0, sub.length)
+        }
+    }
+  }
+
+  // ---- decode ---------------------------------------------------------
+
+  private final class Reader(b: Array[Byte], var pos: Int, val end: Int) {
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        require(pos < end, "protobuf: truncated varint")
+        val x = b(pos); pos += 1
+        v |= (x & 0x7FL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+        require(shift < 64, "protobuf: varint too long")
+      }
+      v
+    }
+    def fixed32(): Int = {
+      require(pos + 4 <= end, "protobuf: truncated fixed32")
+      var v = 0
+      (0 until 4).foreach(i => v |= (b(pos + i) & 0xFF) << (8 * i))
+      pos += 4; v
+    }
+    def fixed64(): Long = {
+      require(pos + 8 <= end, "protobuf: truncated fixed64")
+      var v = 0L
+      (0 until 8).foreach(i => v |= (b(pos + i) & 0xFFL) << (8 * i))
+      pos += 8; v
+    }
+    def bytes(len: Int): Array[Byte] = {
+      require(pos + len <= end, "protobuf: truncated length-delimited field")
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + len); pos += len; out
+    }
+  }
+
+  /** Decode wire bytes → InternalRow under the descriptor. proto3
+    * semantics: absent scalars materialize their default; absent
+    * sub-messages are null; repeated accepts both packed and unpacked.
+    */
+  def decode(registry: Map[String, Message], msgName: String,
+             bytes: Array[Byte], from: Int = 0, to: Int = -1): InternalRow = {
+    val m = registry(msgName)
+    val st = sparkType(registry, msgName)
+    val byNumber = m.fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
+    val values = new Array[Any](m.fields.length)
+    val lists = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Any]]()
+    val r = new Reader(bytes, from, if (to < 0) bytes.length else to)
+
+    def scalarFromVarint(tpe: String, raw: Long): Any = tpe match {
+      case "int32" => raw.toInt
+      case "int64" => raw
+      case "uint32" | "uint64" => raw
+      case "sint32" => unzigzag(raw).toInt
+      case "sint64" => unzigzag(raw)
+      case "bool" => raw != 0L
+    }
+
+    while (r.pos < r.end) {
+      val key = r.varint()
+      val number = (key >>> 3).toInt
+      val wt = (key & 7).toInt
+      byNumber.get(number) match {
+        case None => // unknown field: skip by wire type
+          wt match {
+            case 0 => r.varint()
+            case 1 => r.fixed64()
+            case 2 => val len = r.varint().toInt; r.bytes(len)
+            case 5 => r.fixed32()
+            case other => throw new IllegalArgumentException(s"protobuf: wire type $other")
+          }
+        case Some((f, i)) =>
+          def put(v: Any): Unit =
+            if (f.repeated) lists.getOrElseUpdate(i, scala.collection.mutable.ArrayBuffer[Any]()) += v
+            else values(i) = v
+          f.tpe match {
+            case "double" =>
+              if (wt == 2 && f.repeated) {
+                val len = r.varint().toInt; val stop = r.pos + len
+                while (r.pos < stop) put(java.lang.Double.longBitsToDouble(r.fixed64()))
+              } else put(java.lang.Double.longBitsToDouble(r.fixed64()))
+            case "float" =>
+              if (wt == 2 && f.repeated) {
+                val len = r.varint().toInt; val stop = r.pos + len
+                while (r.pos < stop) put(java.lang.Float.intBitsToFloat(r.fixed32()))
+              } else put(java.lang.Float.intBitsToFloat(r.fixed32()))
+            case "sfixed32" =>
+              if (wt == 2 && f.repeated) {
+                val len = r.varint().toInt; val stop = r.pos + len
+                while (r.pos < stop) put(r.fixed32())
+              } else put(r.fixed32())
+            case "fixed32" =>
+              if (wt == 2 && f.repeated) {
+                val len = r.varint().toInt; val stop = r.pos + len
+                while (r.pos < stop) put(r.fixed32().toLong & 0xFFFFFFFFL)
+              } else put(r.fixed32().toLong & 0xFFFFFFFFL)
+            case "sfixed64" | "fixed64" =>
+              if (wt == 2 && f.repeated) {
+                val len = r.varint().toInt; val stop = r.pos + len
+                while (r.pos < stop) put(r.fixed64())
+              } else put(r.fixed64())
+            case "string" =>
+              val len = r.varint().toInt
+              put(UTF8String.fromBytes(r.bytes(len)))
+            case "bytes" =>
+              val len = r.varint().toInt
+              put(r.bytes(len))
+            case t if isScalarVarint(t) =>
+              if (wt == 2 && f.repeated) {
+                val len = r.varint().toInt; val stop = r.pos + len
+                while (r.pos < stop) put(scalarFromVarint(t, r.varint()))
+              } else put(scalarFromVarint(t, r.varint()))
+            case msg =>
+              val len = r.varint().toInt
+              val stop = r.pos + len
+              put(decode(registry, msg, bytes, r.pos, stop))
+              r.pos = stop
+          }
+      }
+    }
+
+    // proto3 defaults for absent scalars; absent messages stay null
+    m.fields.zipWithIndex.foreach { case (f, i) =>
+      if (f.repeated) {
+        values(i) = new GenericArrayData(
+          lists.get(i).map(_.toArray).getOrElse(Array.empty[Any]))
+      } else if (values(i) == null && isScalar(f.tpe)) {
+        values(i) = f.tpe match {
+          case "double" => 0.0
+          case "float" => 0.0f
+          case "int32" | "sint32" | "sfixed32" => 0
+          case "bool" => false
+          case "string" => UTF8String.fromString("")
+          case "bytes" => Array.empty[Byte]
+          case _ => 0L
+        }
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+}
+
+/** struct → proto3 wire bytes under a literal .proto source. */
+case class ProtoEncode(child: Expression, protoSrc: String, msgName: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val registry = ProtobufSupport.parse(protoSrc)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_proto_encode"
+  override protected def nullSafeEval(input: Any): Any =
+    ProtobufSupport.encode(registry, msgName, input.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(newChild: Expression): ProtoEncode =
+    copy(child = newChild)
+}
+
+/** proto3 wire bytes → struct under a literal .proto source. */
+case class ProtoDecode(child: Expression, protoSrc: String, msgName: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val registry = ProtobufSupport.parse(protoSrc)
+  override def dataType: DataType = ProtobufSupport.sparkType(
+    ProtobufSupport.parse(protoSrc), msgName)
+  override def prettyName: String = "graft_proto_decode"
+  override protected def nullSafeEval(input: Any): Any =
+    ProtobufSupport.decode(registry, msgName, input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): ProtoDecode =
+    copy(child = newChild)
+}
+
+object ProtobufFunctions {
+  private def literalString(e: Expression): String = e match {
+    case Literal(s, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"protobuf schema/message must be string literals, got $other")
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_proto_encode",
+      (es: Seq[Expression]) => ProtoEncode(es.head, literalString(es(1)), literalString(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("graft_proto_decode",
+      (es: Seq[Expression]) => ProtoDecode(es.head, literalString(es(1)), literalString(es(2))), "built-in")
+  }
+
+  def encode(structCol: Column, protoSrc: String, msgName: String): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_proto_encode", structCol,
+      org.apache.spark.sql.functions.lit(protoSrc),
+      org.apache.spark.sql.functions.lit(msgName))
+  }
+
+  def decode(binCol: Column, protoSrc: String, msgName: String): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_proto_decode", binCol,
+      org.apache.spark.sql.functions.lit(protoSrc),
+      org.apache.spark.sql.functions.lit(msgName))
+  }
+}

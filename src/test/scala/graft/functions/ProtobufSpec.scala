@@ -1,0 +1,144 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** proto3 wire-format conformance. The byte vectors are the worked
+  * examples of the PUBLIC "Protocol Buffers encoding" documentation
+  * (developers.google.com/protocol-buffers/docs/encoding), so the
+  * codec is pinned to what stock protobuf implementations produce.
+  */
+class ProtobufSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  private def encodeOne(proto: String, msg: String, df: org.apache.spark.sql.DataFrame,
+                        structCols: org.apache.spark.sql.Column): Array[Byte] =
+    df.select(ProtobufFunctions.encode(structCols, proto, msg).as("b"))
+      .head().getAs[Array[Byte]]("b")
+
+  test("encoding-doc vector: int32 field 1 = 150 -> 08 96 01") {
+    val proto = "syntax = \"proto3\"; message Test1 { int32 a = 1; }"
+    val got = encodeOne(proto, "Test1", Seq(1).toDF("x"), struct(lit(150).as("a")))
+    assert(hex(got) == "089601")
+  }
+
+  test("encoding-doc vector: string field 2 = \"testing\" -> 12 07 ...") {
+    val proto = "syntax = \"proto3\"; message Test2 { string b = 2; }"
+    val got = encodeOne(proto, "Test2", Seq(1).toDF("x"), struct(lit("testing").as("b")))
+    assert(hex(got) == "120774657374696e67")
+  }
+
+  test("encoding-doc vector: embedded message -> 1a 03 08 96 01") {
+    val proto =
+      """syntax = "proto3";
+        |message Test1 { int32 a = 1; }
+        |message Test3 { Test1 c = 3; }""".stripMargin
+    val got = encodeOne(proto, "Test3", Seq(1).toDF("x"),
+      struct(struct(lit(150).as("a")).as("c")))
+    assert(hex(got) == "1a03089601")
+  }
+
+  test("encoding-doc vector: packed repeated int32 [3, 270, 86942] -> 22 06 ...") {
+    val proto = "syntax = \"proto3\"; message Test4 { repeated int32 d = 4; }"
+    val got = encodeOne(proto, "Test4", Seq(1).toDF("x"),
+      struct(array(lit(3), lit(270), lit(86942)).as("d")))
+    assert(hex(got) == "2206038e029ea705")
+  }
+
+  test("zigzag: sint32 -1 -> 1, 1 -> 2 (spec table)") {
+    assert(ProtobufSupport.zigzag32(0) == 0L)
+    assert(ProtobufSupport.zigzag32(-1) == 1L)
+    assert(ProtobufSupport.zigzag32(1) == 2L)
+    assert(ProtobufSupport.zigzag32(-2) == 3L)
+    assert(ProtobufSupport.zigzag64(Long.MinValue) == -1L) // 0xFFFF... per spec
+    assert(ProtobufSupport.unzigzag(1L) == -1L)
+    assert(ProtobufSupport.unzigzag(4294967294L) == 2147483647L)
+  }
+
+  test("proto3 canonical: default values are omitted on encode, restored on decode") {
+    val proto =
+      """syntax = "proto3";
+        |message M { int32 a = 1; string s = 2; bool f = 3; double d = 4; }""".stripMargin
+    val empty = encodeOne(proto, "M", Seq(1).toDF("x"),
+      struct(lit(0).as("a"), lit("").as("s"), lit(false).as("f"), lit(0.0).as("d")))
+    assert(empty.isEmpty, "all-defaults message must encode to zero bytes")
+    // decode of zero bytes restores the defaults (proto3 semantics)
+    val back = spark.range(1)
+      .select(ProtobufFunctions.decode(lit(Array.empty[Byte]), proto, "M").as("m"))
+      .select("m.a", "m.s", "m.f", "m.d").head()
+    assert(back.getInt(0) == 0 && back.getString(1) == "" &&
+      !back.getBoolean(2) && back.getDouble(3) == 0.0)
+  }
+
+  test("roundtrip across every scalar type, negatives included") {
+    val proto =
+      """syntax = "proto3";
+        |message All {
+        |  int32 i32 = 1; int64 i64 = 2; uint32 u32 = 3; uint64 u64 = 4;
+        |  sint32 s32 = 5; sint64 s64 = 6;
+        |  fixed32 f32 = 7; fixed64 f64 = 8; sfixed32 sf32 = 9; sfixed64 sf64 = 10;
+        |  bool b = 11; string s = 12; bytes by = 13;
+        |  double d = 14; float fl = 15;
+        |  repeated int64 xs = 16; repeated string ss = 17;
+        |}""".stripMargin
+    val in = struct(
+      lit(-42).as("i32"), lit(-1234567890123L).as("i64"),
+      lit(4294967295L).as("u32"), lit(9007199254740993L).as("u64"),
+      lit(-7).as("s32"), lit(-99999999999L).as("s64"),
+      lit(4000000000L).as("f32"), lit(123456789012345L).as("f64"),
+      lit(-5).as("sf32"), lit(-6L).as("sf64"),
+      lit(true).as("b"), lit("héllo").as("s"),
+      lit(Array[Byte](0, 1, -1, 127)).as("by"),
+      lit(3.14159).as("d"), lit(2.5f).as("fl"),
+      array(lit(1L), lit(-2L), lit(300L)).as("xs"),
+      array(lit("a"), lit("bb")).as("ss"))
+    val r = spark.range(1)
+      .select(ProtobufFunctions.decode(
+        ProtobufFunctions.encode(in, proto, "All"), proto, "All").as("m"))
+      .select("m.*").head()
+    assert(r.getInt(0) == -42); assert(r.getLong(1) == -1234567890123L)
+    assert(r.getLong(2) == 4294967295L); assert(r.getLong(3) == 9007199254740993L)
+    assert(r.getInt(4) == -7); assert(r.getLong(5) == -99999999999L)
+    assert(r.getLong(6) == 4000000000L); assert(r.getLong(7) == 123456789012345L)
+    assert(r.getInt(8) == -5); assert(r.getLong(9) == -6L)
+    assert(r.getBoolean(10)); assert(r.getString(11) == "héllo")
+    assert(r.getAs[Array[Byte]](12).toSeq == Seq[Byte](0, 1, -1, 127))
+    assert(r.getDouble(13) == 3.14159); assert(r.getFloat(14) == 2.5f)
+    assert(r.getSeq[Long](15) == Seq(1L, -2L, 300L))
+    assert(r.getSeq[String](16) == Seq("a", "bb"))
+  }
+
+  test("unknown fields are skipped; unsupported constructs throw at parse") {
+    // encode with a two-field message, decode under a one-field view
+    val protoFull = "syntax = \"proto3\"; message M { int32 a = 1; string z = 9; }"
+    val protoView = "syntax = \"proto3\"; message M { int32 a = 1; }"
+    val bytes = encodeOne(protoFull, "M", Seq(1).toDF("x"),
+      struct(lit(7).as("a"), lit("ignored").as("z")))
+    val a = spark.range(1)
+      .select(ProtobufFunctions.decode(lit(bytes), protoView, "M").as("m"))
+      .select("m.a").head().getInt(0)
+    assert(a == 7)
+    intercept[Exception](ProtobufSupport.parse("message M { map<string,int32> m = 1; }"))
+    intercept[Exception](ProtobufSupport.parse("message M { oneof o { int32 a = 1; } }"))
+    intercept[Exception](ProtobufSupport.parse("import \"other.proto\"; message M {}"))
+  }
+
+  test("YAML pipeline: json -> protobuf -> json is the identity") {
+    val proto = "syntax = \"proto3\"; message Ev { int64 id = 1; string kind = 2; }"
+    val yaml =
+      s"""pipeline:
+         |  processors:
+         |    - protobuf: { operator: from_json, proto: '$proto', message: Ev }
+         |    - protobuf: { operator: to_json, proto: '$proto', message: Ev }
+         |""".stripMargin
+    val in = Seq((5L, "click")).toDF("id", "kind")
+      .select(to_json(struct(col("id"), col("kind"))).as("content"))
+    val out = graft.dsl.PipelineConfig.parse(yaml).transform(in)
+      .select(from_json(col("content"), StructType.fromDDL("id LONG, kind STRING")).as("r"))
+      .select("r.id", "r.kind").head()
+    assert(out.getLong(0) == 5L && out.getString(1) == "click")
+  }
+}
