@@ -394,6 +394,13 @@ object PipelineConfig {
         // plan (SURVEY.md §2.3) — children apply directly
         if (body.isArray) PSwitch(Seq(SwitchCase(None, parseProcessors(body, resources))))
         else PNoop
+      case "sleep" =>
+        // reference sleep delays each message (processor_sleep.go) —
+        // per-row sleeping inside a columnar batch would stall whole
+        // cores; source admission control (rate_limit / trigger caps)
+        // is the engine's pacing mechanism, so this parses as a no-op
+        // with the delta documented (SURVEY.md §2.3)
+        PNoop
       case other => throw new IllegalArgumentException(s"unknown processor: $other")
     }
   }
