@@ -170,8 +170,17 @@ object Processor {
 
   // ------------------------------------------------------------------
 
-  /** Static-unroll bound for PWhile (see its compile case). */
-  val MaxWhileIters = 12
+  /** Static-unroll bound for PWhile (see its compile case). Measured
+    * (round 3, spark-shell probe): the optimized plan grows LINEARLY
+    * with unroll depth — ~9 expression nodes and one stacked Project
+    * per pass (42/78/114 nodes at 4/8/12) — because each pass
+    * references the previous pass's OUTPUT ATTRIBUTES and
+    * CollapseProject's duplication-cost check refuses to inline the
+    * guarded expressions. The cap is therefore a sanity bound on plan
+    * depth, not an exponential-blowup guard; 64 covers any sane
+    * bounded loop while keeping analysis O(ms).
+    */
+  val MaxWhileIters = 64
 
   def compile(ps: Seq[Processor]): DataFrame => DataFrame = {
     val chain = ps.map(compileOne).foldLeft(identity[DataFrame] _)(_ andThen _)
@@ -388,12 +397,10 @@ object Processor {
     case PWhile(check, children, maxIters) => df => {
       // static unroll: each pass re-applies the children's mutations
       // only to rows still matching `check` (statement-level if).
-      // Each pass's guarded column references the previous pass's
-      // expression ~3x, so the Catalyst tree grows ~3^n with the
-      // unroll depth — cap it before plan analysis blows up.
+      // Plan growth per pass is LINEAR (see MaxWhileIters), so the cap
+      // is a depth sanity bound, not a blowup guard.
       require(maxIters <= MaxWhileIters,
-        s"while: max_loops $maxIters exceeds the static-unroll cap $MaxWhileIters " +
-          "(expression size grows exponentially with unroll depth)")
+        s"while: max_loops $maxIters exceeds the static-unroll cap $MaxWhileIters")
       val body = children.map {
         case PMutation(src) => src
         case PMapping(src) => src

@@ -79,6 +79,16 @@ class ProcessorsExtSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("while: deep unroll stays linear (32 passes compile and run fast)") {
+    val df = Seq(1.0).toDF("v")
+    val t0 = System.nanoTime()
+    val out = Processor.compileOne(
+      PWhile("this.v < 1000000000.0", Seq(PMutation("root.v = this.v * 2.0")), 32))(df)
+      .select("v").as[Double].head()
+    assert(out == math.pow(2, 30), s"2^30 expected, got $out")
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "deep unroll must not blow up analysis")
+  }
+
   test("while: bounded per-row fixpoint via guarded unroll") {
     val df = Seq(1.0, 30.0, 300.0).toDF("v")
     // double v while v < 100, at most 8 passes
