@@ -1273,6 +1273,30 @@ object SparkEntry {
       s.read.parquet(s"$out/r").select("r_regionkey", "r_name").orderBy("r_regionkey")
     }),
 
+    "q_media_resize" -> ((s, dir) => {
+      // rows-only (binary thumbnails have no SQL oracle; exact-pixel
+      // oracle lives in OpsSpec): deterministic synthetic PNGs ->
+      // nearest-neighbor RGB thumbs through the mapPartitions kernel
+      import s.implicits._
+      val imgs = (0 until 32).map { i =>
+        val img = new java.awt.image.BufferedImage(16, 12,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 12; x <- 0 until 16)
+          img.setRGB(x, y, if (y < i % 12) 0xFFFFFF else 0x202020)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (i.toLong, bos.toByteArray)
+      }
+      val env = imgs.toDF("media_id", "payload").select(
+        col("media_id"), lit("image").as("modality"),
+        lit("image/png").as("mime"), col("payload"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      Multimodal.resize(env, 4, 3).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          md5(col("rgb")).as("rgb_md5"))
+        .orderBy("media_id")
+    }),
+
     "q_protobuf" -> ((s, dir) => {
       // REAL proto3 wire-format roundtrip (from-spec codec, vector-
       // pinned in ProtobufSpec): json -> protobuf bytes -> json must be

@@ -231,6 +231,57 @@ object Multimodal {
       width = (h(0) & 0x3F) + 64, height = (h(1) & 0x3F) + 64, feature = feats)
   }
 
+  /** One resized thumbnail: row-major RGB bytes (3 per pixel). */
+  final case class MediaThumb(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      rgb: Array[Byte])
+
+  /** Resize image payloads to a fixed `w`×`h` RGB grid —
+    * nearest-neighbor, the standard thumbnail / model-input step of a
+    * multimodal training pipeline. REAL decode via JDK ImageIO
+    * (PNG/JPEG/GIF/BMP readers ship in java.desktop); non-image or
+    * undecodable payloads are dropped (a real pipeline routes them to
+    * a reject sink). Same `mapPartitions` batch shape as
+    * [[decodeAndFeaturize]]: one iterator per partition, so a real
+    * codec/model initializes per partition, not per row.
+    */
+  def resize(envelope: DataFrame, w: Int, h: Int): Dataset[MediaThumb] = {
+    val spark = envelope.sparkSession
+    import spark.implicits._
+    require(w > 0 && h > 0, "resize: target dims must be positive")
+    envelope.select("media_id", "modality", "mime", "payload", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+            else {
+              val out = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                val sy = y * img.getHeight / h
+                var x = 0
+                while (x < w) {
+                  val sx = x * img.getWidth / w
+                  val rgb = img.getRGB(sx, sy)
+                  val o = (y * w + x) * 3
+                  out(o) = ((rgb >> 16) & 0xFF).toByte
+                  out(o + 1) = ((rgb >> 8) & 0xFF).toByte
+                  out(o + 2) = (rgb & 0xFF).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              Some(MediaThumb(r.media_id, w, h, out))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+  }
+
   /** Frame sampling for video-like payloads: split the payload into
     * fixed-size "frames" and keep every `stride`-th — pure Column
     * (sequence + transform over binary slices), demonstrating the

@@ -349,6 +349,27 @@ class OpsSpec extends SparkTestBase {
       Multimodal.MediaRow(5L, "image", "x", "not an image".getBytes, 12L), 2).isEmpty)
   }
 
+  test("resize: nearest-neighbor RGB thumbnails from real PNG decode") {
+    import spark.implicits._
+    // 8x4, top half red, bottom half blue
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (y < 2) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val env = Seq((1L, "image", "image/png", bos.toByteArray, bos.size().toLong),
+        (2L, "text", "text/plain", "not an image".getBytes, 12L))
+      .toDF("media_id", "modality", "mime", "payload", "n_bytes")
+    val thumbs = Multimodal.resize(env, 2, 2).collect()
+    assert(thumbs.length == 1, "undecodable payloads are dropped")
+    val t = thumbs.head
+    assert(t.media_id == 1L && t.width == 2 && t.height == 2)
+    val px = t.rgb.map(_ & 0xFF)
+    // row 0 = red (255,0,0) x2; row 1 = blue (0,0,255) x2
+    assert(px.slice(0, 6).toSeq == Seq(255, 0, 0, 255, 0, 0), px.mkString(","))
+    assert(px.slice(6, 12).toSeq == Seq(0, 0, 255, 0, 0, 255), px.mkString(","))
+  }
+
   test("corrupt WAV chunk size cannot hang the decoder") {
     // craft a RIFF/WAVE whose first chunk claims size 0xFFFFFFF8 —
     // read as SIGNED le32 that is -8, stepping the walk by 0 (ADVICE r2)
