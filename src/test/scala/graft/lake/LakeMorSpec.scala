@@ -143,6 +143,39 @@ class LakeMorSpec extends SparkTestBase {
     assert(mor.changesBetween(spark, preCompact, mor.currentVersion()).isEmpty)
   }
 
+  test("changelog after a narrow MoR commit prunes its scan to the candidate ranges") {
+    val mor = lakeOf(mor = true)
+    // populate MANY disjoint repos so the table has many files whose
+    // manifest ranges cannot intersect a narrow candidate set
+    (0 until 10).foreach { b =>
+      val rows = (0 until 8).map { i =>
+        ((b * 8 + i).toLong, "upsert", f"repo-${b * 2 + i % 2}%03d", s"p$i", s"v$b-$i")
+      }
+      mor.merge(batch(rows), b.toLong)
+    }
+    val totalFiles = mor.files().size
+    val vBefore = mor.currentVersion()
+    mor.merge(batch(Seq((999L, "upsert", "repo-003", "p1", "hot"))), 99L)
+    val vAfter = mor.currentVersion()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scanned = try {
+      mor.changesBetween(spark, vBefore, vAfter)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.inputFiles.length
+        }.sum
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // MoR scans: added files (twice: candidate keys + state) + the
+    // range-pruned resolve reads of both snapshots — all tiny next to
+    // the table once candidate ranges are narrow
+    assert(scanned < totalFiles,
+      s"MoR changelog scanned $scanned of $totalFiles files — not pruned")
+    val got = mor.changesBetween(spark, vBefore, vAfter)
+      .select("repo", "path", "_change").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("repo-003", "p1", "upsert")))
+  }
+
   test("mode is a table property: reopening without the flag still resolves") {
     val mor = lakeOf(mor = true)
     batches.zipWithIndex.foreach { case (rows, i) => mor.merge(batch(rows), i.toLong) }
