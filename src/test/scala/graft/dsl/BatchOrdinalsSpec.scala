@@ -68,7 +68,7 @@ class BatchOrdinalsSpec extends SparkTestBase {
   test("while unroll depth is capped") {
     val df = spark.range(0, 4).toDF("v")
     val ex = intercept[IllegalArgumentException] {
-      Processor.compile(Seq(PWhile("this.v < 100", Seq(PMutation("root.v = this.v + 1")), 50)))(df)
+      Processor.compile(Seq(PWhile("this.v < 1000", Seq(PMutation("root.v = this.v + 1")), Processor.MaxWhileIters + 1)))(df)
     }
     assert(ex.getMessage.contains("max_loops"))
   }
