@@ -143,6 +143,22 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("id")
     }),
 
+    // cross-part references: each from-target is ONE scalar aggregate
+    // over the batch, broadcast back (BatchRefs) — bounded-batch
+    // construct, so the gate runs it on a bounded sub-batch
+    "q_from_fns" -> ((s, dir) => {
+      val pipe = compile(Seq(PMapping(
+        """root.event_id = this.seq
+          |root.first_v = this.value.from(0)
+          |root.last_type = this.event_type.from(-1)
+          |root.hi_n = this.value.from_all().filter(v -> v > 450.0).size().int64()
+          |""".stripMargin)))
+      pipe(t(s, dir, "events")
+          .filter(col("event_id") <= 200)
+          .select(col("event_id").as("seq"), col("event_type"), col("value")))
+        .orderBy("event_id")
+    }),
+
     "q_filter" -> ((s, dir) => {
       val pipe = compile(Seq(PFilter("""this.value > 400.0 && this.event_type == "click"""")))
       pipe(t(s, dir, "events")).select("event_id", "user_id", "value").orderBy("event_id")
@@ -488,6 +504,15 @@ object SparkEntry {
         "this.event_type == \"click\"" ->
           Seq(PMutation("root.label = \"click\"\nroot.gsz = batch_size()"))))))
       pipe(t(s, dir, "events")).select("event_id", "label", "gsz").orderBy("event_id")
+    }),
+
+    // check-based batching: batch_id = distributed exclusive prefix
+    // count of batch-ending rows in seq order (never a global window)
+    "q_batch_check" -> ((s, dir) => {
+      val pipe = compile(Seq(PBatchByCheck("""this.event_type == "purchase"""")))
+      pipe(t(s, dir, "events").select(col("event_id").as("seq"), col("event_type")))
+        .select(col("seq").as("event_id"), col("batch_id"))
+        .orderBy("event_id")
     }),
 
     "q_grok" -> ((s, dir) => {
@@ -1396,6 +1421,14 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events
         |WHERE value > 400.0 AND event_type = 'click' ORDER BY event_id""".stripMargin,
 
+    "q_from_fns" ->
+      """WITH b AS (SELECT * FROM events WHERE event_id <= 200)
+        |SELECT event_id,
+        |  (SELECT value FROM b ORDER BY event_id LIMIT 1) AS first_v,
+        |  (SELECT event_type FROM b ORDER BY event_id DESC LIMIT 1) AS last_type,
+        |  (SELECT count(*) FROM b WHERE value > 450.0) AS hi_n
+        |FROM b ORDER BY event_id""".stripMargin,
+
     "q_switch" ->
       """SELECT CASE WHEN value >= 400.0 THEN 'high'
         |            WHEN event_type = 'purchase' THEN 'purchase'
@@ -1650,6 +1683,13 @@ object SparkEntry {
         |c AS (SELECT label, count(*) AS gsz FROM g WHERE label IS NOT NULL GROUP BY label)
         |SELECT g.event_id, g.label, c.gsz FROM g LEFT JOIN c USING(label)
         |ORDER BY event_id""".stripMargin,
+
+    "q_batch_check" ->
+      """SELECT event_id, CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |  THEN 1 ELSE 0 END) OVER (ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  AS batch_id
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_grok" ->
       """SELECT o_orderkey AS id, CAST(o_orderkey AS VARCHAR) AS okey,

@@ -1,6 +1,6 @@
 package graft.dsl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Ast._
@@ -108,9 +108,149 @@ object BatchOrdinals {
     out
   }
 
+  /** Distributed EXCLUSIVE prefix sum of `value` in batch (`seq`)
+    * order — the same two-level shape as `withOrdinals` (range-bucket
+    * by the order column; window partitioned per bucket; cumulative
+    * bucket offsets over the ≤P-row metadata frame, broadcast back),
+    * so it never collapses the data into a single-partition window.
+    * Backs check-based batching (`batch_id` = count of batch-ending
+    * rows strictly before this row).
+    */
+  def withExclusivePrefixSum(df: DataFrame, value: Column, out: String): DataFrame = {
+    val p = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val ord =
+      if (df.columns.contains("seq")) col("seq").cast("long")
+      else monotonically_increasing_id()
+    val withOrd = df.withColumn("_bo_ord", ord)
+      .withColumn("_bo_val", value.cast("long"))
+    val bounds = withOrd.agg(min(col("_bo_ord")).as("_bo_min"),
+      max(col("_bo_ord")).as("_bo_max"))
+    val bucketed = withOrd.crossJoin(broadcast(bounds))
+      .withColumn("_bo_bkt",
+        least(lit(p - 1), floor((col("_bo_ord") - col("_bo_min")) * p /
+          (col("_bo_max") - col("_bo_min") + lit(1)))).cast("int"))
+    val offsets = bucketed.groupBy(col("_bo_bkt"))
+      .agg(sum(col("_bo_val")).as("_bo_cnt"))
+      .withColumn("_bo_off", coalesce(
+        sum(col("_bo_cnt")).over(Window.orderBy(col("_bo_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bo_bkt"), col("_bo_off"))
+    bucketed.join(broadcast(offsets), Seq("_bo_bkt"))
+      .withColumn(out, col("_bo_off") + coalesce(
+        sum(col("_bo_val")).over(Window.partitionBy(col("_bo_bkt"))
+          .orderBy(col("_bo_ord"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_bo_ord", "_bo_val", "_bo_bkt", "_bo_min", "_bo_max", "_bo_off")
+  }
+
   /** Drop the internal ordinal columns if present. */
   def dropOrdinals(df: DataFrame): DataFrame = {
     val present = df.columns.filter(c => c == IndexCol || c == SizeCol)
     if (present.isEmpty) df else df.drop(present.toIndexedSeq: _*)
+  }
+}
+
+/** Cross-part references backing the reference's `.from(i)` /
+  * `.from_all()` methods (upstream `internal/bloblang/query/methods.go`
+  * `from`, `from_all`): a query evaluated from the perspective of
+  * another / every message of the batch.
+  *
+  * Compilation: each distinct `from`-target expression is evaluated
+  * ONCE over the whole batch as a single scalar aggregate —
+  * `collect_list(struct(ord, value))`, sorted by the batch order
+  * (`seq` when present, else a stable monotonic id) with a comparator
+  * that touches only the ordinal (so non-orderable value types still
+  * work) — and broadcast back via a 1-row cross join. `from_all()`
+  * reads the array; `from(i)` is an `element_at`. Like the reference,
+  * the result array is batch-sized: the construct is meant for the
+  * bounded batches a batching policy produces, not for table-scale
+  * frames (documented; the broadcast makes that explicit in the plan).
+  */
+object BatchRefs {
+  val Prefix = "_from_"
+
+  /** Distinct `from`/`from_all` target expressions, first-appearance
+    * order. Nested cross-part references are rejected (as upstream —
+    * a `from` target re-scoped by another `from` has no meaning).
+    */
+  def targets(ss: Seq[Stmt]): Seq[Expr] = {
+    val buf = scala.collection.mutable.LinkedHashSet[Expr]()
+    def walkE(e: Expr): Unit = e match {
+      case MethodCall(t, "from", args) =>
+        requireNoFrom(t); buf += t; args.foreach(walkE)
+      case MethodCall(t, "from_all", args) =>
+        requireNoFrom(t); buf += t; args.foreach(walkE)
+      case FnCall(_, as) => as.foreach(walkE)
+      case MethodCall(t, _, as) => walkE(t); as.foreach(walkE)
+      case BinOp(_, l, r) => walkE(l); walkE(r)
+      case UnOp(_, x) => walkE(x)
+      case Coalesce(l, r) => walkE(l); walkE(r)
+      case IfExpr(c, t, eo) => walkE(c); walkE(t); eo.foreach(walkE)
+      case MatchExpr(t, cs) =>
+        walkE(t); cs.foreach { case (p, r) => p.foreach(walkE); walkE(r) }
+      case ArrayLit(is) => is.foreach(walkE)
+      case ObjectLit(fs) => fs.foreach(f => walkE(f._2))
+      case Index(t, i) => walkE(t); walkE(i)
+      case Field(t, _) => walkE(t)
+      case Lambda(_, b) => walkE(b)
+      case _ => ()
+    }
+    def walkS(s: Stmt): Unit = s match {
+      case RootStmt(_, e) => walkE(e)
+      case LetStmt(_, e) => walkE(e)
+      case MetaStmt(_, e) => walkE(e)
+      case IfStmt(c, t, el) => walkE(c); t.foreach(walkS); el.foreach(walkS)
+      case MapDefStmt(_, body) => body.foreach(walkS)
+    }
+    ss.foreach(walkS)
+    buf.toSeq
+  }
+
+  private def hasFrom(e: Expr): Boolean = e match {
+    case MethodCall(_, "from", _) | MethodCall(_, "from_all", _) => true
+    case FnCall(_, as) => as.exists(hasFrom)
+    case MethodCall(t, _, as) => hasFrom(t) || as.exists(hasFrom)
+    case BinOp(_, l, r) => hasFrom(l) || hasFrom(r)
+    case UnOp(_, x) => hasFrom(x)
+    case Coalesce(l, r) => hasFrom(l) || hasFrom(r)
+    case IfExpr(c, t, eo) => hasFrom(c) || hasFrom(t) || eo.exists(hasFrom)
+    case MatchExpr(t, cs) =>
+      hasFrom(t) || cs.exists { case (p, r) => p.exists(hasFrom) || hasFrom(r) }
+    case ArrayLit(is) => is.exists(hasFrom)
+    case ObjectLit(fs) => fs.exists(f => hasFrom(f._2))
+    case Index(t, i) => hasFrom(t) || hasFrom(i)
+    case Field(t, _) => hasFrom(t)
+    case Lambda(_, b) => hasFrom(b)
+    case _ => false
+  }
+
+  private def requireNoFrom(t: Expr): Unit =
+    if (hasFrom(t)) throw new IllegalArgumentException(
+      "nested .from()/.from_all() targets are not supported")
+
+  /** Evaluate each target over `df` (one scalar agg per target),
+    * attach the ordered arrays as broadcast columns, return the
+    * augmented frame plus the target→column map for the compiler.
+    */
+  def withRefs(df: DataFrame, targets: Seq[Expr],
+               ctx: graft.dsl.ExprCompiler.Ctx)
+      : (DataFrame, Map[Expr, String]) = {
+    if (targets.isEmpty) return (df, Map.empty)
+    val ord =
+      if (df.columns.contains("seq")) col("seq").cast("long")
+      else monotonically_increasing_id()
+    var out = df
+    val refs = targets.zipWithIndex.map { case (t, i) =>
+      val name = s"$Prefix$i"
+      val v = graft.dsl.ExprCompiler.compile(t, ctx).col
+      val sorted = array_sort(
+        collect_list(struct(ord.as("o"), v.as("v"))),
+        (l, r) => when(l.getField("o") < r.getField("o"), -1)
+          .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
+      val one = df.agg(transform(sorted, x => x.getField("v")).as(name))
+      out = out.crossJoin(broadcast(one))
+      t -> name
+    }.toMap
+    (out, refs)
   }
 }

@@ -36,7 +36,11 @@ object ExprCompiler {
       schema: Option[StructType] = None,
       stringVars: Set[String] = Set.empty,
       bindings: Map[String, Column] = Map.empty, // lambda params (shadow fields)
-      namedMaps: Map[String, Seq[Ast.Stmt]] = Map.empty) {
+      namedMaps: Map[String, Seq[Ast.Stmt]] = Map.empty,
+      // cross-part reference arrays (`expr.from(i)` / `expr.from_all()`):
+      // target AST -> name of the broadcast batch-ordered array column
+      // prepared by BatchRefs (mapping/mutation compilation only)
+      batchRefs: Map[Ast.Expr, String] = Map.empty) {
     def thisCol: Column = thisOverride.getOrElse(struct(inputCols.map(col): _*))
     def fieldOfThis(name: String): Column = bindings.get(name) match {
       case Some(b) => b
@@ -175,6 +179,32 @@ object ExprCompiler {
     // constant-folded at compile time like the ts_add duration args
     case MethodCall(StrLit(s), "parse_duration", Seq()) =>
       CVal(lit(goDurationNanos(s)))
+
+    // Cross-part references (upstream query/methods.go `from`,
+    // `from_all`): the target query evaluated from the perspective of
+    // another / every message of the batch. BatchRefs pre-computes the
+    // target ONCE over the whole batch as a seq-ordered array (one
+    // scalar aggregate, broadcast back), so `from_all()` is that array
+    // and `from(i)` indexes it — no per-row re-evaluation, no shuffle
+    // of the data frame itself.
+    case MethodCall(t, "from_all", Seq()) =>
+      ctx.batchRefs.get(t) match {
+        case Some(n) => CVal(col(n))
+        case None => throw new IllegalArgumentException(
+          ".from_all() is a cross-part reference — only supported inside " +
+            "mapping/mutation processors (needs the batch frame)")
+      }
+    case MethodCall(t, "from", Seq(idxE)) =>
+      ctx.batchRefs.get(t) match {
+        case Some(n) =>
+          // 0-based like the reference; negative counts from the batch
+          // end (extension, consistent with select_parts)
+          val i = compile(idxE, ctx).col.cast(IntegerType)
+          CVal(element_at(col(n), when(i >= 0, i + 1).otherwise(i)))
+        case None => throw new IllegalArgumentException(
+          ".from(i) is a cross-part reference — only supported inside " +
+            "mapping/mutation processors (needs the batch frame)")
+      }
 
     case MethodCall(t, name, args) => method(compile(t, ctx), name, args, ctx)
   }
@@ -591,8 +621,8 @@ object ExprCompiler {
       case "not_null" => when(c.isNull, raise_error(lit(s"not_null(): value is null"))).otherwise(c)
       case "or" => coalesce(c, a(0))
       case "catch" => coalesce(c, a(0)) // errors surface as null in our compiled form
-      case "from" | "from_all" | "apply" =>
-        throw new IllegalArgumentException(s".$name() not supported (cross-part reference)")
+      case "apply" =>
+        throw new IllegalArgumentException(".apply() needs a literal map name")
       case other => throw new IllegalArgumentException(s"unknown method .$other()")
     }
     CVal(out, del)

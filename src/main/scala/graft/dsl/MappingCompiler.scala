@@ -39,10 +39,15 @@ object MappingCompiler {
     // pre-pass: distributed batch ordinals when the mapping uses
     // batch_index()/batch_size()/count("name") — internal columns,
     // invisible to `this` and dropped from the output
-    val df = BatchOrdinals.withOrdinals(df0, BatchOrdinals.needsStmts(m.stmts))
+    val withOrd = BatchOrdinals.withOrdinals(df0, BatchOrdinals.needsStmts(m.stmts))
     val inputCols = df0.columns.toSeq
     val maps = m.stmts.collect { case MapDefStmt(n, body) => n -> body }.toMap
-    var ctx = Ctx(inputCols, schema = Some(df0.schema), namedMaps = maps)
+    val baseCtx = Ctx(inputCols, schema = Some(df0.schema), namedMaps = maps)
+    // cross-part references (`.from(i)` / `.from_all()`): each distinct
+    // target is one scalar aggregate over the batch, broadcast back
+    val (df, refs) =
+      BatchRefs.withRefs(withOrd, BatchRefs.targets(m.stmts), baseCtx)
+    var ctx = baseCtx.copy(batchRefs = refs)
 
     val outputs = scala.collection.mutable.LinkedHashMap[String, Column]()
     if (startFromThis) inputCols.foreach(n => outputs(n) = col(n))
@@ -130,7 +135,8 @@ object MappingCompiler {
     val filtered =
       if (deleteConds.isEmpty) df
       else df.filter(!deleteConds.map(coalesce(_, lit(false))).reduce(_ || _))
-    if (outputs.isEmpty) BatchOrdinals.dropOrdinals(filtered)
+    if (outputs.isEmpty)
+      BatchOrdinals.dropOrdinals(filtered).drop(refs.values.toSeq: _*)
     else filtered.select(outputs.values.toSeq: _*)
   }
 

@@ -260,6 +260,11 @@ object PipelineConfig {
           opt(body, "field").map(_.asText).getOrElse("content"))
       case "group_by_value" =>
         PGroupByValue(if (body.isTextual) body.asText else body.get("value").asText)
+      case "batch_by_check" =>
+        PBatchByCheck(
+          if (body.isTextual) body.asText else body.get("check").asText,
+          if (body.isTextual) "batch_id"
+          else opt(body, "target").map(_.asText).getOrElse("batch_id"))
       case "split" =>
         PSplit(if (body.isNumber) body.asInt else body.get("n").asInt)
       case "validate" =>

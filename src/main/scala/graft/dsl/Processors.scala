@@ -30,6 +30,15 @@ object Processor {
   final case class PBoundsCheck(minLen: Long = 0L, maxLen: Long = Long.MaxValue, field: String = "content") extends Processor
   /** co-locate rows by an interpolated value (processor_group_by_value.go). */
   final case class PGroupByValue(value: String) extends Processor
+  /** check-based batching (batching-policy `check`, upstream
+    * internal/batch/policy/policy.go): a message whose check passes
+    * ENDS the current batch, inclusive. Columnar form: `target` =
+    * number of check-true rows strictly BEFORE this row in `seq`
+    * order — a distributed two-level prefix sum (BatchOrdinals), never
+    * a single-partition window. Downstream batch-scoped processors
+    * (archive `group_by`, group_by_value) key on the column, which is
+    * how "a batch" stays a first-class, shuffle-aligned unit at scale. */
+  final case class PBatchByCheck(check: String, target: String = "batch_id") extends Processor
   /** re-batch into n partitions (processor_split.go). */
   final case class PSplit(n: Int) extends Processor
   /** mark rows failing `check` with `_error` instead of dropping
@@ -285,6 +294,11 @@ object Processor {
 
     case PGroupByValue(value) => df =>
       df.repartition(interpolate(value, df))
+
+    case PBatchByCheck(check, target) => df => {
+      val ind = when(coalesce(exprOf(check, df), lit(false)), 1L).otherwise(0L)
+      BatchOrdinals.withExclusivePrefixSum(df, ind, target)
+    }
 
     case PSplit(n) => df => df.repartition(n)
 

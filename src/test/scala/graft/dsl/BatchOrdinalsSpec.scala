@@ -65,6 +65,90 @@ class BatchOrdinalsSpec extends SparkTestBase {
     assert(ex.getMessage.contains("count"))
   }
 
+  test("from_all(): batch-wide array in seq order, regardless of partitioning") {
+    val df = spark.range(0, 40).toDF("seq")
+      .withColumn("v", col("seq") * 10).repartition(7)
+    val pipe = Processor.compile(Seq(PMapping(
+      """root.seq = this.seq
+        |root.all = this.v.from_all()
+        |root.total = this.v.from_all().fold(0, (acc, item) -> acc + item)
+        |""".stripMargin)))
+    val rows = pipe(df).collect()
+    assert(rows.length == 40)
+    val expected = (0L until 40L).map(_ * 10)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("all")).toSeq == expected, "from_all order/content")
+      assert(r.getAs[Long]("total") == expected.sum)
+    }
+  }
+
+  test("from(i): value from another part; negative indexes from the end") {
+    val df = spark.range(0, 25).toDF("seq")
+      .withColumn("name", concat(lit("p"), col("seq"))).repartition(4)
+    val pipe = Processor.compile(Seq(PMapping(
+      """root.seq = this.seq
+        |root.first = this.name.from(0)
+        |root.third = this.name.from(2)
+        |root.last = this.name.from(-1)
+        |""".stripMargin)))
+    val rows = pipe(df).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("first") == "p0")
+      assert(r.getAs[String]("third") == "p2")
+      assert(r.getAs[String]("last") == "p24")
+    }
+  }
+
+  test("from target expressions are computed once; internal columns never leak") {
+    val df = spark.range(0, 10).toDF("seq").withColumn("v", col("seq") + 1)
+    val out = Processor.compile(Seq(PMutation(
+      "root.mx = (this.v * 2).from(-1)\nroot.sm = (this.v * 2).from(0)")))(df)
+    assert(out.columns.toSeq == Seq("seq", "v", "mx", "sm"))
+    val r = out.orderBy("seq").head()
+    assert(r.getAs[Long]("mx") == 20L && r.getAs[Long]("sm") == 2L)
+  }
+
+  test("nested from targets are rejected; from outside a mapping is rejected") {
+    val df = spark.range(0, 5).toDF("seq")
+    val ex = intercept[IllegalArgumentException] {
+      Processor.compile(Seq(PMapping(
+        "root.x = this.seq.from_all().from(0)")))(df)
+    }
+    assert(ex.getMessage.contains("nested"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Processor.compile(Seq(PFilter("this.seq.from(0) > 1")))(df).collect()
+    }
+    assert(ex2.getMessage.contains("cross-part"))
+  }
+
+  test("check-based batching: batch_id = exclusive prefix count of batch-enders") {
+    val df = spark.range(0, 500).toDF("seq")
+      .withColumn("etype", when(col("seq") % 7 === 0, "end").otherwise("row"))
+      .repartition(9)
+    val out = Processor.compile(Seq(PBatchByCheck("""this.etype == "end"""")))(df)
+      .select("seq", "batch_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 500L).foreach { s =>
+      // rows 0..7 -> batch 0 (row 0 ends batch 0... exclusive count):
+      // expected = #{k < s : k % 7 == 0}
+      val expect = (0L until s).count(_ % 7 == 0).toLong
+      assert(out(s) == expect, s"batch_id at seq=$s")
+    }
+  }
+
+  test("check-based batching composes with batch-scoped archive") {
+    val df = spark.range(0, 12).toDF("seq")
+      .withColumn("content", concat(lit("m"), col("seq")))
+      .withColumn("boundary", col("seq") % 4 === 3)
+    val out = Processor.compile(Seq(
+      PBatchByCheck("this.boundary"),
+      PArchive("lines", groupBy = Seq("batch_id"))))(df)
+      .orderBy("batch_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[String]("content") == "m0\nm1\nm2\nm3")
+    assert(out(2).getAs[String]("content") == "m10\nm11\nm8\nm9") // array_sort is lexicographic
+  }
+
   test("while unroll depth is capped") {
     val df = spark.range(0, 4).toDF("v")
     val ex = intercept[IllegalArgumentException] {
