@@ -1375,6 +1375,18 @@ object SparkEntry {
         .select("event_id", "p1", "p2").orderBy("event_id")
     }),
 
+    // jq multi-output: .[] explodes an array into one message per
+    // element, suffix select/map applied per element
+    "q_jq_stream" -> ((s, dir) => {
+      val pipe = compile(Seq(
+        PMapping(
+          """root.event_id = this.event_id
+            |root.arr = "[" + this.props.json_path("$.k").string() + "," + (this.props.json_path("$.k").int64() + 10).string() + "]"
+            |""".stripMargin),
+        PJq(".[] | select(. % 2 == 0)", "arr")))
+      pipe(t(s, dir, "events")).orderBy("event_id", "arr")
+    }),
+
     "q_cdc_replay" -> ((s, _) =>
       // generator → streaming replay → fenced LWW merge → final state;
       // the sha-equality oracle is the fold oracle in EndToEndReplaySpec
@@ -2004,7 +2016,15 @@ object SparkEntry {
         |                      AS VARCHAR), '\.0$', '') AS p2
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q_jq_stream" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |e AS (SELECT event_id, k + off AS v
+        |      FROM k CROSS JOIN (VALUES (0), (10)) AS t(off))
+        |SELECT event_id, CAST(v AS VARCHAR) AS arr FROM e
+        |WHERE v % 2 = 0 ORDER BY event_id, arr""".stripMargin
     // q_dedup_simhash, q_knn_ivf, q_fingerprint_rolling, q_media_features,
     // q_compress, q_cdc_replay: intentionally no SQL oracle (xxhash64 /
     // approximate / stubbed-decode / gzip / generator semantics); Scala

@@ -19,12 +19,24 @@ import org.apache.spark.sql.functions._
   *   tonumber, ascii_downcase, ascii_upcase, ltrimstr, rtrimstr,
   *   startswith, endswith, test, split, join, floor, ceil, fabs`.
   *
-  * Documented deltas from full jq (SURVEY.md §2.9): no multi-output
-  * streams (`.[]`, the comma operator) — one message in, at most one
-  * message out (columnar plan); numbers evaluate as doubles and render
-  * integral values without the trailing `.0` (jq's own integer
-  * rendering); re-embedding a path value into a container re-infers
-  * its JSON kind textually (get_json_object unquotes strings).
+  * Multi-output streams (round 3): `.[]` (array iteration) and the
+  * top-level comma operator ARE supported, as the columnar analog of
+  * jq's value streams — the program splits at the (single) stream
+  * stage into `pre | GENERATOR | suffix`: pre evaluates scalar, the
+  * generator produces an ARRAY column (array elements via dynamic-path
+  * get_json_object; comma via array construction), the suffix maps +
+  * select-filters per element (`transform`/`filter` higher-order
+  * functions), and the processor `explode`s the result — zero outputs
+  * drop the message, n outputs make n messages, exactly jq's stream
+  * semantics, still one codegen'd projection per row.
+  *
+  * Documented deltas from full jq (SURVEY.md §2.9): one stream stage
+  * per program (no `.a[].b[]` cross-products), comma only at the top
+  * level, `.[]` iterates arrays (not object values); numbers evaluate
+  * as doubles and render integral values without the trailing `.0`
+  * (jq's own integer rendering); re-embedding a path value into a
+  * container re-infers its JSON kind textually (get_json_object
+  * unquotes strings).
   */
 object JqCompiler {
 
@@ -43,12 +55,100 @@ object JqCompiler {
     */
   final case class Compiled(value: Column => JqVal, keep: Column => Option[Column])
 
-  def compile(program: String): Compiled = {
+  def compile(program: String): Compiled =
+    compileAuto(program) match {
+      case Left(c) => c
+      case Right(_) => throw new IllegalArgumentException(
+        "jq: multi-output program (.[]/comma) — run it through the jq processor")
+    }
+
+  /** A multi-output (stream) program: input JSON text column →
+    * array of output payload texts (the processor explodes it), plus
+    * an optional row-level keep condition from pre-stream select().
+    */
+  final case class StreamCompiled(elements: Column => Column,
+                                  rowKeep: Column => Option[Column])
+
+  /** Compile, classifying the program as single-output (Left) or
+    * multi-output (Right). Eager validation either way: unsupported
+    * constructs fail here, not when the plan first meets real data.
+    */
+  def compileAuto(program: String): Either[Compiled, StreamCompiled] = {
     val e = new JqParser(program).parseProgram()
-    // eager validation: an unsupported function must fail at parse
-    // time, not when the plan is first built against real data
-    eval(e, JqVal(lit("{}"), TJson))
-    Compiled(in => eval(e, JqVal(in, TJson))._1, in => eval(e, JqVal(in, TJson))._2)
+    val stages = flattenPipe(e)
+    val genIdx = stages.indexWhere(isStreamStage)
+    if (genIdx < 0) {
+      eval(e, JqVal(lit("{}"), TJson))
+      Left(Compiled(in => eval(e, JqVal(in, TJson))._1,
+        in => eval(e, JqVal(in, TJson))._2))
+    } else {
+      require(!stages.drop(genIdx + 1).exists(isStreamStage),
+        "jq: at most one multi-output stage (.[]/comma) per program")
+      val (gen, extraSuffix) = stages(genIdx) match {
+        case PostPath(it @ IterAll(t), segs) =>
+          require(!isStreamStage(t), "jq: nested iteration (.a[].b[]) is not supported")
+          (it: E, Seq[E](Path(segs)))
+        case it @ IterAll(t) =>
+          require(!isStreamStage(t), "jq: nested iteration (.a[].b[]) is not supported")
+          (it: E, Nil)
+        case c: Comma => (c: E, Nil)
+        case other => throw new IllegalArgumentException(
+          s"jq: unsupported stream stage $other")
+      }
+      val preE = stages.take(genIdx).reduceOption(Pipe(_, _))
+      val sufE = (extraSuffix ++ stages.drop(genIdx + 1)).reduceOption(Pipe(_, _))
+      def build(in: Column): (Column, Option[Column]) = {
+        val (preV, preK) = preE.map(eval(_, JqVal(in, TJson)))
+          .getOrElse((JqVal(in, TJson), None))
+        val (raw, genK) = gen match {
+          case IterAll(t) =>
+            val (tv, tk) = eval(t, preV)
+            require(tv.t == TJson, s"jq: cannot iterate a ${tv.t}")
+            (jsonArrayElements(tv.col), tk)
+          case Comma(es) =>
+            val parts = es.map(eval(_, preV))
+            require(parts.forall(_._2.isEmpty),
+              "jq: select() inside a comma branch is not supported")
+            (array(parts.map(p => renderTop(p._1)): _*), None)
+          case _ => throw new IllegalStateException("unreachable")
+        }
+        val out = sufE match {
+          case None => raw
+          case Some(se) =>
+            val kept = filter(raw, el =>
+              coalesce(eval(se, JqVal(el, TJson))._2.getOrElse(lit(true)), lit(false)))
+            transform(kept, el => renderTop(eval(se, JqVal(el, TJson))._1))
+        }
+        (out, mergeKeep(preK, genK))
+      }
+      build(lit("{}")) // eager validation
+      Right(StreamCompiled(in => build(in)._1, in => build(in)._2))
+    }
+  }
+
+  private def flattenPipe(e: E): Seq[E] = e match {
+    case Pipe(l, r) => flattenPipe(l) ++ flattenPipe(r)
+    case x => Seq(x)
+  }
+
+  private def isStreamStage(e: E): Boolean = e match {
+    case IterAll(_) | Comma(_) => true
+    case PostPath(t, _) => isStreamStage(t)
+    case _ => false
+  }
+
+  /** JSON array text → array<string> of element texts (objects keep
+    * JSON syntax, strings are unquoted — get_json_object semantics,
+    * same as Path). Dynamic JSON path, so `call_function` (the Scala
+    * `get_json_object` helper only takes literal paths).
+    */
+  private def jsonArrayElements(c: Column): Column = {
+    val n = json_array_length(c)
+    when(c.isNotNull && n > 0,
+      transform(sequence(lit(0), n - lit(1)),
+        i => call_function("get_json_object", c,
+          concat(lit("$["), i.cast("string"), lit("]")))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Render a value as the processor's output payload text (top
@@ -105,6 +205,8 @@ object JqCompiler {
   private final case class Select(cond: E) extends E
   private final case class Fn(name: String, args: Seq[E]) extends E
   private final case class PostPath(target: E, segs: Seq[Either[String, Int]]) extends E
+  private final case class IterAll(target: E) extends E                   // target[]
+  private final case class Comma(items: Seq[E]) extends E                 // e1, e2 (top level)
 
   // ---- eval: E × input → (value, keep) -------------------------------
 
@@ -186,6 +288,8 @@ object JqCompiler {
       val (cv, ck) = eval(cond, in)
       (in, mergeKeep(ck, Some(boolOf(cv))))
     case Fn(name, args) => evalFn(name, args, in)
+    case IterAll(_) | Comma(_) => throw new IllegalArgumentException(
+      "jq: multi-output (.[]/comma) is only supported as a top-level pipe stage")
   }
 
   private def cmp(l: JqVal, r: JqVal, f: (Column, Column) => Column): Column =
@@ -255,10 +359,27 @@ object JqCompiler {
     private var pos = 0
 
     def parseProgram(): E = {
-      val e = parsePipe()
+      val e = parseTop()
       skipWs()
       require(pos >= src.length, s"jq: trailing input at $pos: '${src.drop(pos)}'")
       e
+    }
+
+    /** Top level: pipe of comma-stages (jq: `,` binds tighter than
+      * `|`). Comma is only recognized here — inside parens / object /
+      * array constructs it keeps its constructor meaning.
+      */
+    private def parseTop(): E = {
+      var l = parseCommaStage()
+      while ({ skipWs(); peek("|") && !peek("||") && { eat("|"); true } })
+        l = Pipe(l, parseCommaStage())
+      l
+    }
+
+    private def parseCommaStage(): E = {
+      val es = scala.collection.mutable.ArrayBuffer[E](parseAlt())
+      while (eat(",")) es += parseAlt()
+      if (es.size == 1) es.head else Comma(es.toSeq)
     }
 
     private def skipWs(): Unit =
@@ -336,14 +457,32 @@ object JqCompiler {
     private def parseUnary(): E =
       if (eat("-")) Neg(parsePostfix()) else parsePostfix()
 
-    /** A primary followed by optional path segments: `(.a).b`, `keys[0]`. */
+    /** A primary followed by optional path segments / iterations:
+      * `(.a).b`, `keys[0]`, `.items[]`, `.items[].name`.
+      */
     private def parsePostfix(): E = {
-      val p = parsePrimary()
+      var p = parsePrimary()
+      var cont = true
+      while (cont) {
+        skipWs()
+        if (peekIter()) { expect("["); expect("]"); p = IterAll(p) }
+        else if (pos < src.length && (src.charAt(pos) == '.' || src.charAt(pos) == '[')) {
+          val segs = parseSegments(allowLeadingDot = true)
+          if (segs.nonEmpty) p = PostPath(p, segs) else cont = false
+        } else cont = false
+      }
+      p
+    }
+
+    /** Lookahead for the `[]` iterator (vs an index `[0]`/key `["k"]`). */
+    private def peekIter(): Boolean = {
       skipWs()
-      if (pos < src.length && (src.charAt(pos) == '.' || src.charAt(pos) == '[')) {
-        val segs = parseSegments(allowLeadingDot = true)
-        if (segs.nonEmpty) PostPath(p, segs) else p
-      } else p
+      if (pos >= src.length || src.charAt(pos) != '[') false
+      else {
+        var j = pos + 1
+        while (j < src.length && src.charAt(j).isWhitespace) j += 1
+        j < src.length && src.charAt(j) == ']'
+      }
     }
 
     private def parsePrimary(): E = {
@@ -388,7 +527,9 @@ object JqCompiler {
       var first = !allowLeadingDot
       while (cont && pos < src.length) {
         val c = src.charAt(pos)
-        if (c == '[') {
+        if (c == '[' && peekIter()) {
+          cont = false // `[]` belongs to the postfix iterator level
+        } else if (c == '[') {
           pos += 1
           skipWs()
           require(pos < src.length && (src.charAt(pos).isDigit || src.charAt(pos) == '"'),

@@ -357,16 +357,25 @@ object Processor {
       df.withColumn(target, get_json_object(col(field),
         if (path.startsWith("$")) path else "$." + path))
 
-    case PJq(program, field) => df => {
-      val compiled = JqCompiler.compile(program)
-      // filter BEFORE rewriting the field: the keep condition is an
-      // expression over the ORIGINAL payload
-      val kept = compiled.keep(col(field)) match {
-        case Some(k) => df.filter(coalesce(k, lit(false)))
-        case None => df
+    case PJq(program, field) => df =>
+      JqCompiler.compileAuto(program) match {
+        case Left(compiled) =>
+          // filter BEFORE rewriting the field: the keep condition is an
+          // expression over the ORIGINAL payload
+          val kept = compiled.keep(col(field)) match {
+            case Some(k) => df.filter(coalesce(k, lit(false)))
+            case None => df
+          }
+          kept.withColumn(field, JqCompiler.renderTop(compiled.value(col(field))))
+        case Right(stream) =>
+          // multi-output: one message per produced element (explode);
+          // zero outputs drop the message — jq stream semantics
+          val kept = stream.rowKeep(col(field)) match {
+            case Some(k) => df.filter(coalesce(k, lit(false)))
+            case None => df
+          }
+          kept.withColumn(field, explode(stream.elements(col(field))))
       }
-      kept.withColumn(field, JqCompiler.renderTop(compiled.value(col(field))))
-    }
 
     case PLog(message) => df => {
       // once per compile, on the driver — a per-row executor log is an

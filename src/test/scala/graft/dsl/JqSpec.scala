@@ -124,8 +124,46 @@ class JqSpec extends SparkTestBase {
   }
 
   test("unsupported constructs fail loudly, never silently wrong") {
+    // single-output compile refuses streams (the processor routes them)
     intercept[Exception](JqCompiler.compile(".[]"))
     intercept[Exception](JqCompiler.compile(".a, .b"))
     intercept[Exception](JqCompiler.compile("map(.x)"))
+    // stream limits: one generator, no nesting, no comma-branch select
+    intercept[Exception](JqCompiler.compileAuto(".a[].b[]"))
+    intercept[Exception](JqCompiler.compileAuto(".a[] | .b[]"))
+    intercept[Exception](JqCompiler.compileAuto("select(.a), .b"))
+    intercept[Exception](JqCompiler.compileAuto("{a: .b[]}"))
+  }
+
+  test("stream: .[] iterates an array into one message per element") {
+    assert(run(".items[]", """{"items":[1,2,3]}""") ==
+      Seq(Some("1"), Some("2"), Some("3")))
+    // objects keep JSON syntax, strings are unquoted (path semantics)
+    assert(run(".[]", """[{"a":1},"x",5]""") ==
+      Seq(Some("""{"a":1}"""), Some("x"), Some("5")))
+    // empty array / missing key -> zero messages
+    assert(run(".items[]", """{"items":[]}""").isEmpty)
+    assert(run(".nope[]", """{"items":[1]}""").isEmpty)
+  }
+
+  test("stream: per-element suffix pipe with select and construction") {
+    assert(run(".items[] | select(. > 1) | . * 10", """{"items":[1,2,3]}""") ==
+      Seq(Some("20"), Some("30")))
+    assert(run(".items[].name", """{"items":[{"name":"a"},{"name":"b"}]}""") ==
+      Seq(Some("a"), Some("b")))
+    assert(run(".items[] | {n: .name}", """{"items":[{"name":"a"}]}""") ==
+      Seq(Some("""{"n":"a"}""")))
+  }
+
+  test("stream: pre-stage select is row-level; comma emits per expression") {
+    // pre-generator select drops the whole row before iterating
+    assert(run("select(.keep) | .items[]", """{"keep":false,"items":[1,2]}""").isEmpty)
+    assert(run("select(.keep) | .items[]", """{"keep":true,"items":[1,2]}""") ==
+      Seq(Some("1"), Some("2")))
+    assert(run(".a, .b, (.a + .b)", """{"a":1,"b":2}""") ==
+      Seq(Some("1"), Some("2"), Some("3")))
+    // comma then per-element suffix
+    assert(run(".a, .b | . * 2", """{"a":1,"b":2}""") ==
+      Seq(Some("2"), Some("4")))
   }
 }
