@@ -340,6 +340,19 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
 
+    // deterministic hash sampling: pure projection+filter, decisions
+    // re-derivable by any engine (md5 bucket, DuckDB-matched)
+    "q_sample" -> ((s, dir) =>
+      graft.ops.Sampling.hashSample(t(s, dir, "events"), col("event_id"), 0.25, "s1")
+        .select("event_id", "event_type", "value").orderBy("event_id")),
+
+    // stratified quota: exactly min(k, n) per stratum in hash order —
+    // threshold-pruned rank, never a hot-stratum global sort
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedTopK(t(s, dir, "events"),
+          col("event_type"), col("event_id"), k = 40, salt = "s2")
+        .select("event_id", "event_type").orderBy("event_id")),
+
     "q_dedup_minhash" -> ((s, dir) =>
       // Oracle caveat (ADVICE r1): LSH has a theoretical false-negative
       // probability for near-threshold pairs, (1-J^4)^16 ≈ 4e-8 at
@@ -1567,6 +1580,20 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |min(doc_id) AS keeper_id, count(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q_sample" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 's1'), 1, 8))::UBIGINT
+        |  < 1073741824
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH r AS (SELECT event_id, event_type,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 's2'), 1, 8))::UBIGINT,
+        |    CAST(event_id AS VARCHAR)) AS rk FROM events)
+        |SELECT event_id, event_type FROM r WHERE rk <= 40
+        |ORDER BY event_id""".stripMargin,
 
     "q_dedup_minhash" ->
       """WITH corpus AS (

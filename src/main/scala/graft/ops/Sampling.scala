@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, coordination-free sampling for training-data
+  * curation — a capability the reference's message-at-a-time model
+  * cannot express reproducibly (per-stream RNG state); here every
+  * sampling decision is a pure function of the row key, so it is
+  * stable under retries, repartitioning, speculative execution, and
+  * re-runs, and re-derivable by any downstream system.
+  *
+  * Hash choice: the high 32 bits of md5 (first 8 hex chars via conv),
+  * NOT xxhash64 — md5 is reproducible across engines (the DuckDB
+  * oracle computes the identical bucket), which is the property a
+  * data pipeline wants from a sampling decision. Sharing key+salt
+  * across tables yields COORDINATED samples (the same keys survive
+  * everywhere), the standard trick for sampling a star schema
+  * consistently.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 2^32): high 32 bits of md5(key || salt). */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Keep ~`fraction` of rows, deterministically by key. Pure
+    * projection + filter: pushes down to the scan, shuffles nothing.
+    */
+  def hashSample(df: DataFrame, key: Column, fraction: Double,
+                 salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"sample fraction must be in [0,1], got $fraction")
+    df.filter(hashBucket(key, salt) < (fraction * 4294967296.0).toLong)
+  }
+
+  /** How many repaired strata the driver will tolerate before assuming
+    * the plan (not the hash tail) is wrong.
+    */
+  val DeficientStrataCap = 64
+
+  /** EXACTLY min(k, |stratum|) rows per stratum, chosen by the
+    * deterministic hash order (a seeded random-without-replacement per
+    * group) — per-language / per-source quotas for a training mix.
+    *
+    * Scale shape: the naive form is one rank window partitioned by
+    * stratum, but a hot stratum (60% of 100 TB is one language) makes
+    * that a single-reducer sort of the hot stratum. Instead:
+    *  1. per-stratum counts (one partial-agg shuffle, broadcast back);
+    *  2. prune to expected `k * overselect` survivors per stratum with
+    *     a per-stratum hash threshold (small strata keep everything —
+    *     zero tail risk); survivors are ~k·overselect·strata rows,
+    *     eagerly localCheckpoint'ed so the plan below reuses them;
+    *  3. exact rank window over the survivors only (bounded input);
+    *  4. deficiency repair: a stratum whose hash tail was unlucky
+    *     (P ≈ e^-overselect per big stratum) gets re-ranked from the
+    *     full data — detected with a metadata-sized collect that is
+    *     empty in the overwhelmingly common case, so exactness is
+    *     guaranteed, not probabilistic.
+    *
+    * The per-stratum count/threshold frames are broadcast: stratum
+    * cardinality must be broadcast-sized (languages, sources, shards).
+    * For high-cardinality strata use `hashSample` per row instead.
+    */
+  def stratifiedTopK(df: DataFrame, stratum: Column, key: Column, k: Int,
+                     salt: String = "", overselect: Double = 8.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(overselect >= 2.0, s"overselect must be >= 2, got $overselect")
+    val inputCols = df.columns.toSeq
+    val withS = df.withColumn("_samp_s", stratum)
+      .withColumn("_samp_hb", hashBucket(key, salt))
+      .withColumn("_samp_tie", key.cast("string"))
+    val thr = withS.groupBy(col("_samp_s"))
+      .agg(count(lit(1)).as("_samp_n"))
+      .withColumn("_samp_thr",
+        when(col("_samp_n") <= lit((k * overselect).toLong), lit(4294967296L))
+          .otherwise((lit(k * overselect * 4294967296.0) / col("_samp_n"))
+            .cast("long")))
+    val surv = withS.join(broadcast(thr), Seq("_samp_s"))
+      .filter(col("_samp_hb") < col("_samp_thr"))
+      .localCheckpoint(true) // bounded (~k·overselect·strata rows)
+    val w = Window.partitionBy(col("_samp_s"))
+      .orderBy(col("_samp_hb"), col("_samp_tie"))
+    def rankK(d: DataFrame): DataFrame =
+      d.withColumn("_samp_rk", row_number().over(w))
+        .filter(col("_samp_rk") <= k)
+        .select((inputCols.map(col) :+ col("_samp_s")): _*)
+    val ranked = rankK(surv)
+    // deficiency check: metadata-sized (one row per unlucky stratum,
+    // empty almost surely); a full repair means the caller's overselect
+    // assumption is broken — cap it rather than silently degrade
+    val deficient = thr.join(
+        ranked.groupBy(col("_samp_s")).agg(count(lit(1)).as("_samp_got")),
+        Seq("_samp_s"), "left")
+      .filter(coalesce(col("_samp_got"), lit(0L)) <
+        least(lit(k.toLong), col("_samp_n")))
+      .select(col("_samp_s"))
+      .limit(DeficientStrataCap + 1).collect().map(_.get(0))
+    require(deficient.length <= DeficientStrataCap,
+      s"stratifiedTopK: >$DeficientStrataCap strata under-filled — " +
+        "raise overselect instead of repairing a broken threshold")
+    val out =
+      if (deficient.isEmpty) ranked
+      else {
+        val isDef = {
+          val nonNull = deficient.filter(_ != null)
+          val in = if (nonNull.isEmpty) lit(false)
+            else col("_samp_s").isInCollection(nonNull.toSeq)
+          if (deficient.contains(null)) in || col("_samp_s").isNull else in
+        }
+        rankK(withS.filter(isDef))
+          .unionByName(ranked.filter(!coalesce(isDef, lit(false))))
+      }
+    out.select(inputCols.map(col): _*)
+  }
+}

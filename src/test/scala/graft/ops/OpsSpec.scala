@@ -412,4 +412,52 @@ class OpsSpec extends SparkTestBase {
     // windows at 1,3 of ceil(10/3)=4 frames -> frames 1 and 3: abc, ghi
     assert(frames == Seq("abc", "ghi"))
   }
+
+  test("hashSample: deterministic, repartition-stable, ~fraction sized") {
+    val df = spark.range(0, 10000).toDF("id")
+    val a = Sampling.hashSample(df, col("id"), 0.25, "s")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.hashSample(df.repartition(13), col("id"), 0.25, "s")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "sample must not depend on physical layout")
+    assert(math.abs(a.size - 2500) < 250, s"got ${a.size}, expected ~2500")
+    // monotone in fraction: the 10% sample is a subset of the 25% one
+    val c = Sampling.hashSample(df, col("id"), 0.10, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a.toSet))
+    // different salt -> a (near-)independent sample
+    val d = Sampling.hashSample(df, col("id"), 0.25, "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(d != a.toSet)
+  }
+
+  test("stratifiedTopK: exactly min(k, n) per stratum, hash-ordered, exact") {
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("grp", when(col("id") < 2900, "big")
+        .when(col("id") < 2995, "mid").otherwise("tiny")) // tiny has 5 < k
+      .repartition(7)
+    val out = Sampling.stratifiedTopK(df, col("grp"), col("id"), k = 10,
+      salt = "z").collect()
+    val byGrp = out.groupBy(_.getAs[String]("grp")).view.mapValues(_.length).toMap
+    assert(byGrp == Map("big" -> 10, "mid" -> 10, "tiny" -> 5))
+    // oracle: brute-force rank by the same hash
+    val oracle = df.withColumn("hb", Sampling.hashBucket(col("id"), "z"))
+      .collect().groupBy(_.getAs[String]("grp"))
+      .view.mapValues(_.sortBy(r => (r.getAs[Long]("hb"), r.getAs[Long]("id").toString))
+        .take(10).map(_.getAs[Long]("id")).toSet).toMap
+    val gotSets = out.groupBy(_.getAs[String]("grp"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    assert(gotSets == oracle.map { case (g, s) => g -> s })
+  }
+
+  test("stratifiedTopK: deficiency repair path stays exact (tiny overselect)") {
+    // overselect = 2 on many small-ish strata makes under-filled strata
+    // likely enough to exercise the repair union
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("grp", (col("id") % 25).cast("string"))
+    val out = Sampling.stratifiedTopK(df, col("grp"), col("id"), k = 3,
+      salt = "r", overselect = 2.0)
+      .groupBy("grp").count().collect()
+    assert(out.length == 25 && out.forall(_.getAs[Long]("count") == 3L))
+  }
 }
