@@ -27,7 +27,10 @@ object Sampling {
       .cast("long")
 
   /** Keep ~`fraction` of rows, deterministically by key. Pure
-    * projection + filter: pushes down to the scan, shuffles nothing.
+    * projection + filter evaluated in the scan's codegen stage —
+    * no shuffle, no exchange anywhere in the plan (PlanSpec-guarded).
+    * (The md5 predicate itself cannot become a parquet PushedFilter;
+    * what matters at scale is that nothing moves between executors.)
     */
   def hashSample(df: DataFrame, key: Column, fraction: Double,
                  salt: String = ""): DataFrame = {

@@ -188,6 +188,23 @@ class PlanSpec extends SparkTestBase {
       plan(cheap).linesIterator.filter(_.contains("FileScan")).mkString)
   }
 
+  test("hashSample is exchange-free; stratified rank windows only the survivor set") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val p = plan(graft.ops.Sampling.hashSample(events, col("event_id"), 0.1, "x"))
+    assert(!p.contains("Exchange"), p)
+    // stratifiedTopK: the rank window's input is the checkpointed
+    // survivor frame (bounded, ~k*overselect per stratum), never the
+    // raw table — the plan below the Window must be a scan of an
+    // ExistingRDD (the localCheckpoint), not the parquet file
+    val sp = plan(graft.ops.Sampling.stratifiedTopK(
+      events, col("event_type"), col("event_id"), k = 5, salt = "x"))
+    val afterWindow = sp.linesIterator.dropWhile(!_.contains("Window")).mkString("\n")
+    assert(afterWindow.contains("ExistingRDD") || afterWindow.contains("Scan ExistingRDD"),
+      s"rank window must read the bounded survivor checkpoint:\n$sp")
+    assert(!afterWindow.contains("FileScan parquet"),
+      "rank window must not re-scan the raw table")
+  }
+
   test("native regexp count matches size(re_find_all) incl. edge cases") {
     import spark.implicits._
     val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
