@@ -228,9 +228,11 @@ object BatchRefs {
     if (hasFrom(t)) throw new IllegalArgumentException(
       "nested .from()/.from_all() targets are not supported")
 
-  /** Evaluate each target over `df` (one scalar agg per target),
-    * attach the ordered arrays as broadcast columns, return the
-    * augmented frame plus the target→column map for the compiler.
+  /** Evaluate every target over `df` in ONE scalar aggregate (a
+    * single pass over the batch regardless of how many distinct
+    * targets the mapping uses), attach the ordered arrays as broadcast
+    * columns, return the augmented frame plus the target→column map
+    * for the compiler.
     */
   def withRefs(df: DataFrame, targets: Seq[Expr],
                ctx: graft.dsl.ExprCompiler.Ctx)
@@ -239,18 +241,16 @@ object BatchRefs {
     val ord =
       if (df.columns.contains("seq")) col("seq").cast("long")
       else monotonically_increasing_id()
-    var out = df
-    val refs = targets.zipWithIndex.map { case (t, i) =>
+    val aggs = targets.zipWithIndex.map { case (t, i) =>
       val name = s"$Prefix$i"
       val v = graft.dsl.ExprCompiler.compile(t, ctx).col
       val sorted = array_sort(
         collect_list(struct(ord.as("o"), v.as("v"))),
         (l, r) => when(l.getField("o") < r.getField("o"), -1)
           .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
-      val one = df.agg(transform(sorted, x => x.getField("v")).as(name))
-      out = out.crossJoin(broadcast(one))
-      t -> name
-    }.toMap
-    (out, refs)
+      (t, name, transform(sorted, x => x.getField("v")).as(name))
+    }
+    val one = df.agg(aggs.head._3, aggs.tail.map(_._3): _*)
+    (df.crossJoin(broadcast(one)), aggs.map(a => a._1 -> a._2).toMap)
   }
 }
