@@ -198,9 +198,10 @@ object ExprCompiler {
       ctx.batchRefs.get(t) match {
         case Some(n) =>
           // 0-based like the reference; negative counts from the batch
-          // end (extension, consistent with select_parts)
+          // end (extension, consistent with select_parts). try_element_at:
+          // out-of-range reads as null (ANSI element_at would throw)
           val i = compile(idxE, ctx).col.cast(IntegerType)
-          CVal(element_at(col(n), when(i >= 0, i + 1).otherwise(i)))
+          CVal(try_element_at(col(n), when(i >= 0, i + 1).otherwise(i)))
         case None => throw new IllegalArgumentException(
           ".from(i) is a cross-part reference — only supported inside " +
             "mapping/mutation processors (needs the batch frame)")

@@ -108,6 +108,15 @@ class BatchOrdinalsSpec extends SparkTestBase {
     assert(r.getAs[Long]("mx") == 20L && r.getAs[Long]("sm") == 2L)
   }
 
+  test("from(i) out of range reads as null, like an absent field") {
+    val df = spark.range(0, 3).toDF("seq")
+    val out = Processor.compile(Seq(PMapping(
+      "root.seq = this.seq\nroot.beyond = this.seq.from(99)\nroot.before = this.seq.from(-99)")))(df)
+      .orderBy("seq").head()
+    assert(out.isNullAt(out.fieldIndex("beyond")))
+    assert(out.isNullAt(out.fieldIndex("before")))
+  }
+
   test("nested from targets are rejected; from outside a mapping is rejected") {
     val df = spark.range(0, 5).toDF("seq")
     val ex = intercept[IllegalArgumentException] {

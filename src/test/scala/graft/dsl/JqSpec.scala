@@ -155,6 +155,13 @@ class JqSpec extends SparkTestBase {
       Seq(Some("""{"n":"a"}""")))
   }
 
+  test("stream: malformed / non-array JSON yields zero messages, never an error") {
+    assert(run(".items[]", """{"items":"not-an-array"}""").isEmpty)
+    assert(run(".[]", """{"a":1}""").isEmpty) // object iteration: documented unsupported
+    assert(run(".[]", "not json at all").isEmpty)
+    assert(run(".items[]", null.asInstanceOf[String]).isEmpty)
+  }
+
   test("stream: pre-stage select is row-level; comma emits per expression") {
     // pre-generator select drops the whole row before iterating
     assert(run("select(.keep) | .items[]", """{"keep":false,"items":[1,2]}""").isEmpty)
