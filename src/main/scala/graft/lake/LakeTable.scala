@@ -647,6 +647,62 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     Some(commitVersion)
   }
 
+  /** Change the table's bucket count — the growth escape hatch for a
+    * creation-time choice (a layout sized for 10^8 events starves at
+    * 10^10: merge parallelism, prune fan, and commit metadata all key
+    * off `buckets`). Iceberg calls this partition-spec evolution; here
+    * the full table is rewritten once under the new bucket function
+    * (rebucket is THE rare whole-table operation, so it also folds any
+    * MoR delta debt on the way through), committed as one snapshot —
+    * older snapshots keep their own bucket count, so time travel and
+    * `changesBetween` across the boundary stay correct (every reader
+    * derives bucketing from ITS snapshot, never from the latest).
+    * A rebucket window in `changesBetween` degrades to the full
+    * (key, seq) diff — correct, just not file-pruned; rebucket is an
+    * admin-cadence operation, not a per-batch one.
+    */
+  def rebucket(spark: SparkSession, newBuckets: Int): Long = synchronized {
+    val snap = snapshot()
+    require(newBuckets > 0, s"rebucket: bucket count must be positive, got $newBuckets")
+    require(newBuckets != snap.buckets,
+      s"rebucket: table already has ${snap.buckets} buckets")
+    val sch = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val all = allFiles(snap)
+    val commitVersion = snap.version + 1
+    val outDir = s"$root/" + f"data/c$commitVersion%08d"
+    val folded =
+      if (all.isEmpty) emptyDf(spark, sch).drop(BucketCol)
+      else resolve(spark.read.schema(internalSchema(sch))
+        .parquet(all.map(f => s"$root/${f.path}"): _*), snap)
+    val bucketed = folded
+      .withColumn(BucketCol, bucketExpr(col("repo"), newBuckets))
+    // same parallelism policy as compact: one task per bucket unless
+    // the row volume needs fanning out (range-partitioned, key-sorted)
+    val totalRows = if (all.forall(_.rows >= 0)) all.map(_.rows).sum else -1L
+    val targetRowsPerTask = math.max(maxRecordsPerFile, 1L << 22)
+    val parallelism =
+      if (totalRows < 0) newBuckets
+      else math.max(newBuckets,
+        math.min(((totalRows + targetRowsPerTask - 1) / targetRowsPerTask).toInt,
+          spark.sparkContext.defaultParallelism * 4))
+    val partitioned =
+      if (parallelism <= newBuckets) bucketed.repartition(newBuckets, col(BucketCol))
+      else bucketed.repartitionByRange(parallelism, col(BucketCol), col("repo"), col("path"))
+    writeData(partitioned
+      .sortWithinPartitions(col(BucketCol), col("repo"), col("path")), outDir)
+    val newFiles = manifestEntries(outDir)
+    val newRefs = newFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
+      .map { case (bk, fs) => writeManifest(commitVersion, bk, fs.sortBy(_.path)) }
+    writeSnapshot(snap.copy(
+      version = commitVersion,
+      buckets = newBuckets,
+      manifests = newRefs.sortBy(r => (r.bucket, r.path)),
+      lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
+        LineageEntry(-1L, bk, fs.size, commitVersion)
+      }.toSeq.sortBy(_.bucket)))
+    commitVersion
+  }
+
   /** All snapshot versions currently on disk, ascending. */
   def versions(): Seq[Long] =
     if (!Files.isDirectory(metaDir)) Nil

@@ -148,4 +148,40 @@ class LakeMaintenanceSpec extends SparkTestBase {
       }
     }
   }
+
+  test("rebucket: content identical, new bucket layout, merges keep working") {
+    val lake = freshLake() // 2 buckets
+    seedThreeVersions(lake)
+    val before = contentOf(lake)
+    val vPre = lake.currentVersion()
+    val v = lake.rebucket(spark, 8)
+    assert(lake.snapshot().buckets == 8)
+    assert(contentOf(lake) == before, "rebucket must not change logical content")
+    // every new file's manifest bucket matches the NEW bucket function
+    lake.files().foreach { f =>
+      val repos = Seq(f.minRepo, f.maxRepo).flatten
+      repos.foreach(r => assert(LakeTable.bucketOfRepo(r, 8) == f.bucket,
+        s"file ${f.path} bucket ${f.bucket} != hash(${r}) under 8 buckets"))
+    }
+    // time travel to the pre-rebucket snapshot still reads the OLD layout
+    assert(contentOf(lake, vPre) == before)
+    assert(lake.snapshot(vPre).buckets == 2)
+    // merges after the rebucket route by the new bucket count
+    lake.merge(batch(Seq((100L, "upsert", "rA", "p0", "v9"))), 99L)
+    assert(contentOf(lake)(("rA", "p0")) == "v9")
+    // changesBetween across the rebucket boundary: no logical change
+    // from the rebucket itself, only the post-rebucket merge
+    val changes = lake.changesBetween(spark, vPre, lake.currentVersion())
+      .select("repo", "path", "content").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(changes == Set(("rA", "p0", "v9")))
+    assert(v == vPre + 1)
+  }
+
+  test("rebucket rejects a no-op and an invalid bucket count") {
+    val lake = freshLake()
+    seedThreeVersions(lake)
+    intercept[IllegalArgumentException](lake.rebucket(spark, 2))
+    intercept[IllegalArgumentException](lake.rebucket(spark, 0))
+  }
 }
