@@ -1123,6 +1123,14 @@ object SparkEntry {
       cdcStateDump(s, lake.read(s))
     }),
 
+    // partition-spec evolution: a bucket-count change is one rewrite
+    // commit and must be invisible to readers — same LWW oracle
+    "q_rebucket" -> ((s, dir) => {
+      val (lake, _) = eventsCdcReplay(s, dir)
+      lake.rebucket(s, lake.snapshot().buckets * 4)
+      cdcStateDump(s, lake.read(s))
+    }),
+
     "q_rollback" -> ((s, dir) => {
       // rollback_to_snapshot: after the full replay, roll the table
       // back to the state committed by the FIRST micro-batch; the
@@ -1870,6 +1878,8 @@ object SparkEntry {
     "q_cdc_compacted" -> cdcLwwOracle(""),
 
     "q_lake_maintenance" -> cdcLwwOracle(""),
+
+    "q_rebucket" -> cdcLwwOracle(""),
 
     "q_cdc_mor" -> cdcLwwOracle(""),
 
