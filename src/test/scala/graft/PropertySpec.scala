@@ -172,4 +172,24 @@ class PropertySpec extends SparkTestBase {
       }
     }, n = 15)
   }
+
+  test("distributed exclusive prefix sum == sequential fold, any input/partitioning") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 400)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 3L))
+      parts <- Gen.choose(1, 9)
+    } yield (vals, parts)
+    check(Prop.forAllNoShrink(gen) { case (vals, parts) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("seq", "v").repartition(parts)
+      val got = graft.dsl.BatchOrdinals
+        .withExclusivePrefixSum(df, col("v"), "ps")
+        .select("seq", "ps").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = vals.scanLeft(0L)(_ + _).init.zipWithIndex
+        .map { case (s, i) => i.toLong -> s }.toMap
+      Prop(got == expected)
+    }, n = 20)
+  }
 }
