@@ -340,6 +340,16 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
 
+    // benchmark decontamination: corpus docs sharing any word n-gram
+    // with the (broadcast) benchmark set are flagged
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0).select(col("text"))
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "text",
+          n = 3, minHits = 1)
+        .select("doc_id", "contaminated", "contam_hits").orderBy("doc_id")
+    }),
+
     // deterministic hash sampling: pure projection+filter, decisions
     // re-derivable by any engine (md5 bucket, DuckDB-matched)
     "q_sample" -> ((s, dir) =>
@@ -1588,6 +1598,23 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |min(doc_id) AS keeper_id, count(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) <= 2 THEN [array_to_string(tk, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+        |              i -> array_to_string(list_slice(tk, i, i + 2), ' '))) END AS shingles
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(shingles) AS gram FROM sh WHERE doc_id % 17 = 0),
+        |inv AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+        |hits AS (SELECT doc_id, count(*) AS contam_hits
+        |  FROM inv JOIN bench USING(gram) GROUP BY 1)
+        |SELECT d.doc_id, h.contam_hits IS NOT NULL AS contaminated,
+        |  COALESCE(h.contam_hits, 0) AS contam_hits
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_sample" ->
       """SELECT event_id, event_type, value FROM events

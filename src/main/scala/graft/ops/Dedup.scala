@@ -238,6 +238,43 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // benchmark decontamination
+  // ------------------------------------------------------------------
+
+  /** Flag corpus documents that overlap an evaluation/benchmark set —
+    * the decontamination pass a training pipeline runs before
+    * training: a document sharing >= `minHits` distinct word n-grams
+    * with the benchmark set is contaminated.
+    *
+    * Scale shape: the benchmark is orders of magnitude smaller than
+    * the corpus, so its DISTINCT n-gram set broadcasts; the corpus
+    * side is a per-partition shingle projection + broadcast inner
+    * join — the only shuffle over corpus-derived data is the per-doc
+    * hit count of the MATCHING (id, gram) pairs (contaminated docs
+    * only, tiny). Returns the corpus plus `contaminated` /
+    * `contam_hits`; `filter(!col("contaminated"))` is the cleanse.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 8, minHits: Int = 1): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val benchGrams = benchmark
+      .select(explode(wordShingles(col(benchTextCol), n)).as("gram"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol).as("_dc_id"),
+        explode(wordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("_dc_id")).agg(count(lit(1)).as("contam_hits"))
+      .filter(col("contam_hits") >= minHits)
+    corpus.join(hits, corpus(idCol) === hits("_dc_id"), "left")
+      .drop("_dc_id")
+      .withColumn("contaminated", col("contam_hits").isNotNull)
+      .withColumn("contam_hits", coalesce(col("contam_hits"), lit(0L)))
+  }
+
+  // ------------------------------------------------------------------
   // near-dup clustering (connected components)
   // ------------------------------------------------------------------
 

@@ -413,6 +413,23 @@ class OpsSpec extends SparkTestBase {
     assert(frames == Seq("abc", "ghi"))
   }
 
+  test("decontaminate: n-gram hit counts and the minHits threshold") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 2 trigrams
+      (2L, "foo bar baz qux"),                // clean
+      (3L, "alpha beta gamma zeta")           // shares 1 trigram
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta").toDF("text")
+    def got(minHits: Int): Map[Long, (Boolean, Long)] =
+      Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+          n = 3, minHits = minHits)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("contaminated"), r.getAs[Long]("contam_hits")))).toMap
+    assert(got(1) == Map(1L -> ((true, 2L)), 2L -> ((false, 0L)), 3L -> ((true, 1L))))
+    assert(got(2) == Map(1L -> ((true, 2L)), 2L -> ((false, 0L)), 3L -> ((false, 0L))))
+  }
+
   test("hashSample: deterministic, repartition-stable, ~fraction sized") {
     val df = spark.range(0, 10000).toDF("id")
     val a = Sampling.hashSample(df, col("id"), 0.25, "s")
