@@ -112,7 +112,27 @@ object PipelineConfig {
     def transform: DataFrame => DataFrame = Processor.compile(processors)
   }
 
-  def parse(yaml: String): Pipeline = {
+  /** Environment-variable interpolation in the raw config text, the
+    * reference's config-time `${VAR}` / `${VAR:default}` expansion
+    * (upstream internal/config/env_vars.go; distinct from the runtime
+    * `${! expr }` interpolation, whose `!` marker this regex excludes).
+    * `${VAR}` with VAR unset and no default fails loudly — the
+    * reference's behavior, and the safe one for pipeline configs.
+    * Overridable for tests via `env`.
+    */
+  private[graft] def interpolateEnv(
+      yaml: String, env: String => Option[String] = sys.env.get): String =
+    "\\$\\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\\}".r.replaceAllIn(yaml, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        env(m.group(1)).orElse(Option(m.group(2))).getOrElse(
+          throw new IllegalArgumentException(
+            s"config references unset environment variable $${${m.group(1)}} " +
+              "with no default"))))
+
+  def parse(yaml: String): Pipeline = parse(yaml, sys.env.get)
+
+  def parse(yaml0: String, env: String => Option[String]): Pipeline = {
+    val yaml = interpolateEnv(yaml0, env)
     val root = mapper.readTree(yaml)
     val procs = Option(root.get("pipeline")).map(_.get("processors"))
       .orElse(Option(root.get("processors")))

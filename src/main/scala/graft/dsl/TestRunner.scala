@@ -39,7 +39,9 @@ object TestRunner {
   }
 
   def run(spark: SparkSession, yamlSpec: String): Seq[CaseResult] = {
-    val root = mapper.readTree(yamlSpec)
+    // same config-time ${VAR} expansion as PipelineConfig.parse — test
+    // specs are configs too (upstream runs them through the same loader)
+    val root = mapper.readTree(PipelineConfig.interpolateEnv(yamlSpec))
     val tests = Option(root.get("tests"))
       .getOrElse(throw new IllegalArgumentException("spec has no `tests`"))
     (0 until tests.size).map(i => runCase(spark, tests.get(i)))

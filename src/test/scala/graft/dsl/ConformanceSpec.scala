@@ -230,4 +230,27 @@ class ConformanceSpec extends SparkTestBase {
     val v = events.select(c.as("k")).filter($"k".contains("r2")).head.getString(0)
     assert(v == "key=r2/PY" || v == "key=r2/GO")
   }
+
+  test("config env interpolation: ${VAR}, ${VAR:default}, unset fails, ${! } untouched") {
+    val env = Map("GRAFT_CONF_FIELD" -> "lang").get _
+    val yaml =
+      """pipeline:
+        |  processors:
+        |    - mapping: |
+        |        root.v = this.${GRAFT_CONF_FIELD}
+        |        root.d = "${GRAFT_CONF_MISSING:fallback}"
+        |""".stripMargin
+    val rows = PipelineConfig.parse(yaml, env)
+      .transform(events).select("v", "d").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("scala", "py", "md", "go"))
+    assert(rows.forall(_.getString(1) == "fallback"))
+    // runtime interpolation markers are NOT config-time expanded
+    assert(PipelineConfig.interpolateEnv("a ${! this.x } b", _ => None) ==
+      "a ${! this.x } b")
+    // empty default is a valid default; unset without default fails loudly
+    assert(PipelineConfig.interpolateEnv("[${NOPE:}]", _ => None) == "[]")
+    val ex = intercept[IllegalArgumentException](
+      PipelineConfig.interpolateEnv("${GRAFT_CONF_NOT_SET}", _ => None))
+    assert(ex.getMessage.contains("GRAFT_CONF_NOT_SET"))
+  }
 }
