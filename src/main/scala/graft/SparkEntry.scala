@@ -868,6 +868,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // read_until input wrapper: data-exact cut at the first check-true
+    // row in seq order (delivered), via the distributed prefix sum
+    "q_read_until" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ru").toString + "/in"
+      t(s, dir, "events")
+        .select(col("event_id").as("seq"), col("event_type"))
+        .write.mode("overwrite").parquet(tmp)
+      val cfg = graft.dsl.PipelineConfig.parse(
+        s"""input:
+           |  read_until:
+           |    input:
+           |      file: { path: "$tmp", codec: parquet }
+           |    check: this.seq > 700
+           |pipeline:
+           |  processors:
+           |    - mapping: |
+           |        root.event_id = this.seq
+           |        root.event_type = this.event_type
+           |""".stripMargin)
+      cfg.transform(cfg.input.get.batch(s)).orderBy("event_id")
+    }),
+
     "q_input_broker" -> ((s, dir) => {
       // broker fan-in input (upstream input_broker.go): two file
       // children — the parquet table and a gzipped-JSONL rendering of
@@ -1899,6 +1921,11 @@ object SparkEntry {
     "q_input_broker" ->
       """SELECT event_type, 2 * count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_read_until" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_id <= (SELECT min(event_id) FROM events WHERE event_id > 700)
+        |ORDER BY event_id""".stripMargin,
 
     "q_cdc_replay_events" -> cdcLwwOracle(""),
 

@@ -106,6 +106,35 @@ object PipelineConfig {
       inputs.map(_.stream(spark)).reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** `read_until:` wrapper (upstream input_read_until.go): consume the
+    * child input until a Bloblang check passes; the triggering message
+    * IS delivered (upstream closes the input after delivering it), and
+    * nothing after it in `seq` order. Data-exact columnar form: keep
+    * rows whose EXCLUSIVE prefix count of check-true rows is zero — a
+    * distributed two-level prefix sum (BatchOrdinals), never a global
+    * window. `delivered_last: false` drops the triggering message too.
+    */
+  final case class ReadUntilIn(inner: Input, check: String,
+                               deliverLast: Boolean = true) extends Input {
+    private def cut(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+      val ind = when(coalesce(Processor.exprOf(check, df), lit(false)), 1L)
+        .otherwise(0L)
+      val cutDf = BatchOrdinals.withExclusivePrefixSum(df, ind, "_ru_before")
+      val kept =
+        if (deliverLast) cutDf.filter(col("_ru_before") === 0L)
+        else cutDf.filter(col("_ru_before") === 0L &&
+          !coalesce(Processor.exprOf(check, cutDf), lit(false)))
+      kept.drop("_ru_before")
+    }
+    def batch(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      cut(inner.batch(spark))
+    def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      throw new IllegalArgumentException(
+        "read_until needs the bounded frame to rank the cut; use batch() " +
+          "(streaming replay bounds are the trigger policy, SURVEY §2.1)")
+  }
+
   final case class Pipeline(processors: Seq[Processor],
                             sink: Option[graft.sinks.Sink] = None,
                             input: Option[Input] = None) {
@@ -186,6 +215,11 @@ object PipelineConfig {
         opt(body, "version").map(_.asLong),
         opt(body, "changes_from").map(_.asLong),
         opt(body, "changes_to").map(_.asLong))
+      case "read_until" => ReadUntilIn(
+        parseInput(Option(body.get("input")).getOrElse(
+          throw new IllegalArgumentException("read_until needs a child `input`"))),
+        body.get("check").asText,
+        opt(body, "deliver_last").forall(_.asBoolean))
       case other => throw new IllegalArgumentException(s"unknown input: $other")
     }
   }

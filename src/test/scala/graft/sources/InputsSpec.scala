@@ -212,4 +212,28 @@ class InputsSpec extends SparkTestBase {
       graft.dsl.PipelineConfig.LakeIn(s"$root/t", None, None, None).stream(spark))
     assert(e.getMessage.contains("ChangeFeed"))
   }
+
+  test("read_until input: cut at the first check-true row, deliver_last both ways") {
+    import spark.implicits._
+    val dir = tmpDir("ru")
+    (0L until 50L).map(i => (i, s"p$i")).toDF("seq", "payload")
+      .repartition(5).write.mode("overwrite").parquet(s"$dir/in")
+    def run(deliverLast: String): Seq[Long] = {
+      val cfg = graft.dsl.PipelineConfig.parse(
+        s"""input:
+           |  read_until:
+           |    input:
+           |      file: { path: "$dir/in", codec: parquet }
+           |    check: this.seq >= 20
+           |    deliver_last: $deliverLast
+           |pipeline:
+           |  processors:
+           |    - filter: this.seq >= 0
+           |""".stripMargin)
+      cfg.transform(cfg.input.get.batch(spark))
+        .select("seq").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(run("true") == (0L to 20L))   // triggering row delivered
+    assert(run("false") == (0L until 20L)) // ...or not
+  }
 }
