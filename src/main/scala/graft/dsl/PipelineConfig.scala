@@ -248,10 +248,19 @@ object PipelineConfig {
           opt(body, "merge_on_read").exists(_.asBoolean))
       case "drop" => Drop
       case "switch" =>
-        Switch((0 until body.size).map { i =>
-          val c = body.get(i)
-          (opt(c, "check").map(_.asText), parseSink(c.get("output")))
-        })
+        // list form: [{check, output, continue}]; object form adds
+        // strict_mode around a `cases` list (upstream output_switch.go)
+        val (list, strict) =
+          if (body.isArray) (body, false)
+          else (body.get("cases"),
+            opt(body, "strict_mode").exists(_.asBoolean))
+        Switch((0 until list.size).map { i =>
+            val c = list.get(i)
+            (opt(c, "check").map(_.asText), parseSink(c.get("output")))
+          },
+          (0 until list.size).map(i =>
+            opt(list.get(i), "continue").exists(_.asBoolean)),
+          strict)
       case "broker" =>
         val outs = body.get("outputs")
         val children = (0 until outs.size).map(i => parseSink(outs.get(i)))

@@ -99,16 +99,31 @@ object Sink {
   /** Route each row to the FIRST output whose check passes (reference
     * `switch` output, strict first-match). `None` check = catch-all.
     */
-  final case class Switch(cases: Seq[(Option[String], Sink)]) extends Sink {
+  /** Route rows to the first output whose check passes (upstream
+    * output_switch.go). A case with `continue = true` lets its matches
+    * keep testing later cases too (multi-route); `strict` makes a row
+    * matching NO case a batch failure instead of a silent drop —
+    * exactly upstream's `strict_mode`.
+    */
+  final case class Switch(cases: Seq[(Option[String], Sink)],
+                          continues: Seq[Boolean] = Nil,
+                          strict: Boolean = false) extends Sink {
     def write(batch: DataFrame, batchId: Long): Unit = {
       val b = batch.persist()
       try {
         val checks = cases.map(_._1.map(c => Processor.exprOf(c, b)))
+        val cont = if (continues.nonEmpty) continues else cases.map(_ => false)
+        def matched(i: Int) = coalesce(checks(i).getOrElse(lit(true)), lit(false))
+        // a row reaches case i unless some prior NON-continue case took it
+        def cond(i: Int) = (0 until i).filterNot(cont)
+          .foldLeft(matched(i))((acc, p) => acc && !matched(p))
+        if (strict) {
+          val unrouted = b.filter(!cases.indices.map(matched).reduce(_ || _)).count()
+          require(unrouted == 0L,
+            s"switch strict_mode: $unrouted rows matched no case in batch $batchId")
+        }
         cases.zipWithIndex.foreach { case ((_, sink), i) =>
-          val self = checks(i).getOrElse(lit(true))
-          val cond = checks.take(i).flatten
-            .foldLeft(self)((acc, prior) => acc && !coalesce(prior, lit(false)))
-          sink.write(b.filter(coalesce(cond, lit(false))), batchId)
+          sink.write(b.filter(cond(i)), batchId)
         }
       } finally { b.unpersist(); () }
     }

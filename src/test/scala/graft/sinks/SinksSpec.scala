@@ -30,6 +30,37 @@ class SinksSpec extends SparkTestBase {
     assert(readDir(s"$d/rest").select("seq").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("switch sink: continue multi-routes, strict_mode fails on unrouted rows") {
+    val d = tmpDir("switchc")
+    val batch = Seq((1L, "upsert"), (2L, "delete"), (3L, "other")).toDF("seq", "op")
+    // YAML object form: audit case continues, so deletes land in BOTH
+    val yaml =
+      s"""output:
+         |  switch:
+         |    strict_mode: true
+         |    cases:
+         |      - check: this.op == "delete"
+         |        continue: true
+         |        output: { file: "$d/audit" }
+         |      - check: this.op == "delete"
+         |        output: { file: "$d/del" }
+         |      - output: { file: "$d/rest" }
+         |""".stripMargin
+    val sink = graft.dsl.PipelineConfig.parse(yaml +
+      "pipeline:\n  processors:\n    - noop: {}\n").sink.get
+    sink.write(batch, 0L)
+    assert(readDir(s"$d/audit").select("seq").as[Long].collect().toSeq == Seq(2L))
+    assert(readDir(s"$d/del").select("seq").as[Long].collect().toSeq == Seq(2L))
+    assert(readDir(s"$d/rest").select("seq").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // strict_mode: a batch with an unroutable row fails loudly
+    val strictNoCatchAll = Sink.Switch(
+      Seq(Some("""this.op == "delete"""") -> Sink.ParquetDir(s"$d/x")),
+      Seq(false), strict = true)
+    val ex = intercept[IllegalArgumentException](
+      strictNoCatchAll.write(batch, 1L))
+    assert(ex.getMessage.contains("strict_mode"))
+  }
+
   test("fan_out writes the same batch everywhere; parquet sink replay is idempotent") {
     val d = tmpDir("fanout")
     val batch = Seq(1L, 2L, 3L).toDF("v")
