@@ -202,6 +202,37 @@ class EndToEndReplaySpec extends SparkTestBase {
     }
   }
 
+  test("rebucket mid-replay: layout evolution under a live checkpoint, exact state") {
+    val log = tmpDir("log"); val lakeRoot = tmpDir("lake"); val ckpt = tmpDir("ckpt")
+    EventLogGen.writeLog(spark, cfg, log)
+    val rcfg = ReplayConfig(log, lakeRoot, ckpt, maxFilesPerTrigger = Some(2))
+    val q1 = CdcEngine.replay(spark, rcfg, identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 milliseconds"))
+    val deadline = System.nanoTime() + 60000000000L
+    while (q1.recentProgress.length < 2 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    // the admin operation between stream restarts: grow the layout
+    val mid = new LakeTable(lakeRoot)
+    assert(mid.currentVersion() > 0)
+    val oldBuckets = mid.snapshot().buckets
+    mid.rebucket(spark, oldBuckets * 4)
+    // resume: remaining batches merge under the NEW bucket function,
+    // the fence survives the rebucket commit, and the final state is
+    // still exactly the fold oracle
+    val lake = CdcEngine.replayToEnd(spark, rcfg)
+    assert(lake.snapshot().buckets == oldBuckets * 4)
+    val oracle = FoldOracle.replay(spark, log)
+    val got = lake.read(spark)
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got.size == oracle.size)
+    oracle.foreach { case (k, fr) =>
+      assert(got(k) == FoldOracle.rowSha256(fr.content),
+        s"mismatch at $k after mid-replay rebucket")
+    }
+  }
+
   test("all materialization modes reach the fold-oracle state") {
     val log = tmpDir("log"); EventLogGen.writeLog(spark, cfg, log)
     val oracle = FoldOracle.replay(spark, log)
