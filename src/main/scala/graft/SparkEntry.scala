@@ -340,6 +340,17 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
 
+    // sequence packing (concat-then-chunk): pack assignment from the
+    // distributed exclusive prefix sum of token counts in doc order
+    "q_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("seq"), col("text"))
+      graft.ops.TextOps.packBins(docs,
+          graft.ops.TextOps.tokenCount(col("text")).cast("long"), 512L)
+        .select(col("seq").as("doc_id"), col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: corpus docs sharing any word n-gram
     // with the (broadcast) benchmark set are flagged
     "q_decontaminate" -> ((s, dir) => {
@@ -1620,6 +1631,15 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |min(doc_id) AS keeper_id, count(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS toks FROM documents),
+        |p AS (SELECT doc_id, CAST(COALESCE(sum(toks) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bf
+        |  FROM t)
+        |SELECT doc_id, bf // 512 AS pack_id, bf % 512 AS pack_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk

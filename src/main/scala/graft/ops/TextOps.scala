@@ -130,4 +130,24 @@ object TextOps {
   def fingerprintRolling(text: Column): Column =
     aggregate(tokens(normalized(text)), lit(0L),
       (acc, t) => xxhash64(acc, t))
+
+  /** Sequence packing for pretraining — the concat-then-chunk layout:
+    * documents concatenated in a deterministic order and cut into
+    * fixed-token-budget training sequences. Each doc gets
+    * `pack_id` = which sequence its first token lands in and
+    * `pack_offset` = the token offset within it, from the distributed
+    * EXCLUSIVE prefix sum of `tokCol` in `seq` order
+    * (BatchOrdinals two-level shape — never a single-partition
+    * window). Deterministic given (data, budget); a doc whose tokens
+    * span a boundary belongs to the pack where it starts, exactly the
+    * downstream chunker's view.
+    */
+  def packBins(df: org.apache.spark.sql.DataFrame, tokCol: Column,
+               budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    graft.dsl.BatchOrdinals.withExclusivePrefixSum(df, tokCol, "_pk_before")
+      .withColumn("pack_id", (col("_pk_before") / budget).cast("long"))
+      .withColumn("pack_offset", col("_pk_before") % budget)
+      .drop("_pk_before")
+  }
 }

@@ -413,6 +413,20 @@ class OpsSpec extends SparkTestBase {
     assert(frames == Seq("abc", "ghi"))
   }
 
+  test("packBins: pack assignment equals the sequential concat-then-chunk fold") {
+    import spark.implicits._
+    val toks = Seq(100L, 300L, 200L, 50L, 500L, 10L, 400L, 256L)
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("seq", "toks").repartition(5)
+    val got = TextOps.packBins(df, col("toks"), budget = 512L)
+      .select("seq", "pack_id", "pack_offset").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val prefix = toks.scanLeft(0L)(_ + _).init
+    prefix.zipWithIndex.foreach { case (b, i) =>
+      assert(got(i.toLong) == ((b / 512L, b % 512L)), s"doc $i")
+    }
+  }
+
   test("decontaminate: n-gram hit counts and the minHits threshold") {
     import spark.implicits._
     val corpus = Seq(
