@@ -169,6 +169,15 @@ object BatchOrdinals {
 object BatchRefs {
   val Prefix = "_from_"
 
+  /** `from_all` materializes the whole batch as one broadcast array —
+    * the reference's bounded-batch construct. At micro-batch scale
+    * that array would OOM the driver long before Spark's broadcast
+    * limit gives a readable error, so the plan itself refuses past
+    * this many parts (checked with an in-plan `raise_error`, no extra
+    * scan).
+    */
+  val MaxFromAllParts: Int = 1 << 20
+
   /** Distinct `from`/`from_all` target expressions, first-appearance
     * order. Nested cross-part references are rejected (as upstream —
     * a `from` target re-scoped by another `from` has no meaning).
@@ -248,7 +257,13 @@ object BatchRefs {
         collect_list(struct(ord.as("o"), v.as("v"))),
         (l, r) => when(l.getField("o") < r.getField("o"), -1)
           .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
-      (t, name, transform(sorted, x => x.getField("v")).as(name))
+      val arr = transform(sorted, x => x.getField("v"))
+      val guarded = when(size(arr) > MaxFromAllParts,
+        raise_error(lit(s"from/from_all: batch exceeds $MaxFromAllParts parts " +
+          "— cross-part references are a bounded-batch construct " +
+          "(batch first with batch_by_check or a smaller trigger)")))
+        .otherwise(arr)
+      (t, name, guarded.as(name))
     }
     val one = df.agg(aggs.head._3, aggs.tail.map(_._3): _*)
     (df.crossJoin(broadcast(one)), aggs.map(a => a._1 -> a._2).toMap)
