@@ -186,6 +186,30 @@ object PipelineConfig {
     Pipeline(parseProcessors(procs, resources), sink, input)
   }
 
+  /** Streams mode (upstream `benthos streams` / `/streams` API): one
+    * config carrying multiple named pipelines. Each value is a full
+    * pipeline document (input/pipeline/output/processor_resources),
+    * parsed independently; insertion order is preserved so callers can
+    * run them in declaration order.
+    */
+  def parseStreams(yaml0: String,
+                   env: String => Option[String] = sys.env.get)
+      : Seq[(String, Pipeline)] = {
+    val yaml = interpolateEnv(yaml0, env)
+    val root = mapper.readTree(yaml)
+    val streams = Option(root.get("streams")).getOrElse(
+      throw new IllegalArgumentException("streams config has no `streams:` map"))
+    require(streams.isObject && streams.size > 0,
+      "`streams:` must be a non-empty map of name -> pipeline config")
+    val names = streams.fieldNames()
+    val out = Seq.newBuilder[(String, Pipeline)]
+    while (names.hasNext) {
+      val n = names.next()
+      out += n -> parse(mapper.writeValueAsString(streams.get(n)), env)
+    }
+    out.result()
+  }
+
   def parseInput(node: JsonNode): Input = {
     require(node.isObject && node.size == 1,
       s"input must be a single-key object, got $node")

@@ -1,0 +1,34 @@
+package graft.tools
+
+/** Config linter CLI — the engine's `benthos lint`: parse each config
+  * file (single-pipeline or streams-mode) without running anything and
+  * report ok / first error per file. Exit code 1 if any file fails,
+  * so it drops into CI.
+  *
+  *   runMain graft.tools.Lint <config.yaml> [more.yaml ...]
+  */
+object Lint {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Lint <config.yaml> [...]")
+    var failed = 0
+    args.foreach { path =>
+      val result = scala.util.Try {
+        val yaml = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+        if (graft.dsl.PipelineConfig.interpolateEnv(yaml)
+            .linesIterator.exists(_.matches("^streams:\\s*(#.*)?$"))) {
+          val ss = graft.dsl.PipelineConfig.parseStreams(yaml)
+          s"ok (${ss.size} streams: ${ss.map(_._1).mkString(", ")})"
+        } else {
+          val p = graft.dsl.PipelineConfig.parse(yaml)
+          s"ok (${p.processors.size} processors" +
+            s"${p.input.fold("")(_ => ", input")}${p.sink.fold("")(_ => ", output")})"
+        }
+      }.recover { case e =>
+        failed += 1
+        s"FAIL ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}"
+      }.get
+      println(s"[lint] $path: $result")
+    }
+    if (failed > 0) sys.exit(1)
+  }
+}

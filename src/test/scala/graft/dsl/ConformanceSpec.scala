@@ -253,4 +253,25 @@ class ConformanceSpec extends SparkTestBase {
       PipelineConfig.interpolateEnv("${GRAFT_CONF_NOT_SET}", _ => None))
     assert(ex.getMessage.contains("GRAFT_CONF_NOT_SET"))
   }
+
+  test("streams mode: one config, multiple named pipelines, declaration order") {
+    val yaml =
+      """streams:
+        |  enrich:
+        |    pipeline:
+        |      processors:
+        |        - mutation: root.up = this.lang.uppercase()
+        |  prune:
+        |    pipeline:
+        |      processors:
+        |        - filter: this.op == "upsert"
+        |""".stripMargin
+    val streams = PipelineConfig.parseStreams(yaml)
+    assert(streams.map(_._1) == Seq("enrich", "prune"))
+    val enriched = streams.head._2.transform(events)
+    assert(enriched.columns.contains("up"))
+    assert(streams(1)._2.transform(events).count() == 4) // 5 rows, 1 delete
+    intercept[IllegalArgumentException](
+      PipelineConfig.parseStreams("pipeline:\n  processors: []\n"))
+  }
 }
