@@ -58,14 +58,17 @@ object PipelineConfig {
     * Bounded by `count`, like upstream's `count` field.
     */
   final case class GenerateIn(seed: Long, count: Long,
-                              repos: Int, pathsPerRepo: Int) extends Input {
+                              repos: Int, pathsPerRepo: Int,
+                              rowsPerBatch: Long = 1000L) extends Input {
     private def cfg = graft.gen.EventLogGen.GenConfig(
       seed = seed, events = count, repos = repos, pathsPerRepo = pathsPerRepo)
     def batch(spark: org.apache.spark.sql.SparkSession): DataFrame =
       graft.gen.EventLogGen.events(spark, cfg, 0L, count)
+    // unbounded streaming generate (upstream: no `count` bound):
+    // deterministic payloads over the rate-micro-batch sequence —
+    // only arrival timing is wall-clock, like upstream's `interval`
     def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
-      throw new IllegalArgumentException(
-        "generate is bounded (count); use batch(), or writeLog + a file input to stream it")
+      graft.gen.EventLogGen.stream(spark, cfg, rowsPerBatch)
   }
   /** `lake:` input — read a graft lake table as a pipeline source,
     * composing multi-hop pipelines (the bronze→silver pattern: a
@@ -229,7 +232,8 @@ object PipelineConfig {
         opt(body, "seed").map(_.asLong).getOrElse(42L),
         opt(body, "count").map(_.asLong).getOrElse(1000L),
         opt(body, "repos").map(_.asInt).getOrElse(20),
-        opt(body, "paths_per_repo").map(_.asInt).getOrElse(200))
+        opt(body, "paths_per_repo").map(_.asInt).getOrElse(200),
+        opt(body, "rows_per_batch").map(_.asLong).getOrElse(1000L))
       case "broker" =>
         val ins = body.get("inputs")
         require(ins != null && ins.isArray, "broker input needs an `inputs` list")

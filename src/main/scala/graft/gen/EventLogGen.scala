@@ -41,7 +41,23 @@ object EventLogGen {
   /** Pure-Catalyst event frame for seq in [start, end), base columns. */
   def events(spark: SparkSession, cfg: GenConfig, start: Long, end: Long): DataFrame = {
     val parts = math.max(1L, math.min((end - start) / math.max(1L, cfg.rowsPerFile), 4096L)).toInt
-    val df = spark.range(start, end, 1L, parts)
+    eventsFrom(spark.range(start, end, 1L, parts).toDF(), cfg)
+  }
+
+  /** Unbounded STREAMING variant (upstream input_generate.go with no
+    * `count`): the same pure columnar derivation applied to the
+    * rate-micro-batch source's `value` sequence — payloads stay a
+    * deterministic function of (seed, seq); only arrival TIMING is
+    * wall-clock, which is the upstream `interval` semantics too.
+    */
+  def stream(spark: SparkSession, cfg: GenConfig, rowsPerBatch: Long): DataFrame =
+    eventsFrom(
+      spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch).load()
+        .select(col("value").as("id")), cfg)
+
+  /** Column derivation over any frame with an `id: long` sequence. */
+  def eventsFrom(df: DataFrame, cfg: GenConfig): DataFrame = {
     val h = xxhash64(lit(cfg.seed), col("id"))
     val u = pmod(h, lit(1000000000L)).cast("double") / 1e9
     val alpha = 1.0 + cfg.zipfExponent

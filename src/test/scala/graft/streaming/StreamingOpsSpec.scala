@@ -91,4 +91,30 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(vals.contains(7L), "key re-admitted after state eviction")
     } finally q.stop()
   }
+
+  test("streaming generate input: deterministic payloads, batch parity per seq") {
+    val cfg = graft.dsl.PipelineConfig.parse(
+      """input:
+        |  generate: { seed: 7, count: 500, rows_per_batch: 250 }
+        |pipeline:
+        |  processors:
+        |    - mutation: root.sha = this.content.hash("sha256")
+        |""".stripMargin)
+    val q = cfg.transform(cfg.input.get.stream(spark))
+      .writeStream.format("memory").queryName("gen_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val deadline = System.nanoTime() + 60000000000L
+      while (spark.sql("SELECT count(*) FROM gen_stream").head.getLong(0) < 500 &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+      val streamed = spark.sql("SELECT seq, sha FROM gen_stream WHERE seq < 500")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // batch parity: same (seed, seq) -> byte-identical content
+      val batch = cfg.transform(cfg.input.get.batch(spark))
+        .select(col("seq"), col("sha"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed.size == 500)
+      assert(streamed == batch, "stream/batch payload divergence")
+    } finally q.stop()
+  }
 }
