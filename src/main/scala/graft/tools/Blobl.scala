@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot mapping evaluator CLI — the engine's `benthos blobl`:
+  * apply a mapping to JSON documents and print the mapped JSON, one
+  * line per input document. Documents come from arguments 2..n or
+  * stdin (one JSON object per line). The mapping goes through the
+  * SAME compiler as pipelines (MappingCompiler → Catalyst), so this
+  * is a faithful scratchpad for pipeline mappings, not a separate
+  * interpreter.
+  *
+  *   runMain graft.tools.Blobl 'root.x = this.a + 1' '{"a": 41}'
+  *   cat docs.jsonl | runMain graft.tools.Blobl 'root = this.b'
+  */
+object Blobl {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Blobl <mapping> [json-doc ...]  (or docs on stdin)")
+    val mapping = args(0)
+    val docs: Seq[String] =
+      if (args.length > 1) args.drop(1).toSeq
+      else scala.io.Source.stdin.getLines().filter(_.trim.nonEmpty).toSeq
+    require(docs.nonEmpty, "no input documents")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[2]"))
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-blobl").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try println(render(spark, mapping, docs).mkString("\n"))
+    finally spark.stop()
+  }
+
+  /** Mapped JSON lines in input order (separated out for the spec). */
+  def render(spark: SparkSession, mapping: String, docs: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // _blobl_ord preserves input order through the unordered frame;
+    // prepending its carry-assignment to the mapping rides the same
+    // ordered-assignment semantics the compiler already has
+    val in = spark.read.json(
+      docs.zipWithIndex.map { case (d, i) =>
+        s"""{"_blobl_ord":$i,"_blobl_doc":$d}"""
+      }.toDS())
+    val payload = in.select(col("_blobl_ord"), col("_blobl_doc.*"))
+    val outCols = graft.dsl.MappingCompiler
+      .compileMapping(mapping, startFromThis = false)(payload.drop("_blobl_ord"))
+      .columns
+    val withOrd = graft.dsl.MappingCompiler
+      .compileMapping(s"root._blobl_ord = this._blobl_ord\n$mapping",
+        startFromThis = false)(payload)
+    val ordered = // whole-root scalar assignments clear the ord column
+      if (withOrd.columns.contains("_blobl_ord")) withOrd.orderBy("_blobl_ord")
+      else withOrd
+    ordered.select(outCols.map(col).toIndexedSeq: _*).toJSON.collect().toSeq
+  }
+}

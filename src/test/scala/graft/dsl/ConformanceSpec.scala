@@ -254,6 +254,17 @@ class ConformanceSpec extends SparkTestBase {
     assert(ex.getMessage.contains("GRAFT_CONF_NOT_SET"))
   }
 
+  test("blobl one-shot evaluator: mapped JSON in input order, whole-root too") {
+    val out = graft.tools.Blobl.render(spark,
+      "root.x = this.a + 1\nroot.tag = this.name.uppercase()",
+      Seq("""{"a":41,"name":"zed"}""", """{"a":1,"name":"b"}"""))
+    assert(out == Seq("""{"x":42,"tag":"ZED"}""", """{"x":2,"tag":"B"}"""))
+    // whole-root scalar assignment (clears the order carrier) still renders
+    val scalar = graft.tools.Blobl.render(spark,
+      "root = this.a * 10", Seq("""{"a":7}"""))
+    assert(scalar == Seq("""{"value":70}"""))
+  }
+
   test("streams mode: one config, multiple named pipelines, declaration order") {
     val yaml =
       """streams:
