@@ -901,6 +901,26 @@ object SparkEntry {
       cfg.transform(cfg.input.get.batch(s)).orderBy("event_id")
     }),
 
+    // streams mode: one config, several named pipelines, each compiled
+    // and run independently over the same source
+    "q_streams_mode" -> ((s, dir) => {
+      val streams = graft.dsl.PipelineConfig.parseStreams(
+        """streams:
+          |  hi:
+          |    pipeline:
+          |      processors:
+          |        - filter: this.value >= 450.0
+          |  lo:
+          |    pipeline:
+          |      processors:
+          |        - filter: this.value < 50.0
+          |""".stripMargin)
+      streams.map { case (name, p) =>
+        p.transform(t(s, dir, "events"))
+          .select(col("event_id"), lit(name).as("stream"))
+      }.reduce(_.unionByName(_)).orderBy("event_id", "stream")
+    }),
+
     "q_input_broker" -> ((s, dir) => {
       // broker fan-in input (upstream input_broker.go): two file
       // children — the parquet table and a gzipped-JSONL rendering of
@@ -1941,6 +1961,12 @@ object SparkEntry {
     "q_input_broker" ->
       """SELECT event_type, 2 * count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_streams_mode" ->
+      """SELECT event_id, 'hi' AS stream FROM events WHERE value >= 450.0
+        |UNION ALL
+        |SELECT event_id, 'lo' AS stream FROM events WHERE value < 50.0
+        |ORDER BY event_id, stream""".stripMargin,
 
     "q_read_until" ->
       """SELECT event_id, event_type FROM events
