@@ -901,6 +901,28 @@ object SparkEntry {
       cfg.transform(cfg.input.get.batch(s)).orderBy("event_id")
     }),
 
+    // sequence input: children consumed in declaration order — seq is
+    // rebased child-major so the combined order is data, not position
+    "q_sequence" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-seqin").toString
+      val ev = t(s, dir, "events").select(col("event_id").as("seq"), col("event_type"))
+      ev.filter(col("seq").between(101, 200)).write.mode("overwrite").parquet(s"$tmp/a")
+      ev.filter(col("seq") <= 50).write.mode("overwrite").parquet(s"$tmp/b")
+      val cfg = graft.dsl.PipelineConfig.parse(
+        s"""input:
+           |  sequence:
+           |    inputs:
+           |      - file: { path: "$tmp/a", codec: parquet }
+           |      - file: { path: "$tmp/b", codec: parquet }
+           |pipeline:
+           |  processors:
+           |    - mapping: |
+           |        root.new_seq = this.seq
+           |        root.event_type = this.event_type
+           |""".stripMargin)
+      cfg.transform(cfg.input.get.batch(s)).orderBy("new_seq")
+    }),
+
     // streams mode: one config, several named pipelines, each compiled
     // and run independently over the same source
     "q_streams_mode" -> ((s, dir) => {
@@ -1961,6 +1983,15 @@ object SparkEntry {
     "q_input_broker" ->
       """SELECT event_type, 2 * count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sequence" ->
+      """WITH a AS (SELECT * FROM events WHERE event_id BETWEEN 101 AND 200),
+        |b AS (SELECT * FROM events WHERE event_id <= 50)
+        |SELECT event_id - (SELECT min(event_id) FROM a) AS new_seq, event_type FROM a
+        |UNION ALL
+        |SELECT event_id - (SELECT min(event_id) FROM b)
+        |  + (SELECT max(event_id) - min(event_id) + 1 FROM a) AS new_seq, event_type FROM b
+        |ORDER BY new_seq""".stripMargin,
 
     "q_streams_mode" ->
       """SELECT event_id, 'hi' AS stream FROM events WHERE value >= 450.0

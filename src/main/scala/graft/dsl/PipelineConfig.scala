@@ -109,6 +109,40 @@ object PipelineConfig {
       inputs.map(_.stream(spark)).reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** `sequence:` input (upstream input_sequence.go): child inputs
+    * consumed one after another. Order is data here, so the children
+    * are unioned with `seq` REBASED child-major — child i's rows all
+    * sort after child i-1's, preserving relative order within each
+    * child. Offsets come from per-child min/max(seq) aggregates
+    * (metadata-sized); children must carry a `seq` column (the same
+    * requirement every ordered operator in this engine has).
+    */
+  final case class SequenceIn(inputs: Seq[Input]) extends Input {
+    require(inputs.nonEmpty, "sequence input needs at least one child")
+    def batch(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import org.apache.spark.sql.functions.{col, max, min}
+      val frames = inputs.map(_.batch(spark))
+      frames.foreach(f => require(f.columns.contains("seq"),
+        "sequence input: every child needs a seq column to define its order"))
+      var offset = 0L
+      frames.map { f =>
+        val span = f.agg(min(col("seq").cast("long")),
+          max(col("seq").cast("long"))).head()
+        if (span.isNullAt(0)) f // empty child: contributes nothing
+        else {
+          val (mn, mx) = (span.getLong(0), span.getLong(1))
+          val shifted = f.withColumn("seq",
+            col("seq").cast("long") - mn + offset)
+          offset += mx - mn + 1
+          shifted
+        }
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      throw new IllegalArgumentException(
+        "sequence is bounded (children are drained in order); use batch()")
+  }
+
   /** `read_until:` wrapper (upstream input_read_until.go): consume the
     * child input until a Bloblang check passes; the triggering message
     * IS delivered (upstream closes the input after delivering it), and
@@ -243,6 +277,10 @@ object PipelineConfig {
         opt(body, "version").map(_.asLong),
         opt(body, "changes_from").map(_.asLong),
         opt(body, "changes_to").map(_.asLong))
+      case "sequence" =>
+        val ins = body.get("inputs")
+        require(ins != null && ins.isArray, "sequence input needs an `inputs` list")
+        SequenceIn((0 until ins.size).map(i => parseInput(ins.get(i))))
       case "read_until" => ReadUntilIn(
         parseInput(Option(body.get("input")).getOrElse(
           throw new IllegalArgumentException("read_until needs a child `input`"))),
