@@ -455,7 +455,9 @@ object PipelineConfig {
       case "switch" =>
         PSwitch((0 until body.size).map { i =>
           val c = body.get(i)
-          SwitchCase(opt(c, "check").map(_.asText), parseProcessors(c.get("processors"), resources))
+          SwitchCase(opt(c, "check").map(_.asText),
+            parseProcessors(c.get("processors"), resources),
+            opt(c, "fallthrough").exists(_.asBoolean))
         })
       case "branch" =>
         PBranch(

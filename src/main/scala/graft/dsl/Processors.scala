@@ -19,9 +19,13 @@ object Processor {
   final case class PMutation(src: String) extends Processor
   /** keep rows passing the check (v3 lib/processor/filter.go). */
   final case class PFilter(check: String) extends Processor
-  /** ordered first-match-wins routing (processor_switch.go). */
+  /** ordered first-match-wins routing (processor_switch.go); a case
+    * with `fallthrough = true` ALSO runs the next case's processors on
+    * its matches (chaining through consecutive fallthroughs), exactly
+    * the upstream per-case flag. */
   final case class PSwitch(cases: Seq[SwitchCase]) extends Processor
-  final case class SwitchCase(check: Option[String], processors: Seq[Processor])
+  final case class SwitchCase(check: Option[String], processors: Seq[Processor],
+                              fallthrough: Boolean = false)
   /** request_map -> children -> result_map enrichment (processor_branch.go). */
   final case class PBranch(requestMap: String, processors: Seq[Processor], resultMap: String) extends Processor
   /** LWW dedupe on an interpolated key (processor_dedupe.go). */
@@ -252,8 +256,15 @@ object Processor {
         val priors = checks.take(i).flatten
         priors.foldLeft(self)((acc, prior) => acc && !coalesce(prior, lit(false)))
       }
-      val branches = cases.zip(conds).map { case (sc, cond) =>
-        compile(sc.processors)(df.filter(coalesce(cond, lit(false))))
+      val branches = cases.indices.zip(conds).map { case (i, cond) =>
+        // fallthrough chain: a match at i also runs the processors of
+        // each next case while the previous case falls through
+        val chain = scala.collection.mutable.Buffer(cases(i).processors)
+        var j = i
+        while (j < cases.size - 1 && cases(j).fallthrough) {
+          chain += cases(j + 1).processors; j += 1
+        }
+        compile(chain.flatten.toSeq)(df.filter(coalesce(cond, lit(false))))
       }
       branches.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
     }

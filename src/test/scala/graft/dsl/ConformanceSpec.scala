@@ -254,6 +254,25 @@ class ConformanceSpec extends SparkTestBase {
     assert(ex.getMessage.contains("GRAFT_CONF_NOT_SET"))
   }
 
+  test("switch fallthrough: a match also runs the next case's processors") {
+    val pipe = Processor.compile(Seq(PSwitch(Seq(
+      SwitchCase(Some("""lang == "scala""""),
+        Seq(PMutation("root.tag = \"s\"")), fallthrough = true),
+      SwitchCase(Some("""lang == "py""""),
+        Seq(PMutation("root.tag2 = \"chained\""))),
+      SwitchCase(None, Seq(PMutation("root.tag = \"rest\"")))))))
+    val out = pipe(events).select("seq", "lang", "tag", "tag2")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), Option(r.getString(3))))).toMap
+    // scala rows run case 1 AND (via fallthrough) case 2's processors
+    assert(out(1L) == (("s", Some("chained"))))
+    assert(out(2L) == (("s", Some("chained"))))
+    // py rows match case 2 directly: tag2 only
+    assert(out(3L) == ((null, Some("chained"))))
+    // everything else lands in the catch-all
+    assert(out(4L) == (("rest", None)) && out(5L) == (("rest", None)))
+  }
+
   test("blobl one-shot evaluator: mapped JSON in input order, whole-root too") {
     val out = graft.tools.Blobl.render(spark,
       "root.x = this.a + 1\nroot.tag = this.name.uppercase()",
