@@ -61,6 +61,24 @@ final class ChangeFeed(val lake: LakeTable, val cursorDir: String) {
     else Some(Batch(lake.changesBetween(spark, from, head), from, head))
   }
 
+  /** Like [[poll]] but delivering the Delta-CDF pre/post-image shape
+    * ([[LakeTable.changelog]]): updates arrive as `update_preimage` +
+    * `update_postimage` pairs and deletes carry the deleted row. This
+    * is the feed a retraction-based consumer (incremental aggregate /
+    * join maintenance, [[MaterializedAgg]]) needs; ack protocol is
+    * identical.
+    */
+  def pollImages(spark: SparkSession): Option[Batch] = {
+    val from = math.max(position(), 0L)
+    val head = lake.currentVersion()
+    if (head <= from) None
+    else if (!lake.versions().contains(from))
+      throw new IllegalStateException(
+        s"change feed cursor v$from has been expired by snapshot retention; " +
+          s"earliest retained is v${lake.versions().headOption.getOrElse(-1L)}")
+    else Some(Batch(lake.changelog(spark, from, head), from, head))
+  }
+
   /** Acknowledge everything up to and including `version`. Atomic;
     * monotonic (a stale commit below the cursor is a no-op, so a
     * replayed consumer cannot move the feed backwards).

@@ -289,6 +289,83 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     diffed.withColumn("_change", col(OpCol)).drop(OpCol)
   }
 
+  /** Pre/post-image changelog between two snapshots — the Delta-CDF
+    * `_change_type` shape (reference: Delta Lake change data feed;
+    * Flink retract streams use the same algebra). One or two rows per
+    * key whose winner changed in the window:
+    *
+    *   - key absent at vFrom, live at vTo  → `insert` (vTo row)
+    *   - live at both, winner differs      → `update_preimage` (vFrom
+    *     row) + `update_postimage` (vTo row)
+    *   - live at vFrom, tombstoned at vTo  → `delete` (vFrom row —
+    *     the pre-image, which is what a downstream retraction needs)
+    *
+    * This is what incremental DERIVED-table maintenance consumes
+    * ([[MaterializedAgg]]): each row applies as a signed delta
+    * (insert/postimage +1, delete/preimage −1), so a downstream
+    * aggregate updates in O(changes) without rescanning the base
+    * table. Like [[changesBetween]] the scan is [[fileDiff]]-driven:
+    * post-images live only in the window's ADDED files and pre-images
+    * only in its REMOVED files (CoW rewrites the old winner's file
+    * when displacing it), so a poll costs O(commit), never O(table).
+    */
+  def changelog(spark: SparkSession, vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom <= vTo, s"changelog: $vFrom > $vTo")
+    val sFrom = snapshot(vFrom); val sTo = snapshot(vTo)
+    val (added, removed) = fileDiff(vFrom, vTo)
+    // post = winner-changed rows at vTo (tombstones included);
+    // preSrc = the vFrom winners that could have been displaced. CoW
+    // snapshots hold exactly one row per key, so the removed files ARE
+    // the pre-image source; MoR resolves over the same pruned read as
+    // changesBetween. Keys in preSrc that did not change winner drop
+    // out in the post⟕pre join below.
+    val (post, preSrc) =
+      if (!sTo.mor) {
+        val to = readFiles(spark, sTo, added)
+        val fromRows = readFiles(spark, sFrom, removed)
+        (to.join(fromRows.select(col("repo"), col("path"), col(SeqCol)),
+          Seq("repo", "path", SeqCol), "left_anti"), fromRows)
+      } else {
+        val addedRows = readFiles(spark, sTo, added)
+        val cand = addedRows.select(col("repo"), col("path")).distinct()
+        val candRepos = addedRows.select(col("repo"))
+          .distinct().limit(PruneRepoCap + 1).collect().map(_.getString(0))
+        def pruned(s: Snapshot): Seq[DataFileMeta] =
+          if (candRepos.length > PruneRepoCap) allFiles(s)
+          else {
+            val wanted = candRepos.map(r => bucketOfRepo(r, s.buckets)).toSet
+            val sorted = candRepos.sortWith(ubCompare(_, _) < 0)
+            filesOf(s, wanted).filter(f => rangeIntersects(f, sorted))
+          }
+        val fromState = resolve(readFiles(spark, sFrom, pruned(sFrom)), sFrom)
+        val toState = resolve(readFiles(spark, sTo, pruned(sTo)), sTo)
+          .join(cand, Seq("repo", "path"), "left_semi")
+        (toState.join(fromState.select(col("repo"), col("path"), col(SeqCol)),
+          Seq("repo", "path", SeqCol), "left_anti"), fromState)
+      }
+    // classify: one key-join of the two O(changes) frames, then each
+    // row explodes into its CDF image rows in a single projection
+    val dataCols = post.columns.filterNot(_ == OpCol).toSeq // user cols + _seq
+    val preCols = Seq(col("repo"), col("path")) ++
+      preSrc.columns.filterNot(c => c == "repo" || c == "path")
+        .map(c => col(c).as(s"_pre_$c"))
+    val j = post.join(preSrc.select(preCols: _*), Seq("repo", "path"), "left")
+    val postLive = col(OpCol) === "upsert"
+    val preLive = col(s"_pre_$OpCol") === "upsert"
+    def img(pre: Boolean, change: String) = struct(
+      dataCols.map { c =>
+        (if (!pre || c == "repo" || c == "path") col(c) else col(s"_pre_$c")).as(c)
+      } :+ lit(change).as("_change"): _*)
+    j.select(explode(
+        when(postLive && preLive,
+          array(img(pre = true, "update_preimage"), img(pre = false, "update_postimage")))
+          .when(postLive, array(img(pre = false, "insert")))
+          .when(preLive, array(img(pre = true, "delete")))
+          // tombstone of a key never live at vFrom: no CDF rows
+          .otherwise(lit(null))).as("_r"))
+      .select(col("_r.*"))
+  }
+
   /** MoR read-side LWW resolution: one row per key, max `_seq` wins
     * (tombstones included — the caller filters them). Keys never span
     * buckets (bucket = f(repo)), so the aggregate shuffles at most

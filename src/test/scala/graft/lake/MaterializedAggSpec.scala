@@ -1,0 +1,208 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Pre/post-image changelog ([[LakeTable.changelog]]) and incremental
+  * aggregate maintenance ([[MaterializedAgg]]): CDF classification,
+  * incremental == full recompute under randomized workloads (CoW and
+  * MoR), crash/idempotency, and the O(commit)-scan guard.
+  */
+class MaterializedAggSpec extends SparkTestBase {
+
+  private val userSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("repo", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.StringType, nullable = false)))
+
+  private def batch(rows: Seq[(Long, String, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("seq", "op", "repo", "path", "content")
+  }
+
+  private def imagesOf(df: DataFrame): Set[(String, String, String, String)] =
+    df.collect().map(r => (r.getAs[String]("repo"), r.getAs[String]("path"),
+      r.getAs[String]("content"), r.getAs[String]("_change"))).toSet
+
+  test("changelog classifies insert / update pre+post / delete with exact images") {
+    val lake = new LakeTable(tmpDir("cdf"), buckets = 2)
+    lake.initIfNeeded(userSchema)
+    lake.merge(batch(Seq(
+      (1L, "upsert", "rA", "p1", "a1"),
+      (2L, "upsert", "rA", "p2", "a2"),
+      (3L, "upsert", "rB", "p1", "b1"))), 0L)
+    val v1 = lake.currentVersion()
+    // update rA/p1, delete rA/p2, insert rB/p2, delete-of-absent rC/p9
+    lake.merge(batch(Seq(
+      (4L, "upsert", "rA", "p1", "a1v2"),
+      (5L, "delete", "rA", "p2", ""),
+      (6L, "upsert", "rB", "p2", "b2"),
+      (7L, "delete", "rC", "p9", ""))), 1L)
+
+    assert(imagesOf(lake.changelog(spark, v1, lake.currentVersion())) == Set(
+      ("rA", "p1", "a1", "update_preimage"),
+      ("rA", "p1", "a1v2", "update_postimage"),
+      ("rA", "p2", "a2", "delete"),
+      ("rB", "p2", "b2", "insert")))
+
+    // from the empty init snapshot everything live is an insert and
+    // nothing else appears (delete/update pairs collapse state-based)
+    assert(imagesOf(lake.changelog(spark, 0L, lake.currentVersion())) == Set(
+      ("rA", "p1", "a1v2", "insert"),
+      ("rB", "p1", "b1", "insert"),
+      ("rB", "p2", "b2", "insert")))
+  }
+
+  test("changelog pre-images re-insert after delete, tombstone pre-image is an insert") {
+    val lake = new LakeTable(tmpDir("cdf2"), buckets = 2)
+    lake.initIfNeeded(userSchema)
+    lake.merge(batch(Seq((1L, "upsert", "rA", "p1", "a1"))), 0L)
+    lake.merge(batch(Seq((2L, "delete", "rA", "p1", ""))), 1L)
+    val vDel = lake.currentVersion()
+    lake.merge(batch(Seq((3L, "upsert", "rA", "p1", "a3"))), 2L)
+    // old winner is a tombstone → the revival is an INSERT, no pre-image
+    assert(imagesOf(lake.changelog(spark, vDel, lake.currentVersion())) ==
+      Set(("rA", "p1", "a3", "insert")))
+  }
+
+  /** Deterministic pseudo-random workload over a small key space so
+    * updates, deletes, re-inserts and untouched groups all occur.
+    */
+  private def randomWorkload(lake: LakeTable, commits: Int, seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    var seq = 0L
+    (0 until commits).foreach { b =>
+      val rows = (0 until 20).map { _ =>
+        seq += 1
+        val repo = s"repo-${rnd.nextInt(5)}"
+        val path = s"p${rnd.nextInt(8)}"
+        val op = if (rnd.nextInt(5) == 0) "delete" else "upsert"
+        (seq, op, repo, path, s"c$seq-${rnd.nextInt(100)}")
+      }
+      lake.merge(batch(rows), b.toLong)
+    }
+  }
+
+  private def recompute(lake: LakeTable): Set[(String, Long, Long)] =
+    lake.read(spark).groupBy(col("repo"))
+      .agg(count(lit(1)).as("n"), sum(length(col("content"))).as("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def stateOf(agg: MaterializedAgg): Set[(String, Long, Long)] =
+    agg.read(spark).collect()
+      .map(r => (r.getAs[String]("repo"), r.getAs[Long]("n"), r.getAs[Long]("len"))).toSet
+
+  test("incremental maintenance equals full recompute after every commit (CoW)") {
+    val lake = new LakeTable(tmpDir("magg"), buckets = 2)
+    lake.initIfNeeded(userSchema)
+    val agg = new MaterializedAgg(lake, tmpDir("magg-state"),
+      Seq("repo"), Seq("len" -> "length(content)"))
+    val rnd = new scala.util.Random(7L)
+    var seq = 0L
+    (0 until 6).foreach { b =>
+      val rows = (0 until 20).map { _ =>
+        seq += 1
+        (seq, if (rnd.nextInt(5) == 0) "delete" else "upsert",
+          s"repo-${rnd.nextInt(5)}", s"p${rnd.nextInt(8)}", s"c$seq-${rnd.nextInt(100)}")
+      }
+      lake.merge(batch(rows), b.toLong)
+      assert(agg.refresh(spark), s"commit $b: refresh should apply changes")
+      assert(stateOf(agg) == recompute(lake), s"divergence after commit $b")
+    }
+    assert(!agg.refresh(spark), "caught up: refresh is a no-op")
+    assert(agg.position() == lake.currentVersion())
+  }
+
+  test("incremental maintenance equals full recompute across multi-commit refreshes (MoR)") {
+    val lake = new LakeTable(tmpDir("magg-mor"), buckets = 2, mergeOnRead = true)
+    lake.initIfNeeded(userSchema)
+    val agg = new MaterializedAgg(lake, tmpDir("magg-mor-state"),
+      Seq("repo"), Seq("len" -> "length(content)"))
+    randomWorkload(lake, commits = 3, seed = 11L)
+    assert(agg.refresh(spark))
+    assert(stateOf(agg) == recompute(lake), "after first 3 commits in one refresh")
+    // more commits + a compaction (no-op for the changelog) in the window
+    val rnd = new scala.util.Random(13L)
+    var seq = 1000L
+    (3 until 6).foreach { b =>
+      val rows = (0 until 20).map { _ =>
+        seq += 1
+        (seq, if (rnd.nextInt(4) == 0) "delete" else "upsert",
+          s"repo-${rnd.nextInt(5)}", s"p${rnd.nextInt(8)}", s"x$seq")
+      }
+      lake.merge(batch(rows), b.toLong)
+    }
+    lake.compact(spark)
+    assert(agg.refresh(spark))
+    assert(stateOf(agg) == recompute(lake), "after commits 3-5 + compaction in one refresh")
+  }
+
+  test("refresh is crash-safe: re-deriving the same head is idempotent") {
+    val lake = new LakeTable(tmpDir("magg-crash"), buckets = 2)
+    lake.initIfNeeded(userSchema)
+    lake.merge(batch(Seq((1L, "upsert", "rA", "p1", "aaaa"))), 0L)
+    val dir = tmpDir("magg-crash-state")
+    val agg = new MaterializedAgg(lake, dir, Seq("repo"), Seq("len" -> "length(content)"))
+    assert(agg.refresh(spark))
+    val before = stateOf(agg)
+    // simulate the crash-before-cursor-move path: a partial state dir
+    // for a NEWER head exists, cursor still points at the old state
+    lake.merge(batch(Seq((2L, "upsert", "rA", "p2", "bb"))), 1L)
+    val head = lake.currentVersion()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(f"$dir/state-v$head%08d"))
+    assert(stateOf(agg) == before, "partial dir invisible until cursor moves")
+    assert(agg.refresh(spark), "refresh overwrites the partial dir")
+    assert(stateOf(agg) == recompute(lake))
+  }
+
+  test("state expired by snapshot retention fails loudly") {
+    val lake = new LakeTable(tmpDir("magg-ret"), buckets = 2)
+    lake.initIfNeeded(userSchema)
+    lake.merge(batch(Seq((1L, "upsert", "rA", "p1", "a"))), 0L)
+    val agg = new MaterializedAgg(lake, tmpDir("magg-ret-state"),
+      Seq("repo"), Seq("len" -> "length(content)"))
+    agg.refresh(spark)
+    lake.merge(batch(Seq((2L, "upsert", "rA", "p2", "b"))), 1L)
+    lake.merge(batch(Seq((3L, "upsert", "rA", "p3", "c"))), 2L)
+    lake.expireSnapshots(keepLast = 1)
+    val e = intercept[IllegalStateException](agg.refresh(spark))
+    assert(e.getMessage.contains("expired by snapshot retention"))
+  }
+
+  test("changelog scan stays O(commit), and images add no extra files") {
+    val lake = new LakeTable(tmpDir("cdf-inc"), buckets = 8, maxRecordsPerFile = 8)
+    lake.initIfNeeded(userSchema)
+    var seq = 0L
+    (0 until 12).foreach { b =>
+      val rows = (0 until 24).map { i =>
+        seq += 1
+        (seq, "upsert", f"repo-${b * 4 + i % 4}%03d", s"p$i", s"c$b-$i")
+      }
+      lake.merge(batch(rows), b.toLong)
+    }
+    val totalFiles = lake.files().size
+    val vBefore = lake.currentVersion()
+    seq += 1
+    lake.merge(batch(Seq((seq, "upsert", "repo-007", "p1", "hot"))), 99L)
+    val vAfter = lake.currentVersion()
+    val (added, removed) = lake.fileDiff(vBefore, vAfter)
+    assert(added.size + removed.size < totalFiles / 3)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scanned = try {
+      lake.changelog(spark, vBefore, vAfter)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.inputFiles.length
+        }.sum
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the removed files feed two plan nodes (anti-join + pre-image
+    // source), so they appear in two scans — still O(commit), never
+    // O(table)
+    assert(scanned <= added.size + 2 * removed.size,
+      s"changelog scanned $scanned files, diff is ${added.size}+${removed.size}")
+    assert(scanned < totalFiles / 3,
+      s"changelog scanned $scanned of $totalFiles files — not O(commit)")
+  }
+}
