@@ -1240,6 +1240,40 @@ object SparkEntry {
         .orderBy("repo", "path")
     }),
 
+    "q_changelog_images" -> ((s, dir) => {
+      // Delta-CDF image shape over the same window as q_changelog:
+      // updates deliver pre+post image pairs, deletes deliver the
+      // deleted row. Oracle = two LWW winner frames joined and
+      // classified (unchanged winners emit nothing).
+      val (lake, v0) = eventsCdcReplay(s, dir)
+      lake.changelog(s, v0 + 1, lake.currentVersion())
+        .select(col("repo"), col("path"), col("_seq").as("seq"),
+          sha2(col("content"), 256).as("content_sha"), col("_change").as("change"))
+        .orderBy("repo", "path", "seq", "change")
+    }),
+
+    "q_materialized_agg" -> ((s, dir) => {
+      // incrementally-maintained aggregate table: refresh once at the
+      // replayed head, merge one more commit updating a fifth of the
+      // keys, refresh again (consuming ONLY that commit's changelog),
+      // and emit the state — which must equal a full LWW recompute
+      val (lake, _) = eventsCdcReplay(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-magg").toString
+      val agg = new graft.lake.MaterializedAgg(lake, root,
+        Seq("repo"), Seq("bytes" -> "length(content)"))
+      agg.refresh(s)
+      val extra = t(s, dir, "events").filter(pmod(col("event_id"), lit(5L)) === 0L)
+        .select(
+          (col("event_id") + lit(10000000L)).as("seq"), lit("upsert").as("op"),
+          format_string("user-%05d", col("user_id")).as("repo"),
+          col("event_type").as("path"),
+          col("event_id").cast("string").as("commit"), lit("json").as("lang"),
+          upper(col("props")).as("content"))
+      lake.merge(extra, 100L)
+      agg.refresh(s)
+      agg.read(s).select(col("repo"), col("n"), col("bytes")).orderBy("repo")
+    }),
+
     "q_cdc_mor" -> ((s, dir) => {
       // merge-on-read replay: append-only merges + read-side LWW
       // resolution + in-loop compaction must equal the same plain-SQL
@@ -2032,6 +2066,59 @@ object SparkEntry {
         |FROM cur c LEFT JOIN fb ON c.repo = fb.repo AND c.path = fb.path AND c.seq = fb.seq
         |WHERE fb.seq IS NULL
         |ORDER BY c.repo, c.path""".stripMargin,
+
+    "q_changelog_images" ->
+      """WITH log AS (
+        |  SELECT event_id AS seq,
+        |         CASE WHEN event_id % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |         printf('user-%05d', user_id) AS repo,
+        |         event_type AS path,
+        |         props AS content
+        |  FROM events),
+        |oldw AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        |  FROM log WHERE seq % 6 IN (0, 1)) WHERE rn = 1),
+        |neww AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        |  FROM log) WHERE rn = 1),
+        |j AS (
+        |  SELECT n.repo, n.path, n.seq AS nseq, n.op AS nop, n.content AS ncontent,
+        |         o.seq AS oseq, o.content AS ocontent,
+        |         CASE WHEN o.op = 'upsert' THEN 1 ELSE 0 END AS olive
+        |  FROM neww n LEFT JOIN oldw o ON n.repo = o.repo AND n.path = o.path)
+        |SELECT repo, path, seq, content_sha, change FROM (
+        |  SELECT repo, path, nseq AS seq, sha256(ncontent) AS content_sha,
+        |         'insert' AS change
+        |    FROM j WHERE nop = 'upsert' AND coalesce(olive, 0) = 0
+        |  UNION ALL
+        |  SELECT repo, path, oseq, sha256(ocontent), 'update_preimage'
+        |    FROM j WHERE nop = 'upsert' AND olive = 1 AND nseq <> oseq
+        |  UNION ALL
+        |  SELECT repo, path, nseq, sha256(ncontent), 'update_postimage'
+        |    FROM j WHERE nop = 'upsert' AND olive = 1 AND nseq <> oseq
+        |  UNION ALL
+        |  SELECT repo, path, oseq, sha256(ocontent), 'delete'
+        |    FROM j WHERE nop = 'delete' AND olive = 1)
+        |ORDER BY repo, path, seq, change""".stripMargin,
+
+    "q_materialized_agg" ->
+      """WITH log AS (
+        |  SELECT event_id AS seq,
+        |         CASE WHEN event_id % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |         printf('user-%05d', user_id) AS repo,
+        |         event_type AS path,
+        |         props AS content
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, 'upsert', printf('user-%05d', user_id),
+        |         event_type, upper(props)
+        |  FROM events WHERE event_id % 5 = 0),
+        |last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT repo, count(*) AS n, CAST(sum(length(content)) AS BIGINT) AS bytes
+        |FROM last WHERE rn = 1 AND op = 'upsert'
+        |GROUP BY repo ORDER BY repo""".stripMargin,
 
     "q_rollback" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
 
