@@ -343,13 +343,20 @@ final class LakeTable(val root: String, val buckets: Int = 16,
         (toState.join(fromState.select(col("repo"), col("path"), col(SeqCol)),
           Seq("repo", "path", SeqCol), "left_anti"), fromState)
       }
+    // pre-image rows were read under the vFrom schema; across a
+    // schema-evolution boundary they lack columns added since (and may
+    // carry narrower types) — conform them to the vTo shape so the
+    // pre/post image structs line up (missing columns null-backfill,
+    // exactly like an evolved snapshot read)
+    val pre = conformTo(preSrc,
+      org.apache.spark.sql.types.StructType(post.schema.fields), Nil)
     // classify: one key-join of the two O(changes) frames, then each
     // row explodes into its CDF image rows in a single projection
     val dataCols = post.columns.filterNot(_ == OpCol).toSeq // user cols + _seq
     val preCols = Seq(col("repo"), col("path")) ++
-      preSrc.columns.filterNot(c => c == "repo" || c == "path")
+      pre.columns.filterNot(c => c == "repo" || c == "path")
         .map(c => col(c).as(s"_pre_$c"))
-    val j = post.join(preSrc.select(preCols: _*), Seq("repo", "path"), "left")
+    val j = post.join(pre.select(preCols: _*), Seq("repo", "path"), "left")
     val postLive = col(OpCol) === "upsert"
     val preLive = col(s"_pre_$OpCol") === "upsert"
     def img(pre: Boolean, change: String) = struct(

@@ -66,6 +66,27 @@ class MaterializedAggSpec extends SparkTestBase {
       Set(("rA", "p1", "a3", "insert")))
   }
 
+  test("changelog crosses a schema-evolution boundary: pre-images null-fill added columns") {
+    val lake = new LakeTable(tmpDir("cdf-evo"), buckets = 2)
+    lake.initIfNeeded(userSchema)
+    lake.merge(batch(Seq((1L, "upsert", "rA", "p1", "a1"))), 0L)
+    val v1 = lake.currentVersion()
+    import spark.implicits._
+    // the second commit's batch carries a column the vFrom files lack
+    lake.merge(Seq((2L, "upsert", "rA", "p1", "a2", 10L),
+        (3L, "upsert", "rB", "p1", "b1", 20L))
+      .toDF("seq", "op", "repo", "path", "content", "stars"), 1L)
+    val ch = lake.changelog(spark, v1, lake.currentVersion())
+    val rows = ch.collect().map(r => (r.getAs[String]("repo"), r.getAs[String]("path"),
+      r.getAs[String]("content"),
+      if (r.isNullAt(r.fieldIndex("stars"))) -1L else r.getAs[Long]("stars"),
+      r.getAs[String]("_change"))).toSet
+    assert(rows == Set(
+      ("rA", "p1", "a1", -1L, "update_preimage"),
+      ("rA", "p1", "a2", 10L, "update_postimage"),
+      ("rB", "p1", "b1", 20L, "insert")))
+  }
+
   /** Deterministic pseudo-random workload over a small key space so
     * updates, deletes, re-inserts and untouched groups all occur.
     */
