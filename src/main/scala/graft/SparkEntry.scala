@@ -1274,6 +1274,38 @@ object SparkEntry {
       agg.read(s).select(col("repo"), col("n"), col("bytes")).orderBy("repo")
     }),
 
+    "q_materialized_join" -> ((s, dir) => {
+      // incrementally-maintained enrichment view (fact ⟕ per-repo
+      // dimension): initial build, then dimension churn (re-owned
+      // evens, dropped user%10==3) maintained via affected-repo
+      // recompute over manifest-pruned point reads
+      val (fact, _) = eventsCdcReplay(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-mjoin").toString
+      val dim = new graft.lake.LakeTable(s"$root/dim", buckets = 4)
+      dim.initIfNeeded(org.apache.spark.sql.types.StructType.fromDDL(
+        "repo STRING, path STRING, owner STRING"))
+      val users = t(s, dir, "events").select(col("user_id")).distinct()
+      dim.merge(users.select(col("user_id").cast("long").as("seq"),
+        lit("upsert").as("op"),
+        format_string("user-%05d", col("user_id")).as("repo"),
+        lit("meta").as("path"),
+        format_string("owner-%d", col("user_id")).as("owner")), 0L)
+      val view = new graft.lake.MaterializedJoin(fact, dim, s"$root/state", buckets = 4)
+      view.refresh(s)
+      dim.merge(users.filter(pmod(col("user_id"), lit(2)) === 0 ||
+          pmod(col("user_id"), lit(10)) === 3)
+        .select((col("user_id").cast("long") + lit(10000000L)).as("seq"),
+          when(pmod(col("user_id"), lit(10)) === 3, "delete")
+            .otherwise("upsert").as("op"),
+          format_string("user-%05d", col("user_id")).as("repo"),
+          lit("meta").as("path"),
+          format_string("owner2-%d", col("user_id")).as("owner")), 1L)
+      view.refresh(s)
+      view.read(s).select(col("repo"), col("path"),
+          sha2(col("content"), 256).as("content_sha"), col("r_owner"))
+        .orderBy("repo", "path")
+    }),
+
     "q_cdc_mor" -> ((s, dir) => {
       // merge-on-read replay: append-only merges + read-side LWW
       // resolution + in-loop compaction must equal the same plain-SQL
@@ -2119,6 +2151,28 @@ object SparkEntry {
         |SELECT repo, count(*) AS n, CAST(sum(length(content)) AS BIGINT) AS bytes
         |FROM last WHERE rn = 1 AND op = 'upsert'
         |GROUP BY repo ORDER BY repo""".stripMargin,
+
+    "q_materialized_join" ->
+      """WITH log AS (
+        |  SELECT event_id AS seq,
+        |         CASE WHEN event_id % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |         printf('user-%05d', user_id) AS repo,
+        |         event_type AS path,
+        |         props AS content
+        |  FROM events),
+        |last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        |  FROM log),
+        |live AS (SELECT repo, path, content FROM last WHERE rn = 1 AND op = 'upsert'),
+        |dim AS (
+        |  SELECT printf('user-%05d', user_id) AS repo,
+        |         CASE WHEN user_id % 2 = 0 THEN printf('owner2-%d', user_id)
+        |              ELSE printf('owner-%d', user_id) END AS owner
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  WHERE user_id % 10 <> 3)
+        |SELECT l.repo, l.path, sha256(l.content) AS content_sha, d.owner AS r_owner
+        |FROM live l LEFT JOIN dim d ON l.repo = d.repo
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_rollback" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
 

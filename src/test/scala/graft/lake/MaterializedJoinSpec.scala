@@ -1,0 +1,157 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Incremental join-view maintenance ([[MaterializedJoin]]):
+  * incremental == full-recompute join under randomized two-table
+  * workloads, dimension-uniqueness fail-fast, crash idempotency via
+  * merge fencing, and the pruned-scan guard.
+  */
+class MaterializedJoinSpec extends SparkTestBase {
+
+  private val factSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("repo", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.StringType, nullable = false)))
+
+  private val dimSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("repo", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("owner", org.apache.spark.sql.types.StringType, nullable = false)))
+
+  private def factBatch(rows: Seq[(Long, String, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("seq", "op", "repo", "path", "content")
+  }
+
+  private def dimBatch(rows: Seq[(Long, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (s, op, r, o) => (s, op, r, "meta", o) }
+      .toDF("seq", "op", "repo", "path", "owner")
+  }
+
+  private def viewRows(df: DataFrame): Set[(String, String, String, String)] =
+    df.collect().map(r => (r.getAs[String]("repo"), r.getAs[String]("path"),
+      r.getAs[String]("content"), Option(r.getAs[String]("r_owner")).getOrElse("<null>"))).toSet
+
+  private def expected(l: LakeTable, r: LakeTable): Set[(String, String, String, String)] =
+    viewRows(l.read(spark).join(
+      r.read(spark).select(col("repo"), col("owner").as("r_owner")), Seq("repo"), "left"))
+
+  test("incremental join maintenance equals full recompute under churn on both sides") {
+    val fact = new LakeTable(tmpDir("mj-fact"), buckets = 2)
+    val dim = new LakeTable(tmpDir("mj-dim"), buckets = 2)
+    fact.initIfNeeded(factSchema); dim.initIfNeeded(dimSchema)
+    val view = new MaterializedJoin(fact, dim, tmpDir("mj-state"), buckets = 2)
+
+    val rnd = new scala.util.Random(5L)
+    var seq = 0L
+    (0 until 6).foreach { b =>
+      // fact churn: upserts + deletes over 5 repos x 6 paths
+      val facts = (0 until 15).map { _ =>
+        seq += 1
+        (seq, if (rnd.nextInt(5) == 0) "delete" else "upsert",
+          s"repo-${rnd.nextInt(5)}", s"p${rnd.nextInt(6)}", s"c$seq")
+      }
+      fact.merge(factBatch(facts), b.toLong)
+      // dimension churn: one repo's owner changes (or is dropped) per commit
+      val dimRepo = s"repo-${rnd.nextInt(5)}"
+      val dimOp = if (rnd.nextInt(4) == 0) "delete" else "upsert"
+      seq += 1
+      dim.merge(dimBatch(Seq((seq, dimOp, dimRepo, s"owner-$seq"))), b.toLong)
+
+      val r = view.refresh(spark)
+      assert(r.applied && !r.fullRebuild, s"commit $b: incremental refresh")
+      assert(viewRows(view.read(spark)) == expected(fact, dim), s"divergence after commit $b")
+    }
+    assert(!view.refresh(spark).applied, "caught up: refresh is a no-op")
+  }
+
+  test("only-dimension change fans out to that repo's fact rows and nothing else") {
+    val fact = new LakeTable(tmpDir("mj2-fact"), buckets = 2)
+    val dim = new LakeTable(tmpDir("mj2-dim"), buckets = 2)
+    fact.initIfNeeded(factSchema); dim.initIfNeeded(dimSchema)
+    val view = new MaterializedJoin(fact, dim, tmpDir("mj2-state"), buckets = 2)
+    fact.merge(factBatch(Seq(
+      (1L, "upsert", "rA", "p1", "a1"), (2L, "upsert", "rA", "p2", "a2"),
+      (3L, "upsert", "rB", "p1", "b1"))), 0L)
+    dim.merge(dimBatch(Seq((4L, "upsert", "rA", "alice"), (5L, "upsert", "rB", "bob"))), 0L)
+    view.refresh(spark)
+    dim.merge(dimBatch(Seq((6L, "upsert", "rA", "amelia"))), 1L)
+    val r = view.refresh(spark)
+    assert(r.affectedRepos == 1L)
+    assert(viewRows(view.read(spark)) == Set(
+      ("rA", "p1", "a1", "amelia"), ("rA", "p2", "a2", "amelia"),
+      ("rB", "p1", "b1", "bob")))
+  }
+
+  test("duplicate dimension rows for one repo fail fast") {
+    val fact = new LakeTable(tmpDir("mj3-fact"), buckets = 2)
+    val dim = new LakeTable(tmpDir("mj3-dim"), buckets = 2)
+    fact.initIfNeeded(factSchema); dim.initIfNeeded(dimSchema)
+    fact.merge(factBatch(Seq((1L, "upsert", "rA", "p1", "a1"))), 0L)
+    // two live rows for rA under different paths — dimension contract broken
+    import spark.implicits._
+    dim.merge(Seq((2L, "upsert", "rA", "meta1", "x"), (3L, "upsert", "rA", "meta2", "y"))
+      .toDF("seq", "op", "repo", "path", "owner"), 0L)
+    val view = new MaterializedJoin(fact, dim, tmpDir("mj3-state"), buckets = 2)
+    val e = intercept[IllegalStateException](view.refresh(spark))
+    assert(e.getMessage.contains("multiple live rows"))
+  }
+
+  test("crash between merge and cursor advance is idempotent (fencing)") {
+    val fact = new LakeTable(tmpDir("mj4-fact"), buckets = 2)
+    val dim = new LakeTable(tmpDir("mj4-dim"), buckets = 2)
+    fact.initIfNeeded(factSchema); dim.initIfNeeded(dimSchema)
+    fact.merge(factBatch(Seq((1L, "upsert", "rA", "p1", "a1"))), 0L)
+    dim.merge(dimBatch(Seq((2L, "upsert", "rA", "alice"))), 0L)
+    val stateDir = tmpDir("mj4-state")
+    val view = new MaterializedJoin(fact, dim, stateDir, buckets = 2)
+    view.refresh(spark)
+    fact.merge(factBatch(Seq((3L, "upsert", "rA", "p2", "a2"))), 1L)
+    // simulate the crash: run the second refresh, then roll the CURSOR
+    // back (as if the process died before the cursor move) and re-run —
+    // the state lake must fence the replayed batch id into a no-op
+    val cursorBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(stateDir, "join-cursor"))
+    view.refresh(spark)
+    val stateVersion = view.state.currentVersion()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stateDir, "join-cursor"), cursorBefore)
+    assert(view.refresh(spark).applied)
+    assert(view.state.currentVersion() == stateVersion, "replayed merge must be fenced")
+    assert(viewRows(view.read(spark)) == expected(fact, dim))
+  }
+
+  test("incremental refresh scans O(affected repos), not O(table)") {
+    val fact = new LakeTable(tmpDir("mj5-fact"), buckets = 8, maxRecordsPerFile = 8)
+    val dim = new LakeTable(tmpDir("mj5-dim"), buckets = 8)
+    fact.initIfNeeded(factSchema); dim.initIfNeeded(dimSchema)
+    var seq = 0L
+    (0 until 8).foreach { b =>
+      val rows = (0 until 24).map { i =>
+        seq += 1
+        (seq, "upsert", f"repo-${b * 3 + i % 3}%03d", s"p$i", s"c$b-$i")
+      }
+      fact.merge(factBatch(rows), b.toLong)
+    }
+    seq += 1
+    dim.merge(dimBatch(Seq((seq, "upsert", "repo-004", "dana"))), 0L)
+    val view = new MaterializedJoin(fact, dim, tmpDir("mj5-state"), buckets = 8)
+    view.refresh(spark)
+    val factFiles = fact.files().size
+    // one dimension update → exactly one affected repo
+    seq += 1
+    dim.merge(dimBatch(Seq((seq, "upsert", "repo-004", "diego"))), 1L)
+    // readRepos for one repo must open a small pruned slice of the fact
+    // table, not all of it
+    val pruned = fact.scanFiles(Seq("repo-004")).size
+    assert(pruned < factFiles / 4,
+      s"pruned point read opens $pruned of $factFiles fact files")
+    val r = view.refresh(spark)
+    assert(r.affectedRepos == 1L)
+    assert(viewRows(view.read(spark)) == expected(fact, dim))
+  }
+}
