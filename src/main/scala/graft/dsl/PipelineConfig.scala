@@ -74,19 +74,24 @@ object PipelineConfig {
     * composing multi-hop pipelines (the bronze→silver pattern: a
     * downstream config consumes an upstream pipeline's lake). Three
     * pure read modes: current snapshot, AS-OF `version` time travel,
-    * and a `changes_from`/`changes_to` changelog window. Cursor-based
-    * incremental consumption (ack lifecycle) is deliberately NOT a
-    * config mode — commit timing belongs to the consumer's success
-    * path, so programmatic users drive [[graft.lake.ChangeFeed]].
+    * and a `changes_from`/`changes_to` changelog window (plain winner
+    * diff, or Delta-CDF pre/post images with `images: true` — what a
+    * retraction-based consumer needs). Cursor-based incremental
+    * consumption (ack lifecycle) is deliberately NOT a config mode —
+    * commit timing belongs to the consumer's success path, so
+    * programmatic users drive [[graft.lake.ChangeFeed]].
     */
   final case class LakeIn(root: String, version: Option[Long],
-                          changesFrom: Option[Long], changesTo: Option[Long]) extends Input {
+                          changesFrom: Option[Long], changesTo: Option[Long],
+                          images: Boolean = false) extends Input {
     def batch(spark: org.apache.spark.sql.SparkSession): DataFrame = {
       val lake = new graft.lake.LakeTable(root)
       (version, changesFrom) match {
         case (Some(v), _) => lake.readVersion(spark, v)
         case (_, Some(f)) =>
-          lake.changesBetween(spark, f, changesTo.getOrElse(lake.currentVersion()))
+          val to = changesTo.getOrElse(lake.currentVersion())
+          if (images) lake.changelog(spark, f, to)
+          else lake.changesBetween(spark, f, to)
         case _ => lake.read(spark)
       }
     }
@@ -276,7 +281,8 @@ object PipelineConfig {
         if (body.isTextual) body.asText else body.get("root").asText,
         opt(body, "version").map(_.asLong),
         opt(body, "changes_from").map(_.asLong),
-        opt(body, "changes_to").map(_.asLong))
+        opt(body, "changes_to").map(_.asLong),
+        opt(body, "images").exists(_.asBoolean))
       case "sequence" =>
         val ins = body.get("inputs")
         require(ins != null && ins.isArray, "sequence input needs an `inputs` list")

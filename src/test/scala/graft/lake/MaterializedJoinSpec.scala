@@ -125,6 +125,27 @@ class MaterializedJoinSpec extends SparkTestBase {
     assert(viewRows(view.read(spark)) == expected(fact, dim))
   }
 
+  test("left-table schema evolution flows through refresh into the view state") {
+    val fact = new LakeTable(tmpDir("mj6-fact"), buckets = 2)
+    val dim = new LakeTable(tmpDir("mj6-dim"), buckets = 2)
+    fact.initIfNeeded(factSchema); dim.initIfNeeded(dimSchema)
+    fact.merge(factBatch(Seq((1L, "upsert", "rA", "p1", "a1"))), 0L)
+    dim.merge(dimBatch(Seq((2L, "upsert", "rA", "alice"))), 0L)
+    val view = new MaterializedJoin(fact, dim, tmpDir("mj6-state"), buckets = 2)
+    view.refresh(spark)
+    // evolved fact batch carries a column the view state lacks
+    import spark.implicits._
+    fact.merge(Seq((3L, "upsert", "rB", "p1", "b1", 7L))
+      .toDF("seq", "op", "repo", "path", "content", "stars"), 1L)
+    dim.merge(dimBatch(Seq((4L, "upsert", "rB", "bob"))), 1L)
+    assert(view.refresh(spark).applied)
+    val rows = view.read(spark).collect().map(r => (r.getAs[String]("repo"),
+      r.getAs[String]("content"),
+      if (r.isNullAt(r.fieldIndex("stars"))) -1L else r.getAs[Long]("stars"),
+      r.getAs[String]("r_owner"))).toSet
+    assert(rows == Set(("rA", "a1", -1L, "alice"), ("rB", "b1", 7L, "bob")))
+  }
+
   test("incremental refresh scans O(affected repos), not O(table)") {
     val fact = new LakeTable(tmpDir("mj5-fact"), buckets = 8, maxRecordsPerFile = 8)
     val dim = new LakeTable(tmpDir("mj5-dim"), buckets = 8)

@@ -207,6 +207,10 @@ class InputsSpec extends SparkTestBase {
     val chg = read(", changes_from: 1, changes_to: 2")
     assert(chg.select("content").as[String].collect().toSeq == Seq("v2"))
     assert(chg.columns.contains("_change"))
+    // images: true delivers the Delta-CDF pre/post pair for the update
+    val img = read(", changes_from: 1, changes_to: 2, images: true")
+    assert(img.select("content", "_change").as[(String, String)].collect().toSet ==
+      Set(("v1", "update_preimage"), ("v2", "update_postimage")))
     // bounded input: streaming must refuse, pointing at ChangeFeed
     val e = intercept[IllegalArgumentException](
       graft.dsl.PipelineConfig.LakeIn(s"$root/t", None, None, None).stream(spark))
