@@ -79,6 +79,22 @@ final class ChangeFeed(val lake: LakeTable, val cursorDir: String) {
     else Some(Batch(lake.changelog(spark, from, head), from, head))
   }
 
+  /** Operator recovery: place the cursor at `version` explicitly,
+    * backwards moves included — the remedy when snapshot retention
+    * expired a lagging cursor (poll fails loudly) or a NEW consumer
+    * bootstraps from a snapshot read and then follows incrementally
+    * (`feed.seed(lake.currentVersion())`). Unlike [[commit]] this is
+    * not monotonic by design; it is an explicit operator decision.
+    */
+  def seed(version: Long): Unit = {
+    require(version >= 0, s"seed: version $version < 0")
+    Files.createDirectories(cursorFile.getParent)
+    val tmp = Files.createTempFile(cursorFile.getParent, ".tmp-cursor", "")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, cursorFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Acknowledge everything up to and including `version`. Atomic;
     * monotonic (a stale commit below the cursor is a no-op, so a
     * replayed consumer cannot move the feed backwards).

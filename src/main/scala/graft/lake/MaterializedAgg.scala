@@ -70,25 +70,31 @@ final class MaterializedAgg(
     * silent full recompute at 100 TB must be an operator decision).
     */
   def refresh(spark: SparkSession): Boolean = {
+    val first = position() < 0
     val from = math.max(position(), 0L)
     val head = lake.currentVersion()
-    if (head <= from && position() >= 0) return false
-    if (!lake.versions().contains(from))
+    if (!first && head <= from) return false
+    if (!first && !lake.versions().contains(from))
       throw new IllegalStateException(
         s"materialized-agg state v$from has been expired by snapshot retention; " +
           s"earliest retained is v${lake.versions().headOption.getOrElse(-1L)}")
 
-    val ch = lake.changelog(spark, from, head)
-    val sign = when(col("_change").isin("insert", "update_postimage"), lit(1L))
-      .otherwise(lit(-1L))
     val gcols = groupCols.map(col)
-    val delta = ch.groupBy(gcols: _*).agg(
-      sum(sign).as("n"),
-      sums.map { case (name, e) => sum(expr(e) * sign).as(name) }: _*)
-
     val merged =
-      if (position() < 0) delta.filter(col("n") > 0)
-      else {
+      if (first) {
+        // initial build: aggregate the current snapshot directly — no
+        // changelog needed, which also lets a NEW consumer start on a
+        // lake whose early snapshots retention already expired
+        lake.read(spark).groupBy(gcols: _*).agg(
+          count(lit(1)).as("n"),
+          sums.map { case (name, e) => sum(expr(e) * lit(1L)).as(name) }: _*)
+      } else {
+        val ch = lake.changelog(spark, from, head)
+        val sign = when(col("_change").isin("insert", "update_postimage"), lit(1L))
+          .otherwise(lit(-1L))
+        val delta = ch.groupBy(gcols: _*).agg(
+          sum(sign).as("n"),
+          sums.map { case (name, e) => sum(expr(e) * sign).as(name) }: _*)
         val aggCols = "n" +: sums.map(_._1)
         val s = read(spark).as("s")
         // full outer on the group key: existing groups update, new

@@ -118,5 +118,12 @@ class ChangeFeedSpec extends SparkTestBase {
     lake.expireSnapshots(keepLast = 1)
     val e = intercept[IllegalStateException](feed.poll(spark))
     assert(e.getMessage.contains("expired by snapshot retention"))
+    // operator recovery: snapshot-bootstrap then re-seed the cursor at
+    // the head — incremental consumption resumes from there
+    feed.seed(lake.currentVersion())
+    assert(feed.poll(spark).isEmpty, "seeded at head: caught up")
+    lake.merge(batch(Seq((4L, "upsert", "rA", "p4", "a4"))), 3L)
+    val resumed = feed.poll(spark).get
+    assert(resumed.changes.select("path").collect().map(_.getString(0)).toSeq == Seq("p4"))
   }
 }

@@ -178,6 +178,20 @@ class MaterializedAggSpec extends SparkTestBase {
     assert(stateOf(agg) == recompute(lake))
   }
 
+  test("a NEW consumer's first refresh works on a retention-truncated lake") {
+    val lake = new LakeTable(tmpDir("magg-new"), buckets = 2)
+    lake.initIfNeeded(userSchema)
+    lake.merge(batch(Seq((1L, "upsert", "rA", "p1", "aa"))), 0L)
+    lake.merge(batch(Seq((2L, "upsert", "rB", "p1", "bbb"))), 1L)
+    lake.merge(batch(Seq((3L, "delete", "rA", "p1", ""))), 2L)
+    lake.expireSnapshots(keepLast = 1) // v0 (and the init snapshot) are gone
+    val agg = new MaterializedAgg(lake, tmpDir("magg-new-state"),
+      Seq("repo"), Seq("len" -> "length(content)"))
+    assert(agg.refresh(spark), "first build reads the snapshot, not changelog(0, head)")
+    assert(stateOf(agg) == recompute(lake))
+    assert(!agg.refresh(spark))
+  }
+
   test("state expired by snapshot retention fails loudly") {
     val lake = new LakeTable(tmpDir("magg-ret"), buckets = 2)
     lake.initIfNeeded(userSchema)
