@@ -108,6 +108,67 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // PII scanning / redaction (the C4/CCNet-style scrub pass)
+  // ------------------------------------------------------------------
+
+  /** PII patterns, chosen from the Java/RE2 common subset (no
+    * lookaround, no backrefs) so the DuckDB oracle counts and redacts
+    * IDENTICALLY. Order matters for redaction: earlier patterns are
+    * replaced first, and replacements use `<NAME>` placeholders that no
+    * later pattern can re-match.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\+[0-9][0-9 ()-]{7,}[0-9]",
+    "aws_key" -> "AKIA[0-9A-Z]{16}")
+
+  /** Per-pattern match-count columns, aliased `pii_<name>`. Pure
+    * projection — the scrub pass over 100 TB is a map, no shuffle.
+    */
+  def piiCounts(text: Column): Seq[Column] =
+    PiiPatterns.map { case (name, p) =>
+      size(regexp_extract_all(text, lit(p), lit(0))).cast("long").as(s"pii_$name")
+    }
+
+  /** Text with every PII match replaced by its `<NAME>` placeholder,
+    * patterns applied in [[PiiPatterns]] order.
+    */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, p)) =>
+      regexp_replace(c, p, s"<${name.toUpperCase}>")
+    }
+
+  // ------------------------------------------------------------------
+  // repetition / diversity filters (the Gopher-style repetition gates)
+  // ------------------------------------------------------------------
+
+  /** Line- and token-level repetition features: `n_lines` (non-blank),
+    * `dup_line_frac` (1 − distinct/total lines — boilerplate and
+    * scraped-page chrome show up here), `uniq_token_frac` (distinct/
+    * total lexer tokens — low values mean degenerate repetition), and
+    * `max_line_len`. Pure Column compositions over array functions;
+    * integer counts divided once, so the DuckDB oracle matches the
+    * doubles bit-for-bit (same rationale as [[qualityFeatures]]).
+    */
+  def repetitionFeatures(text: Column): Seq[Column] = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val dupLineFrac = when(nLines > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / nLines.cast("double"))
+      .otherwise(lit(0.0))
+    val toks = bpeTokens(text)
+    val nToks = size(toks).cast("long")
+    val uniqTokenFrac = when(nToks > 0,
+      size(array_distinct(toks)).cast("double") / nToks.cast("double"))
+      .otherwise(lit(0.0))
+    val maxLineLen = coalesce(array_max(transform(lines, l => length(l))), lit(0))
+      .cast("long")
+    Seq(nLines.as("n_lines"), dupLineFrac.as("dup_line_frac"),
+      uniqTokenFrac.as("uniq_token_frac"), maxLineLen.as("max_line_len"))
+  }
+
+  // ------------------------------------------------------------------
   // fingerprinting
   // ------------------------------------------------------------------
 
