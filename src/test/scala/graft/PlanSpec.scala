@@ -205,6 +205,17 @@ class PlanSpec extends SparkTestBase {
       "rank window must not re-scan the raw table")
   }
 
+  test("PII scrub and repetition features are exchange-free projections") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pii = plan(docs.select(col("doc_id") +:
+      graft.ops.TextOps.piiCounts(col("text"))
+        :+ graft.ops.TextOps.piiRedact(col("text")).as("redacted"): _*))
+    assert(!pii.contains("Exchange"), pii)
+    val rep = plan(docs.select(col("doc_id") +:
+      graft.ops.TextOps.repetitionFeatures(col("text")): _*))
+    assert(!rep.contains("Exchange"), rep)
+  }
+
   test("native regexp count matches size(re_find_all) incl. edge cases") {
     import spark.implicits._
     val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
