@@ -444,6 +444,24 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("chars"))
         .orderBy("source")),
 
+    "q_asof_join" -> ((s, dir) => {
+      // temporal enrichment: each event picks the dimension version in
+      // force AT its event_id (not the current one); users % 11 == 0
+      // have no dimension → null enrichment. Oracle = DuckDB's native
+      // ASOF LEFT JOIN.
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val users = t(s, dir, "events").select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(11L)) =!= 0L)
+      val dim = users.select(col("user_id"), lit(1L).as("vt"),
+          concat(lit("v0-"), col("user_id")).as("tag"))
+        .unionByName(users.select(col("user_id"),
+          (lit(100L) + pmod(col("user_id"), lit(800L))).as("vt"),
+          concat(lit("v1-"), col("user_id")).as("tag")))
+      graft.ops.AsOfJoin.asOf(ev, dim, Seq("user_id"), "event_id", "vt")
+        .select(col("event_id"), col("user_id"), col("r_tag"))
+        .orderBy("event_id")
+    }),
+
     "q_pii" -> ((s, dir) => {
       // C4-style PII scrub: deterministic PII-bearing text synthesized
       // from customer, per-pattern counts + placeholder redaction —
@@ -1904,6 +1922,18 @@ object SparkEntry {
         |CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
         |CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH users AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 11 <> 0),
+        |dim AS (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS vt, 'v0-' || user_id AS tag FROM users
+        |  UNION ALL
+        |  SELECT user_id, CAST(100 + user_id % 800 AS BIGINT), 'v1-' || user_id FROM users)
+        |SELECT l.event_id, l.user_id, r.tag AS r_tag
+        |FROM events l ASOF LEFT JOIN dim r
+        |  ON l.user_id = r.user_id AND l.event_id >= r.vt
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_pii" ->
       """WITH src AS (

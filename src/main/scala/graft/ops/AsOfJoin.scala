@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join — the event-time enrichment Spark has no
+  * operator for: each left row picks the LATEST right row with the
+  * same key and `rightTime <= leftTime`. The CDC use case: enrich a
+  * change-event stream against a versioned dimension as it was WHEN
+  * the event happened, not as it is now (the reference's closest is
+  * `branch`+cache lookup, which always reads "now"; DuckDB/kdb/Flink
+  * expose this as ASOF JOIN / temporal table join).
+  *
+  * Spark-first plan (the union-window trick, not a range cross-join):
+  * both sides are union-tagged, shuffled ONCE by the join key, and a
+  * per-key `last(_, ignoreNulls)` running window carries each right
+  * row forward onto the left rows that follow it in time. The right
+  * payload travels as ONE struct column, so the match is atomic — a
+  * legitimate null inside the latest right row can never splice in a
+  * field from an older row. At equal timestamps the right row sorts
+  * FIRST, so `rightTime == leftTime` matches (standard `>=` as-of
+  * semantics); right rows tied on (key, time) resolve to the last in
+  * sort order — pre-dedupe the right side if that matters.
+  *
+  * Scale shape: one hash partition by key + per-key local sort —
+  * exactly a sort-merge join's cost, with no range-explosion and no
+  * single-partition window. The window is running (unbounded
+  * preceding → current row with last()), so reducer state is O(one
+  * right row), not O(key history).
+  *
+  * Left rows with no earlier right row keep null enrichment (left
+  * as-of join). Right columns arrive prefixed `r_` (key and time
+  * columns excluded); name collisions with left columns are rejected.
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String): DataFrame = {
+    require(keys.nonEmpty, "asOf: need at least one key column")
+    val payload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
+    require(payload.nonEmpty, "asOf: right side has no payload columns")
+    val clash = payload.map("r_" + _).toSet intersect left.columns.toSet
+    require(clash.isEmpty, s"asOf: left already has columns ${clash.mkString(", ")}")
+
+    val leftCols = left.columns.toSeq
+    val rStructType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
+    // union-tag: left rows carry their payload and a null right-struct;
+    // right rows carry null left-payload and their struct. `_asof_side`
+    // orders right BEFORE left at equal times (>= semantics).
+    val lTagged = left
+      .withColumn("_asof_t", col(leftTime))
+      .withColumn("_asof_side", lit(1))
+      .withColumn("_asof_r", lit(null).cast(rStructType))
+      .select(col("_asof_t") +: col("_asof_side") +: col("_asof_r") +:
+        leftCols.map(col): _*)
+    val rTagged = right
+      .withColumn("_asof_t", col(rightTime))
+      .withColumn("_asof_side", lit(0))
+      .withColumn("_asof_r", struct(payload.map(col): _*))
+      .select(col("_asof_t") +: col("_asof_side") +: col("_asof_r") +:
+        leftCols.map(c =>
+          if (keys.contains(c)) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_asof_t"), col("_asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("_asof_m", last(col("_asof_r"), ignoreNulls = true).over(w))
+      .filter(col("_asof_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("_asof_m")(c).as(s"r_$c")): _*)
+  }
+}

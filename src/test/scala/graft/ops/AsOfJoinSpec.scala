@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** As-of join ([[AsOfJoin]]): brute-force oracle on random data,
+  * inclusive >= semantics, atomic struct carry (no cross-row splice),
+  * null enrichment before the first version, and the one-shuffle plan.
+  */
+class AsOfJoinSpec extends SparkTestBase {
+
+  test("asOf equals the brute-force latest-at-or-before match on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val left = (1 to 300).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong, s"p$i"))
+    // distinct (key, time) pairs on the right so the oracle is unique
+    val right = rnd.shuffle((0 until 5).flatMap(k =>
+      rnd.shuffle((0 until 100).toList).take(12).map(t => (s"k$k", t.toLong, s"v$k-$t"))))
+    val lDf = left.toDF("k", "t", "payload")
+    val rDf = right.toDF("k", "vt", "tag")
+    val got = AsOfJoin.asOf(lDf, rDf, Seq("k"), "t", "vt")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("t"),
+        r.getAs[String]("payload"), r.getAs[String]("r_tag"))).toSet
+    val want = left.map { case (k, t, p) =>
+      val m = right.filter(r => r._1 == k && r._2 <= t)
+      (k, t, p, if (m.isEmpty) null else m.maxBy(_._2)._3)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("equal timestamps match inclusively (>= semantics)") {
+    import spark.implicits._
+    val l = Seq(("k1", 5L, "e")).toDF("k", "t", "payload")
+    val r = Seq(("k1", 5L, "same-tick"), ("k1", 4L, "older")).toDF("k", "vt", "tag")
+    val row = AsOfJoin.asOf(l, r, Seq("k"), "t", "vt").collect().head
+    assert(row.getAs[String]("r_tag") == "same-tick")
+  }
+
+  test("a null field inside the latest right row never splices in an older row's value") {
+    import spark.implicits._
+    val l = Seq(("k1", 9L, "e")).toDF("k", "t", "payload")
+    val r = Seq(("k1", 1L, Some("x"), "y"), ("k1", 5L, None, "z"))
+      .toDF("k", "vt", "a", "b")
+    val row = AsOfJoin.asOf(l, r, Seq("k"), "t", "vt").collect().head
+    assert(row.isNullAt(row.fieldIndex("r_a")), "latest row's null must win atomically")
+    assert(row.getAs[String]("r_b") == "z")
+  }
+
+  test("left rows before any right version keep null enrichment") {
+    import spark.implicits._
+    val l = Seq(("k1", 3L, "early"), ("k2", 9L, "nokey")).toDF("k", "t", "payload")
+    val r = Seq(("k1", 7L, "late")).toDF("k", "vt", "tag")
+    val got = AsOfJoin.asOf(l, r, Seq("k"), "t", "vt")
+      .collect().map(x => (x.getAs[String]("payload"), x.getAs[String]("r_tag"))).toSet
+    assert(got == Set(("early", null), ("nokey", null)))
+  }
+
+  test("plan: one hash shuffle by key, never a single-partition window") {
+    import spark.implicits._
+    val l = (1 to 50).map(i => (s"k${i % 4}", i.toLong, s"p$i")).toDF("k", "t", "payload")
+    val r = (1 to 20).map(i => (s"k${i % 4}", i.toLong, s"v$i")).toDF("k", "vt", "tag")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try AsOfJoin.asOf(l, r, Seq("k"), "t", "vt")
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+}
