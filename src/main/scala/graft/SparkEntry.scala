@@ -462,6 +462,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      // interval containment via the binned equi-join (never a
+      // nested-loop): events inside each user's [s, e) windows, multiple
+      // overlaps → multiple rows. Oracle = plain inequality join.
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val users = t(s, dir, "events").select(col("user_id")).distinct()
+      val iv = users.select(col("user_id"),
+          pmod(col("user_id"), lit(400L)).as("s"),
+          (pmod(col("user_id"), lit(400L)) + lit(150L)).as("e"),
+          concat(lit("a-"), col("user_id")).as("tag"))
+        .unionByName(users.select(col("user_id"),
+          (lit(300L) + pmod(col("user_id"), lit(500L))).as("s"),
+          (lit(300L) + pmod(col("user_id"), lit(500L)) + lit(80L)).as("e"),
+          concat(lit("b-"), col("user_id")).as("tag")))
+      graft.ops.RangeJoin.range(ev, iv, Seq("user_id"), "event_id", "s", "e",
+          binSize = 128L)
+        .select(col("event_id"), col("user_id"), col("r_tag"))
+        .orderBy("event_id", "r_tag")
+    }),
+
     "q_pii" -> ((s, dir) => {
       // C4-style PII scrub: deterministic PII-bearing text synthesized
       // from customer, per-pattern counts + placeholder redaction —
@@ -1934,6 +1954,21 @@ object SparkEntry {
         |FROM events l ASOF LEFT JOIN dim r
         |  ON l.user_id = r.user_id AND l.event_id >= r.vt
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |iv AS (
+        |  SELECT user_id, CAST(user_id % 400 AS BIGINT) AS s,
+        |         CAST(user_id % 400 + 150 AS BIGINT) AS e,
+        |         'a-' || user_id AS tag FROM users
+        |  UNION ALL
+        |  SELECT user_id, CAST(300 + user_id % 500 AS BIGINT),
+        |         CAST(300 + user_id % 500 + 80 AS BIGINT),
+        |         'b-' || user_id FROM users)
+        |SELECT l.event_id, l.user_id, r.tag AS r_tag
+        |FROM events l JOIN iv r
+        |  ON l.user_id = r.user_id AND l.event_id >= r.s AND l.event_id < r.e
+        |ORDER BY 1, 3""".stripMargin,
 
     "q_pii" ->
       """WITH src AS (

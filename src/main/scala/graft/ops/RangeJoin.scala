@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — each left row matched to every right
+  * interval `[start, end)` with the same key that contains the left
+  * row's time. Spark's built-in answer to an inequality join is a
+  * broadcast-nested-loop or a cartesian + filter — both explode at
+  * scale; the classic fix (Flink interval joins, Spark's own
+  * range-join hints on Databricks) is BINNING:
+  *
+  *   1. each right interval explodes into the fixed-size time bins it
+  *      covers (rows ∝ interval length / binSize, bounded by
+  *      [[RangeJoin.MaxBinsPerInterval]] — an oversized interval fails
+  *      loudly instead of exploding an executor);
+  *   2. each left row computes its single bin;
+  *   3. one hash equi-join on (key, bin) + the exact containment
+  *      filter. An interval covers a left row's bin exactly once, so
+  *      no post-join dedup is needed.
+  *
+  * Cost: one shuffle of each side on (key, bin) — sort-merge-join
+  * shape, never a cross product. `binSize` trades right-side
+  * replication (long intervals, small bins) against join selectivity
+  * (short intervals, huge bins); set it near the median interval
+  * length. Inner-join semantics: a left row inside k overlapping
+  * intervals yields k rows, one inside none yields nothing.
+  */
+object RangeJoin {
+
+  /** Hard cap on bins a single interval may explode into. */
+  val MaxBinsPerInterval: Int = 4096
+
+  def range(left: DataFrame, right: DataFrame, keys: Seq[String],
+            leftTime: String, rightStart: String, rightEnd: String,
+            binSize: Long): DataFrame = {
+    require(keys.nonEmpty, "range: need at least one key column")
+    require(binSize > 0, s"range: binSize must be positive, got $binSize")
+    val payload = right.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == rightStart || c == rightEnd)
+    val clash = payload.map("r_" + _).toSet intersect left.columns.toSet
+    require(clash.isEmpty, s"range: left already has columns ${clash.mkString(", ")}")
+
+    val s = col(rightStart).cast("long"); val e = col(rightEnd).cast("long")
+    val binCount = (floor((e - lit(1)) / binSize) - floor(s / binSize) + lit(1))
+    val rBinned = right
+      .filter(e > s) // empty/inverted intervals match nothing
+      .withColumn("_rj_bin", explode(when(binCount > MaxBinsPerInterval,
+          raise_error(concat(lit(s"range join: an interval spans more than " +
+            s"$MaxBinsPerInterval bins of $binSize — raise binSize (interval start "),
+            s, lit(", end "), e, lit(")"))))
+        .otherwise(sequence(floor(s / binSize), floor((e - lit(1)) / binSize)))))
+      .select((keys.map(col) :+ col("_rj_bin") :+ s.as("_rj_s") :+ e.as("_rj_e")) ++
+        payload.map(c => col(c).as(s"r_$c")): _*)
+    val lBinned = left.withColumn("_rj_bin",
+      floor(col(leftTime).cast("long") / binSize))
+    lBinned.join(rBinned, keys :+ "_rj_bin")
+      .filter(col(leftTime).cast("long") >= col("_rj_s") &&
+        col(leftTime).cast("long") < col("_rj_e"))
+      .drop("_rj_bin", "_rj_s", "_rj_e")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Range join ([[RangeJoin]]): brute-force oracle on random intervals,
+  * boundary semantics, empty intervals, the oversized-interval guard,
+  * and the equi-join (no nested-loop) plan.
+  */
+class RangeJoinSpec extends SparkTestBase {
+
+  test("range equals the brute-force containment join on random data, across bin sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17L)
+    val left = (1 to 200).map(i => (s"k${rnd.nextInt(4)}", rnd.nextInt(1000).toLong, s"p$i"))
+    val right = (1 to 60).map { i =>
+      val st = rnd.nextInt(950).toLong
+      (s"k${rnd.nextInt(4)}", st, st + 1 + rnd.nextInt(120), s"iv$i")
+    }
+    val want = (for {
+      (lk, t, p) <- left
+      (rk, st, en, tag) <- right
+      if lk == rk && t >= st && t < en
+    } yield (lk, t, p, tag)).toSet
+    Seq(7L, 64L, 1000L).foreach { bin =>
+      val got = RangeJoin.range(left.toDF("k", "t", "payload"),
+          right.toDF("k", "s", "e", "tag"), Seq("k"), "t", "s", "e", binSize = bin)
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("t"),
+          r.getAs[String]("payload"), r.getAs[String]("r_tag"))).toSet
+      assert(got == want, s"binSize=$bin")
+    }
+  }
+
+  test("boundaries: start inclusive, end exclusive; empty intervals match nothing") {
+    import spark.implicits._
+    val l = Seq(("k", 5L, "at-start"), ("k", 9L, "at-end"), ("k", 8L, "inside"))
+      .toDF("k", "t", "payload")
+    val r = Seq(("k", 5L, 9L, "iv"), ("k", 7L, 7L, "empty"), ("k", 8L, 6L, "inverted"))
+      .toDF("k", "s", "e", "tag")
+    val got = RangeJoin.range(l, r, Seq("k"), "t", "s", "e", binSize = 4)
+      .collect().map(x => (x.getAs[String]("payload"), x.getAs[String]("r_tag"))).toSet
+    assert(got == Set(("at-start", "iv"), ("inside", "iv")))
+  }
+
+  test("an interval spanning more than the bin cap fails loudly") {
+    import spark.implicits._
+    val l = Seq(("k", 5L, "p")).toDF("k", "t", "payload")
+    val r = Seq(("k", 0L, (RangeJoin.MaxBinsPerInterval.toLong + 2) * 10L, "huge"))
+      .toDF("k", "s", "e", "tag")
+    val e = intercept[Exception](
+      RangeJoin.range(l, r, Seq("k"), "t", "s", "e", binSize = 10).collect())
+    assert(e.getMessage != null && e.getMessage.contains("raise binSize"))
+  }
+
+  test("plan: hash equi-join on (key, bin), never a nested-loop or cartesian") {
+    import spark.implicits._
+    val l = (1 to 50).map(i => (s"k${i % 3}", i.toLong, s"p$i")).toDF("k", "t", "payload")
+    val r = (1 to 20).map(i => (s"k${i % 3}", i.toLong, i.toLong + 10, s"iv$i"))
+      .toDF("k", "s", "e", "tag")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try RangeJoin.range(l, r, Seq("k"), "t", "s", "e", binSize = 8)
+      .queryExecution.executedPlan.toString
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+  }
+}
