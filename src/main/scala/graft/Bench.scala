@@ -137,7 +137,7 @@ object Bench {
   val headlineQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_dedupe_lww", "q_window_hourly", "q_mapping",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_knn_brute",
-    "q_langid", "q_quality", "q_tokcount")
+    "q_langid", "q_quality", "q_tokcount", "q_asof_join", "q_range_join")
 
   /** I/O-noise sentinel: write 128 MB to `dir`, fsync, read it back;
     * returns MB/s moved. This VM's documented failure mode is a
