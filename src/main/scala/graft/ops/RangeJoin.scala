@@ -31,6 +31,14 @@ object RangeJoin {
   /** Hard cap on bins a single interval may explode into. */
   val MaxBinsPerInterval: Int = 4096
 
+  /** Exact floor division for LONG times: `floor(a / b)` via doubles
+    * silently mis-bins anything past 2^53 (epoch-nanos live there), so
+    * subtract the non-negative remainder and divide the exact multiple
+    * through decimal arithmetic.
+    */
+  private def floorDiv(a: org.apache.spark.sql.Column, b: Long) =
+    ((a - pmod(a, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
+
   def range(left: DataFrame, right: DataFrame, keys: Seq[String],
             leftTime: String, rightStart: String, rightEnd: String,
             binSize: Long): DataFrame = {
@@ -42,18 +50,18 @@ object RangeJoin {
     require(clash.isEmpty, s"range: left already has columns ${clash.mkString(", ")}")
 
     val s = col(rightStart).cast("long"); val e = col(rightEnd).cast("long")
-    val binCount = (floor((e - lit(1)) / binSize) - floor(s / binSize) + lit(1))
+    val binCount = floorDiv(e - lit(1), binSize) - floorDiv(s, binSize) + lit(1)
     val rBinned = right
       .filter(e > s) // empty/inverted intervals match nothing
       .withColumn("_rj_bin", explode(when(binCount > MaxBinsPerInterval,
           raise_error(concat(lit(s"range join: an interval spans more than " +
             s"$MaxBinsPerInterval bins of $binSize — raise binSize (interval start "),
             s, lit(", end "), e, lit(")"))))
-        .otherwise(sequence(floor(s / binSize), floor((e - lit(1)) / binSize)))))
+        .otherwise(sequence(floorDiv(s, binSize), floorDiv(e - lit(1), binSize)))))
       .select((keys.map(col) :+ col("_rj_bin") :+ s.as("_rj_s") :+ e.as("_rj_e")) ++
         payload.map(c => col(c).as(s"r_$c")): _*)
     val lBinned = left.withColumn("_rj_bin",
-      floor(col(leftTime).cast("long") / binSize))
+      floorDiv(col(leftTime).cast("long"), binSize))
     lBinned.join(rBinned, keys :+ "_rj_bin")
       .filter(col(leftTime).cast("long") >= col("_rj_s") &&
         col(leftTime).cast("long") < col("_rj_e"))

@@ -146,6 +146,18 @@ class MaterializedJoinSpec extends SparkTestBase {
     assert(rows == Set(("rA", "a1", -1L, "alice"), ("rB", "b1", 7L, "bob")))
   }
 
+  test("refresh on empty tables initializes an empty view without failing") {
+    val fact = new LakeTable(tmpDir("mj7-fact"), buckets = 2)
+    val dim = new LakeTable(tmpDir("mj7-dim"), buckets = 2)
+    fact.initIfNeeded(factSchema); dim.initIfNeeded(dimSchema)
+    val view = new MaterializedJoin(fact, dim, tmpDir("mj7-state"), buckets = 2)
+    assert(view.refresh(spark).applied)
+    assert(view.read(spark).count() == 0L)
+    fact.merge(factBatch(Seq((1L, "upsert", "rA", "p1", "a1"))), 0L)
+    assert(view.refresh(spark).applied)
+    assert(viewRows(view.read(spark)) == Set(("rA", "p1", "a1", "<null>")))
+  }
+
   test("incremental refresh scans O(affected repos), not O(table)") {
     val fact = new LakeTable(tmpDir("mj5-fact"), buckets = 8, maxRecordsPerFile = 8)
     val dim = new LakeTable(tmpDir("mj5-dim"), buckets = 8)

@@ -42,6 +42,17 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got == Set(("at-start", "iv"), ("inside", "iv")))
   }
 
+  test("times beyond 2^53 bin exactly (no double-division drift)") {
+    import spark.implicits._
+    val base = 1700000000000000000L // epoch-nanos territory, > 2^53
+    val l = Seq(("k", base + 99L, "in"), ("k", base + 100L, "at-end"),
+      ("k", base - 1L, "before")).toDF("k", "t", "payload")
+    val r = Seq(("k", base, base + 100L, "iv")).toDF("k", "s", "e", "tag")
+    val got = RangeJoin.range(l, r, Seq("k"), "t", "s", "e", binSize = 64)
+      .collect().map(_.getAs[String]("payload")).toSet
+    assert(got == Set("in"))
+  }
+
   test("an interval spanning more than the bin cap fails loudly") {
     import spark.implicits._
     val l = Seq(("k", 5L, "p")).toDF("k", "t", "payload")
