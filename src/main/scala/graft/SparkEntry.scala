@@ -34,6 +34,28 @@ object SparkEntry {
   private val dec = DecimalType(18, 2)
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
 
+  /** Build a gate over an embedded DuckDB file with one connection
+    * pinned for the whole build. Embedded DuckDB shuts its instance
+    * down when the last connection closes, and a JDBC write or read
+    * racing that async teardown can attach to a mid-shutdown instance
+    * and lose the WAL (observed as an intermittent 0-row read). The
+    * pin keeps one live instance that every writer/reader connection
+    * attaches to; the result is materialized (persist + count) before
+    * the pin drops so downstream consumers never reopen the file.
+    * Server-backed JDBC targets have no such lifecycle.
+    */
+  private def withPinnedDuckDb(db: String)(setup: java.sql.Statement => Unit)(
+      body: => DataFrame): DataFrame = {
+    val pin = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
+    try {
+      val st = pin.createStatement()
+      try setup(st) finally st.close()
+      val out = body.persist()
+      out.count()
+      out
+    } finally pin.close()
+  }
+
   /** documents ∪ (documents shifted by +100000) — a corpus with a known
     * near-duplicate ground truth (every doc has an exact twin), used by
     * the near-dup operators so their output is non-trivial and exactly
@@ -775,23 +797,20 @@ object SparkEntry {
       // sql_select PROCESSOR (per-row lookup inverted to one JDBC load
       // + broadcast join): enrich nations with their region row
       val db = java.nio.file.Files.createTempDirectory("graft-enrich").toString + "/r.db"
-      val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
-      try {
-        val st = conn.createStatement()
-        st.execute(s"CREATE TABLE r AS SELECT * FROM read_parquet('$dir/region.parquet')")
-        st.close()
-      } finally conn.close()
-      val pipe = compile(Seq(
-        PSqlSelect(s"jdbc:duckdb:$db",
-          "SELECT r_regionkey, r_name FROM r", key = "${! n_regionkey }",
-          lookupKey = "r_regionkey", target = "region",
-          driver = "org.duckdb.DuckDBDriver"),
-        PMapping(
-          """root.id = this.n_nationkey
-            |root.nation = this.n_name
-            |root.region = this.region.r_name
-            |""".stripMargin)))
-      pipe(t(s, dir, "nation")).orderBy("id")
+      withPinnedDuckDb(db)(_.execute(
+        s"CREATE TABLE r AS SELECT * FROM read_parquet('$dir/region.parquet')")) {
+        val pipe = compile(Seq(
+          PSqlSelect(s"jdbc:duckdb:$db",
+            "SELECT r_regionkey, r_name FROM r", key = "${! n_regionkey }",
+            lookupKey = "r_regionkey", target = "region",
+            driver = "org.duckdb.DuckDBDriver"),
+          PMapping(
+            """root.id = this.n_nationkey
+              |root.nation = this.n_name
+              |root.region = this.region.r_name
+              |""".stripMargin)))
+        pipe(t(s, dir, "nation")).orderBy("id")
+      }
     }),
 
     "q_escape_fns" -> ((s, dir) => {
@@ -902,32 +921,28 @@ object SparkEntry {
       // JDBC sql_select input: load a table into a DuckDB file, read it
       // back through spark.read.jdbc
       val db = java.nio.file.Files.createTempDirectory("graft-jdbc").toString + "/t.db"
-      val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
-      try {
-        val st = conn.createStatement()
-        st.execute(s"CREATE TABLE r AS SELECT * FROM read_parquet('$dir/region.parquet')")
-        st.close()
-      } finally conn.close()
-      graft.sources.SqlInput.read(s, s"jdbc:duckdb:$db",
-          "SELECT r_regionkey, r_name FROM r")
-        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
-        .orderBy("r_regionkey")
+      withPinnedDuckDb(db)(_.execute(
+        s"CREATE TABLE r AS SELECT * FROM read_parquet('$dir/region.parquet')")) {
+        graft.sources.SqlInput.read(s, s"jdbc:duckdb:$db",
+            "SELECT r_regionkey, r_name FROM r")
+          .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+          .orderBy("r_regionkey")
+      }
     }),
 
     "q_sql_insert" -> ((s, dir) => {
       // JDBC sql_insert output: append a batch into a DuckDB table
       // through the sink, read it back through the sql_select input
       val db = java.nio.file.Files.createTempDirectory("graft-jdbcw").toString + "/w.db"
-      val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
-      try conn.createStatement()
-        .execute("CREATE TABLE nat_out(n_nationkey BIGINT, n_name VARCHAR)")
-      finally conn.close()
-      graft.sinks.Sink.Jdbc(s"jdbc:duckdb:$db", "nat_out")
-        .write(t(s, dir, "nation").select("n_nationkey", "n_name"), batchId = 0L)
-      graft.sources.SqlInput.read(s, s"jdbc:duckdb:$db",
-          "SELECT n_nationkey, n_name FROM nat_out")
-        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
-        .orderBy("n_nationkey")
+      withPinnedDuckDb(db)(_.execute(
+        "CREATE TABLE nat_out(n_nationkey BIGINT, n_name VARCHAR)")) {
+        graft.sinks.Sink.Jdbc(s"jdbc:duckdb:$db", "nat_out")
+          .write(t(s, dir, "nation").select("n_nationkey", "n_name"), batchId = 0L)
+        graft.sources.SqlInput.read(s, s"jdbc:duckdb:$db",
+            "SELECT n_nationkey, n_name FROM nat_out")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+          .orderBy("n_nationkey")
+      }
     }),
 
     "q_file_lines" -> ((s, dir) => {

@@ -68,41 +68,49 @@ class InputsSpec extends SparkTestBase {
 
   test("sql_select input reads a JDBC source (DuckDB)") {
     val db = tmpDir("duck") + "/t.db"
-    val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
+    // Pin one connection for the test's lifetime (embedded-instance
+    // lifecycle — see the sql_insert test below).
+    val pin = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
     try {
-      val st = conn.createStatement()
+      val st = pin.createStatement()
       st.execute("CREATE TABLE users(id BIGINT, name VARCHAR)")
       st.execute("INSERT INTO users VALUES (1,'ada'),(2,'bob'),(3,'eve')")
       st.close()
-    } finally conn.close()
-    val df = SqlInput.read(spark, s"jdbc:duckdb:$db",
-      "SELECT id, name FROM users WHERE id <= 2 ORDER BY id")
-      .select(col("id").cast("long"), col("name")) // driver reports BIGINT as DECIMAL
-    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
-    assert(rows.toSeq == Seq((1L, "ada"), (2L, "bob")))
-    // partitioned read path (the scale shape): 2 slices over id
-    val part = SqlInput.read(spark, s"jdbc:duckdb:$db",
-      "SELECT id, name FROM users", partitionColumn = Some("id"),
-      lowerBound = 1L, upperBound = 4L, numPartitions = 2)
-    assert(part.rdd.getNumPartitions == 2)
-    assert(part.count() == 3)
+      val df = SqlInput.read(spark, s"jdbc:duckdb:$db",
+        "SELECT id, name FROM users WHERE id <= 2 ORDER BY id")
+        .select(col("id").cast("long"), col("name")) // driver reports BIGINT as DECIMAL
+      val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "ada"), (2L, "bob")))
+      // partitioned read path (the scale shape): 2 slices over id
+      val part = SqlInput.read(spark, s"jdbc:duckdb:$db",
+        "SELECT id, name FROM users", partitionColumn = Some("id"),
+        lowerBound = 1L, upperBound = 4L, numPartitions = 2)
+      assert(part.rdd.getNumPartitions == 2)
+      assert(part.count() == 3)
+    } finally pin.close()
   }
 
   test("sql_insert JDBC output appends; replay duplicates (at-least-once, documented)") {
     import graft.sinks.Sink
     import spark.implicits._
     val db = tmpDir("duckw") + "/w.db"
-    val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
-    try conn.createStatement().execute("CREATE TABLE t_out(id BIGINT, v VARCHAR)")
-    finally conn.close()
-    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
-    val sink = Sink.Jdbc(s"jdbc:duckdb:$db", "t_out")
-    sink.write(batch, 0L)
-    val once = SqlInput.read(spark, s"jdbc:duckdb:$db", "SELECT id, v FROM t_out")
-    assert(once.count() == 2)
-    sink.write(batch, 0L) // replay: appends again — at-least-once contract
-    val twice = SqlInput.read(spark, s"jdbc:duckdb:$db", "SELECT id, v FROM t_out")
-    assert(twice.count() == 4)
+    // Embedded DuckDB shuts its instance down when the last connection
+    // closes; a write committed during a concurrent teardown/reopen can
+    // land in a discarded WAL. Pin one connection for the test's lifetime
+    // so the writer's and readers' connections all attach to the same
+    // live instance (server-backed JDBC targets have no such lifecycle).
+    val pin = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
+    try {
+      pin.createStatement().execute("CREATE TABLE t_out(id BIGINT, v VARCHAR)")
+      val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      val sink = Sink.Jdbc(s"jdbc:duckdb:$db", "t_out")
+      def readCount(): Long =
+        SqlInput.read(spark, s"jdbc:duckdb:$db", "SELECT id, v FROM t_out").count()
+      sink.write(batch, 0L)
+      assert(readCount() == 2)
+      sink.write(batch, 0L) // replay: appends again — at-least-once contract
+      assert(readCount() == 4)
+    } finally pin.close()
     // YAML surface
     val p = graft.dsl.PipelineConfig.parse(
       s"""pipeline:
