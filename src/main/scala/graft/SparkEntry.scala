@@ -301,6 +301,36 @@ object SparkEntry {
       pipe(t(s, dir, "customer")).orderBy("id")
     }),
 
+    "q_path_fns" -> ((s, dir) => {
+      // pad_left/pad_right (no-truncate) + filepath_join (Go Join:
+      // drop empties, collapse slashes, Clean "." away) +
+      // filepath_split ([dir-with-slash, base])
+      val pipe = compile(Seq(PMapping(
+        """root.id = this.p_partkey
+          |root.padded = this.p_brand.pad_left(12, "0")
+          |root.padr = this.p_brand.pad_right(12, ".")
+          |root.joined = ["repo", this.p_type, ".", this.p_brand, "", this.p_name].filepath_join()
+          |root.dir = (this.p_type + "/" + this.p_brand).filepath_split().index(0)
+          |root.base = (this.p_type + "/" + this.p_brand).filepath_split().index(1)
+          |""".stripMargin)))
+      pipe(t(s, dir, "part")).orderBy("id")
+    }),
+
+    "q_yaml_fns" -> ((s, dir) => {
+      // parse_yaml → VARIANT navigation + format_yaml (Jackson YAML,
+      // minimized quotes, no doc-start marker): build a YAML doc per
+      // row, parse it back, and format a struct — all exactly
+      // reproducible in SQL string algebra
+      val pipe = compile(Seq(PMapping(
+        """let y = "id: " + this.n_nationkey.string() + "\nname: " + this.n_name
+          |root.id = this.n_nationkey
+          |root.rid = $y.parse_yaml().id.int64()
+          |root.rname = $y.parse_yaml().name.string()
+          |root.yml = {"id": this.n_nationkey, "name": this.n_name}.format_yaml()
+          |""".stripMargin)))
+      pipe(t(s, dir, "nation")).orderBy("id")
+    }),
+
     "q_ts_fns" -> ((s, dir) => {
       val pipe = compile(Seq(PMapping(
         """root.id = this.o_orderkey
@@ -1768,6 +1798,22 @@ object SparkEntry {
       """SELECT p_partkey AS id, sha256(p_name) AS h256, md5(p_name) AS hmd5,
         |to_base64(encode(p_brand)) AS b64, lower(hex(p_brand)) AS hx
         |FROM part ORDER BY id""".stripMargin,
+
+    "q_path_fns" ->
+      """SELECT p_partkey AS id,
+        |CASE WHEN length(p_brand) >= 12 THEN p_brand
+        |     ELSE lpad(p_brand, 12, '0') END AS padded,
+        |CASE WHEN length(p_brand) >= 12 THEN p_brand
+        |     ELSE rpad(p_brand, 12, '.') END AS padr,
+        |'repo/' || p_type || '/' || p_brand || '/' || p_name AS joined,
+        |p_type || '/' AS dir, p_brand AS base
+        |FROM part ORDER BY id""".stripMargin,
+
+    "q_yaml_fns" ->
+      """SELECT n_nationkey AS id,
+        |n_nationkey AS rid, n_name AS rname,
+        |'id: ' || n_nationkey || chr(10) || 'name: ' || n_name || chr(10) AS yml
+        |FROM nation ORDER BY id""".stripMargin,
 
     "q_text_fns" ->
       """SELECT c_custkey AS id, upper(c_name) AS up, lower(c_name) AS lo,

@@ -81,12 +81,21 @@ object ExprCompiler {
 
     case This => CVal(ctx.thisCol)
     case Field(This, name) => CVal(ctx.fieldOfThis(name))
+    // VARIANT (parse_json/parse_yaml results) can't use getField —
+    // navigate with try_variant_get, staying variant-typed so chains
+    // keep navigating and a final cast coerces the leaf
+    case Field(t, name) if isVariantTyped(t) =>
+      compile(t, ctx).mapCol(c => try_variant_get(c, s"$$.$name", "variant"))
     case Field(t, name) => compile(t, ctx).mapCol(_.getField(name))
+    case Index(t, NumLit(i)) if isVariantTyped(t) =>
+      compile(t, ctx).mapCol(c => try_variant_get(c, s"$$[${i.toLong}]", "variant"))
     case Index(t, idx) =>
       val tc = compile(t, ctx); val ic = compile(idx, ctx)
       // reference arrays are 0-based; element_at is 1-based
       CVal(element_at(tc.col, (ic.col + lit(1)).cast(IntegerType)),
         mergeDel(tc.deleted, ic.deleted))
+    case MethodCall(t, "index", Seq(NumLit(i))) if isVariantTyped(t) =>
+      compile(t, ctx).mapCol(c => try_variant_get(c, s"$$[${i.toLong}]", "variant"))
     case VarRef(n) =>
       CVal(ctx.vars.getOrElse(n,
         throw new IllegalArgumentException(s"unknown variable $$$n")))
@@ -275,9 +284,22 @@ object ExprCompiler {
     "string", "hash", "encode", "decode", "ts_format", "format_timestamp",
     "join", "format_json", "json_path", "format_xml", "xpath_string",
     "escape_html", "unescape_html", "strip_html", "escape_url_query",
-    "unescape_url_query", "format",
+    "unescape_url_query", "format", "pad_left", "pad_right",
+    "filepath_join", "format_yaml",
     "quote", "unquote", "reverse",
     "type", "first", "last", "index", "not_null", "or", "catch")
+
+  /** Static "does this expression produce a VARIANT?" — drives field/
+    * index navigation dispatch (ExtractValue rejects VARIANT; variant
+    * paths go through try_variant_get). Conservative: false when unknown.
+    */
+  def isVariantTyped(e: Expr): Boolean = e match {
+    case MethodCall(_, "parse_json" | "parse_yaml", _) => true
+    case MethodCall(t, "index" | "not_null" | "or" | "catch", _) => isVariantTyped(t)
+    case Field(t, _) => isVariantTyped(t)
+    case Index(t, _) => isVariantTyped(t)
+    case _ => false
+  }
 
   /** Static "is this expression string-typed?" — drives `+` dispatch
     * (concat vs numeric add). Conservative: false when unknown.
@@ -414,6 +436,22 @@ object ExprCompiler {
       case "has_suffix" => c.endsWith(a(0))
       case "contains" => c.contains(a(0))
       case "index_of" => instr(c, str(0)) - lit(1) // reference is 0-based, -1 if absent
+      // pad_left/pad_right (reference methods_strings.go): pad to the
+      // target length, NEVER truncate (Spark's lpad/rpad truncate —
+      // hence the length guard)
+      case "pad_left" =>
+        val n = str(0).toInt
+        when(length(c) >= lit(n), c).otherwise(lpad(c, n, str(1)))
+      case "pad_right" =>
+        val n = str(0).toInt
+        when(length(c) >= lit(n), c).otherwise(rpad(c, n, str(1)))
+      // filepath_split (Go filepath.Split): [dir-with-trailing-slash,
+      // file] — everything through the final '/' vs everything after
+      case "filepath_split" =>
+        array(regexp_extract(c, "^(.*/)", 1), regexp_extract(c, "([^/]*)$", 1))
+      // filepath_join (Go filepath.Join on an array): join non-empty
+      // elements and lexically Clean — native expression
+      case "filepath_join" => graft.functions.FilepathFunctions.filepathJoin(c)
       case "replace_all" => replace(c, a(0), a(1))
       case "split" => split(c, java.util.regex.Pattern.quote(str(0)))
       case "slice" =>
@@ -457,6 +495,11 @@ object ExprCompiler {
       // json
       case "parse_json" => parse_json(c)
       case "format_json" => to_json(c)
+      // parse_yaml/format_yaml (reference bloblang_yaml.go): YAML text
+      // → canonical JSON (native Jackson-YAML expression) → Spark 4
+      // VARIANT, so navigation shares parse_json's variant path
+      case "parse_yaml" => parse_json(graft.functions.YamlFunctions.yamlToJson(c))
+      case "format_yaml" => graft.functions.YamlFunctions.jsonToYaml(to_json(c))
       case "json_path" => get_json_object(c, str(0))
       // xml (reference methods_parsing.go parse_xml, processor_xml.go).
       // The reference parses XML into an untyped dynamic value; a

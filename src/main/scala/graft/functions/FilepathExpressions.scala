@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `filepath_join` for the reference's bloblang method (upstream
+  * `query/methods_strings.go` → Go `path/filepath.Join`): join the
+  * non-empty elements with "/" and lexically clean the result per
+  * Go's documented `filepath.Clean` rules (collapse repeated
+  * separators, drop "." elements, fold "element/.." pairs, drop
+  * leading ".." at a rooted path). Slash separator only — the
+  * reference's behavior on its Linux deployment targets.
+  *
+  * `filepath_split` needs no expression: it is two codegen'd
+  * regexp_extracts in ExprCompiler.
+  */
+object FilepathSupport {
+  /** Go filepath.Clean, slash separator (lexical; public Go docs). */
+  def clean(path: String): String = {
+    if (path.isEmpty) return "."
+    val rooted = path.charAt(0) == '/'
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    path.split("/").foreach {
+      case "" | "." => ()
+      case ".." =>
+        if (out.nonEmpty && out.last != "..") out.remove(out.length - 1)
+        else if (!rooted) out += ".." // above a rooted path ".." is dropped
+      case seg => out += seg
+    }
+    val body = out.mkString("/")
+    if (rooted) "/" + body
+    else if (body.isEmpty) "."
+    else body
+  }
+
+  /** Go filepath.Join: drop empty elements, join, Clean; all-empty → "". */
+  def join(elems: Seq[String]): String = {
+    val nonEmpty = elems.filter(e => e != null && e.nonEmpty)
+    if (nonEmpty.isEmpty) "" else clean(nonEmpty.mkString("/"))
+  }
+}
+
+case class FilepathJoin(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_filepath_join"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val elems = (0 until arr.numElements()).map { i =>
+      if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+    }
+    UTF8String.fromString(FilepathSupport.join(elems))
+  }
+  override protected def withNewChildInternal(newChild: Expression): FilepathJoin =
+    copy(child = newChild)
+}
+
+object FilepathFunctions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_filepath_join", (es: Seq[Expression]) => FilepathJoin(es.head), "built-in")
+  }
+  def filepathJoin(arrCol: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_filepath_join", arrCol)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.{YAMLFactory, YAMLGenerator}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** YAML ⇄ JSON bridges for the reference's `parse_yaml`/`format_yaml`
+  * bloblang methods (upstream `internal/impl/pure/bloblang_yaml.go`,
+  * v3 `query/methods_strings.go`). The reference parses YAML into its
+  * untyped dynamic value; our columnar twin converts YAML text to
+  * canonical JSON text (Jackson's YAML module — already on Spark's
+  * classpath as a spark-core dependency) and hands it to Spark 4's
+  * native VARIANT `parse_json`, so downstream navigation shares the
+  * codegen'd variant path with `parse_json`. `format_yaml` is the
+  * inverse: `to_json` → YAML text.
+  *
+  * Output is deterministic: Jackson preserves field order from the
+  * input document (JsonNode is insertion-ordered) and the generator
+  * is configured without the `---` document-start marker and with
+  * minimized quoting, so simple scalars render as plain `key: value`
+  * lines — safe for the hash-comparing correctness gate.
+  */
+object YamlSupport {
+  private val yamlFactory = YAMLFactory.builder()
+    .disable(YAMLGenerator.Feature.WRITE_DOC_START_MARKER)
+    .enable(YAMLGenerator.Feature.MINIMIZE_QUOTES)
+    .build()
+  // ObjectMapper is thread-safe once configured.
+  val yamlMapper = new ObjectMapper(yamlFactory)
+  val jsonMapper = new ObjectMapper()
+
+  def yamlToJson(yaml: String): String =
+    jsonMapper.writeValueAsString(yamlMapper.readTree(yaml))
+
+  def jsonToYaml(json: String): String =
+    yamlMapper.writeValueAsString(jsonMapper.readTree(json))
+}
+
+case class YamlToJson(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_yaml_to_json"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(YamlSupport.yamlToJson(input.toString))
+  override protected def withNewChildInternal(newChild: Expression): YamlToJson =
+    copy(child = newChild)
+}
+
+case class JsonToYaml(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_json_to_yaml"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(YamlSupport.jsonToYaml(input.toString))
+  override protected def withNewChildInternal(newChild: Expression): JsonToYaml =
+    copy(child = newChild)
+}
+
+object YamlFunctions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_yaml_to_json", (es: Seq[Expression]) => YamlToJson(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_json_to_yaml", (es: Seq[Expression]) => JsonToYaml(es.head), "built-in")
+  }
+  def yamlToJson(c: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_yaml_to_json", c)
+  }
+  def jsonToYaml(c: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_json_to_yaml", c)
+  }
+}

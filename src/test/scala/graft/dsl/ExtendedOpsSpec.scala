@@ -411,4 +411,67 @@ class ExtendedOpsSpec extends SparkTestBase {
         |""".stripMargin)
     assert(p.processors.head == PXml("to_json", "k BIGINT", "doc"))
   }
+
+  test("pad_left/pad_right: pad to length, never truncate") {
+    import spark.implicits._
+    val df = Seq((1L, "ab"), (2L, "abcdef")).toDF("id", "s")
+    val pipe = Processor.compile(Seq(PMapping(
+      """root.id = this.id
+        |root.pl = this.s.pad_left(4, "0")
+        |root.pr = this.s.pad_right(4, ".")
+        |""".stripMargin)))
+    val out = pipe(df).orderBy("id").collect()
+      .map(r => (r.getAs[String]("pl"), r.getAs[String]("pr")))
+    assert(out(0) == ("00ab", "ab.."))
+    assert(out(1) == ("abcdef", "abcdef")) // longer than target: unchanged
+  }
+
+  test("filepath_split and filepath_join follow Go path/filepath semantics") {
+    import spark.implicits._
+    // Clean cases straight from the Go filepath docs
+    val joins = Seq(
+      (1L, Seq("a", "b", "c"), "a/b/c"),
+      (2L, Seq("a", "b//c", "", "d"), "a/b/c/d"), // empties dropped, slashes collapsed
+      (3L, Seq("a/..", "b"), "b"),                // element/.. folded
+      (4L, Seq("..", "a"), "../a"),               // leading .. preserved unrooted
+      (5L, Seq("/..", "a"), "/a"),                // .. above root dropped
+      (6L, Seq("", ""), ""))                      // all-empty → ""
+    val jdf = joins.map { case (i, e, _) => (i, e) }.toDF("id", "parts")
+    val jout = Processor.compile(Seq(PMapping(
+      "root.id = this.id\nroot.j = this.parts.filepath_join()")))(jdf)
+      .orderBy("id").collect().map(_.getAs[String]("j"))
+    joins.map(_._3).zip(jout).foreach { case (want, got) => assert(got == want) }
+
+    val sdf = Seq((1L, "src/main/App.scala"), (2L, "README.md"), (3L, "a/b/"))
+      .toDF("id", "p")
+    val sout = Processor.compile(Seq(PMapping(
+      "root.id = this.id\nroot.sp = this.p.filepath_split()")))(sdf)
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    assert(sout(0) == Seq("src/main/", "App.scala"))
+    assert(sout(1) == Seq("", "README.md")) // no separator: dir empty
+    assert(sout(2) == Seq("a/b/", ""))      // trailing slash: file empty
+  }
+
+  test("parse_yaml navigates like parse_json; format_yaml is its inverse") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "id: 7\nname: ada\ntags:\n  - x\n  - y"),
+      (2L, "id: 9\nname: bob\ntags: []")).toDF("k", "y")
+    val pipe = Processor.compile(Seq(PMapping(
+      """root.k = this.k
+        |root.id = this.y.parse_yaml().id.int64()
+        |root.name = this.y.parse_yaml().name.string()
+        |root.tag0 = this.y.parse_yaml().tags.index(0).string()
+        |""".stripMargin)))
+    val out = pipe(df).orderBy("k").collect()
+    assert(out(0).getAs[Long]("id") == 7L && out(0).getAs[String]("name") == "ada")
+    assert(out(0).getAs[String]("tag0") == "x")
+    assert(out(1).getAs[Long]("id") == 9L && out(1).getAs[String]("tag0") == null)
+
+    // format_yaml: struct → YAML text; parse_yaml(format_yaml(x)) == x
+    val fdf = Seq((7L, "ada")).toDF("id", "name")
+    val f = Processor.compile(Seq(PMapping(
+      "root.yml = this.format_yaml()")))(fdf).collect().head.getAs[String]("yml")
+    assert(f == "id: 7\nname: ada\n", s"unexpected yaml: $f")
+  }
 }
