@@ -316,6 +316,34 @@ object SparkEntry {
       pipe(t(s, dir, "part")).orderBy("id")
     }),
 
+    "q_object_fns" -> ((s, dir) => {
+      // with (keep-only, listed order) / assign (overwrite-on-collision)
+      // / squash (array<map> fold, later wins) / collapse (dot-path
+      // flatten via VARIANT — keys lexicographic, the variant encoding's
+      // deterministic order)
+      val pipe = compile(Seq(PMapping(
+        """root.id = this.c_custkey
+          |root.w = {"seg": this.c_mktsegment, "nk": this.c_nationkey, "extra": 1}.with("nk", "seg").format_json()
+          |root.asg = {"x": this.c_nationkey, "y": this.c_mktsegment}.assign({"x": 0, "z": 2}).format_json()
+          |root.sq = ["a=1&b=2".parse_urlencoded(), ("b=" + this.c_mktsegment + "&c=9").parse_urlencoded()].squash().b
+          |root.col = {"o": {"k": this.c_nationkey, "arr": [this.c_mktsegment]}}.collapse().format_json()
+          |""".stripMargin)))
+      pipe(t(s, dir, "customer")).orderBy("id")
+    }),
+
+    "q_encode85" -> ((s, dir) => {
+      // ascii85 (Adobe/Go variant) roundtrip + exact encoded length +
+      // a pinned vector — the length algebra and vector make the codec
+      // oracle-checkable in plain SQL
+      val pipe = compile(Seq(PMapping(
+        """root.id = this.p_partkey
+          |root.rt = this.p_name.encode("ascii85").decode("ascii85")
+          |root.el = this.p_name.encode("ascii85").length()
+          |root.v1 = "sure.".encode("ascii85")
+          |""".stripMargin)))
+      pipe(t(s, dir, "part")).orderBy("id")
+    }),
+
     "q_yaml_fns" -> ((s, dir) => {
       // parse_yaml → VARIANT navigation + format_yaml (Jackson YAML,
       // minimized quotes, no doc-start marker): build a YAML doc per
@@ -1807,6 +1835,20 @@ object SparkEntry {
         |     ELSE rpad(p_brand, 12, '.') END AS padr,
         |'repo/' || p_type || '/' || p_brand || '/' || p_name AS joined,
         |p_type || '/' AS dir, p_brand AS base
+        |FROM part ORDER BY id""".stripMargin,
+
+    "q_object_fns" ->
+      """SELECT c_custkey AS id,
+        |'{"nk":' || c_nationkey || ',"seg":"' || c_mktsegment || '"}' AS w,
+        |'{"x":0,"y":"' || c_mktsegment || '","z":2}' AS asg,
+        |c_mktsegment AS sq,
+        |'{"o.arr.0":"' || c_mktsegment || '","o.k":' || c_nationkey || '}' AS col
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "q_encode85" ->
+      """SELECT p_partkey AS id, p_name AS rt,
+        |5*(length(p_name)//4) + (CASE WHEN length(p_name)%4=0 THEN 0 ELSE length(p_name)%4+1 END) AS el,
+        |'F*2M7/c' AS v1
         |FROM part ORDER BY id""".stripMargin,
 
     "q_yaml_fns" ->

@@ -294,7 +294,7 @@ object ExprCompiler {
     * paths go through try_variant_get). Conservative: false when unknown.
     */
   def isVariantTyped(e: Expr): Boolean = e match {
-    case MethodCall(_, "parse_json" | "parse_yaml", _) => true
+    case MethodCall(_, "parse_json" | "parse_yaml" | "collapse", _) => true
     case MethodCall(t, "index" | "not_null" | "or" | "catch", _) => isVariantTyped(t)
     case Field(t, _) => isVariantTyped(t)
     case Index(t, _) => isVariantTyped(t)
@@ -400,6 +400,17 @@ object ExprCompiler {
       case "env" => args.head match {
         case StrLit(k) => CVal(lit(sys.env.getOrElse(k, null)))
         case _ => throw new IllegalArgumentException("env() needs a literal key")
+      }
+      // file(path): config-time constant, folded at compile like env()
+      // (reference registers it at config init; contents are fixed for
+      // the pipeline's lifetime, so a driver-side literal is the twin)
+      case "file" => args.head match {
+        case StrLit(p) =>
+          val path = java.nio.file.Paths.get(p)
+          if (!java.nio.file.Files.isReadable(path))
+            throw new IllegalArgumentException(s"file($p): not readable")
+          CVal(lit(java.nio.file.Files.readString(path)))
+        case _ => throw new IllegalArgumentException("file() needs a literal path")
       }
       case "max" => CVal(greatest(args.map(x => compile(x, ctx).col): _*))
       case "min" => CVal(least(args.map(x => compile(x, ctx).col): _*))
@@ -615,11 +626,13 @@ object ExprCompiler {
       case "encode" => str(0) match {
         case "base64" => base64(c.cast(BinaryType))
         case "hex" => lower(hex(c.cast(BinaryType)))
+        case "ascii85" => graft.functions.Ascii85Functions.a85Encode(c.cast(BinaryType))
         case other => throw new IllegalArgumentException(s"encode($other)")
       }
       case "decode" => str(0) match {
         case "base64" => unbase64(c).cast(StringType)
         case "hex" => unhex(c).cast(StringType)
+        case "ascii85" => graft.functions.Ascii85Functions.a85Decode(c).cast(StringType)
         case other => throw new IllegalArgumentException(s"decode($other)")
       }
       // timestamps
@@ -660,6 +673,43 @@ object ExprCompiler {
         case StrLit(s) => s
         case _ => throw new IllegalArgumentException(".without() needs literal field names")
       }: _*)
+      // with(keys...): keep only the listed fields (reference withMethod
+      // — the complement of without), in the listed order
+      case "with" => struct(rawArgs.map {
+        case StrLit(s) => c.getField(s).as(s)
+        case _ => throw new IllegalArgumentException(".with() needs literal field names")
+      }: _*)
+      // assign(obj): merge with overwrite-on-collision (reference
+      // assignMethod; unlike merge, colliding keys take the argument's
+      // value). The argument must be an object literal so field names
+      // are known at compile time.
+      case "assign" => rawArgs.head match {
+        case ObjectLit(fields) =>
+          fields.foldLeft(c) { case (acc, (k, v)) =>
+            acc.withField(k, compile(v, ctx).col)
+          }
+        case _ => throw new IllegalArgumentException(".assign() needs an object literal")
+      }
+      // squash: array<map> → one map, later entries winning on
+      // collision (reference squashMethod). The accumulator drops keys
+      // the incoming map redefines before concatenating, so the fold
+      // never trips Spark's duplicate-map-key check.
+      case "squash" =>
+        aggregate(
+          c,
+          map_filter(element_at(c, 1), (_, _) => lit(false)),
+          (acc, m) => map_concat(
+            map_filter(acc, (k, _) => !array_contains(map_keys(m), k)), m))
+      // collapse: nested value → single-level object keyed by dot
+      // paths, as a VARIANT (native Jackson walk over canonical JSON;
+      // empty containers dropped per the reference default, kept with
+      // collapse(true) = include_empty)
+      case "collapse" =>
+        val includeEmpty = rawArgs.headOption.exists {
+          case BoolLit(b) => b
+          case _ => throw new IllegalArgumentException(".collapse() takes an optional boolean")
+        }
+        parse_json(graft.functions.CollapseFunctions.collapseJson(to_json(c), includeEmpty))
       // type / null handling
       case "type" => typeof(c)
       case "not_null" => when(c.isNull, raise_error(lit(s"not_null(): value is null"))).otherwise(c)

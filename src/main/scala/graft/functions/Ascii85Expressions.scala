@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Ascii85 codec for the reference's `encode("ascii85")` /
+  * `decode("ascii85")` bloblang methods (upstream
+  * `query/methods_strings.go` → Go `encoding/ascii85`). Adobe-variant
+  * semantics, matching Go's package exactly:
+  *
+  *  - each aligned 4-byte group is one base-85 big-endian number,
+  *    emitted as 5 chars in `'!'..'u'` (value digit + 33);
+  *  - an aligned all-zero group is abbreviated to a single `'z'`
+  *    (Go's Encode emits it; a trailing PARTIAL zero group is not);
+  *  - a trailing partial group of k bytes is zero-padded, encoded,
+  *    and truncated to k+1 chars;
+  *  - Decode skips ASCII whitespace, accepts `'z'` only at a group
+  *    boundary, and rejects digits beyond `'u'` or group values over
+  *    2^32-1 (we surface corrupt input as NULL, like the other
+  *    codec expressions).
+  *
+  * Pinned against CPython's `base64.a85encode` (same Adobe variant)
+  * in Ascii85Spec.
+  */
+object Ascii85Support {
+  def encode(in: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(in.length / 4 * 5 + 5)
+    var i = 0
+    while (i < in.length) {
+      val k = math.min(4, in.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) { // zero-pad the final partial group
+        v = (v << 8) | (if (j < k) in(i + j) & 0xffL else 0L)
+        j += 1
+      }
+      if (v == 0L && k == 4) sb.append('z')
+      else {
+        val digits = new Array[Char](5)
+        var d = 4
+        while (d >= 0) { digits(d) = ('!' + (v % 85).toInt).toChar; v /= 85; d -= 1 }
+        var e = 0
+        while (e < k + 1) { sb.append(digits(e)); e += 1 }
+      }
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** None on corrupt input (bad digit, misplaced 'z', group overflow,
+    * or an impossible 1-char final group). */
+  def decode(in: String): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(in.length / 5 * 4 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    while (i < in.length) {
+      val ch = in.charAt(i)
+      if (ch == ' ' || ch == '\n' || ch == '\r' || ch == '\t') ()
+      else if (ch == 'z') {
+        if (n != 0) return None // 'z' is only legal at a group boundary
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (ch >= '!' && ch <= 'u') {
+        grp(n) = ch - '!'
+        n += 1
+        if (n == 5) {
+          var v = 0L
+          var d = 0
+          while (d < 5) { v = v * 85 + grp(d); d += 1 }
+          if (v > 0xffffffffL) return None
+          out.write((v >>> 24).toInt); out.write((v >>> 16).toInt)
+          out.write((v >>> 8).toInt); out.write(v.toInt)
+          n = 0
+        }
+      } else return None
+      i += 1
+    }
+    if (n == 1) return None // a lone digit can't carry any bytes
+    if (n > 1) {
+      var v = 0L
+      var d = 0
+      while (d < 5) { v = v * 85 + (if (d < n) grp(d) else 84); d += 1 } // pad with 'u'
+      if (v > 0xffffffffL) return None
+      val bytes = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(bytes, 0, n - 1)
+    }
+    Some(out.toByteArray)
+  }
+}
+
+case class Ascii85Encode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_a85_encode"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Ascii85Support.encode(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(newChild: Expression): Ascii85Encode =
+    copy(child = newChild)
+}
+
+case class Ascii85Decode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_a85_decode"
+  override protected def nullSafeEval(input: Any): Any =
+    Ascii85Support.decode(input.asInstanceOf[UTF8String].toString).orNull
+  override protected def withNewChildInternal(newChild: Expression): Ascii85Decode =
+    copy(child = newChild)
+}
+
+object Ascii85Functions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_a85_encode", (es: Seq[Expression]) => Ascii85Encode(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_a85_decode", (es: Seq[Expression]) => Ascii85Decode(es.head), "built-in")
+  }
+  def a85Encode(c: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_a85_encode", c)
+  }
+  def a85Decode(c: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_a85_decode", c)
+  }
+}

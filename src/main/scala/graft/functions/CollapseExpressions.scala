@@ -1,0 +1,68 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `collapse` for the reference's bloblang method (upstream
+  * `query/methods.go` collapseMethod): flatten a nested object/array
+  * into a single-level object whose keys are dot-paths
+  * (`{"a":{"b":[1]}}` → `{"a.b.0":1}`). Empty objects/arrays are
+  * dropped, per the reference default (its `include_empty` option
+  * keeps them; `IncludeEmpty = true` here mirrors it).
+  *
+  * The columnar twin works over canonical JSON text — callers wrap as
+  * `parse_json(collapse(to_json(col)))` so the result is a Spark 4
+  * VARIANT and navigation/`format_json` share the parse_json path.
+  * Leaf values keep their JSON types (numbers stay numbers).
+  */
+object CollapseSupport {
+  def collapse(json: String, includeEmpty: Boolean): String = {
+    val mapper = YamlSupport.jsonMapper
+    val out = mapper.createObjectNode()
+    def walk(node: JsonNode, path: String): Unit = node match {
+      case o: ObjectNode if o.size() > 0 =>
+        o.properties().forEach { e =>
+          walk(e.getValue, if (path.isEmpty) e.getKey else path + "." + e.getKey)
+        }
+      case a: ArrayNode if a.size() > 0 =>
+        (0 until a.size()).foreach { i =>
+          walk(a.get(i), if (path.isEmpty) i.toString else path + "." + i)
+        }
+      case emptyContainer @ (_: ObjectNode | _: ArrayNode) =>
+        if (includeEmpty) out.set[JsonNode](path, emptyContainer)
+      case leaf => out.set[JsonNode](path, leaf)
+    }
+    walk(mapper.readTree(json), "")
+    mapper.writeValueAsString(out)
+  }
+}
+
+case class CollapseJson(child: Expression, includeEmpty: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_collapse"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(CollapseSupport.collapse(input.toString, includeEmpty))
+  override protected def withNewChildInternal(newChild: Expression): CollapseJson =
+    copy(child = newChild)
+}
+
+object CollapseFunctions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_collapse", (es: Seq[Expression]) => CollapseJson(es.head, includeEmpty = false), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_collapse_empty", (es: Seq[Expression]) => CollapseJson(es.head, includeEmpty = true), "built-in")
+  }
+  def collapseJson(c: Column, includeEmpty: Boolean): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function(if (includeEmpty) "graft_collapse_empty" else "graft_collapse", c)
+  }
+}

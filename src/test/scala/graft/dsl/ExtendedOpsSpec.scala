@@ -474,4 +474,79 @@ class ExtendedOpsSpec extends SparkTestBase {
       "root.yml = this.format_yaml()")))(fdf).collect().head.getAs[String]("yml")
     assert(f == "id: 7\nname: ada\n", s"unexpected yaml: $f")
   }
+
+  test("ascii85 codec matches the Adobe/Go variant (CPython a85encode vectors)") {
+    import graft.functions.Ascii85Support._
+    // pinned with: python3 -c "import base64; base64.a85encode(...)"
+    val vectors = Seq(
+      "sure." -> "F*2M7/c", "easy" -> "ARTY*",
+      "Hello, World!" -> "87cURD_*#4DfTZ)+T",
+      "M" -> "9`", "Ma" -> "9jn", "Man" -> "9jqo", "Man M" -> "9jqo^9`",
+      "Brand#13" -> "6?6LPA0Wfb")
+    vectors.foreach { case (plain, enc) =>
+      assert(encode(plain.getBytes("UTF-8")) == enc, s"encode($plain)")
+      assert(decode(enc).map(new String(_, "UTF-8")).contains(plain), s"decode($enc)")
+    }
+    // aligned all-zero group → 'z'; partial zero group does NOT abbreviate
+    assert(encode(Array[Byte](0, 0, 0, 0)) == "z")
+    assert(encode(Array[Byte]('a', 0, 0, 0, 0, 'b')) == "@/p9-!+G")
+    assert(decode("z").map(_.toSeq).contains(Seq[Byte](0, 0, 0, 0)))
+    // corrupt input → None: bad digit, mid-group 'z', lone digit, overflow
+    assert(decode("ab~").isEmpty && decode("9jz").isEmpty &&
+      decode("9").isEmpty && decode("uuuuu").isEmpty)
+    // whitespace is skipped, per Go's Decode
+    assert(decode("9j qo").map(new String(_, "UTF-8")).contains("Man"))
+
+    import spark.implicits._
+    val df = Seq((1L, "sure."), (2L, "Hello, World!")).toDF("id", "s")
+    val out = Processor.compile(Seq(PMapping(
+      """root.id = this.id
+        |root.enc = this.s.encode("ascii85")
+        |root.rt = this.s.encode("ascii85").decode("ascii85")
+        |""".stripMargin)))(df).orderBy("id").collect()
+    assert(out(0).getAs[String]("enc") == "F*2M7/c")
+    assert(out.map(_.getAs[String]("rt")).toSeq == Seq("sure.", "Hello, World!"))
+  }
+
+  test("with/assign/squash/collapse object methods") {
+    import spark.implicits._
+    val df = Seq((1L, "ada", 9.5), (2L, "bob", 3.0)).toDF("id", "name", "score")
+    val pipe = Processor.compile(Seq(PMapping(
+      """root.id = this.id
+        |root.w = {"a": this.name, "b": this.score, "c": 1}.with("c", "a").format_json()
+        |root.asg = {"x": this.score, "y": this.name}.assign({"x": 0, "z": 2}).format_json()
+        |root.sq = ["a=1&b=2".parse_urlencoded(), ("b=" + this.name + "&c=9").parse_urlencoded()].squash().b
+        |root.col = {"o": {"k": this.id, "arr": [this.name]}, "e": {}}.collapse().format_json()
+        |root.cole = {"e": {}}.collapse(true).format_json()
+        |""".stripMargin)))
+    val out = pipe(df).orderBy("id").collect()
+    // with: keeps only the listed fields, in listed order
+    assert(out(0).getAs[String]("w") == """{"c":1,"a":"ada"}""")
+    // assign: collision overwrites (x → 0), new keys appended (z)
+    assert(out(0).getAs[String]("asg") == """{"x":0,"y":"ada","z":2}""")
+    // squash: later maps win on collision
+    assert(out(0).getAs[String]("sq") == "ada" && out(1).getAs[String]("sq") == "bob")
+    // collapse: dot-path keys, numbers stay numbers, empty objects
+    // dropped. Key order is lexicographic — Spark's VARIANT encoding
+    // sorts object keys, deterministically.
+    assert(out(1).getAs[String]("col") == """{"o.arr.0":"bob","o.k":2}""")
+    // collapse(true) keeps empty containers
+    assert(out(0).getAs[String]("cole") == """{"e":{}}""")
+  }
+
+  test("file(): config-time constant folded at compile") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempFile("blobfile", ".txt")
+    java.nio.file.Files.writeString(p, "seed-content")
+    val df = Seq(Tuple1(1L)).toDF("id")
+    val out = Processor.compile(Seq(PMapping(
+      s"""root.id = this.id
+         |root.f = file("$p")
+         |""".stripMargin)))(df).collect()
+    assert(out.head.getAs[String]("f") == "seed-content")
+    val err = intercept[IllegalArgumentException] {
+      Processor.compile(Seq(PMapping("root.f = file(\"/nope/missing\")")))(df).collect()
+    }
+    assert(err.getMessage.contains("not readable"))
+  }
 }
