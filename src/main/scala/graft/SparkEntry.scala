@@ -327,6 +327,9 @@ object SparkEntry {
           |root.asg = {"x": this.c_nationkey, "y": this.c_mktsegment}.assign({"x": 0, "z": 2}).format_json()
           |root.sq = ["a=1&b=2".parse_urlencoded(), ("b=" + this.c_mktsegment + "&c=9").parse_urlencoded()].squash().b
           |root.col = {"o": {"k": this.c_nationkey, "arr": [this.c_mktsegment]}}.collapse().format_json()
+          |root.exm = {"m": {"p": 1, "q": this.c_nationkey}, "v": this.c_mktsegment}.explode("m").q.m
+          |root.exv = {"m": {"p": 1, "q": this.c_nationkey}, "v": this.c_mktsegment}.explode("m").p.v
+          |root.exa = {"arr": ["x", this.c_mktsegment], "k": this.c_nationkey}.explode("arr").index(1).arr
           |""".stripMargin)))
       pipe(t(s, dir, "customer")).orderBy("id")
     }),
@@ -1842,7 +1845,8 @@ object SparkEntry {
         |'{"nk":' || c_nationkey || ',"seg":"' || c_mktsegment || '"}' AS w,
         |'{"x":0,"y":"' || c_mktsegment || '","z":2}' AS asg,
         |c_mktsegment AS sq,
-        |'{"o.arr.0":"' || c_mktsegment || '","o.k":' || c_nationkey || '}' AS col
+        |'{"o.arr.0":"' || c_mktsegment || '","o.k":' || c_nationkey || '}' AS col,
+        |c_nationkey AS exm, c_mktsegment AS exv, c_mktsegment AS exa
         |FROM customer ORDER BY id""".stripMargin,
 
     "q_encode85" ->

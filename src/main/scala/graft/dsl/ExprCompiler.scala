@@ -96,6 +96,41 @@ object ExprCompiler {
         mergeDel(tc.deleted, ic.deleted))
     case MethodCall(t, "index", Seq(NumLit(i))) if isVariantTyped(t) =>
       compile(t, ctx).mapCol(c => try_variant_get(c, s"$$[${i.toLong}]", "variant"))
+
+    // explode(path) (reference explodeMethod, query/methods.go):
+    // array at path  → array of copies of the target, one per element;
+    // object at path → object keyed like it, values = copies with the
+    // path replaced. The array/object form is resolved STATICALLY —
+    // from the input schema for this-rooted paths, structurally for
+    // literals — because a Column's type isn't inspectable at compile.
+    case MethodCall(t, "explode", Seq(StrLit(path))) =>
+      val segs = path.split('.').toSeq
+      require(segs.nonEmpty && segs.forall(_.nonEmpty), s".explode($path): bad path")
+      val tc = compile(t, ctx)
+      def getPath(c: Column, ss: Seq[String]): Column = ss.foldLeft(c)(_.getField(_))
+      def setPath(c: Column, ss: Seq[String], v: Column): Column = ss match {
+        case Seq(last) => c.withField(last, v)
+        case head +: rest => c.withField(head, setPath(c.getField(head), rest, v))
+        case _ => v
+      }
+      val target = getPath(tc.col, segs)
+      val kind = staticDataType(t, ctx).flatMap(dt => typeAt(dt, segs))
+      val out = kind match {
+        case Some(_: ArrayType) =>
+          transform(target, x => setPath(tc.col, segs, x))
+        case Some(_: MapType) =>
+          map_from_arrays(map_keys(target),
+            transform(map_values(target), v => setPath(tc.col, segs, v)))
+        case Some(s: StructType) =>
+          map_from_arrays(
+            array(s.fieldNames.map(lit(_)): _*),
+            array(s.fieldNames.map(f => setPath(tc.col, segs, target.getField(f))): _*))
+        case other => throw new IllegalArgumentException(
+          s".explode($path): path does not resolve to an array/object statically " +
+            s"(got ${other.fold("an unresolvable expression")(_.simpleString)}); " +
+            "explode needs a this-rooted path or an object/array literal")
+      }
+      CVal(out, tc.deleted)
     case VarRef(n) =>
       CVal(ctx.vars.getOrElse(n,
         throw new IllegalArgumentException(s"unknown variable $$$n")))
@@ -288,6 +323,36 @@ object ExprCompiler {
     "filepath_join", "format_yaml",
     "quote", "unquote", "reverse",
     "type", "first", "last", "index", "not_null", "or", "catch")
+
+  /** Best-effort static DataType of an expression — this-rooted paths
+    * resolve against the input schema, object/array literals resolve
+    * structurally (unknown leaves become NullType placeholders, fine
+    * for kind dispatch). None when unresolvable. Used by `.explode`.
+    */
+  private def staticDataType(e: Expr, ctx: Ctx): Option[DataType] = e match {
+    case This => ctx.schema
+    case Field(t, n) => staticDataType(t, ctx).flatMap {
+      case s: StructType => s.fields.find(_.name == n).map(_.dataType)
+      case m: MapType => Some(m.valueType)
+      case _ => None
+    }
+    case ObjectLit(fields) => Some(StructType(fields.map { case (k, v) =>
+      StructField(k, staticDataType(v, ctx).getOrElse(NullType)) }))
+    case ArrayLit(items) => Some(ArrayType(
+      items.headOption.flatMap(staticDataType(_, ctx)).getOrElse(NullType)))
+    case StrLit(_) => Some(StringType)
+    case NumLit(v) => Some(if (v.isValidLong) LongType else DoubleType)
+    case BoolLit(_) => Some(BooleanType)
+    case _ => None
+  }
+
+  /** Walk a DataType down struct-field / map-value steps. */
+  private def typeAt(dt: DataType, segs: Seq[String]): Option[DataType] =
+    segs.foldLeft(Option(dt)) {
+      case (Some(s: StructType), n) => s.fields.find(_.name == n).map(_.dataType)
+      case (Some(m: MapType), _) => Some(m.valueType)
+      case _ => None
+    }
 
   /** Static "does this expression produce a VARIANT?" — drives field/
     * index navigation dispatch (ExtractValue rejects VARIANT; variant

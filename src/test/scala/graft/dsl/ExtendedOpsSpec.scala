@@ -534,6 +534,37 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(out(0).getAs[String]("cole") == """{"e":{}}""")
   }
 
+  test("explode(path): array → copies per element, object → copies per key") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b"), "ada"), (2L, Seq("c", "d"), "bob"))
+      .toDF("id", "tags", "name")
+    val pipe = Processor.compile(Seq(PMapping(
+      """root.id = this.id
+        |root.n = this.explode("tags").size()
+        |root.t1 = this.explode("tags").index(1).tags
+        |root.nm = this.explode("tags").index(0).name
+        |root.obj = {"m": {"p": 1, "q": this.id}, "v": this.name}.explode("m").q.m
+        |root.objv = {"m": {"p": 1, "q": this.id}, "v": this.name}.explode("m").p.v
+        |root.lit = {"arr": ["x", this.name], "k": this.id}.explode("arr").index(1).arr
+        |""".stripMargin)))
+    val out = pipe(df).orderBy("id").collect()
+    // array form: one copy per element, path replaced by the element
+    assert(out(0).getAs[Int]("n") == 2 && out(1).getAs[Int]("n") == 2)
+    assert(out(0).getAs[String]("t1") == "b")
+    assert(out(0).getAs[String]("nm") == "ada")
+    // object form: keyed like the object, copies carry sibling fields
+    assert(out(0).getAs[Long]("obj") == 1L && out(1).getAs[Long]("obj") == 2L)
+    assert(out(0).getAs[String]("objv") == "ada")
+    // literal array resolves structurally, no schema needed
+    assert(out(1).getAs[String]("lit") == "bob")
+    // unresolvable path fails loudly at compile
+    val err = intercept[IllegalArgumentException] {
+      Processor.compile(Seq(PMapping(
+        """root.x = this.name.explode("nope")""")))(df).collect()
+    }
+    assert(err.getMessage.contains("explode"))
+  }
+
   test("file(): config-time constant folded at compile") {
     import spark.implicits._
     val p = java.nio.file.Files.createTempFile("blobfile", ".txt")
