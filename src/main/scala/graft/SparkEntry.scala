@@ -1700,6 +1700,18 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id", "arr")
     }),
 
+    "q_jq_object" -> ((s, dir) => {
+      // `.[]` over an OBJECT streams its values in document key order
+      // (round-3 delta closed) — one output row per even value
+      val pipe = compile(Seq(
+        PMapping(
+          """root.event_id = this.event_id
+            |root.obj = {"a": this.props.json_path("$.k").int64(), "b": this.props.json_path("$.k").int64() + 10}.format_json()
+            |""".stripMargin),
+        PJq(".[] | select(. % 2 == 0)", "obj")))
+      pipe(t(s, dir, "events")).orderBy("event_id", "obj")
+    }),
+
     "q_cdc_replay" -> ((s, _) =>
       // generator → streaming replay → fenced LWW merge → final state;
       // the sha-equality oracle is the fold oracle in EndToEndReplaySpec
@@ -2574,7 +2586,15 @@ object SparkEntry {
         |e AS (SELECT event_id, k + off AS v
         |      FROM k CROSS JOIN (VALUES (0), (10)) AS t(off))
         |SELECT event_id, CAST(v AS VARCHAR) AS arr FROM e
-        |WHERE v % 2 = 0 ORDER BY event_id, arr""".stripMargin
+        |WHERE v % 2 = 0 ORDER BY event_id, arr""".stripMargin,
+
+    "q_jq_object" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |e AS (SELECT event_id, k + off AS v
+        |      FROM k CROSS JOIN (VALUES (0), (10)) AS t(off))
+        |SELECT event_id, CAST(v AS VARCHAR) AS obj FROM e
+        |WHERE v % 2 = 0 ORDER BY event_id, obj""".stripMargin
     // q_dedup_simhash, q_knn_ivf, q_fingerprint_rolling, q_media_features,
     // q_compress, q_cdc_replay: intentionally no SQL oracle (xxhash64 /
     // approximate / stubbed-decode / gzip / generator semantics); Scala

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *   tonumber, ascii_downcase, ascii_upcase, ltrimstr, rtrimstr,
   *   startswith, endswith, test, split, join, floor, ceil, fabs`.
   *
-  * Multi-output streams (round 3): `.[]` (array iteration) and the
+  * Multi-output streams (round 3): `.[]` (array/object iteration) and the
   * top-level comma operator ARE supported, as the columnar analog of
   * jq's value streams — the program splits at the (single) stream
   * stage into `pre | GENERATOR | suffix`: pre evaluates scalar, the
@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   *
   * Documented deltas from full jq (SURVEY.md §2.9): one stream stage
   * per program (no `.a[].b[]` cross-products), comma only at the top
-  * level, `.[]` iterates arrays (not object values); numbers evaluate
+  * level; numbers evaluate
   * as doubles and render integral values without the trailing `.0`
   * (jq's own integer rendering); re-embedding a path value into a
   * container re-infers its JSON kind textually (get_json_object
@@ -143,11 +143,21 @@ object JqCompiler {
     * `get_json_object` helper only takes literal paths).
     */
   private def jsonArrayElements(c: Column): Column = {
+    // jq's `.[]`: arrays stream their elements, objects stream their
+    // VALUES in document key order (json_object_keys preserves it).
+    // Anything else (scalar/null/empty) is an empty stream — the row
+    // is dropped, exactly jq's semantics. Object keys containing a
+    // quote are a documented edge (JSON-path quoting).
     val n = json_array_length(c)
+    val keys = json_object_keys(c)
     when(c.isNotNull && n > 0,
       transform(sequence(lit(0), n - lit(1)),
         i => call_function("get_json_object", c,
           concat(lit("$["), i.cast("string"), lit("]")))))
+      .when(c.isNotNull && keys.isNotNull && size(keys) > 0,
+        transform(keys,
+          k => call_function("get_json_object", c,
+            concat(lit("$['"), k, lit("']")))))
       .otherwise(array().cast("array<string>"))
   }
 

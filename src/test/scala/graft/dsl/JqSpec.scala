@@ -155,9 +155,17 @@ class JqSpec extends SparkTestBase {
       Seq(Some("""{"n":"a"}""")))
   }
 
-  test("stream: malformed / non-array JSON yields zero messages, never an error") {
+  test("stream: .[] over an object iterates its VALUES in key order") {
+    assert(run(".[]", """{"a":1,"b":"x","c":[2]}""") ==
+      Seq(Some("1"), Some("x"), Some("[2]")))
+    assert(run(".props[] | select(. > 1)", """{"props":{"p":1,"q":5}}""") ==
+      Seq(Some("5")))
+    assert(run(".[]", "{}").isEmpty) // empty object -> empty stream
+  }
+
+  test("stream: malformed / non-iterable JSON yields zero messages, never an error") {
     assert(run(".items[]", """{"items":"not-an-array"}""").isEmpty)
-    assert(run(".[]", """{"a":1}""").isEmpty) // object iteration: documented unsupported
+    assert(run(".[]", "42").isEmpty) // scalar: not iterable
     assert(run(".[]", "not json at all").isEmpty)
     assert(run(".items[]", null.asInstanceOf[String]).isEmpty)
   }
