@@ -369,6 +369,8 @@ object SparkEntry {
           |root.yr = this.o_orderdate.ts_format("yyyy").int64()
           |root.ep = this.o_orderdate.ts_unix()
           |root.mon = this.o_orderdate.ts_round("month").ts_unix()
+          |root.nxt = this.o_orderdate.ts_add_iso8601("P1M2D").ts_format("yyyy-MM-dd")
+          |root.prv = this.o_orderdate.ts_sub_iso8601("P1DT2H").ts_unix()
           |""".stripMargin)))
       pipe(t(s, dir, "orders")).orderBy("id")
     }),
@@ -1887,7 +1889,9 @@ object SparkEntry {
         |strftime(o_orderdate, '%Y-%m-%d') AS ymd,
         |CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr,
         |CAST(epoch(o_orderdate) AS BIGINT) AS ep,
-        |CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS mon
+        |CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS mon,
+        |strftime(o_orderdate + INTERVAL 1 MONTH + INTERVAL 2 DAY, '%Y-%m-%d') AS nxt,
+        |CAST(epoch(o_orderdate - INTERVAL 1 DAY - INTERVAL 2 HOUR) AS BIGINT) AS prv
         |FROM orders ORDER BY id""".stripMargin,
 
     "q1_agg" ->

@@ -324,6 +324,34 @@ object ExprCompiler {
     "quote", "unquote", "reverse",
     "type", "first", "last", "index", "not_null", "or", "catch")
 
+  /** ISO-8601 period literal ("P1Y2M3DT4H5M6.5S", "P2W", "-P1D")
+    * parsed at compile into a calendar interval shift. Date parts via
+    * java.time.Period (weeks normalize to days), time parts via
+    * java.time.Duration; everything folded into one make_interval.
+    */
+  private def isoPeriodShift(c: Column, iso: String, negate: Boolean): Column = {
+    val (sign0, body) = if (iso.startsWith("-")) (-1, iso.substring(1)) else (1, iso)
+    val sign = if (negate) -sign0 else sign0
+    val (period, dur) =
+      try {
+        val tIdx = body.indexOf('T')
+        if (tIdx < 0) (java.time.Period.parse(body), java.time.Duration.ZERO)
+        else {
+          val dateStr = body.substring(0, tIdx)
+          val p = if (dateStr == "P") java.time.Period.ZERO else java.time.Period.parse(dateStr)
+          (p, java.time.Duration.parse("P" + body.substring(tIdx)))
+        }
+      } catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(s"ts_add_iso8601: bad ISO-8601 period '$iso'", e)
+      }
+    val secs = BigDecimal(dur.getSeconds) + BigDecimal(dur.getNano) / BigDecimal(1000000000L)
+    c.cast(TimestampType) + make_interval(
+      lit(sign * period.getYears), lit(sign * period.getMonths), lit(0),
+      lit(sign * period.getDays), lit(0), lit(0),
+      lit((secs * sign).bigDecimal))
+  }
+
   /** Best-effort static DataType of an expression — this-rooted paths
     * resolve against the input schema, object/array literals resolve
     * structurally (unknown leaves become NullType placeholders, fine
@@ -713,6 +741,11 @@ object ExprCompiler {
         timestamp_millis(unix_millis(c.cast(TimestampType)) + lit(goDurationMillis(str(0))))
       case "ts_sub" =>
         timestamp_millis(unix_millis(c.cast(TimestampType)) - lit(goDurationMillis(str(0))))
+      // ISO-8601 period arithmetic (reference ts_add_iso8601/
+      // ts_sub_iso8601): calendar-aware via make_interval, so month
+      // adds clamp at month end like the reference's time lib
+      case "ts_add_iso8601" => isoPeriodShift(c, str(0), negate = false)
+      case "ts_sub_iso8601" => isoPeriodShift(c, str(0), negate = true)
       // arrays
       case "sum" => aggregate(c, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
       case "join" => array_join(c, if (args.nonEmpty) str(0) else "")

@@ -123,6 +123,28 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(out.getAs[Long]("base") - out.getAs[Long]("minus") == 900L)
   }
 
+  test("ts_add_iso8601/ts_sub_iso8601: calendar-aware period arithmetic") {
+    import spark.implicits._
+    val df = Seq("2024-01-31 10:00:00", "2024-02-29 00:00:00").toDF("t")
+    val out = Processor.compile(Seq(PMapping(
+      """root.m = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_add_iso8601("P1M").ts_format("yyyy-MM-dd")
+        |root.w = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_add_iso8601("P2W").ts_format("yyyy-MM-dd")
+        |root.hm = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_add_iso8601("PT1H30M").ts_unix()
+        |root.base = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_unix()
+        |root.back = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_sub_iso8601("P1Y").ts_format("yyyy-MM-dd")
+        |""".stripMargin)))(df).collect()
+    // month adds clamp at month end (Jan 31 + 1M → Feb 29 in a leap year)
+    assert(out(0).getAs[String]("m") == "2024-02-29")
+    assert(out(0).getAs[String]("w") == "2024-02-14")
+    assert(out(0).getAs[Long]("hm") - out(0).getAs[Long]("base") == 5400L)
+    // leap-day minus a year clamps too
+    assert(out(1).getAs[String]("back") == "2023-02-28")
+    intercept[IllegalArgumentException] {
+      Processor.compile(Seq(PMapping(
+        """root.x = this.t.ts_add_iso8601("1 month")""")))(df).collect()
+    }
+  }
+
   test("compress/decompress gzip roundtrip is the identity and deterministic") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "").toDF("s")
