@@ -978,6 +978,22 @@ object SparkEntry {
             .cast("string").as("rt"))
         .orderBy("p_partkey")),
 
+    "q_compress_algos" -> ((s, dir) => {
+      // all eight reference algorithms (gzip/pgzip/zlib/flate/snappy/
+      // lz4/zstd/bzip2): roundtrip identity is the oracle, magic bytes
+      // pinned in CompressionSpec
+      val algos = graft.functions.Codecs.algorithms.toSeq.sorted
+      algos.map { a =>
+        t(s, dir, "part").filter(col("p_partkey") <= 40)
+          .withColumn("packed",
+            graft.functions.GraftFunctions.compress(a, col("p_name").cast("binary")))
+          .select(col("p_partkey"), lit(a).as("algo"),
+            graft.functions.GraftFunctions.decompress(a, col("packed"))
+              .cast("string").as("rt"),
+            (length(col("packed")) > lit(0)).as("nonempty"))
+      }.reduce(_ unionAll _).orderBy("p_partkey", "algo")
+    }),
+
     // ---------------- round-2: new inputs + stateful cache ------------
 
     "q_sql_select" -> ((s, dir) => {
@@ -1832,6 +1848,14 @@ object SparkEntry {
 
     "q_compress" ->
       """SELECT p_partkey, p_name AS rt FROM part ORDER BY p_partkey""",
+
+    "q_compress_algos" ->
+      """SELECT p.p_partkey, a.algo, p.p_name AS rt, TRUE AS nonempty
+        |FROM part p
+        |CROSS JOIN (VALUES ('bzip2'),('flate'),('gzip'),('lz4'),
+        |                   ('pgzip'),('snappy'),('zlib'),('zstd')) AS a(algo)
+        |WHERE p.p_partkey <= 40
+        |ORDER BY p.p_partkey, a.algo""".stripMargin,
 
     "q_crypto_fns" ->
       """SELECT doc_id AS id, text AS aes_rt,

@@ -665,16 +665,12 @@ object ExprCompiler {
         map_from_entries(transform(split(c, "&"), kv =>
           struct(url_decode(split(kv, "=").getItem(0)).as("key"),
             url_decode(element_at(split(kv, "="), 2)).as("value"))))
-      // compression (gzip; native Catalyst expressions, see
-      // graft.functions.GzipExpressions)
-      case "compress" => str(0) match {
-        case "gzip" => graft.functions.GraftFunctions.gzip(c.cast(BinaryType))
-        case other => throw new IllegalArgumentException(s"compress($other): only gzip")
-      }
-      case "decompress" => str(0) match {
-        case "gzip" => graft.functions.GraftFunctions.gunzip(c.cast(BinaryType))
-        case other => throw new IllegalArgumentException(s"decompress($other): only gzip")
-      }
+      // compression (gzip/pgzip/zlib/flate/snappy/lz4/zstd/bzip2;
+      // native Catalyst expressions, see graft.functions.Codecs)
+      case "compress" =>
+        graft.functions.GraftFunctions.compress(str(0), c.cast(BinaryType))
+      case "decompress" =>
+        graft.functions.GraftFunctions.decompress(str(0), c.cast(BinaryType))
       // numbers
       case "abs" => abs(c)
       case "ceil" => ceil(c)

@@ -578,14 +578,13 @@ object Processor {
     }
 
     case PCompress(field, algo) => df =>
-      require(algo == "gzip", s"compress: only gzip (got $algo)")
       df.withColumn(field,
-        graft.functions.GraftFunctions.gzip(col(field).cast(org.apache.spark.sql.types.BinaryType)))
+        graft.functions.GraftFunctions.compress(algo,
+          col(field).cast(org.apache.spark.sql.types.BinaryType)))
 
     case PDecompress(field, algo) => df =>
-      require(algo == "gzip", s"decompress: only gzip (got $algo)")
       df.withColumn(field,
-        graft.functions.GraftFunctions.gunzip(col(field)).cast(StringType))
+        graft.functions.GraftFunctions.decompress(algo, col(field)).cast(StringType))
 
     case PXml(op, ddl, field) => df => op match {
       case "to_json" =>

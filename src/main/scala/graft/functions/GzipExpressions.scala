@@ -8,8 +8,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
 
 /** gzip compress/decompress as native Catalyst expressions (the
   * reference's `compress`/`decompress` bloblang methods, upstream
-  * `internal/impl/pure/bloblang_compression.go` — gzip algorithm
-  * only; the sandbox ships no lz4/snappy codec surface).
+  * `internal/impl/pure/bloblang_compression.go`). The other
+  * algorithms (zlib/flate/snappy/lz4/zstd/bzip2) live in
+  * [[CompressionExpressions.scala]] — Spark ships their codec jars.
   *
   * Implemented as `UnaryExpression` + `CodegenFallback` rather than a
   * Scala UDF: Deflater work is inherently interpretive either way,
@@ -61,6 +62,18 @@ object GraftFunctions {
       (es: Seq[Expression]) => GzipCompress(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_gunzip",
       (es: Seq[Expression]) => GzipDecompress(es.head), "built-in")
+    // generic codecs: algo arrives as a foldable string literal so the
+    // expression is constructed with a fixed algorithm (no per-row
+    // dispatch in the hot loop)
+    reg.createOrReplaceTempFunction("graft_compress",
+      (es: Seq[Expression]) => GraftCompress(es(1), foldedString(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("graft_decompress",
+      (es: Seq[Expression]) => GraftDecompress(es(1), foldedString(es.head)), "built-in")
+  }
+
+  private def foldedString(e: Expression): String = {
+    require(e.foldable, s"algorithm must be a literal, got $e")
+    String.valueOf(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
   }
 
   def gzip(c: Column): Column = {
@@ -71,5 +84,27 @@ object GraftFunctions {
   def gunzip(c: Column): Column = {
     ensureRegistered(SparkSession.active)
     call_function("graft_gunzip", c)
+  }
+
+  /** Compress with any reference-supported algorithm (see [[Codecs]]).
+    * gzip keeps its dedicated expression (back-compat with existing
+    * plans/specs); everything else routes through [[GraftCompress]].
+    */
+  def compress(algo: String, c: Column): Column = {
+    Codecs.requireKnown(algo, "compress")
+    if (algo == "gzip") gzip(c)
+    else {
+      ensureRegistered(SparkSession.active)
+      call_function("graft_compress", org.apache.spark.sql.functions.lit(algo), c)
+    }
+  }
+
+  def decompress(algo: String, c: Column): Column = {
+    Codecs.requireKnown(algo, "decompress")
+    if (algo == "gzip") gunzip(c)
+    else {
+      ensureRegistered(SparkSession.active)
+      call_function("graft_decompress", org.apache.spark.sql.functions.lit(algo), c)
+    }
   }
 }

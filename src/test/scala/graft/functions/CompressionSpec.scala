@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Multi-algorithm compress/decompress: roundtrip identity per
+  * algorithm, real wire formats pinned by magic bytes, Column-level
+  * integration through the registered Catalyst expressions.
+  */
+class CompressionSpec extends SparkTestBase {
+
+  private val samples = Seq(
+    "",
+    "hello world",
+    "héllo wörld — ünïcode ✓",
+    "a" * 100000,
+    (0 until 1000).map(i => s"line $i of structured text\n").mkString)
+
+  test("every algorithm roundtrips every sample byte-exactly") {
+    val failures = for {
+      algo <- Codecs.algorithms.toSeq.sorted; s <- samples
+      err <- (try {
+        val bytes = s.getBytes("UTF-8")
+        val rt = Codecs.decompress(algo, Codecs.compress(algo, bytes))
+        if (java.util.Arrays.equals(rt, bytes)) None else Some("mismatch")
+      } catch { case e: Exception => Some(e.toString) })
+    } yield s"$algo len=${s.length}: $err"
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("wire formats are the real ones: magic bytes per algorithm") {
+    val payload = "magic byte check".getBytes("UTF-8")
+    def hexPrefix(algo: String, n: Int): String =
+      Codecs.compress(algo, payload).take(n).map("%02x".format(_)).mkString
+    assert(hexPrefix("gzip", 2) == "1f8b")
+    assert(hexPrefix("pgzip", 2) == "1f8b") // pgzip IS the gzip format
+    assert(hexPrefix("zstd", 4) == "28b52ffd")
+    assert(hexPrefix("lz4", 4) == "04224d18")
+    assert(hexPrefix("bzip2", 3) == "425a68") // "BZh"
+    // zlib: CMF byte 0x78 (deflate, 32k window)
+    assert(hexPrefix("zlib", 1) == "78")
+    // flate (raw deflate) and snappy (raw block) have no magic by design
+  }
+
+  test("cross-library decode: zlib/flate decompress what zstd-jni did NOT write — JDK Inflater reads Deflater") {
+    // gzip already cross-checked vs `gzip(1)` in ExtendedOpsSpec; here
+    // pin that zlib framing differs from flate (wrapper vs raw) and
+    // that mixing them fails loudly rather than silently succeeding
+    val bytes = "framing check".getBytes("UTF-8")
+    val zlib = Codecs.compress("zlib", bytes)
+    val flate = Codecs.compress("flate", bytes)
+    assert(!java.util.Arrays.equals(zlib, flate))
+    intercept[Exception](Codecs.decompress("flate", zlib.take(zlib.length - 4)))
+  }
+
+  test("compression actually compresses repetitive input") {
+    val bytes = ("repeat " * 10000).getBytes("UTF-8")
+    for (algo <- Codecs.algorithms.toSeq.sorted)
+      assert(Codecs.compress(algo, bytes).length < bytes.length / 10, algo)
+  }
+
+  test("Column API: per-algorithm roundtrip inside a projection, null-safe") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    for (algo <- Codecs.algorithms.toSeq.sorted) {
+      val out = df.select($"id",
+        GraftFunctions.decompress(algo,
+          GraftFunctions.compress(algo, $"text".cast("binary")))
+          .cast("string").as("rt"))
+        .orderBy("id").collect()
+      assert(out.map(r => Option(r.getString(1))).toSeq ==
+        Seq(Some("alpha"), Some("beta"), None), algo)
+    }
+  }
+
+  test("bloblang mapping dispatch: compress/decompress with non-gzip algorithms") {
+    import spark.implicits._
+    val df = Seq(("payload one", 1L), ("payload two", 2L)).toDF("content", "id")
+    val pipe = graft.dsl.Processor.compile(Seq(graft.dsl.Processor.PMapping(
+      """root.id = this.id
+        |root.rt = this.content.compress("zstd").decompress("zstd").string()
+        |root.packed_len = this.content.compress("snappy").length()
+        |""".stripMargin)))
+    val rows = pipe(df).orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("rt")).toSeq == Seq("payload one", "payload two"))
+    assert(rows.forall(_.getAs[Number]("packed_len").longValue > 0L))
+  }
+
+  test("unknown algorithm fails at compile time with the supported list") {
+    val e = intercept[IllegalArgumentException](
+      GraftFunctions.compress("brotli", lit("x").cast("binary")))
+    assert(e.getMessage.contains("supported algorithms"))
+  }
+}
