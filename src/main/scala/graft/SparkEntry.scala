@@ -375,6 +375,21 @@ object SparkEntry {
       pipe(t(s, dir, "orders")).orderBy("id")
     }),
 
+    "q_str_ts_fns" -> ((s, dir) => {
+      // round-3 additions: slug, replace_all_many, C-strftime parse/
+      // format, zone shift, ISO-8601 duration, submatch arrays
+      val pipe = compile(Seq(PMapping(
+        """root.id = this.n_nationkey
+          |root.slugged = this.n_name.slug()
+          |root.many = this.n_name.replace_all_many(["A", "4", "E", "3"])
+          |root.strf = ("2024-01-" + (this.n_nationkey + 1).int64().string().pad_left(2, "0")).ts_strptime("%Y-%m-%d").ts_strftime("%A %j")
+          |root.nyh = "2024-06-15 12:00:00".ts_strptime("%F %T").ts_tz("America/New_York").ts_strftime("%R")
+          |root.iso_ns = "PT1H2M3.5S".parse_duration_iso8601()
+          |root.sub = this.n_name.re_find_all_submatch("[AEIOU]([A-Z])").map_each(m -> m.join("+")).join("|")
+          |""".stripMargin)))
+      pipe(t(s, dir, "nation")).orderBy("id")
+    }),
+
     // ---------------- relational surface the engine is built on ------
 
     "q1_agg" -> ((s, dir) =>
@@ -1917,6 +1932,19 @@ object SparkEntry {
         |strftime(o_orderdate + INTERVAL 1 MONTH + INTERVAL 2 DAY, '%Y-%m-%d') AS nxt,
         |CAST(epoch(o_orderdate - INTERVAL 1 DAY - INTERVAL 2 HOUR) AS BIGINT) AS prv
         |FROM orders ORDER BY id""".stripMargin,
+
+    "q_str_ts_fns" ->
+      """SELECT n_nationkey AS id,
+        |trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '-', 'g'), '-') AS slugged,
+        |replace(replace(n_name, 'A', '4'), 'E', '3') AS many,
+        |strftime(DATE '2024-01-01' + CAST(n_nationkey AS INT) * INTERVAL 1 DAY, '%A %j') AS strf,
+        |'08:00' AS nyh,
+        |CAST(3723500000000 AS BIGINT) AS iso_ns,
+        |array_to_string(list_transform(list_zip(
+        |  regexp_extract_all(n_name, '[AEIOU]([A-Z])', 0),
+        |  regexp_extract_all(n_name, '[AEIOU]([A-Z])', 1)),
+        |  x -> x[1] || '+' || x[2]), '|') AS sub
+        |FROM nation ORDER BY id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -223,6 +223,11 @@ object ExprCompiler {
     // constant-folded at compile time like the ts_add duration args
     case MethodCall(StrLit(s), "parse_duration", Seq()) =>
       CVal(lit(goDurationNanos(s)))
+    // ISO-8601 duration -> nanoseconds (reference
+    // parse_duration_iso8601); year/month rejected like the reference
+    // (not a fixed length of time)
+    case MethodCall(StrLit(s), "parse_duration_iso8601", Seq()) =>
+      CVal(lit(isoDurationNanos(s)))
 
     // Cross-part references (upstream query/methods.go `from`,
     // `from_all`): the target query evaluated from the perspective of
@@ -315,7 +320,8 @@ object ExprCompiler {
 
   private val stringReturningMethods = Set(
     "uppercase", "lowercase", "capitalize", "trim", "trim_prefix",
-    "trim_suffix", "replace_all", "re_replace_all", "re_find", "slice",
+    "trim_suffix", "replace_all", "replace_all_many", "slug",
+    "re_replace_all", "re_find", "slice", "ts_strftime",
     "string", "hash", "encode", "decode", "ts_format", "format_timestamp",
     "join", "format_json", "json_path", "format_xml", "xpath_string",
     "escape_html", "unescape_html", "strip_html", "escape_url_query",
@@ -557,6 +563,34 @@ object ExprCompiler {
       // elements and lexically Clean — native expression
       case "filepath_join" => graft.functions.FilepathFunctions.filepathJoin(c)
       case "replace_all" => replace(c, a(0), a(1))
+      // reference replace_all_many: flat literal array of
+      // [from1, to1, from2, to2, …], applied in order
+      case "replace_all_many" => rawArgs.headOption match {
+        case Some(ArrayLit(items))
+            if items.nonEmpty && items.size % 2 == 0 &&
+              items.forall(_.isInstanceOf[StrLit]) =>
+          items.collect { case StrLit(s) => s }.grouped(2)
+            .foldLeft(c) { case (acc, Seq(from, to)) =>
+              replace(acc, lit(from), lit(to)) }
+        case _ => throw new IllegalArgumentException(
+          "replace_all_many: needs a literal array [from, to, from, to, …] of strings")
+      }
+      // reference slug (gosimple/slug latin subset): accent-fold,
+      // lowercase, non-alphanumeric runs → '-', trimmed of dashes
+      case "slug" =>
+        val accents = Seq(
+          "àáâãäåāăą" -> 'a', "èéêëēĕėęě" -> 'e', "ìíîïĩīĭį" -> 'i',
+          "òóôõöøōŏő" -> 'o', "ùúûüũūŭůűų" -> 'u', "çćĉċč" -> 'c',
+          "ñńņň" -> 'n', "ýÿŷ" -> 'y', "šśş" -> 's', "žźż" -> 'z',
+          "ďđ" -> 'd', "ťţ" -> 't', "ğĝ" -> 'g', "ĺļľł" -> 'l',
+          "ŕŗř" -> 'r')
+        val folded = translate(lower(c),
+          accents.map(_._1).mkString,
+          accents.flatMap { case (cs, r) => cs.map(_ => r) }.mkString)
+        // multi-char folds translate() cannot express
+        val multi = Seq("ß" -> "ss", "æ" -> "ae", "œ" -> "oe", "þ" -> "th", "ð" -> "d")
+          .foldLeft(folded) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+        regexp_replace(regexp_replace(multi, "[^a-z0-9]+", "-"), "^-+|-+$", "")
       case "split" => split(c, java.util.regex.Pattern.quote(str(0)))
       case "slice" =>
         val from = a(0)
@@ -586,6 +620,17 @@ object ExprCompiler {
       case "re_find_all" => regexp_extract_all(c, lit(str(0)), lit(0))
       case "re_find" => regexp_extract(c, str(0), 0)
       case "re_replace_all" => regexp_replace(c, str(0), str(1))
+      // all matches, each as [full, group1, group2, …] — group count
+      // resolved at compile time from the literal pattern; per-group
+      // regexp_extract_all keeps the whole thing one codegen'd
+      // projection (no per-row Java regex object churn beyond Spark's
+      // own pattern cache)
+      case "re_find_all_submatch" =>
+        val pat = str(0)
+        val ngroups = regexGroupNames(pat).size
+        transform(regexp_extract_all(c, lit(pat), lit(0)), (_, i) =>
+          array((0 to ngroups).map(g =>
+            element_at(regexp_extract_all(c, lit(pat), lit(g)), (i + lit(1)).cast(IntegerType))): _*))
       case "re_find_object" =>
         // groups resolved at COMPILE time from the literal pattern
         // (named `(?<x>...)` by name, unnamed by index, "0" = full
@@ -637,7 +682,7 @@ object ExprCompiler {
       // printf-style format (reference `format`; Go fmt verbs beyond
       // the printf-common %s/%d/%f subset are unsupported)
       case "format" => call_function("printf", (c +: args.map(_.col)): _*)
-      case "parse_duration" => throw new IllegalArgumentException(
+      case "parse_duration" | "parse_duration_iso8601" => throw new IllegalArgumentException(
         "parse_duration: only supported on a string literal (compile-time fold)")
       // msgpack (reference methods_parsing.go parse_msgpack /
       // format_msgpack): decode takes a DDL schema literal (typed
@@ -661,7 +706,7 @@ object ExprCompiler {
           parse_url(c, lit("PATH")).as("path"),
           parse_url(c, lit("QUERY")).as("query"),
           parse_url(c, lit("REF")).as("fragment"))
-      case "parse_urlencoded" =>
+      case "parse_urlencoded" | "parse_form_url_encoded" =>
         map_from_entries(transform(split(c, "&"), kv =>
           struct(url_decode(split(kv, "=").getItem(0)).as("key"),
             url_decode(element_at(split(kv, "="), 2)).as("value"))))
@@ -730,6 +775,15 @@ object ExprCompiler {
       case "ts_unix" => unix_timestamp(c)
       case "ts_unix_milli" => unix_millis(c.cast(TimestampType))
       case "ts_round" => date_trunc(str(0), c)
+      // C-strftime format surface (reference ts_strftime/ts_strptime):
+      // the literal format is translated to a JDK datetime pattern at
+      // compile time, so runtime is plain date_format/to_timestamp
+      case "ts_strftime" => date_format(c, strftimeToSpark(str(0)))
+      case "ts_strptime" => to_timestamp(c, strftimeToSpark(str(0)))
+      // same instant, shifted to the named zone's wall clock (our
+      // timestamps are UTC-normalized and the session formats in UTC,
+      // so the shift is what makes downstream ts_format render local)
+      case "ts_tz" => from_utc_timestamp(c.cast(TimestampType), str(0))
       // duration arithmetic: Go-style duration literal ("1h30m", "90s",
       // "250ms") added/subtracted in millisecond space — deterministic
       // and timezone-free, like the reference's ts_add
@@ -908,5 +962,88 @@ object ExprCompiler {
       v * unit
     }.sum
     sign * ns.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+  }
+
+  /** ISO-8601 duration → integer nanoseconds (reference
+    * parse_duration_iso8601). Weeks/days are fixed-length (7×24h,
+    * 24h); years/months are rejected because they aren't a fixed
+    * span — same stance as the reference. Fractions allowed on the
+    * smallest present component, Go-style.
+    */
+  private val IsoDuration = ("""^(-)?P(?:(\d+(?:\.\d+)?)W)?(?:(\d+(?:\.\d+)?)D)?""" +
+    """(?:T(?:(\d+(?:\.\d+)?)H)?(?:(\d+(?:\.\d+)?)M)?(?:(\d+(?:\.\d+)?)S)?)?$""").r
+  def isoDurationNanos(s: String): Long = {
+    val t = s.trim
+    t match {
+      case IsoDuration(neg, w, d, h, m, sec) =>
+        val parts = Seq(w -> 604800000000000L, d -> 86400000000000L,
+          h -> 3600000000000L, m -> 60000000000L, sec -> 1000000000L)
+        require(parts.exists(_._1 != null), s"invalid ISO-8601 duration: '$s'")
+        val ns = parts.collect { case (v, unit) if v != null =>
+          BigDecimal(v) * BigDecimal(unit) }.sum
+        val signed = if (neg != null) -ns else ns
+        signed.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+      case _ =>
+        // a Y or M date component lands here (regex has no slot for
+        // them) — give the reference's targeted error when present
+        if (t.takeWhile(_ != 'T').exists(ch => ch == 'Y' || ch == 'M'))
+          throw new IllegalArgumentException(
+            s"parse_duration_iso8601: year/month components not supported: '$s'")
+        throw new IllegalArgumentException(s"invalid ISO-8601 duration: '$s'")
+    }
+  }
+
+  /** C-strftime → JDK/Spark datetime pattern, folded at compile time.
+    * Literal runs are single-quoted (letters would otherwise be
+    * pattern directives); unsupported directives fail compilation
+    * loudly rather than formatting garbage.
+    */
+  def strftimeToSpark(fmt: String): String = {
+    val out = new StringBuilder
+    val litBuf = new StringBuilder
+    def flush(): Unit = if (litBuf.nonEmpty) {
+      val raw = litBuf.toString
+      if (raw.exists(_.isLetter) || raw.contains("'"))
+        out.append("'").append(raw.replace("'", "''")).append("'")
+      else out.append(raw)
+      litBuf.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        val rep = fmt.charAt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'd' => "dd"
+          case 'e' => "d"
+          case 'H' => "HH"
+          case 'I' => "hh"
+          case 'M' => "mm"
+          case 'S' => "ss"
+          case 'f' => "SSSSSS"
+          case 'j' => "DDD"
+          case 'a' => "EEE"
+          case 'A' => "EEEE"
+          case 'b' | 'h' => "MMM"
+          case 'B' => "MMMM"
+          case 'p' => "a"
+          case 'z' => "xx"
+          case 'Z' => "zz"
+          case 'F' => "yyyy-MM-dd"
+          case 'T' => "HH:mm:ss"
+          case 'R' => "HH:mm"
+          case 'D' => "MM/dd/yy"
+          case '%' => null
+          case other => throw new IllegalArgumentException(
+            s"ts_strftime/ts_strptime: unsupported directive %$other")
+        }
+        if (rep == null) litBuf.append('%') else { flush(); out.append(rep) }
+        i += 2
+      } else { litBuf.append(ch); i += 1 }
+    }
+    flush()
+    out.toString
   }
 }

@@ -35,12 +35,25 @@ object Sink {
     * idempotence via dynamic partition overwrite.
     */
   final case class ParquetDir(path: String) extends Sink {
-    def write(batch: DataFrame, batchId: Long): Unit =
+    def write(batch: DataFrame, batchId: Long): Unit = {
       batch.withColumn("_batch_id", lit(batchId))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch_id")
         .parquet(path)
+      // An all-empty batch writes no files at all (the dynamic
+      // partition writer sees no partition values), which can leave
+      // the directory schema-less for readers — e.g. the reject side
+      // of RejectErrored on a clean batch. Pin the schema with a
+      // zero-row parquet file in this batch's partition. Detection is
+      // a filesystem-metadata check, not a data pass.
+      val part = new org.apache.hadoop.fs.Path(s"$path/_batch_id=$batchId")
+      val fs = part.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+      if (!fs.exists(part))
+        batch.sparkSession.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), batch.schema)
+          .write.mode(SaveMode.Overwrite).parquet(part.toString)
+    }
   }
 
   /** Line-oriented file output (reference `file` output with the

@@ -365,9 +365,13 @@ class ExtendedOpsSpec extends SparkTestBase {
     val out = p.transform(Seq("payload-α", "").toDF("doc"))
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq("payload-α", ""))
+    // non-gzip algorithms now route through the generic codec set
+    val zstd = Processor.compile(Seq(PCompress("doc", "zstd"), PDecompress("doc", "zstd")))(
+      Seq("payload-α").toDF("doc")).collect().map(_.getString(0)).toSeq
+    assert(zstd == Seq("payload-α"))
     val bad = intercept[IllegalArgumentException](
-      Processor.compile(Seq(PCompress("doc", "zstd")))(Seq("x").toDF("doc")))
-    assert(bad.getMessage.contains("only gzip"))
+      Processor.compile(Seq(PCompress("doc", "brotli")))(Seq("x").toDF("doc")))
+    assert(bad.getMessage.contains("supported algorithms"))
   }
 
   test("processor_resources: labelled processors referenced by resource, in order") {
@@ -601,5 +605,75 @@ class ExtendedOpsSpec extends SparkTestBase {
       Processor.compile(Seq(PMapping("root.f = file(\"/nope/missing\")")))(df).collect()
     }
     assert(err.getMessage.contains("not readable"))
+  }
+
+  test("slug / replace_all_many: reference string transforms") {
+    import spark.implicits._
+    val df = Seq(("Héllo, Wörld & ß!", "<b>bold</b> text")).toDF("a", "b")
+    val out = Processor.compile(Seq(PMapping(
+      """root.slugged = this.a.slug()
+        |root.swapped = this.b.replace_all_many(["<b>", "<strong>", "</b>", "</strong>"])
+        |""".stripMargin)))(df).collect().head
+    assert(out.getAs[String]("slugged") == "hello-world-ss")
+    assert(out.getAs[String]("swapped") == "<strong>bold</strong> text")
+    val err = intercept[IllegalArgumentException] {
+      Processor.compile(Seq(PMapping(
+        "root.x = this.b.replace_all_many([\"odd\"])")))(df).collect()
+    }
+    assert(err.getMessage.contains("replace_all_many"))
+  }
+
+  test("ts_strftime / ts_strptime / ts_tz: C-format surface over UTC timestamps") {
+    import spark.implicits._
+    val df = Seq(Tuple1("2024-03-05 07:08:09")).toDF("ts")
+    val out = Processor.compile(Seq(PMapping(
+      """root.f = this.ts.ts_parse("yyyy-MM-dd HH:mm:ss").ts_strftime("%Y-%m-%dT%H:%M:%S")
+        |root.p = "05/03/2024 07:08".ts_strptime("%d/%m/%Y %H:%M").ts_format("yyyy-MM-dd HH:mm")
+        |root.ny = this.ts.ts_parse("yyyy-MM-dd HH:mm:ss").ts_tz("America/New_York").ts_format("HH:mm")
+        |root.pct = this.ts.ts_parse("yyyy-MM-dd HH:mm:ss").ts_strftime("%H%%")
+        |""".stripMargin)))(df).collect().head
+    assert(out.getAs[String]("f") == "2024-03-05T07:08:09")
+    assert(out.getAs[String]("p") == "2024-03-05 07:08")
+    assert(out.getAs[String]("ny") == "02:08") // EST = UTC-5 in March pre-DST... (Mar 5 2024 is EST, UTC-5)
+    assert(out.getAs[String]("pct") == "07%")
+    val err = intercept[IllegalArgumentException] {
+      Processor.compile(Seq(PMapping(
+        "root.x = this.ts.ts_strftime(\"%Q\")")))(df).collect()
+    }
+    assert(err.getMessage.contains("unsupported directive"))
+  }
+
+  test("parse_duration_iso8601: exact nanoseconds, year/month rejected") {
+    assert(ExprCompiler.isoDurationNanos("PT1H30M") == 5400000000000L)
+    assert(ExprCompiler.isoDurationNanos("P1DT0.5S") == 86400500000000L)
+    assert(ExprCompiler.isoDurationNanos("P2W") == 1209600000000000L)
+    assert(ExprCompiler.isoDurationNanos("-PT1M") == -60000000000L)
+    val ym = intercept[IllegalArgumentException](ExprCompiler.isoDurationNanos("P1Y"))
+    assert(ym.getMessage.contains("year/month"))
+    intercept[IllegalArgumentException](ExprCompiler.isoDurationNanos("PT"))
+    import spark.implicits._
+    val df = Seq(Tuple1(1L)).toDF("id")
+    val out = Processor.compile(Seq(PMapping(
+      "root.d = \"PT2S\".parse_duration_iso8601()")))(df).collect().head
+    assert(out.getAs[Long]("d") == 2000000000L)
+  }
+
+  test("re_find_all_submatch: all matches with capture groups") {
+    import spark.implicits._
+    val df = Seq(Tuple1("-axxb-ab-")).toDF("s")
+    val out = Processor.compile(Seq(PMapping(
+      """root.m = this.s.re_find_all_submatch("a(x*)b")
+        |""".stripMargin)))(df).collect().head
+    val m = out.getSeq[scala.collection.Seq[String]](out.fieldIndex("m"))
+    assert(m.map(_.toSeq) == Seq(Seq("axxb", "xx"), Seq("ab", "")))
+  }
+
+  test("parse_form_url_encoded: reference-name alias of parse_urlencoded") {
+    import spark.implicits._
+    val df = Seq(Tuple1("a=1&b=hello%20world")).toDF("q")
+    val out = Processor.compile(Seq(PMapping(
+      """root.b = this.q.parse_form_url_encoded().b
+        |""".stripMargin)))(df).collect().head
+    assert(out.getAs[String]("b") == "hello world")
   }
 }

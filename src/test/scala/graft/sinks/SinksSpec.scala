@@ -214,4 +214,17 @@ class SinksSpec extends SparkTestBase {
     val (a2, b2) = split()
     assert(a1 == a2 && b1 == b2)
   }
+
+  test("parquet sink: an all-empty batch still pins the schema for readers") {
+    import spark.implicits._
+    val dir = tmpDir("sink-empty")
+    val df = Seq((1L, "x")).toDF("id", "v").filter($"id" < 0) // empty, >0 partitions
+    Sink.ParquetDir(dir).write(df, batchId = 0L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 0L)
+    assert(back.columns.toSet == Set("id", "v", "_batch_id"))
+    // a later non-empty batch coexists with the schema-only marker
+    Sink.ParquetDir(dir).write(Seq((7L, "y")).toDF("id", "v"), batchId = 1L)
+    assert(spark.read.parquet(dir).count() == 1L)
+  }
 }
