@@ -1721,6 +1721,19 @@ object SparkEntry {
         .select("event_id", "p1", "p2").orderBy("event_id")
     }),
 
+    "q_jq_fns" -> ((s, dir) => {
+      // round-3 jq surface: if/then/elif/else/end, map (with inner
+      // select), add, sort, max — all one codegen'd projection
+      val pipe = compile(Seq(
+        PMutation(
+          """root.event_id = this.event_id
+            |root.arr = "[" + this.props.json_path("$.k") + "," + (this.props.json_path("$.k").int64() * 2).string() + "," + (this.props.json_path("$.k").int64() % 7).string() + "]"
+            |""".stripMargin),
+        PJq("""{s: sort, t: add, big: (if add > 100 then "big" else "small" end), m: map(select(. > 5) | . + 1), mx: max}""", "arr")))
+      pipe(t(s, dir, "events"))
+        .select("event_id", "arr").orderBy("event_id")
+    }),
+
     // jq multi-output: .[] explodes an array into one message per
     // element, suffix select/map applied per element
     "q_jq_stream" -> ((s, dir) => {
@@ -2635,6 +2648,17 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
         |ORDER BY event_id""".stripMargin,
+
+    "q_jq_fns" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_id,
+        |  '{"s":[' || array_to_string(list_sort([k, k*2, k%7]), ',') || ']' ||
+        |  ',"t":' || CAST(3*k + (k%7) AS VARCHAR) ||
+        |  ',"big":"' || CASE WHEN 3*k + (k%7) > 100 THEN 'big' ELSE 'small' END || '"' ||
+        |  ',"m":[' || COALESCE(array_to_string(list_transform(list_filter([k, k*2, k%7], x -> x > 5), x -> x + 1), ','), '') || ']' ||
+        |  ',"mx":' || CAST(greatest(k, k*2, k%7) AS VARCHAR) || '}' AS arr
+        |FROM k ORDER BY event_id""".stripMargin,
 
     "q_jq_stream" ->
       """WITH k AS (SELECT event_id,

@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   *   `and` / `or` / `not`; comparisons `== != < <= > >=`; arithmetic
   *   `+ - * / %`; literals (number, string, true/false/null); object
   *   `{k: e, "k": e, k}` and array `[e, ...]` construction;
-  *   `select(cond)`; functions `length, has, keys, tostring,
-  *   tonumber, ascii_downcase, ascii_upcase, ltrimstr, rtrimstr,
-  *   startswith, endswith, test, split, join, floor, ceil, fabs`.
+  *   `select(cond)`; `if/then/elif/else/end` (else-less = identity
+  *   default); postfix `?` (no-op here — path-on-scalar is already
+  *   null); functions `length, has, keys, tostring, tonumber,
+  *   ascii_downcase, ascii_upcase, ltrimstr, rtrimstr, startswith,
+  *   endswith, test, split, join, floor, ceil, fabs/abs`, and the
+  *   array/object family `map (incl. map(select(…))), add, any, all,
+  *   min, max, first, last, reverse, sort, unique, tojson, fromjson,
+  *   to_entries, from_entries, with_entries` — all higher-order
+  *   Column functions, still one codegen'd projection per row.
   *
   * Multi-output streams (round 3): `.[]` (array/object iteration) and the
   * top-level comma operator ARE supported, as the columnar analog of
@@ -214,6 +220,7 @@ object JqCompiler {
   private final case class Arr(items: Seq[E]) extends E
   private final case class Select(cond: E) extends E
   private final case class Fn(name: String, args: Seq[E]) extends E
+  private final case class IfE(branches: Seq[(E, E)], elseE: Option[E]) extends E
   private final case class PostPath(target: E, segs: Seq[Either[String, Int]]) extends E
   private final case class IterAll(target: E) extends E                   // target[]
   private final case class Comma(items: Seq[E]) extends E                 // e1, e2 (top level)
@@ -298,6 +305,29 @@ object JqCompiler {
       val (cv, ck) = eval(cond, in)
       (in, mergeKeep(ck, Some(boolOf(cv))))
     case Fn(name, args) => evalFn(name, args, in)
+    case IfE(branches, elseE) =>
+      // jq if/elif/else/end; `if` without `else` yields the input
+      // unchanged when no branch matches (jq's identity default)
+      val evald = branches.map { case (c, e) => (eval(c, in), eval(e, in)) }
+      val elseV = elseE.map(eval(_, in)).getOrElse((in, None))
+      val outs = evald.map(_._2._1) :+ elseV._1
+      val sameT = outs.map(_.t).distinct.size == 1
+      val t = if (sameT) outs.head.t else TStr
+      val castOf = (v: JqVal) => if (sameT) v.col else renderTop(v)
+      val col = evald.foldRight(castOf(elseV._1)) { case (((cv, _), (bv, _)), acc) =>
+        when(boolOf(cv), castOf(bv)).otherwise(acc)
+      }
+      // a select() inside a branch only filters when that branch is
+      // taken; condition-level selects always apply
+      val condKeeps = evald.flatMap(_._1._2).reduceOption((a, b) => a && b)
+      val branchKeep =
+        if (evald.exists(_._2._2.isDefined) || elseV._2.isDefined)
+          Some(evald.foldRight(elseV._2.getOrElse(lit(true))) {
+            case (((cv, _), (_, bk)), acc) =>
+              when(boolOf(cv), bk.getOrElse(lit(true))).otherwise(acc)
+          })
+        else None
+      (JqVal(col, t), mergeKeep(condKeeps, branchKeep))
     case IterAll(_) | Comma(_) => throw new IllegalArgumentException(
       "jq: multi-output (.[]/comma) is only supported as a top-level pipe stage")
   }
@@ -351,10 +381,107 @@ object JqCompiler {
             org.apache.spark.sql.types.StringType)), strLit(args.head)), TStr)
       case "floor" => JqVal(floor(num(in)).cast("double"), TNum)
       case "ceil" => JqVal(ceil(num(in)).cast("double"), TNum)
-      case "fabs" => JqVal(abs(num(in)), TNum)
+      case "fabs" | "abs" => JqVal(abs(num(in)), TNum)
+      // ---- array functions (operate on the element stream of a JSON
+      // array, all as higher-order Column functions — one projection)
+      case "map" =>
+        // jq map(f) = [.[] | f]; select() inside f drops elements
+        JqVal(rebuildArr(mapArr(args.head, in.col)), TJson)
+      case "add" =>
+        // numeric arrays sum; string arrays concatenate (jq add);
+        // empty/null input → null like jq
+        val els = jsonArrayElements(in.col)
+        val summed = aggregate(els, lit(0.0), (acc, el) => acc + el.cast("double"))
+        JqVal(when(size(els) === 0, lit(null).cast("string"))
+          .when(allNumeric(els), stripDot0(summed))
+          .otherwise(array_join(els, "")), TJson)
+      case "any" | "all" =>
+        val els = jsonArrayElements(in.col)
+        val pred: Column => Column = args.headOption match {
+          case Some(f) => el => boolOf(eval(f, JqVal(el, TJson))._1)
+          case None => el => el.isNotNull && el =!= "false" && el =!= "null"
+        }
+        JqVal(if (name == "any") exists(els, pred) else forall(els, pred), TBool)
+      case "min" | "max" =>
+        val els = jsonArrayElements(in.col)
+        val doubles = transform(els, _.cast("double"))
+        val nv = if (name == "min") array_min(doubles) else array_max(doubles)
+        val sv = if (name == "min") array_min(els) else array_max(els)
+        JqVal(when(size(els) === 0, lit(null).cast("string"))
+          .when(allNumeric(els), stripDot0(nv)).otherwise(sv), TJson)
+      case "first" if args.isEmpty =>
+        JqVal(element_at(jsonArrayElements(in.col), 1), TJson)
+      case "last" if args.isEmpty =>
+        JqVal(element_at(jsonArrayElements(in.col), -1), TJson)
+      case "reverse" =>
+        JqVal(rebuildArr(reverse(jsonArrayElements(in.col))), TJson)
+      case "sort" | "unique" =>
+        // numeric arrays sort numerically, anything else sorts by its
+        // rendered text (jq's structural object ordering is a
+        // documented delta); unique = sort + distinct, like jq
+        val els0 = jsonArrayElements(in.col)
+        val els = if (name == "unique") array_distinct(els0) else els0
+        val numSorted = transform(array_sort(transform(els, _.cast("double"))),
+          d => stripDot0(d))
+        JqVal(rebuildArr(when(allNumeric(els), numSorted).otherwise(array_sort(els))), TJson)
+      case "tojson" => JqVal(renderJson(in), TStr)
+      case "fromjson" => JqVal(renderTop(in), TJson)
+      case "to_entries" =>
+        JqVal(rebuildArr(toEntries(in.col)), TJson)
+      case "from_entries" =>
+        JqVal(fromEntries(jsonArrayElements(in.col)), TJson)
+      case "with_entries" =>
+        // jq: with_entries(f) == to_entries | map(f) | from_entries
+        val mapped = mapEls(toEntries(in.col), args.head)
+        JqVal(fromEntries(mapped), TJson)
       case other => throw new IllegalArgumentException(s"jq: unsupported function $other")
     }
     (out, None)
+  }
+
+  /** Apply a jq filter to each element of an element stream,
+    * select()-dropping first (jq map semantics), rendering results
+    * for re-embedding into a JSON array.
+    */
+  private def mapArr(f: E, arr: Column): Column =
+    mapEls(jsonArrayElements(arr), f)
+
+  private def mapEls(els: Column, f: E): Column = {
+    val kept = filter(els, el =>
+      coalesce(eval(f, JqVal(el, TJson))._2.getOrElse(lit(true)), lit(false)))
+    transform(kept, el => renderJson(eval(f, JqVal(el, TJson))._1))
+  }
+
+  private def rebuildArr(parts: Column): Column =
+    concat(lit("["), array_join(parts, ","), lit("]"))
+
+  private def allNumeric(els: Column): Column =
+    forall(els, el => el.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"))
+
+  /** Object → element stream of {"key":…,"value":…} texts, document
+    * key order (jq to_entries).
+    */
+  private def toEntries(c: Column): Column =
+    transform(json_object_keys(c), k => concat(
+      lit("{\"key\":"), quote(k), lit(",\"value\":"),
+      renderJson(JqVal(call_function("get_json_object", c,
+        concat(lit("$['"), k, lit("']"))), TJson)),
+      lit("}")))
+
+  /** Entry-object stream → single JSON object text (jq from_entries;
+    * accepts key/k/name and value/v field spellings like jq). jq's
+    * last-duplicate-wins is a documented delta (textual build keeps
+    * both; readers see the first).
+    */
+  private def fromEntries(els: Column): Column = {
+    val pairs = transform(els, el => {
+      val key = coalesce(
+        get_json_object(el, "$.key"), get_json_object(el, "$.k"),
+        get_json_object(el, "$.name"))
+      val v = coalesce(get_json_object(el, "$.value"), get_json_object(el, "$.v"))
+      concat(quote(key), lit(":"), renderJson(JqVal(v, TJson)))
+    })
+    concat(lit("{"), array_join(pairs, ","), lit("}"))
   }
 
   private def strLit(e: E): String = e match {
@@ -479,6 +606,10 @@ object JqCompiler {
         else if (pos < src.length && (src.charAt(pos) == '.' || src.charAt(pos) == '[')) {
           val segs = parseSegments(allowLeadingDot = true)
           if (segs.nonEmpty) p = PostPath(p, segs) else cont = false
+        } else if (peek("?")) {
+          // jq `?` suppresses type errors; our path-on-scalar already
+          // yields null columnar-ly, so it parses as a no-op
+          eat("?"); ()
         } else cont = false
       }
       p
@@ -517,6 +648,19 @@ object JqCompiler {
           case "null" => Lit(null)
           case "select" =>
             expect("("); val cond = parsePipe(); expect(")"); Select(cond)
+          case "if" =>
+            val branches = scala.collection.mutable.ArrayBuffer[(E, E)]()
+            val c0 = parsePipe(); expectWord("then")
+            branches += (c0 -> parsePipe())
+            while (peekWord("elif")) {
+              eatWord("elif")
+              val ci = parsePipe(); expectWord("then")
+              branches += (ci -> parsePipe())
+            }
+            val elseE =
+              if (peekWord("else")) { eatWord("else"); Some(parsePipe()) } else None
+            expectWord("end")
+            IfE(branches.toSeq, elseE)
           case name =>
             skipWs()
             if (pos < src.length && src.charAt(pos) == '(') {
@@ -630,5 +774,9 @@ object JqCompiler {
         (pos + w.length >= src.length || !src.charAt(pos + w.length).isLetterOrDigit)
     }
     private def eatWord(w: String): Unit = { skipWs(); pos += w.length }
+    private def expectWord(w: String): Unit = {
+      require(peekWord(w), s"jq: expected '$w' at $pos in '$src'")
+      eatWord(w)
+    }
   }
 }

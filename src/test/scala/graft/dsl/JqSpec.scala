@@ -127,7 +127,7 @@ class JqSpec extends SparkTestBase {
     // single-output compile refuses streams (the processor routes them)
     intercept[Exception](JqCompiler.compile(".[]"))
     intercept[Exception](JqCompiler.compile(".a, .b"))
-    intercept[Exception](JqCompiler.compile("map(.x)"))
+    intercept[Exception](JqCompiler.compile("reduce .[] as $x (0; . + $x)"))
     // stream limits: one generator, no nesting, no comma-branch select
     intercept[Exception](JqCompiler.compileAuto(".a[].b[]"))
     intercept[Exception](JqCompiler.compileAuto(".a[] | .b[]"))
@@ -180,5 +180,61 @@ class JqSpec extends SparkTestBase {
     // comma then per-element suffix
     assert(run(".a, .b | . * 2", """{"a":1,"b":2}""") ==
       Seq(Some("2"), Some("4")))
+  }
+
+  test("if/elif/else/end, else-less identity default, branch-local select") {
+    assert(one("""if .a > 3 then "big" else "small" end""", """{"a":5}""").contains("big"))
+    assert(one("""if .a > 3 then "big" else "small" end""", """{"a":1}""").contains("small"))
+    assert(one("""if .a > 9 then "big" elif .a > 3 then "mid" else "small" end""",
+      """{"a":5}""").contains("mid"))
+    // else-less: false condition yields the input unchanged
+    assert(one("""if .a > 9 then "big" end""", """{"a":5}""").contains("""{"a":5}"""))
+    // select in a branch only filters when that branch is taken
+    assert(run("""if .a > 3 then select(.b == 1) else . end | .a""",
+      """{"a":5,"b":2}""", """{"a":1,"b":2}""") == Seq(Some("1")))
+  }
+
+  test("postfix ? is accepted (columnar paths already null on type errors)") {
+    assert(one(".a.b?", """{"a":1}""").isEmpty)
+    assert(one(".a? // \"dflt\"", """{}""").contains("dflt"))
+  }
+
+  test("map / add / any / all / min / max") {
+    assert(one("map(. * 2)", "[1,2,3]").contains("[2,4,6]"))
+    assert(one("map(select(. > 1))", "[1,2,3]").contains("[2,3]"))
+    assert(one(".v | add", """{"v":[1,2,3]}""").contains("6"))
+    assert(one("add", """["a","b"]""").contains("ab"))
+    assert(one("add", "[]").isEmpty) // jq: null
+    assert(one("any", "[false,true]").contains("true"))
+    assert(one("all", "[false,true]").contains("false"))
+    assert(one("any(. > 2)", "[1,2,3]").contains("true"))
+    assert(one("all(. > 2)", "[1,2,3]").contains("false"))
+    assert(one("min", "[3,1,2]").contains("1"))
+    assert(one("max", "[3,1,2]").contains("3"))
+    assert(one("max", """["a","c","b"]""").contains("c"))
+  }
+
+  test("first / last / reverse / sort / unique") {
+    assert(one("first", "[7,8,9]").contains("7"))
+    assert(one("last", "[7,8,9]").contains("9"))
+    assert(one("reverse", "[1,2,3]").contains("[3,2,1]"))
+    assert(one("sort", "[3,10,2]").contains("[2,3,10]")) // numeric, not lexical
+    assert(one("sort", """["b","a"]""").contains("""[a,b]""") ||
+      one("sort", """["b","a"]""").contains("""["a","b"]"""))
+    assert(one("unique", "[3,1,3,2,1]").contains("[1,2,3]"))
+  }
+
+  test("tojson / fromjson / to_entries / from_entries / with_entries") {
+    assert(one(".a | tojson", """{"a":"x"}""").contains("\"x\""))
+    assert(one("\"[1,2]\" | fromjson | map(. + 1)", "{}").contains("[2,3]"))
+    assert(one("to_entries", """{"a":1,"b":"x"}""")
+      .contains("""[{"key":"a","value":1},{"key":"b","value":"x"}]"""))
+    assert(one("from_entries", """[{"key":"a","value":1},{"k":"b","v":2}]""")
+      .contains("""{"a":1,"b":2}"""))
+    // jq update-assignment is unsupported (loud error), but the
+    // equivalent entry-construction shape works:
+    intercept[Exception](one("with_entries(.value = .value + 1)", """{"a":1}"""))
+    assert(one("""with_entries({key: .key, value: (.value + 1)})""", """{"a":1,"b":2}""")
+      .contains("""{"a":2,"b":3}"""))
   }
 }
