@@ -1053,6 +1053,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_file_zstd" -> ((s, dir) => {
+      // compressed-codec file input: whole-file zstd JSONL through the
+      // native codec expressions (fixture files compressed with the
+      // same Codecs the reader uses; CompressionSpec pins the wire
+      // format against the zstd magic)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zst").toString
+      t(s, dir, "events")
+        .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("value"))
+        .coalesce(2).write.mode("overwrite").text(s"$tmp/txt")
+      val zdir = java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/z"))
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/txt")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("part-")).foreach { p =>
+          java.nio.file.Files.write(zdir.resolve(p.getFileName.toString + ".zst"),
+            graft.functions.Codecs.compress("zstd", java.nio.file.Files.readAllBytes(p)))
+        }
+      graft.sources.FileInput.batch(s, zdir.toString, "json+zstd",
+          Some(org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, event_type STRING, value DOUBLE")))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
     // read_until input wrapper: data-exact cut at the first check-true
     // row in seq order (delivered), via the distributed prefix sum
     "q_read_until" -> ((s, dir) => {
@@ -2358,6 +2381,9 @@ object SparkEntry {
       """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""",
 
     "q_file_lines" ->
+      """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+
+    "q_file_zstd" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
 
     "q_lake_input" ->

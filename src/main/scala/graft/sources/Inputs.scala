@@ -24,12 +24,60 @@ object FileInput {
 
   val Codecs = Set("parquet", "lines", "json", "csv")
 
+  /** `lines+zstd`-style codec: whole-file decompress through the
+    * native codec expressions (graft.functions.Codecs — all 8
+    * reference algorithms), then line-split. Matches the reference's
+    * `decompress` scanner stacked under `lines`. Parallelism is
+    * per-file (one task per file), the same granularity Spark's own
+    * gzip-text transparency has — compressed streams aren't
+    * splittable, so at scale you want many medium files either way.
+    */
+  private val CompressedCodec = "^(lines|json)\\+([a-z0-9]+)$".r
+
+  private def decompressedLines(spark: SparkSession, dir: String,
+                                base: String, algo: String,
+                                schema: Option[StructType],
+                                stream: Boolean,
+                                maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.Codecs.requireKnown(algo, s"file codec $base+")
+    var r = if (stream) {
+      var rs = spark.readStream.format("binaryFile")
+      // binaryFile streaming needs the fixed source schema
+      rs = rs.schema(StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      maxFilesPerTrigger.foreach(n => rs = rs.option("maxFilesPerTrigger", n))
+      rs.load(dir)
+    } else spark.read.format("binaryFile").load(dir)
+    val text = graft.functions.GraftFunctions.decompress(algo, col("content"))
+      .cast("string")
+    // split keeping empties, drop only the trailing empty element a
+    // final newline produces (the reference's lines scanner semantics),
+    // tolerate CRLF
+    val parts = split(text, "\n", -1)
+    val trimmed = when(element_at(parts, -1) === "",
+      slice(parts, lit(1), size(parts) - 1)).otherwise(parts)
+    val lines = r.select(explode(transform(trimmed,
+      l => regexp_replace(l, "\r$", ""))).as("content"))
+    base match {
+      case "lines" => lines
+      case "json" =>
+        val s = schema.getOrElse(throw new IllegalArgumentException(
+          s"file codec json+$algo needs an explicit schema"))
+        lines.select(from_json(col("content"), s).as("_j")).select(col("_j.*"))
+    }
+  }
+
   /** Bounded (batch) read of `dir` under `codec`. For "lines" the
-    * output column is `content: STRING`. gzip/zstd decode is implicit
-    * from file extension for the text-based codecs.
+    * output column is `content: STRING`. gzip decode is implicit
+    * from file extension for the text-based codecs; `lines+<algo>` /
+    * `json+<algo>` decompress whole files through the native codec
+    * expressions (zstd/lz4/snappy/bzip2/…).
     */
   def batch(spark: SparkSession, dir: String, codec: String,
             schema: Option[StructType] = None): DataFrame = codec match {
+    case CompressedCodec(base, algo) =>
+      decompressedLines(spark, dir, base, algo, schema, stream = false, None)
     case "parquet" =>
       schema.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
     case "lines" =>
@@ -55,6 +103,9 @@ object FileInput {
     maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
     maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n))
     codec match {
+      case CompressedCodec(base, algo) =>
+        return decompressedLines(spark, dir, base, algo, schema,
+          stream = true, maxFilesPerTrigger)
       case "parquet" => r.parquet(dir)
       case "lines" =>
         require(schema.isEmpty, "lines codec has a fixed (content) schema")

@@ -248,4 +248,43 @@ class InputsSpec extends SparkTestBase {
     assert(run("true") == (0L to 20L))   // triggering row delivered
     assert(run("false") == (0L until 20L)) // ...or not
   }
+
+  test("compressed codecs: lines+zstd / json+lz4 whole-file decompress, batch and stream") {
+    import spark.implicits._
+    import graft.functions.Codecs
+    val dir = tmpDir("comp-in")
+    // two files, trailing newline (the scanner must drop only the
+    // trailing empty), CRLF in one line, unicode
+    val f1 = Seq("""{"id":1,"name":"alpha"}""", """{"id":2,"name":"bëta"}""").mkString("\n") + "\n"
+    val f2 = """{"id":3,"name":"gamma"}""" + "\r\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.jsonl.zst"),
+      Codecs.compress("zstd", f1.getBytes("UTF-8")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.jsonl.zst"),
+      Codecs.compress("zstd", f2.getBytes("UTF-8")))
+    val lines = FileInput.batch(spark, dir, "lines+zstd")
+      .collect().map(_.getString(0)).sorted
+    assert(lines.length == 3 && lines.forall(_.startsWith("{\"id\":")))
+    val ddl = "id BIGINT, name STRING"
+    val parsed = FileInput.batch(spark, dir, "json+zstd",
+        Some(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(parsed == Seq((1L, "alpha"), (2L, "bëta"), (3L, "gamma")))
+
+    // lz4 via the streaming reader (AvailableNow through a memory sink)
+    val dir2 = tmpDir("comp-in-lz4")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir2/a.jsonl.lz4"),
+      Codecs.compress("lz4", f1.getBytes("UTF-8")))
+    val q = FileInput.stream(spark, dir2, "json+lz4",
+        Some(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+      .writeStream.format("memory").queryName("comp_lz4")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("comp_lz4").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(streamed == Seq(1L, 2L))
+
+    val err = intercept[IllegalArgumentException](
+      FileInput.batch(spark, dir, "lines+brotli"))
+    assert(err.getMessage.contains("supported algorithms"))
+  }
 }
