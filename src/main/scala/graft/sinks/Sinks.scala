@@ -69,6 +69,7 @@ object Sink {
                            column: String = "content",
                            compression: Option[String] = None) extends Sink {
     def write(batch: DataFrame, batchId: Long): Unit = {
+      if (compression.contains("zstd")) return writeZstd(batch, batchId)
       val keyed = batch.withColumn("_batch_id", lit(batchId))
       val w0 = keyed.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -87,6 +88,49 @@ object Sink {
         case other => throw new IllegalArgumentException(
           s"file output codec $other (json | lines)")
       }
+    }
+
+    /** Hadoop ships no zstd codec without native libs, so zstd output
+      * goes through our own distributed writer: one streaming
+      * ZstdOutputStream per partition on the executors (bounded
+      * memory — lines stream through, never buffer), batch-id
+      * directory overwrite for replay idempotence, the same layout
+      * the `json+zstd`/`lines+zstd` file-input codec reads back.
+      * Empty partitions write nothing; task re-attempts recreate
+      * their own file (create-overwrite).
+      */
+    private def writeZstd(batch: DataFrame, batchId: Long): Unit = {
+      import batch.sparkSession.implicits._
+      val ds = codec match {
+        case "json" => batch.toJSON
+        case "lines" =>
+          batch.select(col(column).cast(org.apache.spark.sql.types.StringType)).as[String]
+        case other => throw new IllegalArgumentException(
+          s"file output codec $other (json | lines)")
+      }
+      val hconf = batch.sparkSession.sessionState.newHadoopConf()
+      val dir = new org.apache.hadoop.fs.Path(s"$path/_batch_id=$batchId")
+      val fs0 = dir.getFileSystem(hconf)
+      if (fs0.exists(dir)) fs0.delete(dir, true)
+      fs0.mkdirs(dir)
+      val sconf = new org.apache.spark.util.SerializableConfiguration(hconf)
+      val dirStr = dir.toString
+      val ext = if (codec == "json") "jsonl.zst" else "txt.zst"
+      ds.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(f"$dirStr/part-$pid%05d.$ext")
+          val out = new com.github.luben.zstd.ZstdOutputStream(
+            p.getFileSystem(sconf.value).create(p, true))
+          try it.foreach { line =>
+            out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.write('\n')
+          } finally out.close()
+          Iterator.single(p.toString)
+        }
+      }.collect() // force the job; one filename per non-empty partition
+      ()
     }
   }
 

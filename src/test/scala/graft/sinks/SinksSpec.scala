@@ -227,4 +227,23 @@ class SinksSpec extends SparkTestBase {
     Sink.ParquetDir(dir).write(Seq((7L, "y")).toDF("id", "v"), batchId = 1L)
     assert(spark.read.parquet(dir).count() == 1L)
   }
+
+  test("text sink zstd: distributed per-partition compress, read back via json+zstd codec") {
+    import spark.implicits._
+    val dir = tmpDir("sink-zstd")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").repartition(4) // one empty partition
+    Sink.TextDir(dir, codec = "json", compression = Some("zstd")).write(df, batchId = 0L)
+    // replay the same batch: idempotent overwrite, no duplication
+    Sink.TextDir(dir, codec = "json", compression = Some("zstd")).write(df, batchId = 0L)
+    val back = graft.sources.FileInput.batch(spark, dir + "/_batch_id=0", "json+zstd",
+        Some(org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the files really are zstd frames
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(dir + "/_batch_id=0"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".zst")).head
+    val magic = java.nio.file.Files.readAllBytes(f).take(4).map("%02x".format(_)).mkString
+    assert(magic == "28b52ffd")
+  }
 }
