@@ -192,4 +192,17 @@ class PropertySpec extends SparkTestBase {
       Prop(got == expected)
     }, n = 20)
   }
+
+  test("compress/decompress is the identity for every algorithm on random bytes") {
+    val genBytes = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      // highly repetitive payloads exercise the long-match paths
+      Gen.chooseNum(0, 50000).map(n => Array.fill[Byte](n)(7)))
+    val genAlgo = Gen.oneOf(graft.functions.Codecs.algorithms.toSeq)
+    check(Prop.forAll(genAlgo, genBytes) { (algo, bytes) =>
+      java.util.Arrays.equals(
+        graft.functions.Codecs.decompress(algo,
+          graft.functions.Codecs.compress(algo, bytes)), bytes)
+    }, n = 200)
+  }
 }
