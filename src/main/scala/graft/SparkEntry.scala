@@ -544,6 +544,23 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("chars"))
         .orderBy("source")),
 
+    "q_vocab" -> ((s, dir) =>
+      // corpus vocabulary: one map-side-combined hash aggregate +
+      // TakeOrdered top-K (tokenizer-training building block)
+      TextOps.vocabulary(t(s, dir, "documents"), col("text"), topK = 50)),
+
+    "q_pair_freq" -> ((s, dir) =>
+      // BPE merge statistic: adjacent-pair frequencies, pairs built
+      // inside the projection so the shuffle carries (pair, count)
+      TextOps.pairFrequencies(t(s, dir, "documents"), col("text"), topK = 50)),
+
+    "q_distinctive" -> ((s, dir) =>
+      // per-doc top-2 terms by the exact tf/df rational score (the
+      // bit-exact TF-IDF cousin; ln-IDF variant spec-tested in OpsSpec)
+      TextOps.distinctiveTerms(t(s, dir, "documents"), col("doc_id"), col("text"), k = 2)
+        .filter(col("doc_id") < 100)
+        .orderBy("doc_id", "rank")),
+
     "q_asof_join" -> ((s, dir) => {
       // temporal enrichment: each event picks the dimension version in
       // force AT its event_id (not the current one); users % 11 == 0
@@ -2153,6 +2170,43 @@ object SparkEntry {
         |CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
         |CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS freq FROM toks
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+
+    "q_pair_freq" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(
+        |    list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |    x -> x[1] || ' ' || x[2])) AS pair
+        |  FROM t WHERE len(l) > 1)
+        |SELECT pair, count(*) AS freq FROM pairs
+        |GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
+
+    "q_distinctive" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents) WHERE length(token) > 0
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+        |  FROM tf JOIN dfreq USING (token)),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df FROM ranked
+        |WHERE rank <= 2 AND doc_id < 100 ORDER BY doc_id, rank""".stripMargin,
 
     "q_asof_join" ->
       """WITH users AS (

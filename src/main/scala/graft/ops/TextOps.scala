@@ -211,4 +211,87 @@ object TextOps {
       .withColumn("pack_offset", col("_pk_before") % budget)
       .drop("_pk_before")
   }
+
+  // ---- corpus-level statistics (tokenizer-training building blocks) --
+
+  /** Corpus vocabulary: global token frequencies → top-K. One
+    * hash-aggregate with map-side partial combine (the only shape
+    * that survives a 100 TB corpus — executor state is
+    * O(distinct tokens per partition), never O(corpus)); top-K is
+    * TakeOrdered (freq desc, token asc tie-break — deterministic),
+    * no global sort.
+    */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, text: Column,
+                 topK: Int, minCount: Long = 1L): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(text)).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+      .orderBy(col("freq").desc, col("token")).limit(topK)
+
+  /** Adjacent-token-pair frequencies — the statistic a BPE merge
+    * iteration maximizes, at corpus scale. Pairs are built inside the
+    * projection (zip of the token array with its own tail), so the
+    * shuffle carries (pair, partial count) only.
+    */
+  def pairFrequencies(df: org.apache.spark.sql.DataFrame, text: Column,
+                      topK: Int): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(text)
+    val n = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(
+      slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair")).limit(topK)
+  }
+
+  /** Per-document term-frequency table: (doc_id, token, tf). The one
+    * inherent corpus-width shuffle; everything downstream
+    * (document frequency, scoring) derives from THIS table without
+    * rescanning the corpus.
+    */
+  def termFrequencies(df: org.apache.spark.sql.DataFrame, id: Column,
+                      text: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  /** Top-k distinctive terms per document, ranked by the exact
+    * rational score tf/df (df = documents containing the token,
+    * derived from the tf table — no second corpus scan). The
+    * gate-friendly cousin of TF-IDF: one IEEE division, bit-identical
+    * across engines, deterministic (score desc, token asc) ranking.
+    * [[tfIdf]] below is the ln-IDF variant for real use.
+    */
+  def distinctiveTerms(df: org.apache.spark.sql.DataFrame, id: Column,
+                       text: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = termFrequencies(df, id, text)
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "token")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df")
+  }
+
+  /** Smooth TF-IDF scores per (doc, token):
+    * tf × (ln((N + 1) / (df + 1)) + 1). Plan shape identical to
+    * [[distinctiveTerms]]; ln keeps it out of the bit-exact gate (libm
+    * last-ulp differences across engines), so the spec oracle is
+    * Scala-side.
+    */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, id: Column,
+            text: Column): org.apache.spark.sql.DataFrame = {
+    val tf = termFrequencies(df, id, text)
+    val n = df.count().toDouble
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .withColumn("tf_idf",
+        col("tf").cast("double") *
+          (log((lit(n) + 1.0) / (col("df").cast("double") + 1.0)) + 1.0))
+      .select("doc_id", "token", "tf", "df", "tf_idf")
+  }
 }

@@ -235,4 +235,12 @@ class PlanSpec extends SparkTestBase {
       .head().isNullAt(0)
     assert(nullOut)
   }
+
+  test("vocabulary: partial-aggregate + TakeOrdered, never a global sort of the token table") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.TextOps.vocabulary(docs, org.apache.spark.sql.functions.col("text"), 50))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n${p.take(2000)}")
+  }
 }

@@ -491,4 +491,44 @@ class OpsSpec extends SparkTestBase {
       .groupBy("grp").count().collect()
     assert(out.length == 25 && out.forall(_.getAs[Long]("count") == 3L))
   }
+
+  test("corpus stats: vocabulary/pairs/tf-idf match a sequential Scala fold") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a c"), (1L, "b b c"), (2L, "a d d d"), (3L, ""), (4L, "c")
+    ).toDF("doc_id", "text")
+    // sequential oracle
+    val toks = Map(0L -> Seq("a","b","a","c"), 1L -> Seq("b","b","c"),
+      2L -> Seq("a","d","d","d"), 4L -> Seq("c"))
+    val vocabOracle = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (t, f) => (-f, t) }
+    val vocab = TextOps.vocabulary(docs, col("text"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vocab == vocabOracle)
+
+    val pairOracle = toks.values.flatMap(l => l.zip(l.tail).map { case (x, y) => s"$x $y" })
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (p, f) => (-f, p) }
+    val pairs = TextOps.pairFrequencies(docs, col("text"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pairs == pairOracle)
+
+    // tf-idf: smooth ln-IDF vs the same formula computed in Scala
+    val n = docs.count().toDouble
+    val tfS = toks.toSeq.flatMap { case (d, l) =>
+      l.groupBy(identity).map { case (t, xs) => (d, t, xs.size.toLong) } }
+    val dfS = tfS.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val oracle = tfS.map { case (d, t, tf) =>
+      (d, t) -> tf * (math.log((n + 1.0) / (dfS(t) + 1.0)) + 1.0) }.toMap
+    val got = TextOps.tfIdf(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
+        r.getAs[Double]("tf_idf")).toMap
+    assert(got.keySet == oracle.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - oracle(k)) < 1e-12, k.toString) }
+
+    // distinctiveTerms: rank 1 for doc 2 is its dominant rare token
+    val top = TextOps.distinctiveTerms(docs, col("doc_id"), col("text"), k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("token")).toMap
+    assert(top(2L) == "d") // tf=3, df=1 — maximal tf/df
+  }
 }
