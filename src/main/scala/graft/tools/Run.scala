@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Config runner CLI — the engine's `benthos -c config.yaml`: parse a
+  * full config (input → pipeline → output, or streams mode with
+  * several named pipelines) and run it to completion. Bounded inputs
+  * (file dirs, sql_select, generate, lake, …) run as one batch —
+  * exactly the reference's run-until-input-exhausts-then-exit
+  * behavior for non-daemon inputs.
+  *
+  *   runMain graft.tools.Run <config.yaml>
+  *
+  * Streams-mode configs run their pipelines sequentially in name
+  * order (deterministic; each pipeline is internally parallel across
+  * the cluster, which is where the parallelism belongs).
+  */
+object Run {
+
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors()).toString)
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Run one parsed pipeline to completion. No row counting — a
+    * count would either cost a second pass over the input or ride an
+    * accumulator that multi-action sinks (broker fan-out,
+    * reject_errored) and task retries over-count.
+    */
+  def runOne(spark: SparkSession, name: String,
+             pipe: graft.dsl.PipelineConfig.Pipeline): Unit = {
+    val input = pipe.input.getOrElse(throw new IllegalArgumentException(
+      s"$name: config has no `input:` — nothing to run (use Lint to just validate)"))
+    val sink = pipe.sink.getOrElse(throw new IllegalArgumentException(
+      s"$name: config has no `output:` — nothing to run (use Lint to just validate)"))
+    sink.write(pipe.transform(input.batch(spark)), batchId = 0L)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Run <config.yaml>")
+    val path = args(0)
+    val yaml = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val spark = session()
+    try {
+      val isStreams = graft.dsl.PipelineConfig.interpolateEnv(yaml)
+        .linesIterator.exists(_.matches("^streams:\\s*(#.*)?$"))
+      val pipes =
+        if (isStreams) graft.dsl.PipelineConfig.parseStreams(yaml).sortBy(_._1)
+        else Seq(path -> graft.dsl.PipelineConfig.parse(yaml))
+      pipes.foreach { case (name, pipe) =>
+        val t0 = System.nanoTime()
+        runOne(spark, name, pipe)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[run] $name: done in $sec%.2fs")
+      }
+    } finally spark.stop()
+  }
+}

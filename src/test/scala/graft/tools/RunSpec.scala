@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The `Run` CLI: a full input → pipeline → output config executed to
+  * completion (runOne is main's per-pipeline body; main itself owns
+  * the session lifecycle, so the suite drives runOne with the shared
+  * test session).
+  */
+class RunSpec extends SparkTestBase {
+
+  test("full config runs input through the pipeline into the output") {
+    import spark.implicits._
+    val work = tmpDir("runcli")
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("id", "name").write.parquet(s"$work/in")
+    val yaml =
+      s"""input:
+         |  file: { path: "$work/in", codec: parquet }
+         |pipeline:
+         |  processors:
+         |    - mapping: |
+         |        root.id = this.id
+         |        root.shout = this.name.uppercase()
+         |    - filter: this.id >= 2
+         |output:
+         |  parquet: { path: "$work/out" }
+         |""".stripMargin
+    val pipe = graft.dsl.PipelineConfig.parse(yaml)
+    Run.runOne(spark, "t", pipe)
+    val back = spark.read.parquet(s"$work/out")
+      .select("id", "shout").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((2L, "BETA"), (3L, "GAMMA")))
+  }
+
+  test("input-less or output-less configs fail loudly with a pointer to Lint") {
+    val p = graft.dsl.PipelineConfig.parse(
+      "pipeline:\n  processors:\n    - filter: this.x > 0\n")
+    val e = intercept[IllegalArgumentException](Run.runOne(spark, "x", p))
+    assert(e.getMessage.contains("input"))
+  }
+}
