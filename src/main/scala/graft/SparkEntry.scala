@@ -544,6 +544,15 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("chars"))
         .orderBy("source")),
 
+    "q_seq_monitor" -> ((s, dir) =>
+      // mapGroupsWithState CDC sequence monitor in its batch mode
+      // (same code path as the streaming op; cross-batch state
+      // continuity pinned in StreamingOpsSpec)
+      graft.streaming.StatefulOps.seqMonitor(
+          t(s, dir, "events").select(col("user_id"), col("event_id")),
+          "user_id", "event_id")
+        .toDF().orderBy("key")),
+
     "q_vocab" -> ((s, dir) =>
       // corpus vocabulary: one map-side-combined hash aggregate +
       // TakeOrdered top-K (tokenizer-training building block)
@@ -2170,6 +2179,18 @@ object SparkEntry {
         |CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
         |CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_seq_monitor" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_id AS s FROM events),
+        |d AS (SELECT DISTINCT key, s FROM base),
+        |g AS (SELECT key, CAST(SUM(CASE WHEN s > prev + 1 THEN 1 ELSE 0 END) AS BIGINT) AS gaps
+        |      FROM (SELECT key, s, lag(s) OVER (PARTITION BY key ORDER BY s) AS prev FROM d)
+        |      WHERE prev IS NOT NULL GROUP BY key),
+        |a AS (SELECT key, max(s) AS last_seq, count(*) AS events,
+        |        count(*) - count(DISTINCT s) AS late_or_dup FROM base GROUP BY key)
+        |SELECT a.key, a.last_seq, a.events, COALESCE(g.gaps, 0) AS gaps, a.late_or_dup
+        |FROM a LEFT JOIN g USING (key) ORDER BY a.key""".stripMargin,
 
     "q_vocab" ->
       """WITH toks AS (

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Custom streaming state via `mapGroupsWithState` — the Spark surface
+  * for per-key state the built-in operators can't express (the
+  * reference's stateful processors keep exactly this kind of per-key
+  * memory in their cache resources).
+  *
+  * First resident: a CDC **sequence monitor** — per key, across
+  * micro-batches, tracks the high-water seq and counts sequence gaps
+  * and late/duplicate arrivals. The operational "is my change feed
+  * losing or re-delivering events?" check, running inside the stream
+  * with executor state O(distinct keys) (each key's state is four
+  * longs — 10^9 keys ≈ tens of GB across a cluster, partitioned by
+  * the same key hash as the groupBy, never on one node).
+  */
+object StatefulOps {
+
+  final case class SeqState(lastSeq: Long, events: Long, gaps: Long, lateOrDup: Long)
+  final case class SeqReport(key: String, last_seq: Long, events: Long,
+                             gaps: Long, late_or_dup: Long)
+
+  /** Per-key sequence health over a stream (or batch — same code path,
+    * state starts empty). Within a batch rows are folded in seq order
+    * (deterministic regardless of task layout):
+    *   - `gaps`: forward jumps > 1 while the high-water seq advances
+    *   - `late_or_dup`: rows at or below the high-water mark
+    * Emits one updated report per key per batch (update output mode).
+    */
+  def seqMonitor(df: DataFrame, keyCol: String, seqCol: String): Dataset[SeqReport] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(seqCol).cast("long")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[SeqState]) =>
+          val seqs = rows.map(_._2).toArray
+          java.util.Arrays.sort(seqs)
+          val st0 = state.getOption.getOrElse(SeqState(Long.MinValue, 0L, 0L, 0L))
+          var last = st0.lastSeq
+          var gaps = st0.gaps
+          var late = st0.lateOrDup
+          seqs.foreach { s =>
+            if (s <= last) late += 1
+            else {
+              if (last != Long.MinValue && s > last + 1) gaps += 1
+              last = s
+            }
+          }
+          val st = SeqState(last, st0.events + seqs.length, gaps, late)
+          state.update(st)
+          SeqReport(key, st.lastSeq, st.events, st.gaps, st.lateOrDup)
+      }
+  }
+}

@@ -117,4 +117,27 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(streamed == batch, "stream/batch payload divergence")
     } finally q.stop()
   }
+
+  test("seqMonitor: per-key state survives micro-batches; gaps and late/dup counted") {
+    val in = MemoryStream[(String, Long)](spark)
+    val q = StatefulOps.seqMonitor(in.toDF.toDF("k", "s"), "k", "s")
+      .writeStream.format("memory").queryName("seqmon")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: a=1,2,3 clean; b=10,13 (one gap)
+      in.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 13L))
+      q.processAllAvailable()
+      // batch 2: a=3 duplicate, a=2 late, a=5 gap; b=14 clean
+      in.addData(("a", 3L), ("a", 2L), ("a", 5L), ("b", 14L))
+      q.processAllAvailable()
+      val rows = spark.table("seqmon")
+        .groupBy("key").agg(
+          max("last_seq").as("last_seq"), max("events").as("events"),
+          max("gaps").as("gaps"), max("late_or_dup").as("late_or_dup"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(rows("a") == ((5L, 6L, 1L, 2L))) // gap 3->5; late 2 + dup 3
+      assert(rows("b") == ((14L, 3L, 1L, 0L))) // gap 10->13; 13->14 clean
+    } finally q.stop()
+  }
 }
