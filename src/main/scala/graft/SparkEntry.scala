@@ -544,6 +544,17 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("chars"))
         .orderBy("source")),
 
+    "q_cached" -> ((s, dir) => {
+      // reference `cached` processor: children run once per distinct
+      // key (dedup → children → join back, plan-guarded in
+      // ProcessorsExtSpec), every row receives its key's result
+      val pipe = compile(Seq(PCached("${! this.event_type }", Seq(PMapping(
+        """root.etype = this.event_type
+          |root.tag = this.event_type.uppercase() + ":" + this.event_type.length().string()
+          |""".stripMargin)))))
+      pipe(t(s, dir, "events")).orderBy("etype")
+    }),
+
     "q_seq_monitor" -> ((s, dir) =>
       // mapGroupsWithState CDC sequence monitor in its batch mode
       // (same code path as the streaming op; cross-batch state
@@ -2179,6 +2190,11 @@ object SparkEntry {
         |CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
         |CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_cached" ->
+      """SELECT event_type AS etype,
+        |upper(event_type) || ':' || CAST(length(event_type) AS VARCHAR) AS tag
+        |FROM events ORDER BY etype""".stripMargin,
 
     "q_seq_monitor" ->
       """WITH base AS (

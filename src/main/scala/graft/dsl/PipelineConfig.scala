@@ -395,6 +395,12 @@ object PipelineConfig {
           opt(body, "field").map(_.asText).getOrElse("content"))
       case "group_by_value" =>
         PGroupByValue(if (body.isTextual) body.asText else body.get("value").asText)
+      case "cached" =>
+        PCached(
+          Option(body.get("key")).map(_.asText).getOrElse(
+            throw new IllegalArgumentException("cached needs a `key`")),
+          parseProcessors(Option(body.get("processors")).getOrElse(
+            throw new IllegalArgumentException("cached needs `processors`")), resources))
       case "batch_by_check" =>
         PBatchByCheck(
           if (body.isTextual) body.asText else body.get("check").asText,

@@ -34,6 +34,7 @@ object Processor {
   final case class PBoundsCheck(minLen: Long = 0L, maxLen: Long = Long.MaxValue, field: String = "content") extends Processor
   /** co-locate rows by an interpolated value (processor_group_by_value.go). */
   final case class PGroupByValue(value: String) extends Processor
+  final case class PCached(key: String, children: Seq[Processor]) extends Processor
   /** check-based batching (batching-policy `check`, upstream
     * internal/batch/policy/policy.go): a message whose check passes
     * ENDS the current batch, inclusive. Columnar form: `target` =
@@ -305,6 +306,35 @@ object Processor {
 
     case PGroupByValue(value) => df =>
       df.repartition(interpolate(value, df))
+
+    /** Reference `cached` processor: children's result is cached per
+      * key and every message with that key gets the cached result
+      * (upstream processor_cached.go — correctness contract: same key
+      * ⇒ same result, so children must be a pure function of the key).
+      * Columnar form: run children ONCE PER DISTINCT KEY and join the
+      * results back — an expensive enrichment chain over 10^10 rows
+      * with 10^4 distinct keys computes 10^4 times, not 10^10, and
+      * Spark broadcasts the result if it is small.
+      */
+    case PCached(key, children) => df => {
+      val keyed = df.withColumn("_cache_key", interpolate(key, df))
+      val reps = keyed.dropDuplicates("_cache_key")
+      // children evaluate branch-style as struct transforms on the
+      // representative rows (mapping replaces the message, mutation
+      // merges into it), so the key column survives by construction
+      val repAll = struct(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+      val childStruct = children.foldLeft(repAll) {
+        case (acc, PMapping(src)) => structMappingOn(src, reps, acc)
+        case (acc, PMutation(src)) => structMappingOn(src, reps, acc, mutate = true)
+        case (_, other) => throw new IllegalArgumentException(
+          s"cached children must be mapping/mutation, got $other")
+      }
+      val computed = reps.select(col("_cache_key"), childStruct.as("_c"))
+        .select(col("_cache_key"), col("_c.*"))
+      keyed.select("_cache_key")
+        .join(computed, Seq("_cache_key"))
+        .drop("_cache_key")
+    }
 
     case PBatchByCheck(check, target) => df => {
       val ind = when(coalesce(exprOf(check, df), lit(false)), 1L).otherwise(0L)

@@ -214,4 +214,36 @@ class ProcessorsExtSpec extends SparkTestBase {
     assert(r.getString(2) == "5")
     assert(r.getDouble(3) == 3.0)
   }
+
+  test("cached: children run once per distinct key, every row gets the key's result") {
+    import spark.implicits._
+    val df = Seq((1L, "click"), (2L, "view"), (3L, "click"), (4L, "click"))
+      .toDF("id", "etype")
+    val pipe = Processor.compile(Seq(PCached("${! this.etype }", Seq(PMapping(
+      """root.etype = this.etype
+        |root.tag = this.etype.uppercase()
+        |""".stripMargin)))))
+    val out = pipe(df)
+    // message replaced by the cached result: one output row per input
+    // row, values a pure function of the key
+    val rows = out.collect().map(r => (r.getAs[String]("etype"), r.getAs[String]("tag")))
+    assert(rows.length == 4)
+    assert(rows.toSet == Set(("click", "CLICK"), ("view", "VIEW")))
+    assert(rows.count(_._1 == "click") == 3)
+    // the scale shape: children sit above a per-key dedup, results join back
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), plan.take(1500))
+    assert(plan.contains("_cache_key"), plan.take(1500))
+    // YAML wiring
+    val y = PipelineConfig.parse(
+      """pipeline:
+        |  processors:
+        |    - cached:
+        |        key: "${! this.etype }"
+        |        processors:
+        |          - mapping: |
+        |              root.tag = this.etype.uppercase()
+        |""".stripMargin)
+    assert(y.processors.head.isInstanceOf[PCached])
+  }
 }
