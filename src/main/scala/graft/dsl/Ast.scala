@@ -60,6 +60,8 @@ object Ast {
     * `.apply("name")` (reference mapping_parser.go map definitions).
     */
   final case class MapDefStmt(name: String, body: Seq[Stmt]) extends Stmt
+  /** import "file.blobl" — config-time inclusion of a maps-only file. */
+  final case class ImportStmt(path: String) extends Stmt
 
   final case class Mapping(stmts: Seq[Stmt])
 }

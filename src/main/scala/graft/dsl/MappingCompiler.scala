@@ -35,7 +35,31 @@ object MappingCompiler {
     df => applyMapping(df, ast, startFromThis)
   }
 
-  def applyMapping(df0: DataFrame, m: Mapping, startFromThis: Boolean): DataFrame = {
+  /** Expand `import "file.blobl"` statements (config-time file read,
+    * same trust model as the `file()` function): the imported file may
+    * only define maps — the reference's rule — and imports may nest,
+    * with a cycle guard.
+    */
+  private[dsl] def expandImports(stmts: Seq[Stmt], seen: Set[String] = Set.empty): Seq[Stmt] =
+    stmts.flatMap {
+      case ImportStmt(path) =>
+        require(!seen.contains(path), s"circular bloblang import: $path")
+        val p = java.nio.file.Paths.get(path)
+        require(java.nio.file.Files.isReadable(p),
+          s"bloblang import not readable: $path")
+        val imported = expandImports(
+          Parser.parseMapping(java.nio.file.Files.readString(p)).stmts, seen + path)
+        imported.foreach {
+          case _: MapDefStmt => ()
+          case other => throw new IllegalArgumentException(
+            s"imported bloblang file $path may only define maps, found $other")
+        }
+        imported
+      case s => Seq(s)
+    }
+
+  def applyMapping(df0: DataFrame, m0: Mapping, startFromThis: Boolean): DataFrame = {
+    val m = Mapping(expandImports(m0.stmts))
     // pre-pass: distributed batch ordinals when the mapping uses
     // batch_index()/batch_size()/count("name") — internal columns,
     // invisible to `this` and dropped from the output

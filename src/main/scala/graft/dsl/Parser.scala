@@ -197,13 +197,19 @@ object Parser {
       val body = stmts(p, topLevel = false)
       p.expectOp("}")
       MapDefStmt(name, body)
+    case TIdent("import", _) =>
+      p.next()
+      p.peek match {
+        case TStr(s, _) => p.next(); ImportStmt(s)
+        case t => throw ParseError("import needs a quoted file path", t.pos, p.src)
+      }
     case TIdent("root", _) =>
       p.next()
       val path = Seq.newBuilder[String]
       while (p.eat(".")) path += p.expectIdent()
       p.expectOp("=")
       RootStmt(path.result(), pipe(p))
-    case t => throw ParseError("expected statement (root/meta/let/if/map)", t.pos, p.src)
+    case t => throw ParseError("expected statement (root/meta/let/if/map/import)", t.pos, p.src)
   }
 
   // ------------------------------------------------------------------

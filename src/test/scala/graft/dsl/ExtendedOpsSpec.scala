@@ -676,4 +676,36 @@ class ExtendedOpsSpec extends SparkTestBase {
         |""".stripMargin)))(df).collect().head
     assert(out.getAs[String]("b") == "hello world")
   }
+
+  test("bloblang import: maps from a file, nested imports, cycle and non-map rejection") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("blobl-imp")
+    val inner = dir.resolve("inner.blobl")
+    java.nio.file.Files.writeString(inner,
+      "map shout {\n  root = this.uppercase()\n}\n")
+    val outer = dir.resolve("outer.blobl")
+    java.nio.file.Files.writeString(outer,
+      s"""import "$inner"\nmap tag {\n  root = this.apply("shout") + "!"\n}\n""")
+    val df = Seq(Tuple1("hey")).toDF("name")
+    val out = Processor.compile(Seq(PMapping(
+      s"""import "$outer"
+         |root.t = this.name.apply("tag")
+         |""".stripMargin)))(df).collect().head
+    assert(out.getAs[String]("t") == "HEY!")
+    // a non-map statement in an imported file fails loudly
+    val bad = dir.resolve("bad.blobl")
+    java.nio.file.Files.writeString(bad, "root.x = 1\n")
+    val e = intercept[IllegalArgumentException] {
+      Processor.compile(Seq(PMapping(s"""import "$bad"\nroot.y = 2""")))(df).collect()
+    }
+    assert(e.getMessage.contains("only define maps"))
+    // cycles fail loudly
+    val a = dir.resolve("a.blobl"); val b = dir.resolve("b.blobl")
+    java.nio.file.Files.writeString(a, s"""import "$b"\n""")
+    java.nio.file.Files.writeString(b, s"""import "$a"\n""")
+    val c = intercept[IllegalArgumentException] {
+      Processor.compile(Seq(PMapping(s"""import "$a"\nroot.y = 2""")))(df).collect()
+    }
+    assert(c.getMessage.contains("circular"))
+  }
 }
