@@ -892,6 +892,52 @@ object SparkEntry {
       pipe(prep).orderBy("key")
     }),
 
+    "q_binary_archive" -> ((s, dir) => {
+      // the reference's internal multipart serialization (archive
+      // format "binary"): length-prefixed parts, packed per group and
+      // exploded back — value-exact vs plain SQL (byte layout pinned
+      // in ExtendedOpsSpec)
+      val prep = t(s, dir, "nation").select(
+        col("n_name").as("content"), col("n_regionkey").as("grp"))
+      val pipe = compile(Seq(
+        PArchive("binary", groupBy = Seq("grp")),
+        PUnarchive("binary"),
+        PMapping("root.name = this.content")))
+      pipe(prep).orderBy("name")
+    }),
+
+    "q_json_documents" -> ((s, dir) => {
+      // unarchive json_documents: a stream of concatenated JSON docs
+      // splits into one row per document (Jackson streaming decode,
+      // re-encoded like the reference's json.Decoder loop)
+      val pipe = compile(Seq(
+        PMapping(
+          """root.id = this.n_nationkey
+            |root.content = "{\"a\":" + this.n_nationkey.string() + "} {\"b\":\"" + this.n_name + "\"}"
+            |""".stripMargin),
+        PUnarchive("json_documents")))
+      pipe(t(s, dir, "nation")).orderBy("id", "content")
+    }),
+
+    "q_jwt" -> ((s, dir) => {
+      // JWT HS256 under the gate: per-row claims JSON signed in-engine,
+      // verified in-engine (roundtrip + wrong-secret reject); DuckDB
+      // rebuilds the header+payload segments with base64 string algebra
+      // and pins the HS256 mac segment length (43 raw-b64url chars).
+      // Signature exactness is pinned vs the public jwt.io vector + a
+      // JDK Mac oracle in CryptoObjectOpsSpec (DuckDB has no hmac).
+      val pipe = compile(Seq(PMapping(
+        """let claims = "{\"sub\":\"" + this.n_name + "\"}"
+          |let tok = $claims.sign_jwt_hs256("gate-secret")
+          |root.id = this.n_nationkey
+          |root.hp = $tok.re_replace_all("\\.[^.]*$", "")
+          |root.mac_len = $tok.re_find("[^.]*$").length().int64()
+          |root.sub = $tok.parse_jwt_hs256("gate-secret").sub.string()
+          |root.bad = $tok.parse_jwt_hs256("wrong-secret").sub.string().or("INVALID")
+          |""".stripMargin)))
+      pipe(t(s, dir, "nation")).orderBy("id")
+    }),
+
     "q_tar_roundtrip" -> ((s, dir) => {
       // ustar archive -> unarchive columnar roundtrip (from-spec codec,
       // system-tar cross-validated in TarSpec); same shape as the zip gate
@@ -2433,6 +2479,25 @@ object SparkEntry {
     "q_tar_roundtrip" ->
       """SELECT 'n/' || CAST(n_nationkey AS VARCHAR) || '.txt' AS key,
         |n_name AS name FROM nation ORDER BY key""".stripMargin,
+
+    "q_binary_archive" ->
+      """SELECT n_name AS name FROM nation ORDER BY name""".stripMargin,
+
+    "q_json_documents" ->
+      """SELECT n_nationkey AS id, '{"a":' || n_nationkey || '}' AS content FROM nation
+        |UNION ALL
+        |SELECT n_nationkey AS id, '{"b":"' || n_name || '"}' AS content FROM nation
+        |ORDER BY id, content""".stripMargin,
+
+    "q_jwt" ->
+      """SELECT n_nationkey AS id,
+        |replace(replace(rtrim(to_base64(encode('{"alg":"HS256","typ":"JWT"}')), '='), '+', '-'), '/', '_')
+        |  || '.' ||
+        |replace(replace(rtrim(to_base64(encode('{"sub":"' || n_name || '"}')), '='), '+', '-'), '/', '_') AS hp,
+        |CAST(43 AS BIGINT) AS mac_len,
+        |n_name AS sub,
+        |'INVALID' AS bad
+        |FROM nation ORDER BY id""".stripMargin,
 
     "q_sql_enrich" ->
       """SELECT n_nationkey AS id, n_name AS nation, r_name AS region

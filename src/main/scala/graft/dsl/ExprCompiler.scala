@@ -328,7 +328,8 @@ object ExprCompiler {
     "unescape_url_query", "format", "pad_left", "pad_right",
     "filepath_join", "format_yaml",
     "quote", "unquote", "reverse",
-    "type", "first", "last", "index", "not_null", "or", "catch")
+    "sign_jwt_hs256", "sign_jwt_hs384", "sign_jwt_hs512",
+    "type", "first", "last", "index", "not_null", "not_empty", "or", "catch")
 
   /** ISO-8601 period literal ("P1Y2M3DT4H5M6.5S", "P2W", "-P1D")
     * parsed at compile into a calendar interval shift. Date parts via
@@ -393,7 +394,8 @@ object ExprCompiler {
     * paths go through try_variant_get). Conservative: false when unknown.
     */
   def isVariantTyped(e: Expr): Boolean = e match {
-    case MethodCall(_, "parse_json" | "parse_yaml" | "collapse", _) => true
+    case MethodCall(_, "parse_json" | "parse_yaml" | "collapse"
+        | "parse_jwt_hs256" | "parse_jwt_hs384" | "parse_jwt_hs512", _) => true
     case MethodCall(t, "index" | "not_null" | "or" | "catch", _) => isVariantTyped(t)
     case Field(t, _) => isVariantTyped(t)
     case Index(t, _) => isVariantTyped(t)
@@ -411,7 +413,7 @@ object ExprCompiler {
     case MethodCall(t, m, _) =>
       stringReturningMethods.contains(m) &&
         // pass-through methods keep target's type; string-producers always string
-        (!Set("first", "last", "index", "not_null", "or", "catch").contains(m) || isStringTyped(t, ctx))
+        (!Set("first", "last", "index", "not_null", "not_empty", "or", "catch").contains(m) || isStringTyped(t, ctx))
     case FnCall(n, _) => Set("content", "meta", "error", "uuid_v4", "now", "hostname", "env").contains(n)
     case BinOp("+", l, r) => isStringTyped(l, ctx) || isStringTyped(r, ctx)
     case Coalesce(l, r) => isStringTyped(l, ctx) || isStringTyped(r, ctx)
@@ -612,6 +614,19 @@ object ExprCompiler {
       case "bool" => c.cast(BooleanType)
       case "int64" => c.cast(LongType)
       case "int32" => c.cast(IntegerType)
+      case "int16" => c.cast(ShortType)
+      case "int8" => c.cast(ByteType)
+      // unsigned casts: out-of-range → null (errors surface as null in
+      // our compiled form; the reference errors — same .catch() path)
+      case "uint32" =>
+        val v = c.cast(LongType)
+        when(v >= 0L && v <= 4294967295L, v)
+      case "uint16" =>
+        val v = c.cast(IntegerType)
+        when(v >= 0 && v <= 65535, v)
+      case "uint8" =>
+        val v = c.cast(IntegerType)
+        when(v >= 0 && v <= 255, v)
       case "uint64" => c.cast(LongType)
       case "float64" => c.cast(DoubleType)
       case "float32" => c.cast(FloatType)
@@ -758,17 +773,50 @@ object ExprCompiler {
         aes_decrypt(c.cast(BinaryType), a(1).cast(BinaryType), lit(mode), lit(pad))
           .cast(StringType)
       case "encode" => str(0) match {
-        case "base64" => base64(c.cast(BinaryType))
+        // Spark's base64 MIME-chunks past 76 chars; Go's does not —
+        // strip the line breaks so long payloads match the reference
+        case "base64" => b64nochunk(c.cast(BinaryType))
+        // RFC 4648 §5 URL-safe alphabet, padded (Go base64.URLEncoding,
+        // the reference's encode("base64url"))
+        case "base64url" => translate(b64nochunk(c.cast(BinaryType)), "+/", "-_")
         case "hex" => lower(hex(c.cast(BinaryType)))
         case "ascii85" => graft.functions.Ascii85Functions.a85Encode(c.cast(BinaryType))
         case other => throw new IllegalArgumentException(s"encode($other)")
       }
       case "decode" => str(0) match {
         case "base64" => unbase64(c).cast(StringType)
+        // tolerant of missing padding (Go accepts Raw and padded forms)
+        case "base64url" => unbase64url(c).cast(StringType)
         case "hex" => unhex(c).cast(StringType)
         case "ascii85" => graft.functions.Ascii85Functions.a85Decode(c).cast(StringType)
         case other => throw new IllegalArgumentException(s"decode($other)")
       }
+      // JWT over HMAC (reference methods_jwt.go sign_jwt_hs*/parse_jwt_hs*).
+      // Columnar adaptation: the target is the claims JSON STRING (callers
+      // with an object call .format_json() first — key order, and hence the
+      // signed bytes, stay caller-controlled and deterministic); the token is
+      // b64url_raw(header) "." b64url_raw(claims) "." b64url_raw(hmac).
+      case "sign_jwt_hs256" | "sign_jwt_hs384" | "sign_jwt_hs512" =>
+        val bits = name.substring(name.length - 3)
+        val headerSeg = java.util.Base64.getUrlEncoder.withoutPadding
+          .encodeToString(s"""{"alg":"HS$bits","typ":"JWT"}""".getBytes("UTF-8"))
+        val signingInput =
+          concat(lit(headerSeg + "."), b64urlRaw(c.cast(BinaryType)))
+        val mac = graft.functions.CryptoFunctions.hmac(
+          s"hmac_sha$bits", signingInput.cast(BinaryType), a(0).cast(BinaryType))
+        concat(signingInput, lit("."), b64urlRaw(mac))
+      // parse = verify + decode: signature mismatch / malformed token →
+      // null (errors surface as null here, composable with .catch());
+      // valid claims come back as VARIANT like parse_json
+      case "parse_jwt_hs256" | "parse_jwt_hs384" | "parse_jwt_hs512" =>
+        val bits = name.substring(name.length - 3)
+        val segs = split(c, "\\.")
+        val signingInput =
+          concat(element_at(segs, 1), lit("."), element_at(segs, 2))
+        val expected = b64urlRaw(graft.functions.CryptoFunctions.hmac(
+          s"hmac_sha$bits", signingInput.cast(BinaryType), a(0).cast(BinaryType)))
+        when(size(segs) === 3 && element_at(segs, 3) === expected,
+          try_parse_json(unbase64url(element_at(segs, 2)).cast(StringType)))
       // timestamps
       case "ts_parse" | "parse_timestamp" => to_timestamp(c, str(0))
       case "ts_format" | "format_timestamp" => date_format(c, str(0))
@@ -861,6 +909,11 @@ object ExprCompiler {
       // type / null handling
       case "type" => typeof(c)
       case "not_null" => when(c.isNull, raise_error(lit(s"not_null(): value is null"))).otherwise(c)
+      // reference not_empty (methods.go): errors on an empty value;
+      // string form (arrays/maps: filter on .size() — .length() here
+      // fails analysis for them, which is the right loud behavior)
+      case "not_empty" =>
+        when(length(c) === 0, raise_error(lit("not_empty(): string is empty"))).otherwise(c)
       case "or" => coalesce(c, a(0))
       case "catch" => coalesce(c, a(0)) // errors surface as null in our compiled form
       case "apply" =>
@@ -874,6 +927,27 @@ object ExprCompiler {
     * named `(?<name>...)` groups, None for plain `(...)`. Non-capturing
     * `(?:`/lookaround groups and escaped/char-class parens are skipped.
     */
+  /** Spark's `base64` inserts MIME line breaks every 76 chars; Go's
+    * encoders never chunk, so every encode path strips them.
+    */
+  private def b64nochunk(bin: Column): Column =
+    regexp_replace(base64(bin), "[\\r\\n]", "")
+
+  /** binary → RFC 4648 §5 URL-safe base64 WITHOUT padding (Go
+    * base64.RawURLEncoding — the JWT segment encoding).
+    */
+  private def b64urlRaw(bin: Column): Column =
+    regexp_replace(translate(b64nochunk(bin), "+/", "-_"), "=+$", "")
+
+  /** URL-safe base64 (padded or raw) → binary: swap the alphabet back
+    * and re-pad to a multiple of 4 before the standard decoder.
+    */
+  private def unbase64url(s: Column): Column = {
+    val std = translate(s, "-_", "+/")
+    val padLen = pmod(lit(4) - pmod(length(std), lit(4)), lit(4))
+    unbase64(concat(std, lit("===").substr(lit(1), padLen)))
+  }
+
   private[dsl] def regexGroupNames(pattern: String): Seq[Option[String]] = {
     val out = Seq.newBuilder[Option[String]]
     var i = 0

@@ -373,6 +373,11 @@ object Processor {
           graft.functions.TarFunctions.tarCreate(array_sort(
             collect_list(struct(col(keyField).cast(StringType).as("name"),
               col(field).cast(org.apache.spark.sql.types.BinaryType).as("content")))))
+        // the reference's internal multipart serialization (format
+        // "binary"): length-prefixed ordered parts, one blob per group
+        case "binary" =>
+          graft.functions.MultipartFunctions.pack(array_sort(
+            collect_list(col(field).cast(org.apache.spark.sql.types.BinaryType))))
         case other => throw new IllegalArgumentException(s"archive format $other")
       }
       val out = grouped.agg(agg.as(field))
@@ -680,6 +685,19 @@ object Processor {
             explode(slice(lines, lit(2), size(lines) - 1)).as("_line")): _*)
           .withColumn(field, map_from_arrays(col("_hdr"), split(col("_line"), ",")))
           .drop("_hdr", "_line")
+      // inverse of archive "binary": one packed blob → one row per part
+      case "binary" =>
+        val others = df.columns.filterNot(_ == field).map(col)
+        df.select(others :+ explode(transform(
+          graft.functions.MultipartFunctions.parts(
+            col(field).cast(org.apache.spark.sql.types.BinaryType)),
+          p => p.cast(StringType))).as(field): _*)
+      // whitespace-separated stream of JSON docs → one row per doc
+      // (processor_unarchive.go json_documents)
+      case "json_documents" =>
+        val others = df.columns.filterNot(_ == field).map(col)
+        df.select(others :+ explode(
+          graft.functions.MultipartFunctions.jsonDocuments(col(field))).as(field): _*)
       case other => throw new IllegalArgumentException(s"unarchive format $other")
     }
   }

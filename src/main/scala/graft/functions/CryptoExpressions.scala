@@ -23,6 +23,7 @@ case class Hmac(left: Expression, right: Expression, algorithm: String)
   private val jcaName = algorithm match {
     case "hmac_sha1"   => "HmacSHA1"
     case "hmac_sha256" => "HmacSHA256"
+    case "hmac_sha384" => "HmacSHA384"
     case "hmac_sha512" => "HmacSHA512"
     case other => throw new IllegalArgumentException(s"hmac: unknown algorithm $other")
   }
@@ -41,7 +42,7 @@ case class Hmac(left: Expression, right: Expression, algorithm: String)
 object CryptoFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq("hmac_sha1", "hmac_sha256", "hmac_sha512").foreach { algo =>
+    Seq("hmac_sha1", "hmac_sha256", "hmac_sha384", "hmac_sha512").foreach { algo =>
       reg.createOrReplaceTempFunction(s"graft_$algo",
         (es: Seq[Expression]) => Hmac(es.head, es(1), algo), "built-in")
     }

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reference's `binary` archive format — its internal multipart
+  * message serialization (upstream lib/message/message.go `ToBytes` /
+  * `FromBytes`, used by processor_archive.go / processor_unarchive.go
+  * format "binary"): big-endian uint32 part count, then per part a
+  * big-endian uint32 length prefix followed by the raw bytes. Byte
+  * layout pinned in MultipartSpec.
+  */
+case class MultipartPack(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_multipart_pack"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(arr.numElements())
+    var i = 0
+    while (i < arr.numElements()) {
+      val part = arr.getBinary(i)
+      out.writeInt(part.length)
+      out.write(part)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultipartPack =
+    copy(child = newChild)
+}
+
+/** Inverse of [[MultipartPack]]: one packed blob → the ordered array
+  * of part byte strings. Truncated / negative-length input → null
+  * (malformed blobs surface as an errored row, not an executor crash).
+  */
+case class MultipartParts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_multipart_parts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val n = in.readInt()
+      if (n < 0 || n > bytes.length) return null
+      val parts = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        if (len < 0 || len > bytes.length) return null
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        parts(i) = buf
+        i += 1
+      }
+      new GenericArrayData(parts)
+    } catch {
+      case _: java.io.IOException => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultipartParts =
+    copy(child = newChild)
+}
+
+/** The reference's `json_documents` unarchive format (upstream
+  * processor_unarchive.go): a string holding any number of
+  * concatenated / whitespace-separated JSON documents → one part per
+  * document. The reference streams json.Decoder.Decode and re-encodes
+  * each value; we do the same with Jackson (key order preserved).
+  * Malformed input → null.
+  */
+case class JsonDocuments(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_json_documents"
+
+  @transient private lazy val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    try {
+      val parser = mapper.getFactory.createParser(text)
+      val it = mapper.readValues(parser, classOf[com.fasterxml.jackson.databind.JsonNode])
+      val out = Seq.newBuilder[Any]
+      while (it.hasNext) out += UTF8String.fromString(mapper.writeValueAsString(it.next()))
+      new GenericArrayData(out.result().toArray)
+    } catch {
+      // Jackson surfaces stream errors as parse exceptions or runtime
+      // wrappers depending on where the cut lands — any of them means
+      // "malformed document stream", which is a null, not a task crash
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonDocuments =
+    copy(child = newChild)
+}
+
+object MultipartFunctions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_multipart_pack", (es: Seq[Expression]) => MultipartPack(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_multipart_parts", (es: Seq[Expression]) => MultipartParts(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_json_documents", (es: Seq[Expression]) => JsonDocuments(es.head), "built-in")
+  }
+
+  def pack(partsCol: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_multipart_pack", partsCol)
+  }
+
+  def parts(binCol: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_multipart_parts", binCol)
+  }
+
+  def jsonDocuments(strCol: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_json_documents", strCol)
+  }
+}

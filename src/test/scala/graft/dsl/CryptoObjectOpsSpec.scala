@@ -103,4 +103,86 @@ class CryptoObjectOpsSpec extends SparkTestBase {
       .orderBy("seq").select("content").collect().map(_.getString(0)).toSeq
     assert(out == Seq("header", "x"))
   }
+
+  test("sign_jwt_hs256/parse_jwt_hs256: jwt.io vector, roundtrip, reject") {
+    val claims = """{"sub":"1234567890","name":"John Doe","iat":1516239022}"""
+    val secret = "your-256-bit-secret"
+    val r = one(
+      s"""root.tok = content().sign_jwt_hs256("$secret")
+         |root.sub = content().sign_jwt_hs256("$secret").parse_jwt_hs256("$secret").sub.string()
+         |root.name = content().sign_jwt_hs256("$secret").parse_jwt_hs256("$secret").name.string()
+         |root.bad = content().sign_jwt_hs256("$secret").parse_jwt_hs256("other").sub.string()
+         |root.tamper = (content().sign_jwt_hs256("$secret") + "x").parse_jwt_hs256("$secret").sub.string()
+         |""".stripMargin, content = claims)
+    // independent oracle: plain JDK url-safe base64 + javax.crypto.Mac
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+    val header = enc.encodeToString("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+    val si = header + "." + enc.encodeToString(claims.getBytes("UTF-8"))
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(secret.getBytes("UTF-8"), "HmacSHA256"))
+    val expected = si + "." + enc.encodeToString(mac.doFinal(si.getBytes("UTF-8")))
+    assert(r.getAs[String]("tok") == expected)
+    // the canonical public HS256 example (jwt.io's default token)
+    assert(r.getAs[String]("tok") ==
+      "eyJhbGciOiJIUzI1NiIsInR5cCI6IkpXVCJ9." +
+      "eyJzdWIiOiIxMjM0NTY3ODkwIiwibmFtZSI6IkpvaG4gRG9lIiwiaWF0IjoxNTE2MjM5MDIyfQ." +
+      "SflKxwRJSMeKKF2QT4fwpMeJf36POk6yJV_adQssw5c")
+    assert(r.getAs[String]("sub") == "1234567890")
+    assert(r.getAs[String]("name") == "John Doe")
+    assert(r.getAs[String]("bad") == null, "wrong secret must not verify")
+    assert(r.getAs[String]("tamper") == null, "tampered token must not verify")
+  }
+
+  test("sign_jwt hs384/hs512 match a JDK-computed oracle") {
+    val claims = """{"k":"v"}"""
+    val r = one(
+      """root.t384 = content().sign_jwt_hs384("s3cret")
+        |root.t512 = content().sign_jwt_hs512("s3cret")
+        |root.rt = content().sign_jwt_hs512("s3cret").parse_jwt_hs512("s3cret").k.string()
+        |""".stripMargin, content = claims)
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+    def oracle(bits: Int): String = {
+      val header = enc.encodeToString(s"""{"alg":"HS$bits","typ":"JWT"}""".getBytes("UTF-8"))
+      val si = header + "." + enc.encodeToString(claims.getBytes("UTF-8"))
+      val mac = javax.crypto.Mac.getInstance(s"HmacSHA$bits")
+      mac.init(new javax.crypto.spec.SecretKeySpec("s3cret".getBytes("UTF-8"), s"HmacSHA$bits"))
+      si + "." + enc.encodeToString(mac.doFinal(si.getBytes("UTF-8")))
+    }
+    assert(r.getAs[String]("t384") == oracle(384))
+    assert(r.getAs[String]("t512") == oracle(512))
+    assert(r.getAs[String]("rt") == "v")
+  }
+
+  test("base64url codec, unsigned casts, not_empty") {
+    val long = "ab" * 60
+    val r = one(
+      s"""root.blong = "$long".encode("base64")
+         |""".stripMargin +
+      """root.b = content().encode("base64url")
+        |root.rt = content().encode("base64url").decode("base64url")
+        |root.raw = "_-A".decode("base64url").encode("hex")
+        |root.u8 = "200".uint8()
+        |root.u8bad = "300".uint8()
+        |root.u16 = "65535".uint16()
+        |root.u32bad = "-1".uint32()
+        |root.i16 = "123".int16()
+        |root.ne = content().not_empty()
+        |""".stripMargin, content = "???")
+    // Spark's base64 MIME-chunks past 76 chars; ours must not (Go parity)
+    assert(r.getAs[String]("blong") ==
+      java.util.Base64.getEncoder.encodeToString(long.getBytes("UTF-8")))
+    // "???" = 0x3F3F3F -> std base64 "Pz8/" -> url-safe "Pz8_"
+    assert(r.getAs[String]("b") == "Pz8_")
+    assert(r.getAs[String]("rt") == "???")
+    // raw (unpadded) url-safe input decodes too: "_-A" -> 0xFF 0xE0
+    assert(r.getAs[String]("raw") == "ffe0")
+    assert(r.getAs[Int]("u8") == 200)
+    assert(r.isNullAt(r.fieldIndex("u8bad")), "out-of-range uint8 -> null")
+    assert(r.getAs[Int]("u16") == 65535)
+    assert(r.isNullAt(r.fieldIndex("u32bad")), "negative uint32 -> null")
+    assert(r.getAs[Short]("i16") == 123.toShort)
+    assert(r.getAs[String]("ne") == "???")
+    val e = intercept[Exception] { one("""root.x = content().not_empty()""", content = "") }
+    assert(e.getMessage.contains("not_empty"))
+  }
 }

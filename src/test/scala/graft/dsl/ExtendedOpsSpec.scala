@@ -708,4 +708,36 @@ class ExtendedOpsSpec extends SparkTestBase {
     }
     assert(c.getMessage.contains("circular"))
   }
+
+  test("archive/unarchive binary: length-prefixed multipart, pinned bytes") {
+    import spark.implicits._
+    val df = Seq(("g", "ab"), ("g", "c")).toDF("grp", "content")
+    val packed = Processor.compile(Seq(PArchive("binary", groupBy = Seq("grp"))))(df)
+      .collect()(0).getAs[Array[Byte]]("content")
+    // lib/message/message.go ToBytes layout: BE uint32 part count,
+    // then per part BE uint32 length + raw bytes (parts sorted here
+    // for determinism, like every archive format)
+    assert(packed.toSeq == Seq[Byte](0, 0, 0, 2, 0, 0, 0, 2, 97, 98, 0, 0, 0, 1, 99))
+    val rt = Processor.compile(Seq(
+      PArchive("binary", groupBy = Seq("grp")), PUnarchive("binary")))(df)
+      .collect().map(_.getAs[String]("content")).sorted.toSeq
+    assert(rt == Seq("ab", "c"))
+    // malformed blob (length prefix past the end) -> null -> zero rows
+    val bad = Processor.compile(Seq(PUnarchive("binary")))(
+      Seq((Array[Byte](0, 0, 0, 9), "x")).toDF("content", "extra"))
+    assert(bad.count() == 0)
+  }
+
+  test("unarchive json_documents: concatenated docs, one row each") {
+    import spark.implicits._
+    val doc = "{\"a\":1} {\"b\":[1,2]}\n{\"c\":\"x\"}"
+    val out = Processor.compile(Seq(PUnarchive("json_documents")))(
+      Seq((doc, 7L)).toDF("content", "k"))
+      .collect().map(r => (r.getAs[String]("content"), r.getAs[Long]("k"))).toSeq
+    assert(out == Seq(("""{"a":1}""", 7L), ("""{"b":[1,2]}""", 7L), ("""{"c":"x"}""", 7L)))
+    // malformed stream -> null -> zero rows, not an executor crash
+    val bad = Processor.compile(Seq(PUnarchive("json_documents")))(
+      Seq(("{\"a\":1} {oops", 1L)).toDF("content", "k"))
+    assert(bad.count() == 0)
+  }
 }
