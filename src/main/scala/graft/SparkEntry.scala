@@ -1852,6 +1852,20 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id", "arr")
     }),
 
+    "q_jq_nested" -> ((s, dir) => {
+      // nested generators (round-3 delta closed): .g[].v[] streams the
+      // cross-product — per-element select + arithmetic after the
+      // SECOND generator, all one codegen'd projection + one explode
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "{\"g\":[{\"v\":[" + $k.string() + "," + ($k + 1).string() + "]},{\"v\":[" + ($k + 2).string() + "]}]}"
+            |""".stripMargin),
+        PJq(".g[].v[] | select(. % 3 != 0) | . * 2", "doc")))
+      pipe(t(s, dir, "events")).orderBy("event_id", "doc")
+    }),
+
     "q_jq_object" -> ((s, dir) => {
       // `.[]` over an OBJECT streams its values in document key order
       // (round-3 delta closed) — one output row per even value
@@ -2849,6 +2863,14 @@ object SparkEntry {
         |      FROM k CROSS JOIN (VALUES (0), (10)) AS t(off))
         |SELECT event_id, CAST(v AS VARCHAR) AS arr FROM e
         |WHERE v % 2 = 0 ORDER BY event_id, arr""".stripMargin,
+
+    "q_jq_nested" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |e AS (SELECT event_id, k + off AS v
+        |      FROM k CROSS JOIN (VALUES (0), (1), (2)) AS t(off))
+        |SELECT event_id, CAST(v * 2 AS VARCHAR) AS doc FROM e
+        |WHERE v % 3 <> 0 ORDER BY event_id, doc""".stripMargin,
 
     "q_jq_object" ->
       """WITH k AS (SELECT event_id,

@@ -25,20 +25,22 @@ import org.apache.spark.sql.functions._
   *   to_entries, from_entries, with_entries` — all higher-order
   *   Column functions, still one codegen'd projection per row.
   *
-  * Multi-output streams (round 3): `.[]` (array/object iteration) and the
-  * top-level comma operator ARE supported, as the columnar analog of
-  * jq's value streams — the program splits at the (single) stream
-  * stage into `pre | GENERATOR | suffix`: pre evaluates scalar, the
-  * generator produces an ARRAY column (array elements via dynamic-path
-  * get_json_object; comma via array construction), the suffix maps +
-  * select-filters per element (`transform`/`filter` higher-order
-  * functions), and the processor `explode`s the result — zero outputs
-  * drop the message, n outputs make n messages, exactly jq's stream
-  * semantics, still one codegen'd projection per row.
+  * Multi-output streams (round 3): `.[]` (array/object iteration) and
+  * the comma operator ARE supported, as the columnar analog of jq's
+  * value streams — the program splits at each stream stage into
+  * `pre | GENERATOR | rest`: pre evaluates scalar, the generator
+  * produces an ARRAY column (array elements via dynamic-path
+  * get_json_object; comma as concatenated per-branch sub-streams),
+  * and `rest` maps + select-filters per element (`transform`/`filter`
+  * higher-order functions) — recursively when it holds further
+  * generators, so `.a[].b[]` / `.a[] | .b[]` cross-products and
+  * comma at any pipe depth (incl. stream/select branches) flatten
+  * into one array. The processor `explode`s the result — zero
+  * outputs drop the message, n outputs make n messages, exactly jq's
+  * stream semantics, still one codegen'd projection per row.
   *
-  * Documented deltas from full jq (SURVEY.md §2.9): one stream stage
-  * per program (no `.a[].b[]` cross-products), comma only at the top
-  * level; numbers evaluate
+  * Documented deltas from full jq (SURVEY.md §2.9): no generator
+  * inside a constructor (`{a: .b[]}`); numbers evaluate
   * as doubles and render integral values without the trailing `.0`
   * (jq's own integer rendering); re-embedding a path value into a
   * container re-infers its JSON kind textually (get_json_object
@@ -81,59 +83,91 @@ object JqCompiler {
     */
   def compileAuto(program: String): Either[Compiled, StreamCompiled] = {
     val e = new JqParser(program).parseProgram()
-    val stages = flattenPipe(e)
-    val genIdx = stages.indexWhere(isStreamStage)
-    if (genIdx < 0) {
+    val stages = normalizeStages(e)
+    if (!stages.exists(isStreamStage)) {
       eval(e, JqVal(lit("{}"), TJson))
       Left(Compiled(in => eval(e, JqVal(in, TJson))._1,
         in => eval(e, JqVal(in, TJson))._2))
     } else {
-      require(!stages.drop(genIdx + 1).exists(isStreamStage),
-        "jq: at most one multi-output stage (.[]/comma) per program")
-      val (gen, extraSuffix) = stages(genIdx) match {
-        case PostPath(it @ IterAll(t), segs) =>
-          require(!isStreamStage(t), "jq: nested iteration (.a[].b[]) is not supported")
-          (it: E, Seq[E](Path(segs)))
-        case it @ IterAll(t) =>
-          require(!isStreamStage(t), "jq: nested iteration (.a[].b[]) is not supported")
-          (it: E, Nil)
-        case c: Comma => (c: E, Nil)
-        case other => throw new IllegalArgumentException(
-          s"jq: unsupported stream stage $other")
-      }
-      val preE = stages.take(genIdx).reduceOption(Pipe(_, _))
-      val sufE = (extraSuffix ++ stages.drop(genIdx + 1)).reduceOption(Pipe(_, _))
-      def build(in: Column): (Column, Option[Column]) = {
-        val (preV, preK) = preE.map(eval(_, JqVal(in, TJson)))
-          .getOrElse((JqVal(in, TJson), None))
-        val (raw, genK) = gen match {
-          case IterAll(t) =>
-            val (tv, tk) = eval(t, preV)
-            require(tv.t == TJson, s"jq: cannot iterate a ${tv.t}")
-            (jsonArrayElements(tv.col), tk)
-          case Comma(es) =>
-            val parts = es.map(eval(_, preV))
-            require(parts.forall(_._2.isEmpty),
-              "jq: select() inside a comma branch is not supported")
-            (array(parts.map(p => renderTop(p._1)): _*), None)
-          case _ => throw new IllegalStateException("unreachable")
-        }
-        val out = sufE match {
-          case None => raw
-          case Some(se) =>
-            val kept = filter(raw, el =>
-              coalesce(eval(se, JqVal(el, TJson))._2.getOrElse(lit(true)), lit(false)))
-            transform(kept, el => renderTop(eval(se, JqVal(el, TJson))._1))
-        }
-        (out, mergeKeep(preK, genK))
-      }
-      build(lit("{}")) // eager validation
-      Right(StreamCompiled(in => build(in)._1, in => build(in)._2))
+      buildStream(stages, JqVal(lit("{}"), TJson), top = true) // eager validation
+      Right(StreamCompiled(
+        in => buildStream(stages, JqVal(in, TJson), top = true)._1,
+        in => buildStream(stages, JqVal(in, TJson), top = true)._2))
     }
   }
 
-  private def flattenPipe(e: E): Seq[E] = e match {
-    case Pipe(l, r) => flattenPipe(l) ++ flattenPipe(r)
+  private val emptyOut = array().cast("array<string>")
+
+  /** Recursive stream builder: pre | GENERATOR | rest, with `rest`
+    * handled per element — a flat filter+map when it has no further
+    * generator (the common fast path), a flattened sub-stream when it
+    * does (`.a[].b[]` ≡ `.a[] | .b[]`, jq's cross-product). Comma
+    * branches are themselves sub-streams, so `.a[], .b[]` and
+    * `select(...)` inside a branch work too. Only the OUTERMOST
+    * pre-generator select() may become a row-level keep (`top`);
+    * nested keeps fold into an empty element stream instead.
+    */
+  private def buildStream(stages: Seq[E], inV: JqVal,
+                          top: Boolean): (Column, Option[Column]) = {
+    val genIdx = stages.indexWhere(isStreamStage)
+    if (genIdx < 0) {
+      // scalar tail: one output, or zero when a select() rejects
+      stages.reduceOption(Pipe(_, _)) match {
+        case None => (array(renderTop(inV)), None)
+        case Some(se) =>
+          val (v, k) = eval(se, inV)
+          val one = array(renderTop(v))
+          k match {
+            case None => (one, None)
+            case Some(cond) =>
+              (when(coalesce(cond, lit(false)), one).otherwise(emptyOut), None)
+          }
+      }
+    } else {
+      val preE = stages.take(genIdx).reduceOption(Pipe(_, _))
+      val (preV, preK) = preE.map(eval(_, inV)).getOrElse((inV, None))
+      val (raw, genK) = stages(genIdx) match {
+        case IterAll(t) =>
+          val (tv, tk) = eval(t, preV)
+          require(tv.t == TJson, s"jq: cannot iterate a ${tv.t}")
+          (jsonArrayElements(tv.col), tk)
+        case Comma(es) =>
+          // each branch is a sub-stream over the same input; outputs
+          // concatenate in branch order (jq's comma semantics)
+          (concat(es.map(item =>
+            buildStream(normalizeStages(item), preV, top = false)._1): _*), None)
+        case other => throw new IllegalArgumentException(
+          s"jq: unsupported stream stage $other")
+      }
+      val rest = stages.drop(genIdx + 1)
+      val out =
+        if (rest.isEmpty) raw
+        else if (!rest.exists(isStreamStage)) {
+          val se = rest.reduce(Pipe(_, _))
+          val kept = filter(raw, el =>
+            coalesce(eval(se, JqVal(el, TJson))._2.getOrElse(lit(true)), lit(false)))
+          transform(kept, el => renderTop(eval(se, JqVal(el, TJson))._1))
+        } else {
+          flatten(transform(raw, el =>
+            buildStream(rest, JqVal(el, TJson), top = false)._1))
+        }
+      val keep = mergeKeep(preK, genK)
+      if (top) (out, keep)
+      else (keep match {
+        case None => out
+        case Some(k) => when(coalesce(k, lit(false)), out).otherwise(emptyOut)
+      }, None)
+    }
+  }
+
+  /** Pipe-flatten AND unfold stream stages so every generator stands
+    * alone: `PostPath(gen, segs)` → `gen | .segs`; `IterAll(gen)` →
+    * `gen | .[]` (iterating a stream iterates each of its outputs).
+    */
+  private def normalizeStages(e: E): Seq[E] = e match {
+    case Pipe(l, r) => normalizeStages(l) ++ normalizeStages(r)
+    case PostPath(t, segs) if isStreamStage(t) => normalizeStages(t) :+ Path(segs)
+    case IterAll(t) if isStreamStage(t) => normalizeStages(t) :+ IterAll(Identity)
     case x => Seq(x)
   }
 
@@ -630,7 +664,9 @@ object JqCompiler {
       skipWs()
       require(pos < src.length, "jq: unexpected end of program")
       val c = src.charAt(pos)
-      if (c == '(') { expect("("); val e = parsePipe(); expect(")"); e }
+      // parens re-enter the TOP grammar: `(.a, .b)` is a comma stream,
+      // exactly jq's grouping (constructor commas stay separators)
+      if (c == '(') { expect("("); val e = parseTop(); expect(")"); e }
       else if (c == '{') parseObj()
       else if (c == '[') parseArr()
       else if (c == '"') Lit(parseString())

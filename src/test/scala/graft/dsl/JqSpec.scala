@@ -128,11 +128,38 @@ class JqSpec extends SparkTestBase {
     intercept[Exception](JqCompiler.compile(".[]"))
     intercept[Exception](JqCompiler.compile(".a, .b"))
     intercept[Exception](JqCompiler.compile("reduce .[] as $x (0; . + $x)"))
-    // stream limits: one generator, no nesting, no comma-branch select
-    intercept[Exception](JqCompiler.compileAuto(".a[].b[]"))
-    intercept[Exception](JqCompiler.compileAuto(".a[] | .b[]"))
-    intercept[Exception](JqCompiler.compileAuto("select(.a), .b"))
+    // remaining stream limit: a generator inside a constructor
     intercept[Exception](JqCompiler.compileAuto("{a: .b[]}"))
+  }
+
+  test("stream: nested generators cross-product (.a[].b[] == .a[] | .b[])") {
+    val doc = """{"a":[{"b":[1,2]},{"b":[3]}]}"""
+    assert(run(".a[].b[]", doc) == Seq(Some("1"), Some("2"), Some("3")))
+    assert(run(".a[] | .b[]", doc) == Seq(Some("1"), Some("2"), Some("3")))
+    // per-level selects: between generators folds per element
+    assert(run(".a[] | select(.k) | .b[]",
+      """{"a":[{"k":true,"b":[1]},{"k":false,"b":[2,3]},{"k":true,"b":[4]}]}""") ==
+      Seq(Some("1"), Some("4")))
+    // suffix after the second generator still maps per element
+    assert(run(".a[].b[] | . * 10", doc) ==
+      Seq(Some("10"), Some("20"), Some("30")))
+    // triple nesting
+    assert(run(".x[][][]", """{"x":[[[1,2]],[[3],[4]]]}""") ==
+      Seq(Some("1"), Some("2"), Some("3"), Some("4")))
+  }
+
+  test("stream: comma branches are sub-streams (selects, generators, depth)") {
+    // select() inside a branch: rejected branch emits nothing
+    assert(run("select(.a > 1), .b", """{"a":1,"b":"x"}""") == Seq(Some("x")))
+    // select passes the whole input through when the condition holds
+    assert(run("select(.a > 0), .b", """{"a":1,"b":"x"}""") ==
+      Seq(Some("""{"a":1,"b":"x"}"""), Some("x")))
+    // a generator inside a branch streams, branch order preserved
+    assert(run(".a[], .b", """{"a":[1,2],"b":"x"}""") ==
+      Seq(Some("1"), Some("2"), Some("x")))
+    // comma below a pipe (not just top level)
+    assert(run(".a | (.b, .c)", """{"a":{"b":1,"c":2}}""") ==
+      Seq(Some("1"), Some("2")))
   }
 
   test("stream: .[] iterates an array into one message per element") {
