@@ -1866,6 +1866,19 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id", "doc")
     }),
 
+    "q_jq_reduce" -> ((s, dir) => {
+      // reduce .[] as $x (...) — jq's fold, compiled to aggregate():
+      // sums the per-event array, still a pure projection
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "[" + $k.string() + "," + ($k + 1).string() + "," + ($k + 2).string() + "]"
+            |""".stripMargin),
+        PJq("reduce .[] as $x (0; . + $x)", "doc")))
+      pipe(t(s, dir, "events")).orderBy("event_id")
+    }),
+
     "q_jq_object" -> ((s, dir) => {
       // `.[]` over an OBJECT streams its values in document key order
       // (round-3 delta closed) — one output row per even value
@@ -2871,6 +2884,11 @@ object SparkEntry {
         |      FROM k CROSS JOIN (VALUES (0), (1), (2)) AS t(off))
         |SELECT event_id, CAST(v * 2 AS VARCHAR) AS doc FROM e
         |WHERE v % 3 <> 0 ORDER BY event_id, doc""".stripMargin,
+
+    "q_jq_reduce" ->
+      """SELECT event_id,
+        |CAST(3 * CAST(json_extract_string(props, '$.k') AS BIGINT) + 3 AS VARCHAR) AS doc
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_jq_object" ->
       """WITH k AS (SELECT event_id,

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *   array/object family `map (incl. map(select(…))), add, any, all,
   *   min, max, first, last, reverse, sort, unique, tojson, fromjson,
   *   to_entries, from_entries, with_entries` — all higher-order
-  *   Column functions, still one codegen'd projection per row.
+  *   Column functions, still one codegen'd projection per row; and
+  *   `reduce STREAM as $x (INIT; UPDATE)` — jq's fold — compiled to
+  *   `aggregate()` with the bound `$x` substituted at the AST level
+  *   (the only variable form; free `$var`s are rejected loudly).
   *
   * Multi-output streams (round 3): `.[]` (array/object iteration) and
   * the comma operator ARE supported, as the columnar analog of jq's
@@ -258,6 +261,9 @@ object JqCompiler {
   private final case class PostPath(target: E, segs: Seq[Either[String, Int]]) extends E
   private final case class IterAll(target: E) extends E                   // target[]
   private final case class Comma(items: Seq[E]) extends E                 // e1, e2 (top level)
+  private final case class VarE(name: String) extends E                   // $x (reduce-bound)
+  private final case class Reduce(term: E, varName: String, init: E, update: E) extends E
+  private final case class ColLit(v: JqVal) extends E                     // bound value (subst)
 
   // ---- eval: E × input → (value, keep) -------------------------------
 
@@ -362,8 +368,61 @@ object JqCompiler {
           })
         else None
       (JqVal(col, t), mergeKeep(condKeeps, branchKeep))
+    // reduce STREAM as $x (INIT; UPDATE) — jq's fold, compiled to the
+    // higher-order aggregate() over the stream's element array:
+    // UPDATE evaluates with `.` = accumulator and $x substituted at
+    // the AST level (no runtime environment), so the whole fold stays
+    // one codegen'd projection
+    case Reduce(term, varName, init, update) =>
+      val elems = buildStream(normalizeStages(term), in, top = false)._1
+      val (initV, initK) = eval(init, in)
+      val sparkT = initV.t match {
+        case TNum => "double"
+        case TBool => "boolean"
+        case _ => "string"
+      }
+      val out = aggregate(elems, initV.col.cast(sparkT), (acc, x) => {
+        val (uv, uk) = eval(subst(update, varName, ColLit(JqVal(x, TJson))),
+          JqVal(acc, initV.t))
+        require(uk.isEmpty, "jq: select() inside a reduce update is not supported")
+        // bridge the update's static type back to the accumulator's
+        // (e.g. if/else over mixed branches renders TStr; a numeric
+        // fold casts it right back)
+        (initV.t match {
+          case TNum => num(uv)
+          case TBool => boolOf(uv)
+          case _ => renderTop(uv)
+        }).cast(sparkT)
+      })
+      (JqVal(out, initV.t), initK)
+    case ColLit(v) => (v, None)
+    case VarE(n) => throw new IllegalArgumentException(
+      s"jq: unbound variable $$$n (variables are only bound by reduce)")
     case IterAll(_) | Comma(_) => throw new IllegalArgumentException(
       "jq: multi-output (.[]/comma) is only supported as a top-level pipe stage")
+  }
+
+  /** Capture-aware substitution of a reduce-bound variable. */
+  private def subst(e: E, name: String, repl: E): E = e match {
+    case VarE(n) if n == name => repl
+    case Pipe(l, r) => Pipe(subst(l, name, repl), subst(r, name, repl))
+    case Alt(l, r) => Alt(subst(l, name, repl), subst(r, name, repl))
+    case Bin(op, l, r) => Bin(op, subst(l, name, repl), subst(r, name, repl))
+    case Neg(x) => Neg(subst(x, name, repl))
+    case Obj(fs) => Obj(fs.map { case (k, v) => k -> subst(v, name, repl) })
+    case Arr(items) => Arr(items.map(subst(_, name, repl)))
+    case Select(c) => Select(subst(c, name, repl))
+    case Fn(n, args) => Fn(n, args.map(subst(_, name, repl)))
+    case IfE(bs, el) => IfE(
+      bs.map { case (c, b) => (subst(c, name, repl), subst(b, name, repl)) },
+      el.map(subst(_, name, repl)))
+    case PostPath(t, segs) => PostPath(subst(t, name, repl), segs)
+    case IterAll(t) => IterAll(subst(t, name, repl))
+    case Comma(items) => Comma(items.map(subst(_, name, repl)))
+    case Reduce(t, v, i, u) => Reduce(subst(t, name, repl), v,
+      subst(i, name, repl),
+      if (v == name) u else subst(u, name, repl)) // inner $x shadows
+    case other => other // Identity, Path, Lit, ColLit, other VarE
   }
 
   private def cmp(l: JqVal, r: JqVal, f: (Column, Column) => Column): Column =
@@ -676,6 +735,7 @@ object JqCompiler {
         if (segs.isEmpty) Identity else Path(segs)
       }
       else if (c.isDigit) Lit(parseNumber())
+      else if (c == '$') { pos += 1; VarE(parseWord()) }
       else {
         val w = parseWord()
         w match {
@@ -684,6 +744,16 @@ object JqCompiler {
           case "null" => Lit(null)
           case "select" =>
             expect("("); val cond = parsePipe(); expect(")"); Select(cond)
+          case "reduce" =>
+            val term = parsePostfix()
+            expectWord("as"); skipWs()
+            require(pos < src.length && src.charAt(pos) == '$',
+              "jq: reduce expects `as $var`")
+            pos += 1
+            val v = parseWord()
+            expect("("); val init = parsePipe(); expect(";")
+            val upd = parsePipe(); expect(")")
+            Reduce(term, v, init, upd)
           case "if" =>
             val branches = scala.collection.mutable.ArrayBuffer[(E, E)]()
             val c0 = parsePipe(); expectWord("then")

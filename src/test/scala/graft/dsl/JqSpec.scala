@@ -127,9 +127,28 @@ class JqSpec extends SparkTestBase {
     // single-output compile refuses streams (the processor routes them)
     intercept[Exception](JqCompiler.compile(".[]"))
     intercept[Exception](JqCompiler.compile(".a, .b"))
-    intercept[Exception](JqCompiler.compile("reduce .[] as $x (0; . + $x)"))
+    // variables exist only as reduce bindings
+    intercept[Exception](JqCompiler.compile(". + $y"))
     // remaining stream limit: a generator inside a constructor
     intercept[Exception](JqCompiler.compileAuto("{a: .b[]}"))
+  }
+
+  test("reduce: folds a stream with `.` = accumulator and $var bound") {
+    assert(one("reduce .[] as $x (0; . + $x)", "[1,2,3]").contains("6"))
+    assert(one("reduce .a[] as $x (0; . + $x)", """{"a":[10,20]}""").contains("30"))
+    // string fold
+    assert(one("""reduce .[] as $x (""; . + $x)""", """["a","b","c"]""").contains("abc"))
+    // element paths on the bound var
+    assert(one("reduce .items[] as $x (0; . + $x.v)",
+      """{"items":[{"v":1},{"v":2}]}""").contains("3"))
+    // max via if/else over the accumulator
+    assert(one("reduce .[] as $x (0; if $x > . then $x else . end)",
+      "[3,9,4]").contains("9"))
+    // mid-pipe reduce + arithmetic after
+    assert(one(".a | reduce .[] as $x (0; . + $x) | . * 2",
+      """{"a":[1,2]}""").contains("6"))
+    // empty stream -> init
+    assert(one("reduce .[] as $x (42; . + $x)", "[]").contains("42"))
   }
 
   test("stream: nested generators cross-product (.a[].b[] == .a[] | .b[])") {
