@@ -263,10 +263,27 @@ object PipelineConfig {
         opt(body, "codec").map(_.asText).getOrElse("lines"),
         opt(body, "schema").map(_.asText),
         opt(body, "max_files_per_trigger").map(_.asInt))
-      case "sql_select" => SqlSelectIn(
-        body.get("url").asText,
-        body.get("query").asText,
-        opt(body, "driver").map(_.asText).getOrElse("org.duckdb.DuckDBDriver"))
+      // sql_select: the reference's structured form (table / columns /
+      // where / order_by builds the SELECT) or a raw `query`;
+      // sql_raw: raw query only (input_sql_raw.go)
+      case "sql_select" | "sql_raw" =>
+        val query =
+          if (body.hasNonNull("query")) body.get("query").asText
+          else {
+            require(name == "sql_select", "sql_raw input needs a `query`")
+            require(body.hasNonNull("table"),
+              "sql_select input needs `query` or `table`")
+            val cols = opt(body, "columns").filter(_.isArray)
+              .map(a => (0 until a.size).map(a.get(_).asText).mkString(", "))
+              .getOrElse("*")
+            val where = opt(body, "where").map(w => s" WHERE ${w.asText}").getOrElse("")
+            val order = opt(body, "order_by").map(o => s" ORDER BY ${o.asText}").getOrElse("")
+            s"SELECT $cols FROM ${body.get("table").asText}$where$order"
+          }
+        SqlSelectIn(
+          body.get("url").asText,
+          query,
+          opt(body, "driver").map(_.asText).getOrElse("org.duckdb.DuckDBDriver"))
       case "generate" => GenerateIn(
         opt(body, "seed").map(_.asLong).getOrElse(42L),
         opt(body, "count").map(_.asLong).getOrElse(1000L),

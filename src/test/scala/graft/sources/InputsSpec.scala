@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.SparkTestBase
+import graft.dsl.PipelineConfig
 import graft.engine.CdcEngine
 import graft.engine.CdcEngine.ReplayConfig
 import graft.gen.EventLogGen
@@ -87,6 +88,41 @@ class InputsSpec extends SparkTestBase {
         lowerBound = 1L, upperBound = 4L, numPartitions = 2)
       assert(part.rdd.getNumPartitions == 2)
       assert(part.count() == 3)
+
+      // structured sql_select config (table/columns/where/order_by)
+      // and the sql_raw alias both resolve through the YAML surface
+      def yamlRows(input: String): Seq[(Long, String)] = {
+        val pipe = PipelineConfig.parse(
+          s"""input:
+             |$input
+             |pipeline:
+             |  processors: []
+             |""".stripMargin)
+        pipe.input.get.batch(spark)
+          .select(col("id").cast("long"), col("name"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      }
+      val structured = yamlRows(
+        s"""  sql_select:
+           |    url: "jdbc:duckdb:$db"
+           |    table: users
+           |    columns: [id, name]
+           |    where: id <= 2
+           |    order_by: id
+           |""".stripMargin)
+      assert(structured == Seq((1L, "ada"), (2L, "bob")))
+      val raw = yamlRows(
+        s"""  sql_raw:
+           |    url: "jdbc:duckdb:$db"
+           |    query: SELECT id, name FROM users WHERE id = 3
+           |""".stripMargin)
+      assert(raw == Seq((3L, "eve")))
+      // sql_raw without a query fails loudly
+      intercept[IllegalArgumentException](yamlRows(
+        s"""  sql_raw:
+           |    url: "jdbc:duckdb:$db"
+           |    table: users
+           |""".stripMargin))
     } finally pin.close()
   }
 
