@@ -440,6 +440,19 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
 
+    "q_paragraph_dedup" -> ((s, dir) => {
+      // CCNet-style corpus-wide paragraph dedup: shared boilerplate
+      // (injected header/footer + any cross-doc paragraph overlap in
+      // the synthetic corpus) survives only at its first corpus
+      // occurrence; docs reassemble from surviving paragraphs.
+      // Winner-per-key is a min-struct hash aggregate (hot boilerplate
+      // keys combine map-side — no skewed join anywhere).
+      val prep = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("SHARED HEADER\n"), col("text"),
+          lit("\nSHARED FOOTER")).as("text"))
+      Dedup.dedupParagraphs(prep, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // sequence packing (concat-then-chunk): pack assignment from the
     // distributed exclusive prefix sum of token counts in doc order
     "q_pack" -> ((s, dir) => {
@@ -2120,6 +2133,29 @@ object SparkEntry {
       """SELECT c_custkey FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  'SHARED HEADER' || chr(10) || text || chr(10) || 'SHARED FOOTER' AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, u.para_idx, u.para FROM (
+        |        SELECT doc_id,
+        |          unnest(list_transform(string_split(text, chr(10)),
+        |            (x, i) -> {'para_idx': i, 'para': x})) AS u
+        |        FROM d)),
+        |n AS (SELECT doc_id, para_idx, para,
+        |        trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS norm FROM p),
+        |keep AS (
+        |  SELECT doc_id, para_idx, para FROM n WHERE norm = ''
+        |  UNION ALL
+        |  SELECT doc_id, para_idx, para FROM (
+        |    SELECT doc_id, para_idx, para,
+        |      row_number() OVER (PARTITION BY norm ORDER BY doc_id, para_idx) AS rn
+        |    FROM n WHERE norm <> '') WHERE rn = 1)
+        |SELECT doc_id,
+        |  string_agg(para, chr(10) ORDER BY para_idx) AS text_dedup,
+        |  CAST(count(*) AS BIGINT) AS paras_kept
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,

@@ -343,4 +343,45 @@ object Dedup {
     edges.unpersist()
     labels
   }
+
+  // ------------------------------------------------------------------
+  // paragraph-level dedup (CCNet-style)
+  // ------------------------------------------------------------------
+
+  /** Corpus-wide paragraph dedup, the CCNet shape: split each document
+    * on `sep`, key paragraphs by md5 of the case/whitespace-normalized
+    * text, keep only the FIRST occurrence of each key corpus-wide
+    * (first = minimal (doc_id, para_idx)), and reassemble documents
+    * from their surviving paragraphs in order. Blank paragraphs pass
+    * through untouched (they are structure, not content). Documents
+    * whose every paragraph was a later copy drop out entirely.
+    *
+    * Scale shape: winner-per-key is ONE hash aggregate of
+    * `min(struct(doc_id, para_idx, para))` — partial aggregation
+    * collapses hot boilerplate keys (cookie banners, nav footers
+    * repeated 10^9×) map-side, so no reducer ever sees all copies and
+    * no join touches the skewed side. Reassembly is a second hash
+    * aggregate keyed by doc. Two shuffles total, both skew-safe.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("para_idx", "para")))
+      .withColumn("_norm", TextOps.normalized(col("para")))
+    val blank = paras.filter(length(col("_norm")) === 0)
+      .select("doc_id", "para_idx", "para")
+    val winners = paras.filter(length(col("_norm")) > 0)
+      .groupBy(md5(col("_norm")).as("pkey"))
+      .agg(min(struct(col("doc_id"), col("para_idx"), col("para"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"),
+        col("w.para_idx").as("para_idx"), col("w.para").as("para"))
+    winners.unionByName(blank)
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          s => s.getField("para")), sep).as("text_dedup"),
+        count(lit(1)).cast("long").as("paras_kept"))
+  }
 }

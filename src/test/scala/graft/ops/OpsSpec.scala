@@ -22,6 +22,24 @@ class OpsSpec extends SparkTestBase {
   // exact dedup
   // ------------------------------------------------------------------
 
+  test("dedupParagraphs: corpus-wide keep-first, blanks pass, docs can vanish") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "HEADER\nalpha one\n\nbeta"),
+      (2L, "HEADER\ngamma\nbeta"),   // boilerplate + case-dup of beta drop
+      (3L, "header\nHEADER"),        // every para a later copy -> doc gone
+      (4L, "BETA"),                  // normalized dup of beta -> doc gone
+      (5L, "x\nx")                   // intra-doc dup: keep first only
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "HEADER\nalpha one\n\nbeta", 4L), // blank line passes through
+      (2L, "gamma", 1L),
+      (5L, "x", 1L)))
+  }
+
   test("exactDedup keeps one row (min id) per normalized content") {
     val m = mirrored(docs, "doc_id")
     val out = Dedup.exactDedup(m, "doc_id", "text")
