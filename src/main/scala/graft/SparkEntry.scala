@@ -1904,6 +1904,21 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id", "obj")
     }),
 
+    "q_jq_collect" -> ((s, dir) => {
+      // generators inside constructors (round 3, the last jq delta):
+      // `[STREAM]` collects into one array (scalar field), an object
+      // constructor with a generator field streams one object per
+      // element — both in one program, one projection + one explode
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "{\"name\":\"e\",\"tags\":[" + $k.string() + "," + ($k + 1).string() + "," + ($k + 2).string() + "]}"
+            |""".stripMargin),
+        PJq("{n: .name, evens: [.tags[] | select(. % 2 == 0)], t: .tags[]}", "doc")))
+      pipe(t(s, dir, "events")).orderBy("event_id", "doc")
+    }),
+
     "q_cdc_replay" -> ((s, _) =>
       // generator → streaming replay → fenced LWW merge → final state;
       // the sha-equality oracle is the fold oracle in EndToEndReplaySpec
@@ -2932,7 +2947,20 @@ object SparkEntry {
         |e AS (SELECT event_id, k + off AS v
         |      FROM k CROSS JOIN (VALUES (0), (10)) AS t(off))
         |SELECT event_id, CAST(v AS VARCHAR) AS obj FROM e
-        |WHERE v % 2 = 0 ORDER BY event_id, obj""".stripMargin
+        |WHERE v % 2 = 0 ORDER BY event_id, obj""".stripMargin,
+
+    "q_jq_collect" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |e AS (SELECT event_id, k, k + off AS v
+        |      FROM k CROSS JOIN (VALUES (0), (1), (2)) AS t(off))
+        |SELECT event_id,
+        |  '{"n":"e","evens":[' ||
+        |  CASE WHEN k % 2 = 0
+        |       THEN CAST(k AS VARCHAR) || ',' || CAST(k + 2 AS VARCHAR)
+        |       ELSE CAST(k + 1 AS VARCHAR) END ||
+        |  '],"t":' || CAST(v AS VARCHAR) || '}' AS doc
+        |FROM e ORDER BY event_id, doc""".stripMargin
     // q_dedup_simhash, q_knn_ivf, q_fingerprint_rolling, q_media_features,
     // q_compress, q_cdc_replay: intentionally no SQL oracle (xxhash64 /
     // approximate / stubbed-decode / gzip / generator semantics); Scala

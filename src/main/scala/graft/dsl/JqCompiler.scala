@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
   *   ascii_downcase, ascii_upcase, ltrimstr, rtrimstr, startswith,
   *   endswith, test, split, join, floor, ceil, fabs/abs`, and the
   *   array/object family `map (incl. map(select(…))), add, any, all,
-  *   min, max, first, last, reverse, sort, unique, tojson, fromjson,
-  *   to_entries, from_entries, with_entries` — all higher-order
+  *   min, max, first, last, reverse, sort, unique, sort_by, tojson,
+  *   fromjson, to_entries, from_entries, with_entries` — all higher-order
   *   Column functions, still one codegen'd projection per row; and
   *   `reduce STREAM as $x (INIT; UPDATE)` — jq's fold — compiled to
   *   `aggregate()` with the bound `$x` substituted at the AST level
@@ -42,8 +42,15 @@ import org.apache.spark.sql.functions._
   * outputs drop the message, n outputs make n messages, exactly jq's
   * stream semantics, still one codegen'd projection per row.
   *
-  * Documented deltas from full jq (SURVEY.md §2.9): no generator
-  * inside a constructor (`{a: .b[]}`); numbers evaluate
+  * Generators inside constructors (round 3, closing the last jq
+  * delta): `[STREAM]` is jq's COLLECT — every output lands in one
+  * array (`[.a[] | .x]`, `[.a[], .b[]]`), so an array constructor is
+  * never itself a stream; an OBJECT constructor with generator
+  * fields (`{a: .b[]}`) is a generator — one object per element of
+  * the cartesian product of its field streams, leftmost field
+  * varying slowest (jq's `as`-binding desugaring order).
+  *
+  * Documented deltas from full jq (SURVEY.md §2.9): numbers evaluate
   * as doubles and render integral values without the trailing `.0`
   * (jq's own integer rendering); re-embedding a path value into a
   * container re-infers its JSON kind textually (get_json_object
@@ -139,6 +146,28 @@ object JqCompiler {
           // concatenate in branch order (jq's comma semantics)
           (concat(es.map(item =>
             buildStream(normalizeStages(item), preV, top = false)._1): _*), None)
+        case Obj(fields) =>
+          // generator field(s): one output object per element of the
+          // cartesian product of the field streams, leftmost field
+          // varying slowest (jq desugars `{a: E1, b: E2}` to
+          // `E1 as $a | E2 as $b | …`, so the rightmost generator is
+          // innermost); scalar fields contribute a single value
+          val fieldArrs = fields.map { case (name, fe) =>
+            val vals =
+              if (streamish(fe))
+                transform(buildStream(normalizeStages(fe), preV, top = false)._1,
+                  el => renderJson(JqVal(el, TJson)))
+              else array(renderJson(eval(fe, preV)._1))
+            (name, vals)
+          }
+          val partials = fieldArrs.zipWithIndex.foldLeft(array(lit(""))) {
+            case (acc, ((name, vals), i)) =>
+              val sep = if (i == 0) "" else ","
+              flatten(transform(acc, p =>
+                transform(vals, v =>
+                  concat(p, lit(sep + "\"" + name + "\":"), v))))
+          }
+          (transform(partials, p => concat(lit("{"), p, lit("}"))), None)
         case other => throw new IllegalArgumentException(
           s"jq: unsupported stream stage $other")
       }
@@ -177,8 +206,16 @@ object JqCompiler {
   private def isStreamStage(e: E): Boolean = e match {
     case IterAll(_) | Comma(_) => true
     case PostPath(t, _) => isStreamStage(t)
+    // an object constructor with a generator field is itself a
+    // generator: `{a: .b[]}` streams one object per element (jq
+    // desugars it to `as $x` bindings, rightmost varying fastest)
+    case Obj(fields) => fields.exists { case (_, v) => streamish(v) }
     case _ => false
   }
+
+  /** Does this expression (possibly a pipe) produce a value stream? */
+  private def streamish(e: E): Boolean =
+    normalizeStages(e).exists(isStreamStage)
 
   /** JSON array text → array<string> of element texts (objects keep
     * JSON syntax, strings are unquoted — get_json_object semantics,
@@ -331,6 +368,9 @@ object JqCompiler {
       }
       (out, k)
     case Obj(fields) =>
+      require(!fields.exists { case (_, v) => streamish(v) },
+        "jq: an object constructor with a generator field is multi-output" +
+          " — use it as a pipe stage")
       val parts = fields.map { case (name, fe) =>
         val (v, _) = eval(fe, in)
         concat(lit("\"" + name + "\":"), renderJson(v))
@@ -338,9 +378,23 @@ object JqCompiler {
       val body = if (parts.isEmpty) lit("") else concat_ws(",", parts: _*)
       (JqVal(concat(lit("{"), body, lit("}")), TJson), None)
     case Arr(items) =>
-      val parts = items.map { ie => renderJson(eval(ie, in)._1) }
-      val body = if (parts.isEmpty) lit("") else concat_ws(",", parts: _*)
-      (JqVal(concat(lit("["), body, lit("]")), TJson), None)
+      // `[STREAM]` is jq's collect: every output of every item lands
+      // in ONE array, so an array constructor is never itself a
+      // stream stage; scalar items contribute a single value
+      if (items.exists(streamish)) {
+        val arrs = items.map { ie =>
+          if (streamish(ie))
+            transform(buildStream(normalizeStages(ie), in, top = false)._1,
+              el => renderJson(JqVal(el, TJson)))
+          else array(renderJson(eval(ie, in)._1))
+        }
+        val all = if (arrs.size == 1) arrs.head else concat(arrs: _*)
+        (JqVal(concat(lit("["), array_join(all, ","), lit("]")), TJson), None)
+      } else {
+        val parts = items.map { ie => renderJson(eval(ie, in)._1) }
+        val body = if (parts.isEmpty) lit("") else concat_ws(",", parts: _*)
+        (JqVal(concat(lit("["), body, lit("]")), TJson), None)
+      }
     case Select(cond) =>
       val (cv, ck) = eval(cond, in)
       (in, mergeKeep(ck, Some(boolOf(cv))))
@@ -507,7 +561,7 @@ object JqCompiler {
       case "last" if args.isEmpty =>
         JqVal(element_at(jsonArrayElements(in.col), -1), TJson)
       case "reverse" =>
-        JqVal(rebuildArr(reverse(jsonArrayElements(in.col))), TJson)
+        JqVal(rebuildVals(reverse(jsonArrayElements(in.col))), TJson)
       case "sort" | "unique" =>
         // numeric arrays sort numerically, anything else sorts by its
         // rendered text (jq's structural object ordering is a
@@ -516,7 +570,21 @@ object JqCompiler {
         val els = if (name == "unique") array_distinct(els0) else els0
         val numSorted = transform(array_sort(transform(els, _.cast("double"))),
           d => stripDot0(d))
-        JqVal(rebuildArr(when(allNumeric(els), numSorted).otherwise(array_sort(els))), TJson)
+        JqVal(rebuildVals(when(allNumeric(els), numSorted).otherwise(array_sort(els))), TJson)
+      case "sort_by" =>
+        // decorate-sort-undecorate (struct sorts by first field);
+        // numeric keys sort numerically, others by rendered text
+        val els = jsonArrayElements(in.col)
+        val keyOf = (el: Column) => renderTop(eval(args.head, JqVal(el, TJson))._1)
+        val allNumKeys = forall(els, el =>
+          keyOf(el).rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"))
+        def sortedBy(k: Column => Column): Column =
+          transform(
+            array_sort(transform(els, el => struct(k(el).as("k"), el.as("v")))),
+            _.getField("v"))
+        JqVal(rebuildVals(
+          when(allNumKeys, sortedBy(el => keyOf(el).cast("double")))
+            .otherwise(sortedBy(keyOf))), TJson)
       case "tojson" => JqVal(renderJson(in), TStr)
       case "fromjson" => JqVal(renderTop(in), TJson)
       case "to_entries" =>
@@ -547,6 +615,13 @@ object JqCompiler {
 
   private def rebuildArr(parts: Column): Column =
     concat(lit("["), array_join(parts, ","), lit("]"))
+
+  /** Rebuild a JSON array from RAW element texts (get_json_object
+    * convention: strings unquoted), re-inferring each element's JSON
+    * kind so strings come back quoted.
+    */
+  private def rebuildVals(els: Column): Column =
+    rebuildArr(transform(els, el => renderJson(JqVal(el, TJson))))
 
   private def allNumeric(els: Column): Column =
     forall(els, el => el.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"))

@@ -129,8 +129,45 @@ class JqSpec extends SparkTestBase {
     intercept[Exception](JqCompiler.compile(".a, .b"))
     // variables exist only as reduce bindings
     intercept[Exception](JqCompiler.compile(". + $y"))
-    // remaining stream limit: a generator inside a constructor
-    intercept[Exception](JqCompiler.compileAuto("{a: .b[]}"))
+    // a generator as an arithmetic operand is still multi-output-in-
+    // scalar-context and stays loud
+    intercept[Exception](JqCompiler.compileAuto(".a[] + 1"))
+  }
+
+  test("collect: [STREAM] gathers every output into one array") {
+    assert(one("[.a[]]", """{"a":[1,2,3]}""").contains("[1,2,3]"))
+    assert(one("[.a[] | .v]", """{"a":[{"v":1},{"v":2}]}""").contains("[1,2]"))
+    assert(one("[.a[] | select(. > 1)]", """{"a":[1,2,3]}""").contains("[2,3]"))
+    // strings re-embed quoted
+    assert(one("[.a[]]", """{"a":["x","y"]}""").contains("""["x","y"]"""))
+    // multiple items: streams and scalars mix, in item order
+    assert(one("[.a[], 0, .b[]]", """{"a":[1],"b":[8,9]}""").contains("[1,0,8,9]"))
+    // empty stream collects to []
+    assert(one("[.a[]]", """{"a":[]}""").contains("[]"))
+    // collect of an object-constructor stream
+    assert(one("[{v: .a[]}]", """{"a":[1,2]}""")
+      .contains("""[{"v":1},{"v":2}]"""))
+  }
+
+  test("object constructor with generator fields streams objects") {
+    assert(run("{n: .name, t: .tags[]}", """{"name":"d","tags":["x","y"]}""")
+      == Seq(Some("""{"n":"d","t":"x"}"""), Some("""{"n":"d","t":"y"}""")))
+    // two generators: cartesian, leftmost varies slowest (jq order)
+    assert(run("{a: .xs[], b: .ys[]}", """{"xs":[1,2],"ys":[3,4]}""")
+      == Seq(Some("""{"a":1,"b":3}"""), Some("""{"a":1,"b":4}"""),
+        Some("""{"a":2,"b":3}"""), Some("""{"a":2,"b":4}""")))
+    // a suffix stage maps each produced object
+    assert(run("{t: .tags[]} | .t", """{"tags":["x","y"]}""")
+      == Seq(Some("x"), Some("y")))
+    // empty field stream -> zero objects (row dropped)
+    assert(run("{t: .tags[]}", """{"tags":[]}""").isEmpty)
+  }
+
+  test("sort_by sorts by the extracted key (numeric or text)") {
+    assert(one("sort_by(.v)", """[{"v":3},{"v":1},{"v":2}]""")
+      .contains("""[{"v":1},{"v":2},{"v":3}]"""))
+    assert(one("sort_by(.k)", """[{"k":"b"},{"k":"a"}]""")
+      .contains("""[{"k":"a"},{"k":"b"}]"""))
   }
 
   test("reduce: folds a stream with `.` = accumulator and $var bound") {
@@ -265,8 +302,9 @@ class JqSpec extends SparkTestBase {
     assert(one("last", "[7,8,9]").contains("9"))
     assert(one("reverse", "[1,2,3]").contains("[3,2,1]"))
     assert(one("sort", "[3,10,2]").contains("[2,3,10]")) // numeric, not lexical
-    assert(one("sort", """["b","a"]""").contains("""[a,b]""") ||
-      one("sort", """["b","a"]""").contains("""["a","b"]"""))
+    // strings re-embed quoted (valid JSON out)
+    assert(one("sort", """["b","a"]""").contains("""["a","b"]"""))
+    assert(one("reverse", """["a","b"]""").contains("""["b","a"]"""))
     assert(one("unique", "[3,1,3,2,1]").contains("[1,2,3]"))
   }
 
