@@ -390,6 +390,26 @@ object SparkEntry {
       pipe(t(s, dir, "nation")).orderBy("id")
     }),
 
+    "q_find_fns" -> ((s, dir) => {
+      // round-3 late adds: find/find_all (value index search),
+      // find_by/find_all_by (query index search), FNV hashes,
+      // ts_unix_micro/ts_unix_nano — all pure projections
+      val pipe = compile(Seq(PMapping(
+        """root.id = this.n_nationkey
+          |let chars = this.n_name.re_find_all(".")
+          |root.f = $chars.find("A")
+          |root.fa = $chars.find_all("A").map_each(i -> i.string()).join(",")
+          |root.fb = $chars.find_by(x -> x == "A")
+          |root.fab = $chars.find_all_by(x -> x != "A").map_each(i -> i.string()).join(",")
+          |root.fnv1 = this.n_name.slice(0, 1).hash("fnv32")
+          |root.fnv1a = this.n_name.slice(0, 1).hash("fnv32a")
+          |let t = ("2024-01-" + (this.n_nationkey + 1).int64().string().pad_left(2, "0") + " 06:30:45.123456").ts_parse("yyyy-MM-dd HH:mm:ss.SSSSSS")
+          |root.us = $t.ts_unix_micro()
+          |root.ns = $t.ts_unix_nano()
+          |""".stripMargin)))
+      pipe(t(s, dir, "nation")).orderBy("id")
+    }),
+
     // ---------------- relational surface the engine is built on ------
 
     "q1_agg" -> ((s, dir) =>
@@ -2118,6 +2138,24 @@ object SparkEntry {
         |  regexp_extract_all(n_name, '[AEIOU]([A-Z])', 0),
         |  regexp_extract_all(n_name, '[AEIOU]([A-Z])', 1)),
         |  x -> x[1] || '+' || x[2]), '|') AS sub
+        |FROM nation ORDER BY id""".stripMargin,
+
+    "q_find_fns" ->
+      """SELECT n_nationkey AS id,
+        |CAST(strpos(n_name, 'A') - 1 AS BIGINT) AS f,
+        |array_to_string(list_filter(range(0, length(n_name)),
+        |  i -> substr(n_name, CAST(i + 1 AS INT), 1) = 'A'), ',') AS fa,
+        |CAST(strpos(n_name, 'A') - 1 AS BIGINT) AS fb,
+        |array_to_string(list_filter(range(0, length(n_name)),
+        |  i -> substr(n_name, CAST(i + 1 AS INT), 1) <> 'A'), ',') AS fab,
+        |CAST(xor(CAST((2166136261 * 16777619) % 4294967296 AS BIGINT),
+        |         CAST(ascii(substr(n_name, 1, 1)) AS BIGINT)) AS VARCHAR) AS fnv1,
+        |CAST(CAST((xor(2166136261, CAST(ascii(substr(n_name, 1, 1)) AS BIGINT))
+        |           * 16777619) % 4294967296 AS BIGINT) AS VARCHAR) AS fnv1a,
+        |epoch_us(TIMESTAMP '2024-01-01 06:30:45.123456'
+        |         + n_nationkey * INTERVAL 1 DAY) AS us,
+        |epoch_us(TIMESTAMP '2024-01-01 06:30:45.123456'
+        |         + n_nationkey * INTERVAL 1 DAY) * 1000 AS ns
         |FROM nation ORDER BY id""".stripMargin,
 
     "q1_agg" ->

@@ -260,7 +260,8 @@ object ExprCompiler {
   }
 
   private val HofMethods =
-    Set("map_each", "filter", "fold", "any", "all", "sort_by", "map_each_key")
+    Set("map_each", "filter", "fold", "any", "all", "sort_by", "map_each_key",
+      "find_by", "find_all_by")
 
   /** Higher-order array methods: the Lambda arg compiles with its
     * params bound in `ctx.bindings` (shadowing input fields), producing
@@ -293,6 +294,18 @@ object ExprCompiler {
           e => e.getField("v"))
       case "map_each_key" =>
         transform_keys(c, (k, _) => body1(rawArgs.head)(k))
+      // find_by / find_all_by (reference v4.2 family): 0-based
+      // index(es) of elements where the query is true, -1 / [] when
+      // none — null query results count as false, like the reference
+      case "find_by" | "find_all_by" =>
+        val idxs = filter(
+          transform(c, (x, i) =>
+            when(coalesce(body1(rawArgs.head)(x), lit(false)), i.cast(LongType))
+              .otherwise(lit(-1L))),
+          e => e >= 0)
+        if (name == "find_all_by") idxs
+        // get() is out-of-bounds-null (element_at raises under ANSI)
+        else coalesce(get(idxs, lit(0)), lit(-1L))
       case other => throw new IllegalArgumentException(s"hof $other")
     }
     CVal(out, t.deleted)
@@ -754,6 +767,10 @@ object ExprCompiler {
         case algo if algo.startsWith("hmac_") =>
           lower(hex(graft.functions.CryptoFunctions.hmac(
             algo, c.cast(BinaryType), a(1).cast(BinaryType))))
+        // FNV family (Go hash/fnv): unsigned decimal string, the same
+        // rendering as the xxhash64/crc32 branches
+        case algo @ ("fnv32" | "fnv32a" | "fnv64" | "fnv64a") =>
+          graft.functions.CryptoFunctions.fnv(algo, c.cast(BinaryType))
         case other => throw new IllegalArgumentException(s"hash($other)")
       }
       // AES encryption (reference methods_encryption.go encrypt_aes /
@@ -822,6 +839,10 @@ object ExprCompiler {
       case "ts_format" | "format_timestamp" => date_format(c, str(0))
       case "ts_unix" => unix_timestamp(c)
       case "ts_unix_milli" => unix_millis(c.cast(TimestampType))
+      case "ts_unix_micro" => unix_micros(c.cast(TimestampType))
+      // timestamps carry microsecond precision, so nanos are an exact
+      // ×1000 (the reference's ts_unix_nano over a parsed timestamp)
+      case "ts_unix_nano" => unix_micros(c.cast(TimestampType)) * 1000
       case "ts_round" => date_trunc(str(0), c)
       // C-strftime format surface (reference ts_strftime/ts_strptime):
       // the literal format is translated to a JDK datetime pattern at
@@ -858,6 +879,14 @@ object ExprCompiler {
       case "last" => element_at(c, -1)
       case "zip" => arrays_zip(c, a(0))
       case "enumerated" => arrays_zip(sequence(lit(0), size(c) - 1), c)
+      // find / find_all (reference methods_general.go, v4.2 family):
+      // 0-based index(es) of a VALUE in an array, -1 / [] when absent
+      // (array_position is 1-based with 0-absent, hence the shift)
+      case "find" => array_position(c, a(0)).cast(LongType) - 1
+      case "find_all" =>
+        filter(
+          transform(c, (x, i) => when(x <=> a(0), i.cast(LongType)).otherwise(lit(-1L))),
+          x => x >= 0)
       // objects / maps
       case "keys" => map_keys(c)
       case "values" => map_values(c)

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 
 /** Keyed-hash (HMAC) as a native Catalyst expression — the
   * reference's `hash("hmac_sha256", key)` bloblang method (upstream
@@ -39,6 +39,43 @@ case class Hmac(left: Expression, right: Expression, algorithm: String)
     copy(left = l, right = r)
 }
 
+/** FNV hash family — the reference's `hash("fnv32a")` etc., backed by
+  * Go's `hash/fnv` (FNV-1 multiplies-then-xors, FNV-1a xors-then-
+  * multiplies). Rendered as the unsigned decimal string, the same
+  * convention the xxhash64/crc32 hash branches use.
+  */
+case class Fnv(child: Expression, algorithm: String)
+    extends UnaryExpression with CodegenFallback {
+  require(Set("fnv32", "fnv32a", "fnv64", "fnv64a")(algorithm),
+    s"hash: unknown fnv variant $algorithm")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fnv"
+  override protected def nullSafeEval(data: Any): Any = {
+    val bytes = data.asInstanceOf[Array[Byte]]
+    var i = 0
+    val s = algorithm match {
+      case "fnv32" =>
+        var h = 0x811c9dc5L
+        while (i < bytes.length) { h = (h * 0x01000193L) & 0xffffffffL; h ^= bytes(i) & 0xff; i += 1 }
+        h.toString
+      case "fnv32a" =>
+        var h = 0x811c9dc5L
+        while (i < bytes.length) { h ^= bytes(i) & 0xff; h = (h * 0x01000193L) & 0xffffffffL; i += 1 }
+        h.toString
+      case "fnv64" =>
+        var h = 0xcbf29ce484222325L
+        while (i < bytes.length) { h = h * 0x100000001b3L; h ^= bytes(i) & 0xff; i += 1 }
+        java.lang.Long.toUnsignedString(h)
+      case "fnv64a" =>
+        var h = 0xcbf29ce484222325L
+        while (i < bytes.length) { h ^= bytes(i) & 0xff; h = h * 0x100000001b3L; i += 1 }
+        java.lang.Long.toUnsignedString(h)
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  }
+  override protected def withNewChildInternal(c: Expression): Fnv = copy(child = c)
+}
+
 object CryptoFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -46,10 +83,19 @@ object CryptoFunctions {
       reg.createOrReplaceTempFunction(s"graft_$algo",
         (es: Seq[Expression]) => Hmac(es.head, es(1), algo), "built-in")
     }
+    Seq("fnv32", "fnv32a", "fnv64", "fnv64a").foreach { algo =>
+      reg.createOrReplaceTempFunction(s"graft_$algo",
+        (es: Seq[Expression]) => Fnv(es.head, algo), "built-in")
+    }
   }
 
   def hmac(algo: String, data: Column, key: Column): Column = {
     ensureRegistered(SparkSession.active)
     call_function(s"graft_$algo", data, key)
+  }
+
+  def fnv(algo: String, data: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function(s"graft_$algo", data)
   }
 }

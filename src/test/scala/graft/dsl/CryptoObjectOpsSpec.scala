@@ -185,4 +185,45 @@ class CryptoObjectOpsSpec extends SparkTestBase {
     val e = intercept[Exception] { one("""root.x = content().not_empty()""", content = "") }
     assert(e.getMessage.contains("not_empty"))
   }
+
+  test("hash(fnv32/32a/64/64a) matches the published FNV vectors") {
+    // draft-eastlake-fnv test vectors for "foobar" (FNV-1 and FNV-1a)
+    val r = one(
+      """root.f32 = content().hash("fnv32")
+        |root.f32a = content().hash("fnv32a")
+        |root.f64 = content().hash("fnv64")
+        |root.f64a = content().hash("fnv64a")""".stripMargin,
+      content = "foobar")
+    assert(r.getAs[String]("f32") == "837857890")
+    assert(r.getAs[String]("f32a") == "3214735720") // 0xbf9cf968
+    assert(r.getAs[String]("f64") == "3750802935296928194")
+    assert(r.getAs[String]("f64a") == "9625390261332436968") // 0x85944171f73967e8
+  }
+
+  test("find / find_all / find_by / find_all_by return 0-based indices") {
+    val r = one(
+      """let a = content().split(",")
+        |root.f = $a.find("b")
+        |root.missing = $a.find("z")
+        |root.fa = $a.find_all("b").map_each(i -> i.string()).join(",")
+        |root.fb = $a.find_by(x -> x.length() > 1)
+        |root.fab = $a.find_all_by(x -> x == "b").map_each(i -> i.string()).join(",")
+        |root.none = $a.find_by(x -> x == "zz")""".stripMargin,
+      content = "a,b,cc,b")
+    assert(r.getAs[Long]("f") == 1L)
+    assert(r.getAs[Long]("missing") == -1L)
+    assert(r.getAs[String]("fa") == "1,3")
+    assert(r.getAs[Long]("fb") == 2L)
+    assert(r.getAs[String]("fab") == "1,3")
+    assert(r.getAs[Long]("none") == -1L)
+  }
+
+  test("ts_unix_micro / ts_unix_nano") {
+    val r = one(
+      """let t = "2024-03-01T12:30:45.123456Z".ts_parse("yyyy-MM-dd'T'HH:mm:ss.SSSSSSX")
+        |root.us = $t.ts_unix_micro()
+        |root.ns = $t.ts_unix_nano()""".stripMargin)
+    assert(r.getAs[Long]("us") == 1709296245123456L)
+    assert(r.getAs[Long]("ns") == 1709296245123456000L)
+  }
 }
