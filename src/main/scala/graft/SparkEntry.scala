@@ -1939,6 +1939,20 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id", "doc")
     }),
 
+    "q_diff_patch" -> ((s, dir) => {
+      // structural JSON diff/patch (r3labs changelog shape) — the
+      // changelog row set and the patch round-trip, one projection
+      val pipe = compile(Seq(PMapping(
+        """let k = this.props.json_path("$.k").int64()
+          |root.event_id = this.event_id
+          |let old = "{\"k\":" + $k.string() + ",\"tags\":[1," + $k.string() + "]}"
+          |let new = "{\"k\":" + ($k + 1).string() + ",\"tags\":[1]}"
+          |root.cl = $old.diff($new)
+          |root.rt = $old.patch($old.diff($new))
+          |""".stripMargin)))
+      pipe(t(s, dir, "events")).orderBy("event_id")
+    }),
+
     "q_cdc_replay" -> ((s, _) =>
       // generator → streaming replay → fenced LWW merge → final state;
       // the sha-equality oracle is the fold oracle in EndToEndReplaySpec
@@ -2998,7 +3012,18 @@ object SparkEntry {
         |       THEN CAST(k AS VARCHAR) || ',' || CAST(k + 2 AS VARCHAR)
         |       ELSE CAST(k + 1 AS VARCHAR) END ||
         |  '],"t":' || CAST(v AS VARCHAR) || '}' AS doc
-        |FROM e ORDER BY event_id, doc""".stripMargin
+        |FROM e ORDER BY event_id, doc""".stripMargin,
+
+    "q_diff_patch" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_id,
+        |  '[{"type":"update","path":["k"],"from":' || CAST(k AS VARCHAR) ||
+        |  ',"to":' || CAST(k + 1 AS VARCHAR) || '},' ||
+        |  '{"type":"delete","path":["tags","1"],"from":' || CAST(k AS VARCHAR) ||
+        |  ',"to":null}]' AS cl,
+        |  '{"k":' || CAST(k + 1 AS VARCHAR) || ',"tags":[1]}' AS rt
+        |FROM k ORDER BY event_id""".stripMargin
     // q_dedup_simhash, q_knn_ivf, q_fingerprint_rolling, q_media_features,
     // q_compress, q_cdc_replay: intentionally no SQL oracle (xxhash64 /
     // approximate / stubbed-decode / gzip / generator semantics); Scala

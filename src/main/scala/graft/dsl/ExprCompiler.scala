@@ -672,6 +672,11 @@ object ExprCompiler {
       // json
       case "parse_json" => parse_json(c)
       case "format_json" => to_json(c)
+      // diff/patch (reference wraps r3labs/diff): changelog rows
+      // {type, path, from, to}; JSON-text contract like the jq
+      // processor — old.diff(new) |> old.patch(…) == new
+      case "diff" => graft.functions.DiffFunctions.diff(c.cast(StringType), a(0).cast(StringType))
+      case "patch" => graft.functions.DiffFunctions.patch(c.cast(StringType), a(0).cast(StringType))
       // parse_yaml/format_yaml (reference bloblang_yaml.go): YAML text
       // → canonical JSON (native Jackson-YAML expression) → Spark 4
       // VARIANT, so navigation shares parse_json's variant path

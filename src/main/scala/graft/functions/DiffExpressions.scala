@@ -1,0 +1,183 @@
+package graft.functions
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, NullNode, ObjectNode}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structural JSON diff/patch — the reference's `diff`/`patch`
+  * bloblang methods (upstream `internal/bloblang/query/methods.go`,
+  * which wrap the r3labs/diff changelog model). The changelog is an
+  * array of `{"type": "create"|"update"|"delete", "path": [..],
+  * "from": .., "to": ..}` rows with string path segments (array
+  * indices render as decimal strings), exactly the r3labs row shape.
+  *
+  * Contract (spec-pinned): `old.diff(new)` produces the changelog
+  * that `old.patch(changelog)` applies to yield `new` — byte-equal
+  * for canonical input. Columnar model: both methods operate on JSON
+  * TEXT (use `format_json()` on structured values first), the same
+  * convention the jq processor uses.
+  *
+  * Determinism delta vs Go: r3labs walks Go maps in random order; we
+  * emit object entries in the OLD document's key order followed by
+  * new-only keys in the NEW document's order, so the changelog is
+  * stable under the hash-comparing correctness gate. Numbers compare
+  * by JSON token identity (1 vs 1.0 is an update), matching the
+  * untyped-JSON round-trip the engine stores.
+  */
+object DiffSupport {
+  private val om = YamlSupport.jsonMapper
+
+  def diff(oldJson: String, newJson: String): String = {
+    val out = om.createArrayNode()
+    def add(typ: String, path: List[String], from: JsonNode, to: JsonNode): Unit = {
+      val e = om.createObjectNode()
+      e.put("type", typ)
+      val p = e.putArray("path")
+      path.foreach(p.add)
+      e.set[JsonNode]("from", if (from == null) NullNode.instance else from)
+      e.set[JsonNode]("to", if (to == null) NullNode.instance else to)
+      out.add(e)
+    }
+    def walk(path: List[String], o: JsonNode, n: JsonNode): Unit = (o, n) match {
+      case (null, nn) => add("create", path, null, nn)
+      case (oo, null) => add("delete", path, oo, null)
+      case (oo: ObjectNode, nn: ObjectNode) =>
+        val oldKeys = oo.fieldNames.asScala.toSeq
+        val newOnly = nn.fieldNames.asScala.toSeq.filterNot(oldKeys.contains)
+        (oldKeys ++ newOnly).foreach { k =>
+          walk(path :+ k,
+            if (oo.has(k)) oo.get(k) else null,
+            if (nn.has(k)) nn.get(k) else null)
+        }
+      case (oo: ArrayNode, nn: ArrayNode) =>
+        (0 until math.max(oo.size, nn.size)).foreach { i =>
+          walk(path :+ i.toString,
+            if (i < oo.size) oo.get(i) else null,
+            if (i < nn.size) nn.get(i) else null)
+        }
+      case (oo, nn) => if (oo != nn) add("update", path, oo, nn)
+    }
+    walk(Nil, om.readTree(oldJson), om.readTree(newJson))
+    om.writeValueAsString(out)
+  }
+
+  def patch(docJson: String, changelogJson: String): String = {
+    val cl = om.readTree(changelogJson)
+    require(cl.isArray, "patch: the changelog must be a JSON array")
+    val changes = cl.asScala.toSeq
+    changes.foreach { c =>
+      require(c.isObject && c.has("type") && c.has("path"),
+        "patch: each change needs type + path")
+    }
+    def segs(c: JsonNode): List[String] =
+      c.get("path").asScala.map(_.asText).toList
+    val (dels, sets) = changes.partition(_.get("type").asText == "delete")
+    var root = om.readTree(docJson)
+    sets.foreach { c => root = setAt(root, segs(c), c.get("to")) }
+    // deletes deepest-first and highest-array-index-first so earlier
+    // removals never shift a later delete's target
+    dels.sortBy(segs)(pathOrdering.reverse)
+      .foreach { c => root = removeAt(root, segs(c)) }
+    om.writeValueAsString(root)
+  }
+
+  /** Path order: elementwise, numeric segments numerically; shorter
+    * paths first. Reversed at the call site for delete application.
+    */
+  private val pathOrdering: Ordering[List[String]] = (a, b) => {
+    val cmp = a.zip(b).iterator.map { case (x, y) =>
+      (x.toIntOption, y.toIntOption) match {
+        case (Some(i), Some(j)) => i.compare(j)
+        case _ => x.compare(y)
+      }
+    }.find(_ != 0).getOrElse(0)
+    if (cmp != 0) cmp else a.length.compare(b.length)
+  }
+
+  private def setAt(node: JsonNode, path: List[String], v: JsonNode): JsonNode =
+    path match {
+      case Nil => if (v == null) NullNode.instance else v
+      case head :: rest =>
+        head.toIntOption match {
+          case Some(i) if node != null && node.isArray =>
+            val arr = node.asInstanceOf[ArrayNode]
+            while (arr.size <= i) arr.add(NullNode.instance)
+            arr.set(i, setAt(childOrNull(arr.get(i)), rest, v))
+            arr
+          case Some(i) if node == null || node.isNull =>
+            val arr = om.createArrayNode()
+            while (arr.size <= i) arr.add(NullNode.instance)
+            arr.set(i, setAt(null, rest, v))
+            arr
+          case _ =>
+            val obj =
+              if (node != null && node.isObject) node.asInstanceOf[ObjectNode]
+              else om.createObjectNode()
+            obj.set[JsonNode](head, setAt(childOrNull(obj.get(head)), rest, v))
+            obj
+        }
+    }
+
+  private def childOrNull(n: JsonNode): JsonNode =
+    if (n == null || n.isMissingNode) null else n
+
+  private def removeAt(node: JsonNode, path: List[String]): JsonNode =
+    (node, path) match {
+      case (_, Nil) => NullNode.instance
+      case (o: ObjectNode, k :: Nil) => o.remove(k); o
+      case (a: ArrayNode, k :: Nil) =>
+        k.toIntOption.foreach(i => if (i < a.size) a.remove(i)); a
+      case (o: ObjectNode, k :: rest) if o.has(k) =>
+        o.set[JsonNode](k, removeAt(o.get(k), rest)); o
+      case (a: ArrayNode, k :: rest) =>
+        k.toIntOption.filter(_ < a.size)
+          .foreach(i => a.set(i, removeAt(a.get(i), rest)))
+        a
+      case (other, _) => other // path misses: a no-op, like the reference
+    }
+}
+
+case class JsonStructDiff(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_json_diff"
+  override protected def nullSafeEval(oldJ: Any, newJ: Any): Any =
+    UTF8String.fromString(DiffSupport.diff(oldJ.toString, newJ.toString))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonStructDiff =
+    copy(left = l, right = r)
+}
+
+case class JsonStructPatch(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_json_patch"
+  override protected def nullSafeEval(doc: Any, cl: Any): Any =
+    UTF8String.fromString(DiffSupport.patch(doc.toString, cl.toString))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonStructPatch =
+    copy(left = l, right = r)
+}
+
+object DiffFunctions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_json_diff", (es: Seq[Expression]) => JsonStructDiff(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_json_patch", (es: Seq[Expression]) => JsonStructPatch(es.head, es(1)), "built-in")
+  }
+  def diff(oldJ: Column, newJ: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_json_diff", oldJ, newJ)
+  }
+  def patch(doc: Column, changelog: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_json_patch", doc, changelog)
+  }
+}

@@ -218,6 +218,29 @@ class CryptoObjectOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("none") == -1L)
   }
 
+  test("diff / patch: r3labs-shaped changelog; patch(diff) round-trips") {
+    val r = one(
+      """let old = "{\"a\":1,\"b\":{\"x\":\"u\"},\"l\":[1,2,3]}"
+        |let new = "{\"a\":2,\"b\":{\"x\":\"u\",\"y\":true},\"l\":[1,9]}"
+        |root.cl = $old.diff($new)
+        |root.rt = $old.patch($old.diff($new))
+        |root.same = $old.diff($old)
+        |root.dk = "{\"k\":1,\"g\":2}".diff("{\"g\":\"s\"}")
+        |root.dkp = "{\"k\":1,\"g\":2}".patch("{\"k\":1,\"g\":2}".diff("{\"g\":\"s\"}"))
+        |""".stripMargin)
+    assert(r.getAs[String]("cl") ==
+      """[{"type":"update","path":["a"],"from":1,"to":2},""" +
+        """{"type":"create","path":["b","y"],"from":null,"to":true},""" +
+        """{"type":"update","path":["l","1"],"from":2,"to":9},""" +
+        """{"type":"delete","path":["l","2"],"from":3,"to":null}]""")
+    assert(r.getAs[String]("rt") == """{"a":2,"b":{"x":"u","y":true},"l":[1,9]}""")
+    assert(r.getAs[String]("same") == "[]")
+    assert(r.getAs[String]("dk") ==
+      """[{"type":"delete","path":["k"],"from":1,"to":null},""" +
+        """{"type":"update","path":["g"],"from":2,"to":"s"}]""")
+    assert(r.getAs[String]("dkp") == """{"g":"s"}""")
+  }
+
   test("ts_unix_micro / ts_unix_nano") {
     val r = one(
       """let t = "2024-03-01T12:30:45.123456Z".ts_parse("yyyy-MM-dd'T'HH:mm:ss.SSSSSSX")
