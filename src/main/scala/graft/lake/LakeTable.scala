@@ -888,7 +888,18 @@ final class LakeTable(val root: String, val buckets: Int = 16,
   // ------------------------------------------------------------------
 
   private def writeData(df: DataFrame, outDir: String): Unit = {
-    val w = df.write.mode("overwrite").partitionBy(BucketCol)
+    val w = df.write.mode("overwrite")
+      // parquet bloom filter on the point-lookup key: the standard
+      // reader's row-group filter probes it for eq/in predicates
+      // (readRepos / changesBetween key reads), skipping row groups
+      // whose min/max range intersects but whose membership misses —
+      // the case range stats can't prune (wide-range MoR delta files,
+      // compacted bucket files). Adaptively sized (parquet-mr 1.13+),
+      // capped so manifest-scale file counts stay cheap to store.
+      .option("parquet.bloom.filter.enabled#repo", "true")
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
+      .option("parquet.bloom.filter.max.bytes", LakeTable.RepoBloomMaxBytes.toString)
+      .partitionBy(BucketCol)
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
       .parquet(outDir)
   }
@@ -967,6 +978,13 @@ object LakeTable {
     * broadcast memory.
     */
   val BroadcastKeyLimit: Long = 8000000L
+
+  /** Cap on the per-row-group repo bloom filter (adaptive sizing picks
+    * the smallest candidate that fits the observed NDV under this).
+    * 128 KiB ≈ 100k repos/row-group at ~1% fpp — beyond that the
+    * filter saturates and degrades to "maybe", never to wrong skips.
+    */
+  val RepoBloomMaxBytes: Int = 128 * 1024
 
   /** Max distinct update repos collected driver-side for file-level
     * CoW pruning (~20 MB of strings); beyond it the merge degrades to

@@ -49,6 +49,53 @@ class LakeCowSpec extends SparkTestBase {
     assert(files.map(_.rows).sum == initial.size)
   }
 
+  /** Point-read row-group skipping: every repo column chunk must
+    * answer membership exactly-or-probabilistically — fully
+    * dictionary-encoded chunks are pruned exactly by parquet's
+    * DictionaryFilter (repetitive repos, the common case), and chunks
+    * that FALL BACK from dictionary encoding (high-cardinality repos)
+    * must carry the bloom filter writeData enables.
+    */
+  test("repo chunks are dictionary-prunable or carry a bloom filter") {
+    import scala.jdk.CollectionConverters._
+    def chunks(lake: LakeTable) = lake.files().flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          java.nio.file.Paths.get(lake.root, f.path).toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.map { blk =>
+        val cc = blk.getColumns.asScala.find(_.getPath.toDotString == "repo").get
+        val fullyDict = Option(cc.getEncodingStats).exists(!_.hasNonDictionaryEncodedPages)
+        val bloom = Option(reader.getBloomFilterDataReader(blk).readBloomFilter(cc))
+        (f, cc, fullyDict, bloom)
+      }.toSeq
+      finally reader.close()
+    }
+    // repetitive repos: dictionary gives exact membership, no bloom bytes
+    val lake = freshLake()
+    lake.merge(batch(initial), 0L)
+    chunks(lake).foreach { case (f, _, fullyDict, bloom) =>
+      assert(fullyDict || bloom.isDefined, s"unprunable repo chunk in ${f.path}")
+    }
+    // high-cardinality repos blow the 1 MiB dictionary page: the chunk
+    // falls back to plain encoding and MUST materialize the bloom
+    val root2 = tmpDir("cowbloom")
+    val wide = new LakeTable(root2, buckets = 2, maxRecordsPerFile = 0L)
+    wide.initIfNeeded(userSchema)
+    val pad = "x" * 32
+    wide.merge(batch((0 until 60000).map(i =>
+      (i.toLong, "upsert", f"repo-$i%06d-$pad", "p", "v"))), 0L)
+    val wideChunks = chunks(wide)
+    val fellBack = wideChunks.filter(c => !c._3)
+    assert(fellBack.nonEmpty, "expected a dictionary-fallback chunk")
+    fellBack.foreach { case (f, _, _, bloom) =>
+      val bf = bloom.getOrElse(fail(s"fallback chunk without bloom in ${f.path}"))
+      val present = org.apache.parquet.io.api.Binary.fromString(f.minRepo.get)
+      assert(bf.findHash(bf.hash(present)), "contained repo must probe positive")
+    }
+  }
+
   test("narrow-range batch rewrites only intersecting files of a hot bucket") {
     val lake = freshLake()
     lake.merge(batch(initial), 0L)
