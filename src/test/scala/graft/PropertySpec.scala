@@ -193,6 +193,45 @@ class PropertySpec extends SparkTestBase {
     }, n = 20)
   }
 
+  test("diff/patch: patch(a, diff(a,b)) == b on random JSON documents") {
+    import com.fasterxml.jackson.databind.JsonNode
+    import graft.functions.DiffSupport
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def render(v: Any): JsonNode = v match {
+      case m: Map[String @unchecked, Any @unchecked] =>
+        val o = om.createObjectNode()
+        m.foreach { case (k, x) => o.set[JsonNode](k, render(x)) }
+        o
+      case l: List[Any @unchecked] =>
+        val a = om.createArrayNode(); l.foreach(x => a.add(render(x))); a
+      case i: Long => om.getNodeFactory.numberNode(i)
+      case s: String => om.getNodeFactory.textNode(s)
+      case b: Boolean => om.getNodeFactory.booleanNode(b)
+      case _ => om.getNodeFactory.nullNode()
+    }
+    val keyG = Gen.oneOf("a", "b", "c", "d", "长")
+    val scalarG: Gen[Any] = Gen.oneOf(
+      Gen.choose(-5L, 5L),
+      Gen.oneOf("", "x", "é\"\\\n中"),
+      Gen.oneOf(true, false),
+      Gen.const(null))
+    def valueG(depth: Int): Gen[Any] =
+      if (depth <= 0) scalarG
+      else Gen.frequency(
+        3 -> scalarG,
+        1 -> Gen.mapOf(Gen.zip(keyG, valueG(depth - 1))).map(m => m: Any),
+        1 -> Gen.listOf(valueG(depth - 1)).map(l => l.take(5): Any))
+    val docG = valueG(3)
+    check(Prop.forAll(docG, docG) { (a: Any, b: Any) =>
+      val an = render(a).toString; val bn = render(b).toString
+      val cl = DiffSupport.diff(an, bn)
+      val patched = om.readTree(DiffSupport.patch(an, cl))
+      // readTree both sides (IntNode vs LongNode are class-strict in
+      // Jackson); node equality is key-order-insensitive — the contract
+      Prop(patched == om.readTree(bn) && DiffSupport.diff(an, an) == "[]")
+    }, n = 300)
+  }
+
   test("compress/decompress is the identity for every algorithm on random bytes") {
     val genBytes = Gen.oneOf(
       Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
