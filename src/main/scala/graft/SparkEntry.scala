@@ -1939,6 +1939,14 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id", "doc")
     }),
 
+    "q_jq_interp" -> ((s, dir) => {
+      // jq string interpolation: holes render like tostring (numbers
+      // drop the integral .0), still one codegen'd projection
+      val pipe = compile(Seq(
+        PJq("\"e-\\(.k)-\\(.k + 1)\"", "props")))
+      pipe(t(s, dir, "events")).select("event_id", "props").orderBy("event_id")
+    }),
+
     "q_diff_patch" -> ((s, dir) => {
       // structural JSON diff/patch (r3labs changelog shape) — the
       // changelog row set and the patch round-trip, one projection
@@ -3013,6 +3021,13 @@ object SparkEntry {
         |       ELSE CAST(k + 1 AS VARCHAR) END ||
         |  '],"t":' || CAST(v AS VARCHAR) || '}' AS doc
         |FROM e ORDER BY event_id, doc""".stripMargin,
+
+    "q_jq_interp" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_id,
+        |  'e-' || CAST(k AS VARCHAR) || '-' || CAST(k + 1 AS VARCHAR) AS props
+        |FROM k ORDER BY event_id""".stripMargin,
 
     "q_diff_patch" ->
       """WITH k AS (SELECT event_id,

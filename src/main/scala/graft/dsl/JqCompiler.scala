@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * Supported subset (parsed with real jq grammar, not Bloblang):
   *   identity `.`; paths `.a.b[0]`; pipe `|`; alternative `//`;
   *   `and` / `or` / `not`; comparisons `== != < <= > >=`; arithmetic
-  *   `+ - * / %`; literals (number, string, true/false/null); object
+  *   `+ - * / %`; literals (number, string, true/false/null); string
+  *   interpolation `"\(expr)"`; object
   *   `{k: e, "k": e, k}` and array `[e, ...]` construction;
   *   `select(cond)`; `if/then/elif/else/end` (else-less = identity
   *   default); postfix `?` (no-op here — path-on-scalar is already
@@ -301,6 +302,7 @@ object JqCompiler {
   private final case class VarE(name: String) extends E                   // $x (reduce-bound)
   private final case class Reduce(term: E, varName: String, init: E, update: E) extends E
   private final case class ColLit(v: JqVal) extends E                     // bound value (subst)
+  private final case class Interp(parts: Seq[E]) extends E                // "a\(expr)b"
 
   // ---- eval: E × input → (value, keep) -------------------------------
 
@@ -449,6 +451,12 @@ object JqCompiler {
         }).cast(sparkT)
       })
       (JqVal(out, initV.t), initK)
+    // string interpolation "a\(expr)b": each hole renders via the
+    // top-level string rule (numbers drop .0, exactly jq's tostring)
+    case Interp(parts) =>
+      val evald = parts.map(eval(_, in))
+      val keep = evald.flatMap(_._2).reduceOption(_ && _)
+      (JqVal(concat(evald.map(p => renderTop(p._1)): _*), TStr), keep)
     case ColLit(v) => (v, None)
     case VarE(n) => throw new IllegalArgumentException(
       s"jq: unbound variable $$$n (variables are only bound by reduce)")
@@ -476,6 +484,7 @@ object JqCompiler {
     case Reduce(t, v, i, u) => Reduce(subst(t, name, repl), v,
       subst(i, name, repl),
       if (v == name) u else subst(u, name, repl)) // inner $x shadows
+    case Interp(ps) => Interp(ps.map(subst(_, name, repl)))
     case other => other // Identity, Path, Lit, ColLit, other VarE
   }
 
@@ -803,7 +812,7 @@ object JqCompiler {
       if (c == '(') { expect("("); val e = parseTop(); expect(")"); e }
       else if (c == '{') parseObj()
       else if (c == '[') parseArr()
-      else if (c == '"') Lit(parseString())
+      else if (c == '"') parseInterpString()
       else if (c == '.') {
         pos += 1
         val segs = parseSegments(allowLeadingDot = false)
@@ -914,6 +923,36 @@ object JqCompiler {
       }
       expect("]")
       Arr(items.toSeq)
+    }
+
+    /** String literal with jq interpolation: `"a\(expr)b"` — a plain
+      * Lit when there are no holes; `\(` opens a full pipe-expression
+      * hole evaluated against the current input. Object KEYS and
+      * literal function args still parse raw (parseString).
+      */
+    private def parseInterpString(): E = {
+      require(src.charAt(pos) == '"', s"jq: expected string at $pos")
+      pos += 1
+      val parts = scala.collection.mutable.ArrayBuffer[E]()
+      val sb = new StringBuilder
+      def flush(): Unit = if (sb.nonEmpty) { parts += Lit(sb.toString); sb.clear() }
+      while (pos < src.length && src.charAt(pos) != '"') {
+        if (src.charAt(pos) == '\\' && pos + 1 < src.length && src.charAt(pos + 1) == '(') {
+          flush(); pos += 2
+          parts += parsePipe()
+          expect(")")
+        } else if (src.charAt(pos) == '\\' && pos + 1 < src.length) {
+          pos += 1
+          sb += (src.charAt(pos) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case other => other
+          })
+          pos += 1
+        } else { sb += src.charAt(pos); pos += 1 }
+      }
+      expect("\"")
+      if (parts.isEmpty) Lit(sb.toString)
+      else { flush(); Interp(parts.toSeq) }
     }
 
     private def parseString(): String = {

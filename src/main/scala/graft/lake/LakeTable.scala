@@ -280,9 +280,19 @@ final class LakeTable(val root: String, val buckets: Int = 16,
             val sorted = candRepos.sortWith(ubCompare(_, _) < 0)
             filesOf(s, wanted).filter(f => rangeIntersects(f, sorted))
           }
-        val toState = resolve(readFiles(spark, sTo, pruned(sTo)), sTo)
+        // push the candidate-repo set into the scan as well: the
+        // parquet reader then skips row groups via dictionary /
+        // repo-bloom membership inside files the range prune kept
+        // (LWW is per (repo, path), so a whole-repo filter never
+        // drops a row the resolve needs)
+        def prunedRead(s: Snapshot): DataFrame = {
+          val df = readFiles(spark, s, pruned(s))
+          if (candRepos.length > PruneRepoCap) df
+          else df.filter(col("repo").isin(candRepos.toIndexedSeq: _*))
+        }
+        val toState = resolve(prunedRead(sTo), sTo)
           .join(cand, Seq("repo", "path"), "left_semi")
-        val fromKeyed = resolve(readFiles(spark, sFrom, pruned(sFrom)), sFrom)
+        val fromKeyed = resolve(prunedRead(sFrom), sFrom)
           .select(col("repo"), col("path"), col(SeqCol))
         toState.join(fromKeyed, Seq("repo", "path", SeqCol), "left_anti")
       }
@@ -337,8 +347,15 @@ final class LakeTable(val root: String, val buckets: Int = 16,
             val sorted = candRepos.sortWith(ubCompare(_, _) < 0)
             filesOf(s, wanted).filter(f => rangeIntersects(f, sorted))
           }
-        val fromState = resolve(readFiles(spark, sFrom, pruned(sFrom)), sFrom)
-        val toState = resolve(readFiles(spark, sTo, pruned(sTo)), sTo)
+        // same candidate-repo pushdown as changesBetween: dictionary /
+        // repo-bloom row-group skipping inside the range-pruned files
+        def prunedRead(s: Snapshot): DataFrame = {
+          val df = readFiles(spark, s, pruned(s))
+          if (candRepos.length > PruneRepoCap) df
+          else df.filter(col("repo").isin(candRepos.toIndexedSeq: _*))
+        }
+        val fromState = resolve(prunedRead(sFrom), sFrom)
+        val toState = resolve(prunedRead(sTo), sTo)
           .join(cand, Seq("repo", "path"), "left_semi")
         (toState.join(fromState.select(col("repo"), col("path"), col(SeqCol)),
           Seq("repo", "path", SeqCol), "left_anti"), fromState)

@@ -163,6 +163,15 @@ class JqSpec extends SparkTestBase {
     assert(run("{t: .tags[]}", """{"tags":[]}""").isEmpty)
   }
 
+  test("string interpolation \\(expr) renders holes like tostring") {
+    assert(one("""{tag: "k-\(.k)"}""", """{"k":7}""").contains("""{"tag":"k-7"}"""))
+    assert(one(""""v=\(.a.b) end"""", """{"a":{"b":"x"}}""").contains("v=x end"))
+    assert(one(""""n:\(.k + 1)"""", """{"k":41}""").contains("n:42"))
+    // per-element holes in a stream suffix
+    assert(run(""".a[] | "i-\(.)"""", """{"a":[1,2]}""")
+      == Seq(Some("i-1"), Some("i-2")))
+  }
+
   test("sort_by sorts by the extracted key (numeric or text)") {
     assert(one("sort_by(.v)", """[{"v":3},{"v":1},{"v":2}]""")
       .contains("""[{"v":1},{"v":2},{"v":3}]"""))
