@@ -1169,6 +1169,50 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_file_scanners" -> ((s, dir) => {
+      // whole-file scanners (file-input scanner stack): chunker:N,
+      // re_match:RE, tar, json_documents, to_the_end — fixtures built
+      // from nation (25 rows at the gate SF; the collects are
+      // metadata-sized fixture construction, not the read path)
+      val nation = t(s, dir, "nation")
+      val keys = nation.select(col("n_nationkey").cast("long"))
+        .orderBy("n_nationkey").collect().map(_.getLong(0))
+      val text = keys.map(k => s"n=$k").mkString("|")
+      val docs = keys.map(k => s"""{"k":$k}""").mkString
+      val base = java.nio.file.Files.createTempDirectory("graft-scan")
+      val tdir = base.resolve("text"); val jdir = base.resolve("jdocs")
+      val adir = base.resolve("tar")
+      java.nio.file.Files.createDirectories(tdir)
+      java.nio.file.Files.createDirectories(jdir)
+      java.nio.file.Files.createDirectories(adir)
+      java.nio.file.Files.writeString(tdir.resolve("f.txt"), text)
+      java.nio.file.Files.writeString(jdir.resolve("d.json"), docs)
+      val tarBytes = nation
+        .select(struct(col("n_name").as("name"),
+          encode(concat(lit("v-"), col("n_nationkey").cast("string")), "UTF-8")
+            .as("content")).as("e"))
+        .agg(collect_list(col("e")).as("entries"))
+        .select(graft.functions.TarFunctions.tarCreate(col("entries")))
+        .collect().head.getAs[Array[Byte]](0)
+      java.nio.file.Files.write(adir.resolve("x.tar"), tarBytes)
+      import graft.sources.FileInput.batch
+      val nul = lit(null).cast("string")
+      batch(s, tdir.toString, "chunker:7")
+        .select(lit("chunker").as("scanner"), nul.as("name"),
+          col("content").cast("string").as("content"))
+        .unionByName(batch(s, tdir.toString, "re_match:n=[0-9]+")
+          .select(lit("re_match").as("scanner"), nul.as("name"), col("content")))
+        .unionByName(batch(s, adir.toString, "tar")
+          .select(lit("tar").as("scanner"), col("name"),
+            col("content").cast("string").as("content")))
+        .unionByName(batch(s, jdir.toString, "json_documents")
+          .select(lit("json_documents").as("scanner"), nul.as("name"), col("content")))
+        .unionByName(batch(s, tdir.toString, "to_the_end")
+          .select(lit("to_the_end").as("scanner"), nul.as("name"),
+            col("content").cast("string").as("content")))
+        .orderBy("scanner", "content")
+    }),
+
     "q_file_zstd" -> ((s, dir) => {
       // compressed-codec file input: whole-file zstd JSONL through the
       // native codec expressions (fixture files compressed with the
@@ -2676,6 +2720,25 @@ object SparkEntry {
 
     "q_file_lines" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+
+    "q_file_scanners" ->
+      """WITH s AS (SELECT string_agg('n=' || CAST(n_nationkey AS VARCHAR), '|'
+        |                             ORDER BY n_nationkey) AS t FROM nation)
+        |SELECT * FROM (
+        |  SELECT 'chunker' AS scanner, CAST(NULL AS VARCHAR) AS name,
+        |         unnest(list_transform(
+        |           range(0, CAST(ceil(length(t) / 7.0) AS BIGINT)),
+        |           i -> substr(t, CAST(i * 7 + 1 AS INT), 7))) AS content FROM s
+        |  UNION ALL
+        |  SELECT 're_match', NULL, 'n=' || CAST(n_nationkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'tar', n_name, 'v-' || CAST(n_nationkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'json_documents', NULL,
+        |         '{"k":' || CAST(n_nationkey AS VARCHAR) || '}' FROM nation
+        |  UNION ALL
+        |  SELECT 'to_the_end', NULL, t FROM s
+        |) ORDER BY scanner, content""".stripMargin,
 
     "q_file_zstd" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",

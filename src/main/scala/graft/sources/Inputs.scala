@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.StructType
   */
 object FileInput {
 
-  val Codecs = Set("parquet", "lines", "json", "csv")
+  val Codecs = Set("parquet", "lines", "json", "csv",
+    "tar", "json_documents", "to_the_end") // + lines+<algo>, chunker:N, re_match:RE
 
   /** `lines+zstd`-style codec: whole-file decompress through the
     * native codec expressions (graft.functions.Codecs — all 8
@@ -34,14 +35,25 @@ object FileInput {
     */
   private val CompressedCodec = "^(lines|json)\\+([a-z0-9]+)$".r
 
-  private def decompressedLines(spark: SparkSession, dir: String,
-                                base: String, algo: String,
-                                schema: Option[StructType],
-                                stream: Boolean,
-                                maxFilesPerTrigger: Option[Int]): DataFrame = {
-    import org.apache.spark.sql.functions._
-    graft.functions.Codecs.requireKnown(algo, s"file codec $base+")
-    var r = if (stream) {
+  /** Whole-file scanners (reference `internal/impl/io/input_file.go`
+    * scanner stack): `chunker:N` fixed-size byte parts, `re_match:RE`
+    * one message per regex match, `tar` one message per archive entry
+    * (name + content), `json_documents` concatenated-JSON split,
+    * `to_the_end` the whole file as one message. All explode from one
+    * binaryFile scan — per-file task granularity, like decompress.
+    */
+  private val ChunkerCodec = "^chunker:([0-9]+)$".r
+  private val ReMatchCodec = "^re_match:(.+)$".r
+
+  private def isScanner(codec: String): Boolean = codec match {
+    case ChunkerCodec(_) | ReMatchCodec(_) => true
+    case "tar" | "json_documents" | "to_the_end" => true
+    case _ => false
+  }
+
+  private def binaryRead(spark: SparkSession, dir: String, stream: Boolean,
+                         maxFilesPerTrigger: Option[Int]): DataFrame =
+    if (stream) {
       var rs = spark.readStream.format("binaryFile")
       // binaryFile streaming needs the fixed source schema
       rs = rs.schema(StructType.fromDDL(
@@ -49,6 +61,44 @@ object FileInput {
       maxFilesPerTrigger.foreach(n => rs = rs.option("maxFilesPerTrigger", n))
       rs.load(dir)
     } else spark.read.format("binaryFile").load(dir)
+
+  private def scanner(spark: SparkSession, dir: String, codec: String,
+                      stream: Boolean,
+                      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val r = binaryRead(spark, dir, stream, maxFilesPerTrigger)
+    val c = col("content")
+    codec match {
+      case ChunkerCodec(n) =>
+        val sz = n.toInt
+        require(sz > 0, "chunker: chunk size must be positive")
+        val nchunks = ceil(length(c).cast("double") / sz).cast("int")
+        r.select(explode(
+          when(length(c) > 0,
+            transform(sequence(lit(0), nchunks - 1),
+              i => c.substr(i * sz + 1, lit(sz))))
+            .otherwise(array().cast("array<binary>"))).as("content"))
+      case ReMatchCodec(re) =>
+        r.select(explode(
+          regexp_extract_all(c.cast("string"), lit(re), lit(0))).as("content"))
+      case "tar" =>
+        r.select(explode(graft.functions.TarFunctions.tarEntries(c)).as("_e"))
+          .select(col("_e.name").as("name"), col("_e.content").as("content"))
+      case "json_documents" =>
+        r.select(explode(graft.functions.MultipartFunctions
+          .jsonDocuments(c.cast("string"))).as("content"))
+      case "to_the_end" => r.select(c.as("content"))
+    }
+  }
+
+  private def decompressedLines(spark: SparkSession, dir: String,
+                                base: String, algo: String,
+                                schema: Option[StructType],
+                                stream: Boolean,
+                                maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.Codecs.requireKnown(algo, s"file codec $base+")
+    val r = binaryRead(spark, dir, stream, maxFilesPerTrigger)
     val text = graft.functions.GraftFunctions.decompress(algo, col("content"))
       .cast("string")
     // split keeping empties, drop only the trailing empty element a
@@ -76,6 +126,7 @@ object FileInput {
     */
   def batch(spark: SparkSession, dir: String, codec: String,
             schema: Option[StructType] = None): DataFrame = codec match {
+    case c if isScanner(c) => scanner(spark, dir, c, stream = false, None)
     case CompressedCodec(base, algo) =>
       decompressedLines(spark, dir, base, algo, schema, stream = false, None)
     case "parquet" =>
@@ -103,6 +154,8 @@ object FileInput {
     maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
     maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n))
     codec match {
+      case c if isScanner(c) =>
+        return scanner(spark, dir, c, stream = true, maxFilesPerTrigger)
       case CompressedCodec(base, algo) =>
         return decompressedLines(spark, dir, base, algo, schema,
           stream = true, maxFilesPerTrigger)

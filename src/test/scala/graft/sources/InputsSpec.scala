@@ -42,6 +42,50 @@ class InputsSpec extends SparkTestBase {
     assert(df.count() == 2)
   }
 
+  test("whole-file scanners: chunker, re_match, tar, json_documents, to_the_end") {
+    val dir = tmpDir("scanners")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "f.bin"), "abcdefghij")
+    // chunker:4 → fixed-size byte parts, last one short
+    val chunks = FileInput.batch(spark, dir, "chunker:4")
+      .collect().map(r => new String(r.getAs[Array[Byte]]("content")))
+    assert(chunks.sorted.toSeq == Seq("abcd", "efgh", "ij"))
+    // re_match → one message per regex match
+    val rm = tmpDir("rem")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(rm, "f.txt"), "id=1 noise id=22 junk id=333")
+    val matches = FileInput.batch(spark, rm, "re_match:id=[0-9]+")
+      .collect().map(_.getString(0)).sorted
+    assert(matches.toSeq == Seq("id=1", "id=22", "id=333"))
+    // tar → one message per entry (name + content)
+    val td = tmpDir("tarscan")
+    import spark.implicits._
+    val tarBytes = Seq(Seq(("a.txt", "AA".getBytes), ("b/b.txt", "BBB".getBytes)))
+      .toDF("entries")
+      .select(graft.functions.TarFunctions.tarCreate(col("entries")))
+      .collect().head.getAs[Array[Byte]](0)
+    java.nio.file.Files.write(java.nio.file.Paths.get(td, "x.tar"), tarBytes)
+    val entries = FileInput.batch(spark, td, "tar")
+      .collect().map(r => r.getAs[String]("name") ->
+        new String(r.getAs[Array[Byte]]("content"))).sortBy(_._1)
+    assert(entries.toSeq == Seq("a.txt" -> "AA", "b/b.txt" -> "BBB"))
+    // json_documents → concatenated JSON docs split into messages
+    val jd = tmpDir("jdocs")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(jd, "d.json"), """{"a":1} {"a":2}{"a":3}""")
+    val docs = FileInput.batch(spark, jd, "json_documents")
+      .collect().map(_.getString(0)).sorted
+    assert(docs.length == 3 && docs.forall(_.contains("\"a\"")))
+    // to_the_end → the whole file is one message
+    val whole = FileInput.batch(spark, dir, "to_the_end")
+      .collect().map(r => new String(r.getAs[Array[Byte]]("content")))
+    assert(whole.toSeq == Seq("abcdefghij"))
+    // empty file under chunker → zero messages, not an error
+    val ed = tmpDir("emptychunk")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ed, "e.bin"), "")
+    assert(FileInput.batch(spark, ed, "chunker:4").count() == 0)
+  }
+
   test("CDC replay over a gzipped JSONL log matches the parquet-log fold oracle") {
     val cfg = GenConfig(seed = 7L, events = 4000L, repos = 10,
       pathsPerRepo = 80, rowsPerFile = 500L)
