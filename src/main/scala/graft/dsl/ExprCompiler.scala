@@ -288,15 +288,18 @@ object ExprCompiler {
         val init = compile(rawArgs.head, ctx).col
         aggregate(c, init, body2(rawArgs(1)))
       case "sort_by" =>
-        // decorate-sort-undecorate: struct sorts by first field
+        // decorate-sort-undecorate: struct sorts by leading fields;
+        // the input index breaks key ties (stable, like the reference)
         transform(
-          array_sort(transform(c, x => struct(body1(rawArgs.head)(x).as("k"), x.as("v")))),
+          array_sort(transform(c, (x, i) =>
+            struct(body1(rawArgs.head)(x).as("k"), i.as("i"), x.as("v")))),
           e => e.getField("v"))
       case "map_each_key" =>
         transform_keys(c, (k, _) => body1(rawArgs.head)(k))
       // find_by / find_all_by (reference v4.2 family): 0-based
       // index(es) of elements where the query is true, -1 / [] when
-      // none — null query results count as false, like the reference
+      // none — null query results count as false, like the reference;
+      // a null/missing array yields null, never a fabricated -1
       case "find_by" | "find_all_by" =>
         val idxs = filter(
           transform(c, (x, i) =>
@@ -305,7 +308,8 @@ object ExprCompiler {
           e => e >= 0)
         if (name == "find_all_by") idxs
         // get() is out-of-bounds-null (element_at raises under ANSI)
-        else coalesce(get(idxs, lit(0)), lit(-1L))
+        else when(c.isNull, lit(null).cast(LongType))
+          .otherwise(coalesce(get(idxs, lit(0)), lit(-1L)))
       case other => throw new IllegalArgumentException(s"hof $other")
     }
     CVal(out, t.deleted)
@@ -885,9 +889,15 @@ object ExprCompiler {
       case "zip" => arrays_zip(c, a(0))
       case "enumerated" => arrays_zip(sequence(lit(0), size(c) - 1), c)
       // find / find_all (reference methods_general.go, v4.2 family):
-      // 0-based index(es) of a VALUE in an array, -1 / [] when absent
-      // (array_position is 1-based with 0-absent, hence the shift)
-      case "find" => array_position(c, a(0)).cast(LongType) - 1
+      // 0-based index(es) of a VALUE in an array, -1 / [] when absent,
+      // null-safe element equality; a null/missing ARRAY yields null
+      // for every member of the family (consistent nullability)
+      case "find" =>
+        val idxs = filter(
+          transform(c, (x, i) => when(x <=> a(0), i.cast(LongType)).otherwise(lit(-1L))),
+          x => x >= 0)
+        when(c.isNull, lit(null).cast(LongType))
+          .otherwise(coalesce(get(idxs, lit(0)), lit(-1L)))
       case "find_all" =>
         filter(
           transform(c, (x, i) => when(x <=> a(0), i.cast(LongType)).otherwise(lit(-1L))),

@@ -154,12 +154,7 @@ object JqCompiler {
           // `E1 as $a | E2 as $b | …`, so the rightmost generator is
           // innermost); scalar fields contribute a single value
           val fieldArrs = fields.map { case (name, fe) =>
-            val vals =
-              if (streamish(fe))
-                transform(buildStream(normalizeStages(fe), preV, top = false)._1,
-                  el => renderJson(JqVal(el, TJson)))
-              else array(renderJson(eval(fe, preV)._1))
-            (name, vals)
+            (name, collectedVals(fe, preV))
           }
           val partials = fieldArrs.zipWithIndex.foldLeft(array(lit(""))) {
             case (acc, ((name, vals), i)) =>
@@ -192,6 +187,26 @@ object JqCompiler {
       }, None)
     }
   }
+
+  /** One constructor item/field → array of rendered-JSON values: a
+    * generator collects its whole (possibly select-filtered) stream;
+    * a scalar contributes one value — or NONE when its select()
+    * rejects (jq's empty stream), which suppresses the element in a
+    * collect and the whole object in an object-constructor stream.
+    */
+  private def collectedVals(e: E, in: JqVal): Column =
+    if (streamish(e))
+      transform(buildStream(normalizeStages(e), in, top = false)._1,
+        el => renderJson(JqVal(el, TJson)))
+    else {
+      val (v, k) = eval(e, in)
+      val one = array(renderJson(v))
+      k match {
+        case None => one
+        case Some(cond) =>
+          when(coalesce(cond, lit(false)), one).otherwise(emptyOut)
+      }
+    }
 
   /** Pipe-flatten AND unfold stream stages so every generator stands
     * alone: `PostPath(gen, segs)` → `gen | .segs`; `IterAll(gen)` →
@@ -373,29 +388,26 @@ object JqCompiler {
       require(!fields.exists { case (_, v) => streamish(v) },
         "jq: an object constructor with a generator field is multi-output" +
           " — use it as a pipe stage")
-      val parts = fields.map { case (name, fe) =>
-        val (v, _) = eval(fe, in)
+      // a select() inside a field makes the whole object an empty
+      // stream when it rejects (jq semantics) → fold into the keep
+      val evald = fields.map { case (name, fe) => (name, eval(fe, in)) }
+      val parts = evald.map { case (name, (v, _)) =>
         concat(lit("\"" + name + "\":"), renderJson(v))
       }
+      val keep = evald.flatMap(_._2._2).reduceOption(_ && _)
       val body = if (parts.isEmpty) lit("") else concat_ws(",", parts: _*)
-      (JqVal(concat(lit("{"), body, lit("}")), TJson), None)
+      (JqVal(concat(lit("{"), body, lit("}")), TJson), keep)
     case Arr(items) =>
       // `[STREAM]` is jq's collect: every output of every item lands
       // in ONE array, so an array constructor is never itself a
-      // stream stage; scalar items contribute a single value
-      if (items.exists(streamish)) {
-        val arrs = items.map { ie =>
-          if (streamish(ie))
-            transform(buildStream(normalizeStages(ie), in, top = false)._1,
-              el => renderJson(JqVal(el, TJson)))
-          else array(renderJson(eval(ie, in)._1))
-        }
+      // stream stage. The uniform per-item collect also gives scalar
+      // items jq's select() semantics: a rejected item contributes
+      // zero elements, never a row-level drop.
+      if (items.isEmpty) (JqVal(lit("[]"), TJson), None)
+      else {
+        val arrs = items.map(ie => collectedVals(ie, in))
         val all = if (arrs.size == 1) arrs.head else concat(arrs: _*)
         (JqVal(concat(lit("["), array_join(all, ","), lit("]")), TJson), None)
-      } else {
-        val parts = items.map { ie => renderJson(eval(ie, in)._1) }
-        val body = if (parts.isEmpty) lit("") else concat_ws(",", parts: _*)
-        (JqVal(concat(lit("["), body, lit("]")), TJson), None)
       }
     case Select(cond) =>
       val (cv, ck) = eval(cond, in)
@@ -452,11 +464,14 @@ object JqCompiler {
       })
       (JqVal(out, initV.t), initK)
     // string interpolation "a\(expr)b": each hole renders via the
-    // top-level string rule (numbers drop .0, exactly jq's tostring)
+    // top-level string rule (numbers drop .0, exactly jq's tostring);
+    // a null hole renders "null" — concat would otherwise null the
+    // whole string
     case Interp(parts) =>
       val evald = parts.map(eval(_, in))
       val keep = evald.flatMap(_._2).reduceOption(_ && _)
-      (JqVal(concat(evald.map(p => renderTop(p._1)): _*), TStr), keep)
+      (JqVal(concat(evald.map(p => coalesce(renderTop(p._1), lit("null"))): _*),
+        TStr), keep)
     case ColLit(v) => (v, None)
     case VarE(n) => throw new IllegalArgumentException(
       s"jq: unbound variable $$$n (variables are only bound by reduce)")
@@ -581,15 +596,17 @@ object JqCompiler {
           d => stripDot0(d))
         JqVal(rebuildVals(when(allNumeric(els), numSorted).otherwise(array_sort(els))), TJson)
       case "sort_by" =>
-        // decorate-sort-undecorate (struct sorts by first field);
-        // numeric keys sort numerically, others by rendered text
+        // decorate-sort-undecorate (struct sorts by leading fields);
+        // numeric keys sort numerically, others by rendered text; the
+        // input index breaks ties so the sort is STABLE like jq's
         val els = jsonArrayElements(in.col)
         val keyOf = (el: Column) => renderTop(eval(args.head, JqVal(el, TJson))._1)
         val allNumKeys = forall(els, el =>
           keyOf(el).rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"))
         def sortedBy(k: Column => Column): Column =
           transform(
-            array_sort(transform(els, el => struct(k(el).as("k"), el.as("v")))),
+            array_sort(transform(els,
+              (el, i) => struct(k(el).as("k"), i.as("i"), el.as("v")))),
             _.getField("v"))
         JqVal(rebuildVals(
           when(allNumKeys, sortedBy(el => keyOf(el).cast("double")))

@@ -273,30 +273,36 @@ final class LakeTable(val root: String, val buckets: Int = 16,
           .select(col("repo"), col("path")).distinct()
         val candRepos = readFiles(spark, sTo, added).select(col("repo"))
           .distinct().limit(PruneRepoCap + 1).collect().map(_.getString(0))
-        def pruned(s: Snapshot): Seq[DataFileMeta] =
-          if (candRepos.length > PruneRepoCap) allFiles(s)
-          else {
-            val wanted = candRepos.map(r => bucketOfRepo(r, s.buckets)).toSet
-            val sorted = candRepos.sortWith(ubCompare(_, _) < 0)
-            filesOf(s, wanted).filter(f => rangeIntersects(f, sorted))
-          }
-        // push the candidate-repo set into the scan as well: the
-        // parquet reader then skips row groups via dictionary /
-        // repo-bloom membership inside files the range prune kept
-        // (LWW is per (repo, path), so a whole-repo filter never
-        // drops a row the resolve needs)
-        def prunedRead(s: Snapshot): DataFrame = {
-          val df = readFiles(spark, s, pruned(s))
-          if (candRepos.length > PruneRepoCap) df
-          else df.filter(col("repo").isin(candRepos.toIndexedSeq: _*))
-        }
-        val toState = resolve(prunedRead(sTo), sTo)
+        val toState = resolve(candPrunedRead(spark, sTo, candRepos), sTo)
           .join(cand, Seq("repo", "path"), "left_semi")
-        val fromKeyed = resolve(prunedRead(sFrom), sFrom)
+        val fromKeyed = resolve(candPrunedRead(spark, sFrom, candRepos), sFrom)
           .select(col("repo"), col("path"), col(SeqCol))
         toState.join(fromKeyed, Seq("repo", "path", SeqCol), "left_anti")
       }
     diffed.withColumn("_change", col(OpCol)).drop(OpCol)
+  }
+
+  /** MoR changelog scans (shared by [[changesBetween]] and
+    * [[changelog]]): files of `s` pruned to the candidate repos
+    * (manifest-level bucket + range skipping), with the repo set ALSO
+    * pushed into the scan so parquet dictionary / repo-bloom row-group
+    * skipping engages inside the kept files. Over-cap candidate sets
+    * (the truncated `limit(PruneRepoCap + 1)` collect) fall back to a
+    * full unfiltered scan. LWW resolves per (repo, path), so a
+    * whole-repo filter never drops a row the resolve needs.
+    */
+  private def candPrunedRead(spark: SparkSession, s: Snapshot,
+                             candRepos: Array[String]): DataFrame = {
+    val files =
+      if (candRepos.length > PruneRepoCap) allFiles(s)
+      else {
+        val wanted = candRepos.map(r => bucketOfRepo(r, s.buckets)).toSet
+        val sorted = candRepos.sortWith(ubCompare(_, _) < 0)
+        filesOf(s, wanted).filter(f => rangeIntersects(f, sorted))
+      }
+    val df = readFiles(spark, s, files)
+    if (candRepos.length > PruneRepoCap) df
+    else df.filter(col("repo").isin(candRepos.toIndexedSeq: _*))
   }
 
   /** Pre/post-image changelog between two snapshots — the Delta-CDF
@@ -340,22 +346,8 @@ final class LakeTable(val root: String, val buckets: Int = 16,
         val cand = addedRows.select(col("repo"), col("path")).distinct()
         val candRepos = addedRows.select(col("repo"))
           .distinct().limit(PruneRepoCap + 1).collect().map(_.getString(0))
-        def pruned(s: Snapshot): Seq[DataFileMeta] =
-          if (candRepos.length > PruneRepoCap) allFiles(s)
-          else {
-            val wanted = candRepos.map(r => bucketOfRepo(r, s.buckets)).toSet
-            val sorted = candRepos.sortWith(ubCompare(_, _) < 0)
-            filesOf(s, wanted).filter(f => rangeIntersects(f, sorted))
-          }
-        // same candidate-repo pushdown as changesBetween: dictionary /
-        // repo-bloom row-group skipping inside the range-pruned files
-        def prunedRead(s: Snapshot): DataFrame = {
-          val df = readFiles(spark, s, pruned(s))
-          if (candRepos.length > PruneRepoCap) df
-          else df.filter(col("repo").isin(candRepos.toIndexedSeq: _*))
-        }
-        val fromState = resolve(prunedRead(sFrom), sFrom)
-        val toState = resolve(prunedRead(sTo), sTo)
+        val fromState = resolve(candPrunedRead(spark, sFrom, candRepos), sFrom)
+        val toState = resolve(candPrunedRead(spark, sTo, candRepos), sTo)
           .join(cand, Seq("repo", "path"), "left_semi")
         (toState.join(fromState.select(col("repo"), col("path"), col(SeqCol)),
           Seq("repo", "path", SeqCol), "left_anti"), fromState)

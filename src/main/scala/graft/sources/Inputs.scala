@@ -52,21 +52,24 @@ object FileInput {
   }
 
   private def binaryRead(spark: SparkSession, dir: String, stream: Boolean,
-                         maxFilesPerTrigger: Option[Int]): DataFrame =
+                         maxFilesPerTrigger: Option[Int],
+                         maxBytesPerTrigger: Option[Long] = None): DataFrame =
     if (stream) {
       var rs = spark.readStream.format("binaryFile")
       // binaryFile streaming needs the fixed source schema
       rs = rs.schema(StructType.fromDDL(
         "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
       maxFilesPerTrigger.foreach(n => rs = rs.option("maxFilesPerTrigger", n))
+      maxBytesPerTrigger.foreach(n => rs = rs.option("maxBytesPerTrigger", n))
       rs.load(dir)
     } else spark.read.format("binaryFile").load(dir)
 
   private def scanner(spark: SparkSession, dir: String, codec: String,
                       stream: Boolean,
-                      maxFilesPerTrigger: Option[Int]): DataFrame = {
+                      maxFilesPerTrigger: Option[Int],
+                      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val r = binaryRead(spark, dir, stream, maxFilesPerTrigger)
+    val r = binaryRead(spark, dir, stream, maxFilesPerTrigger, maxBytesPerTrigger)
     val c = col("content")
     codec match {
       case ChunkerCodec(n) =>
@@ -126,7 +129,9 @@ object FileInput {
     */
   def batch(spark: SparkSession, dir: String, codec: String,
             schema: Option[StructType] = None): DataFrame = codec match {
-    case c if isScanner(c) => scanner(spark, dir, c, stream = false, None)
+    case c if isScanner(c) =>
+      require(schema.isEmpty, s"scanner codec $c has a fixed output schema")
+      scanner(spark, dir, c, stream = false, None)
     case CompressedCodec(base, algo) =>
       decompressedLines(spark, dir, base, algo, schema, stream = false, None)
     case "parquet" =>
@@ -155,7 +160,9 @@ object FileInput {
     maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n))
     codec match {
       case c if isScanner(c) =>
-        return scanner(spark, dir, c, stream = true, maxFilesPerTrigger)
+        require(schema.isEmpty, s"scanner codec $c has a fixed output schema")
+        return scanner(spark, dir, c, stream = true,
+          maxFilesPerTrigger, maxBytesPerTrigger)
       case CompressedCodec(base, algo) =>
         return decompressedLines(spark, dir, base, algo, schema,
           stream = true, maxFilesPerTrigger)

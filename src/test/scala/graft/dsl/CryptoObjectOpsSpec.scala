@@ -216,6 +216,15 @@ class CryptoObjectOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("fb") == 2L)
     assert(r.getAs[String]("fab") == "1,3")
     assert(r.getAs[Long]("none") == -1L)
+    // a null/missing ARRAY yields null across the whole family,
+    // never a fabricated "searched and missed" -1
+    val n = one(
+      """let a = if content() == "never" { content().split(",") } else { null }
+        |root.f = $a.find("b")
+        |root.fb = $a.find_by(x -> true)""".stripMargin,
+      content = "a,b")
+    assert(n.isNullAt(n.fieldIndex("f")))
+    assert(n.isNullAt(n.fieldIndex("fb")))
   }
 
   test("diff / patch: r3labs-shaped changelog; patch(diff) round-trips") {

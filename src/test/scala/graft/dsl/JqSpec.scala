@@ -170,13 +170,32 @@ class JqSpec extends SparkTestBase {
     // per-element holes in a stream suffix
     assert(run(""".a[] | "i-\(.)"""", """{"a":[1,2]}""")
       == Seq(Some("i-1"), Some("i-2")))
+    // a null hole renders "null" (jq tostring), never nulls the string
+    assert(one(""""id-\(.missing)"""", """{"k":1}""").contains("id-null"))
   }
 
-  test("sort_by sorts by the extracted key (numeric or text)") {
+  test("select() inside constructors follows jq's empty-stream rule") {
+    // collect: a rejected scalar item contributes zero elements
+    assert(one("[.a[], select(.k > 2)]", """{"k":1,"a":[5]}""").contains("[5]"))
+    assert(one("[select(.k > 2)]", """{"k":3}""").contains("""[{"k":3}]"""))
+    assert(one("[select(.k > 2)]", """{"k":1}""").contains("[]"))
+    // object-constructor stream: a rejected scalar field kills the objects
+    assert(run("{a: select(.k > 2), t: .a[]}", """{"k":1,"a":[5]}""").isEmpty)
+    assert(run("{a: select(.k > 2), t: .a[]}", """{"k":3,"a":[5]}""").size == 1)
+    // plain object constructor: a rejected field drops the message
+    assert(run("{a: select(.k > 2)}", """{"k":1}""").isEmpty)
+    assert(run("{a: select(.k > 2)}", """{"k":3}""")
+      == Seq(Some("""{"a":{"k":3}}""")))
+  }
+
+  test("sort_by sorts by the extracted key (numeric or text), stably") {
     assert(one("sort_by(.v)", """[{"v":3},{"v":1},{"v":2}]""")
       .contains("""[{"v":1},{"v":2},{"v":3}]"""))
     assert(one("sort_by(.k)", """[{"k":"b"},{"k":"a"}]""")
       .contains("""[{"k":"a"},{"k":"b"}]"""))
+    // equal keys keep input order (jq's sort_by is stable)
+    assert(one("sort_by(.k)", """[{"k":1,"b":"z"},{"k":1,"b":"a"}]""")
+      .contains("""[{"k":1,"b":"z"},{"k":1,"b":"a"}]"""))
   }
 
   test("reduce: folds a stream with `.` = accumulator and $var bound") {
