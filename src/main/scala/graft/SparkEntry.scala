@@ -652,6 +652,20 @@ object SparkEntry {
         .orderBy("event_id", "r_tag")
     }),
 
+    "q_url_ops" -> ((s, dir) => {
+      // RefinedWeb-style URL/domain blocklist gate: URLs synthesized
+      // from customer keys, apex-domain extraction + plan-literal
+      // blocklist — pure projection, no join (PlanSpec guard)
+      val src = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        concat(lit("visit https://r"), pmod(col("c_custkey"), lit(7)),
+          lit(".example.com/p"), col("c_custkey"),
+          lit(" and https://h.site"), pmod(col("c_custkey"), lit(3)),
+          lit(".org/q end")).as("txt"))
+      src.select(col("id") +: TextOps.urlFeatures(col("txt"), Seq("site0.org")): _*)
+        .withColumn("domains", array_join(col("domains"), ","))
+        .orderBy("id")
+    }),
+
     "q_pii" -> ((s, dir) => {
       // C4-style PII scrub: deterministic PII-bearing text synthesized
       // from customer, per-pattern counts + placeholder redaction —
@@ -2499,6 +2513,13 @@ object SparkEntry {
         |FROM events l JOIN iv r
         |  ON l.user_id = r.user_id AND l.event_id >= r.s AND l.event_id < r.e
         |ORDER BY 1, 3""".stripMargin,
+
+    "q_url_ops" ->
+      """SELECT c_custkey AS id,
+        |CAST(2 AS BIGINT) AS n_urls,
+        |'example.com,site' || CAST(c_custkey % 3 AS VARCHAR) || '.org' AS domains,
+        |(c_custkey % 3 = 0) AS blocked
+        |FROM customer ORDER BY id""".stripMargin,
 
     "q_pii" ->
       """WITH src AS (

@@ -221,12 +221,35 @@ object Similarity {
     IvfIndex(cents, spark.read.parquet(s"$path/assigned"))
   }
 
+  /** Symmetric per-vector int8 scalar quantization of the ASSIGNED
+    * corpus: `q[i] = round(v[i] / scale)` with `scale = maxAbs / 127`,
+    * stored as `array<tinyint>` + one double — 1/8 the bytes of the
+    * float64 arrays (1/4 of float32). At 10^9+ vectors this is the
+    * difference between an index that fits hot storage and one that
+    * doesn't; candidate scoring dequantizes in the same zip_with
+    * projection that computes the cosine, so recall degrades only by
+    * the ~0.4% per-component rounding error (SimilaritySpec pins
+    * recall vs the exact index and a per-pair cosine error bound).
+    * Centroid routing is unchanged — centroids stay exact literals.
+    */
+  def quantizeInt8(index: IvfIndex, vecCol: String = "embedding"): IvfIndex = {
+    val v = col(vecCol)
+    IvfIndex(index.centroids, index.assigned
+      .withColumn("_q8_scale",
+        greatest(array_max(transform(v, x => abs(x.cast("double")))), lit(1e-30))
+          / 127.0)
+      .withColumn("_q8",
+        transform(v, x => round(x.cast("double") / col("_q8_scale")).cast("tinyint")))
+      .drop(vecCol))
+  }
+
   /** ANN top-k through the IVF index: each query's `nProbe` nearest
     * cells come from sorting the literal distance array (one
     * projection, no cells join/window); the probe frame broadcasts
     * into the assigned corpus, and when reading a saved index the
     * `centroid_id` equi-join prunes cell partitions via the
-    * broadcast-side filter.
+    * broadcast-side filter. An int8-quantized index ([[quantizeInt8]])
+    * scores against the dequantized vectors in the same projection.
     */
   def ivfKnn(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int,
              idCol: String = "vec_id",
@@ -236,9 +259,13 @@ object Similarity {
       .withColumn("_pr", slice(array_sort(distArray(col("qv"), index.centroids)), 1, nProbe))
       .select(col("query_id"), col("qv"), explode(col("_pr")).as("_p"))
       .select(col("query_id"), col("qv"), col("_p.i").as("centroid_id"))
+    val corpusVec =
+      if (index.assigned.columns.contains("_q8"))
+        transform(col("_q8"), x => x.cast("double") * col("_q8_scale"))
+      else col(vecCol)
     val scored = index.assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col(idCol))
-      .withColumn("cosine", cosine(col("qv"), col(vecCol)))
+      .withColumn("cosine", cosine(col("qv"), corpusVec))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))

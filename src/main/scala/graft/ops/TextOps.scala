@@ -140,6 +140,53 @@ object TextOps {
     }
 
   // ------------------------------------------------------------------
+  // URL / domain filtering (the CCNet/RefinedWeb blocklist gate)
+  // ------------------------------------------------------------------
+
+  /** http(s) URLs in document order. Java/RE2 common-subset pattern,
+    * like [[PiiPatterns]]. */
+  private val UrlPattern = """https?://[^\s"'<>)\]]+"""
+
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** Lower-cased hosts of every URL (port and path stripped), one per
+    * match, duplicates kept (callers dedupe when counting).
+    */
+  def hosts(text: Column): Column =
+    transform(urls(text),
+      u => lower(regexp_extract(u, "^https?://([^/:?#]+)", 1)))
+
+  /** Registered-domain heuristic: the last two dot-labels of the host,
+    * or the last three when the second-level label is a generic
+    * affix under a 2-letter ccTLD (`co.uk`, `com.au`, `ac.jp`, …).
+    * A documented approximation of the Public Suffix List — the PSL
+    * is a mutable external artifact, and the affix set below covers
+    * the overwhelming share of real ccTLD registrations.
+    */
+  def apexDomain(host: Column): Column = {
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    val affix = regexp_extract(host, "\\.([^.]+)\\.[^.]{2}$", 1)
+    when(affix.isin("co", "com", "net", "org", "ac", "gov", "edu") &&
+      last3 =!= "", last3).otherwise(last2)
+  }
+
+  /** Per-document URL features: `n_urls`, distinct apex `domains`
+    * (sorted), and `blocked` = any domain in the blocklist. The
+    * blocklist is a plan literal (array_contains against a broadcast-
+    * sized set) — the 100 TB scan stays a pure projection, no join.
+    */
+  def urlFeatures(text: Column, blocklist: Seq[String]): Seq[Column] = {
+    val doms = array_sort(array_distinct(transform(hosts(text), h => apexDomain(h))))
+    val bl = array(blocklist.map(d => lit(d.toLowerCase)): _*)
+    Seq(
+      size(urls(text)).cast("long").as("n_urls"),
+      doms.as("domains"),
+      exists(doms, d => array_contains(bl, d)).as("blocked"))
+  }
+
+  // ------------------------------------------------------------------
   // repetition / diversity filters (the Gopher-style repetition gates)
   // ------------------------------------------------------------------
 

@@ -214,6 +214,10 @@ class PlanSpec extends SparkTestBase {
     val rep = plan(docs.select(col("doc_id") +:
       graft.ops.TextOps.repetitionFeatures(col("text")): _*))
     assert(!rep.contains("Exchange"), rep)
+    // URL/domain blocklist gate: plan-literal blocklist, no join
+    val url = plan(docs.select(col("doc_id") +:
+      graft.ops.TextOps.urlFeatures(col("text"), Seq("bad.org", "evil.com")): _*))
+    assert(!url.contains("Exchange") && !url.contains("Join"), url)
   }
 
   test("native regexp count matches size(re_find_all) incl. edge cases") {

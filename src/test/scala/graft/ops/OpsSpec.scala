@@ -183,6 +183,71 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.9, s"clustered IVF recall@5 = $recall")
   }
 
+  test("urlFeatures: extraction, apex domains, ccTLD affixes, blocklist flag") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "see https://news.example.com/a?x=1 and http://sub.bad.co.uk/path plus https://example.com ."),
+      (2L, "no links here"),
+      (3L, "dup https://A.Example.COM/x https://b.example.com:8080/y")).toDF("id", "text")
+    val out = df.select(col("id") +:
+        graft.ops.TextOps.urlFeatures(col("text"), Seq("bad.co.uk")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_urls") == 3)
+    assert(out(1L).getAs[scala.collection.Seq[String]]("domains").toSeq ==
+      Seq("bad.co.uk", "example.com"))
+    assert(out(1L).getAs[Boolean]("blocked"))
+    assert(out(2L).getAs[Long]("n_urls") == 0L)
+    assert(!out(2L).getAs[Boolean]("blocked"))
+    // case-folded hosts, port stripped, apex dedup
+    assert(out(3L).getAs[scala.collection.Seq[String]]("domains").toSeq ==
+      Seq("example.com"))
+    assert(!out(3L).getAs[Boolean]("blocked"))
+  }
+
+  test("int8-quantized IVF: high recall vs the exact index, bounded cosine error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    // intra-cluster noise 0.3 keeps consecutive-rank cosine gaps well
+    // above the int8 rounding envelope (~0.01) — with tighter clusters
+    // the top-5 boundary is a tie and recall measures coin flips
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val corpus = df.filter(col("vec_id") >= 16)
+    val queries = df.filter(col("vec_id") < 16)
+    val idx = Similarity.buildIvf(corpus, numCells = 8, lloydIters = 3)
+    val q8 = Similarity.quantizeInt8(idx)
+    // the quantized assigned frame carries tinyint codes, not floats
+    assert(q8.assigned.columns.contains("_q8") &&
+      !q8.assigned.columns.contains("embedding"))
+    assert(q8.assigned.schema("_q8").dataType.simpleString == "array<tinyint>")
+    def top(i: Similarity.IvfIndex) =
+      Similarity.ivfKnn(i, queries, k = 5, nProbe = 8)
+        .select("query_id", "neighbor_id", "cosine").collect()
+    val exact = top(idx)
+    val quant = top(q8)
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quantSet = quant.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactSet & quantSet).size.toDouble / exactSet.size
+    assert(recall >= 0.9, s"int8 recall@5 vs exact index = $recall")
+    // per-pair cosine error stays within the int8 rounding envelope
+    val exactCos = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    quant.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach { e =>
+        assert(math.abs(e - r.getDouble(2)) <= 0.02,
+          s"cosine drift ${math.abs(e - r.getDouble(2))}")
+      }
+    }
+    // quantized index survives the save/load + partition layout path
+    val path = tmpDir("ivfq8")
+    Similarity.saveIvf(q8, path)
+    val loaded = Similarity.loadIvf(spark, path)
+    assert(top(loaded).map(r => (r.getLong(0), r.getLong(1))).toSet == quantSet)
+  }
+
   test("bruteForceKnn ranks by cosine with id tie-break") {
     import spark.implicits._
     val c = Seq((10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0f, 1f)))
