@@ -1957,6 +1957,20 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id", "doc")
     }),
 
+    "q_jq_binop" -> ((s, dir) => {
+      // generator as a binary operand (round 3, last jq delta closed):
+      // (.a[]) - (.b[]) streams the cartesian product per event, left
+      // varying slowest, then a per-element select — one projection
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "{\"a\":[" + $k.string() + "," + ($k + 1).string() + "],\"b\":[10,100]}"
+            |""".stripMargin),
+        PJq("(.a[]) - (.b[]) | select(. % 2 == 0)", "doc")))
+      pipe(t(s, dir, "events")).orderBy("event_id", "doc")
+    }),
+
     "q_jq_reduce" -> ((s, dir) => {
       // reduce .[] as $x (...) — jq's fold, compiled to aggregate():
       // sums the per-event array, still a pure projection
@@ -3079,6 +3093,15 @@ object SparkEntry {
         |      FROM k CROSS JOIN (VALUES (0), (1), (2)) AS t(off))
         |SELECT event_id, CAST(v * 2 AS VARCHAR) AS doc FROM e
         |WHERE v % 3 <> 0 ORDER BY event_id, doc""".stripMargin,
+
+    "q_jq_binop" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |e AS (SELECT event_id, (k + i) - off AS v
+        |      FROM k CROSS JOIN (VALUES (0), (1)) AS ti(i)
+        |             CROSS JOIN (VALUES (10), (100)) AS toff(off))
+        |SELECT event_id, CAST(v AS VARCHAR) AS doc FROM e
+        |WHERE v % 2 = 0 ORDER BY event_id, doc""".stripMargin,
 
     "q_jq_reduce" ->
       """SELECT event_id,

@@ -51,6 +51,14 @@ import org.apache.spark.sql.functions._
   * the cartesian product of its field streams, leftmost field
   * varying slowest (jq's `as`-binding desugaring order).
   *
+  * Generators as OPERANDS (round 3): `E1 OP E2` where either side
+  * streams (`.a[] + 1`, `(.a[]) * (.b[])`, `-(.a[])`) is itself a
+  * generator — jq's backtracking re-enters the most recent fork
+  * first, i.e. the RIGHT operand varies fastest: `(1,2)+(10,20)`
+  * streams 11, 21, 12, 22. A select() inside a scalar operand makes
+  * that operand the empty stream (zero outputs), exactly jq. Streams
+  * in select() conditions or function arguments remain loud errors.
+  *
   * Documented deltas from full jq (SURVEY.md §2.9): numbers evaluate
   * as doubles and render integral values without the trailing `.0`
   * (jq's own integer rendering); re-embedding a path value into a
@@ -164,6 +172,20 @@ object JqCompiler {
                   concat(p, lit(sep + "\"" + name + "\":"), v))))
           }
           (transform(partials, p => concat(lit("{"), p, lit("}"))), None)
+        case Bin(op, l, r) =>
+          // generator as an operand: cartesian product with the LEFT
+          // stream varying slowest (jq backtracks the right — most
+          // recent — fork first); operand select()s fold to empty
+          // streams inside operandStream, so no keep escapes here
+          val (lArr, lT) = operandStream(l, preV)
+          val (rArr, rT) = operandStream(r, preV)
+          (flatten(transform(lArr, lv => transform(rArr, rv =>
+            renderTop(eval(Bin(op, ColLit(JqVal(lv, lT)),
+              ColLit(JqVal(rv, rT))), preV)._1)))), None)
+        case Neg(x) =>
+          val (xArr, xT) = operandStream(x, preV)
+          (transform(xArr, v =>
+            renderTop(eval(Neg(ColLit(JqVal(v, xT))), preV)._1)), None)
         case other => throw new IllegalArgumentException(
           s"jq: unsupported stream stage $other")
       }
@@ -208,6 +230,25 @@ object JqCompiler {
       }
     }
 
+  /** One operand of a stream-position binary op → (element array,
+    * element type): a generator side contributes its whole stream
+    * (rendered element texts, TJson convention); a scalar side
+    * contributes one element of its own static type — or zero when
+    * its select() rejects (jq's empty stream, which empties the whole
+    * product).
+    */
+  private def operandStream(e: E, in: JqVal): (Column, JqType) =
+    if (streamish(e))
+      (buildStream(normalizeStages(e), in, top = false)._1, TJson)
+    else {
+      val (v, k) = eval(e, in)
+      val one = array(v.col)
+      (k match {
+        case None => one
+        case Some(cond) => filter(one, _ => coalesce(cond, lit(false)))
+      }, v.t)
+    }
+
   /** Pipe-flatten AND unfold stream stages so every generator stands
     * alone: `PostPath(gen, segs)` → `gen | .segs`; `IterAll(gen)` →
     * `gen | .[]` (iterating a stream iterates each of its outputs).
@@ -226,6 +267,10 @@ object JqCompiler {
     // generator: `{a: .b[]}` streams one object per element (jq
     // desugars it to `as $x` bindings, rightmost varying fastest)
     case Obj(fields) => fields.exists { case (_, v) => streamish(v) }
+    // a binary op (or unary minus) over a generator operand streams
+    // the cartesian product of its operand streams
+    case Bin(_, l, r) => streamish(l) || streamish(r)
+    case Neg(x) => streamish(x)
     case _ => false
   }
 

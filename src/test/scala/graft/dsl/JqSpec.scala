@@ -129,9 +129,42 @@ class JqSpec extends SparkTestBase {
     intercept[Exception](JqCompiler.compile(".a, .b"))
     // variables exist only as reduce bindings
     intercept[Exception](JqCompiler.compile(". + $y"))
-    // a generator as an arithmetic operand is still multi-output-in-
-    // scalar-context and stays loud
-    intercept[Exception](JqCompiler.compileAuto(".a[] + 1"))
+    // a generator inside a select() condition or a function argument
+    // is out of subset and stays loud
+    intercept[Exception](JqCompiler.compileAuto("select(.a[] > 1)"))
+    intercept[Exception](JqCompiler.compileAuto("ltrimstr(.a[])"))
+  }
+
+  test("stream: generator as a binary operand (the last jq delta)") {
+    // scalar OP stream and stream OP scalar
+    assert(run(".a[] + 1", """{"a":[1,2,3]}""") ==
+      Seq(Some("2"), Some("3"), Some("4")))
+    assert(run("10 - .a[]", """{"a":[1,2]}""") == Seq(Some("9"), Some("8")))
+    // both sides stream: cartesian, LEFT varies slowest (jq
+    // backtracks the right fork first): (1,2)+(10,20) -> 11,21,12,22
+    assert(run("(.a[]) + (.b[])", """{"a":[1,2],"b":[10,20]}""") ==
+      Seq(Some("11"), Some("21"), Some("12"), Some("22")))
+    // asymmetric op pins the order unambiguously
+    assert(run("(.a[]) - (.b[])", """{"a":[1,2],"b":[10,20]}""") ==
+      Seq(Some("-9"), Some("-19"), Some("-8"), Some("-18")))
+    // unary minus over a stream
+    assert(run("-(.a[])", """{"a":[1,2]}""") == Seq(Some("-1"), Some("-2")))
+    // string concat with a stream side
+    assert(run("\"x-\" + .a[]", """{"a":["p","q"]}""") ==
+      Seq(Some("x-p"), Some("x-q")))
+    // comparisons stream booleans; collect works over operand streams
+    assert(one("[.a[] > 1]", """{"a":[1,2]}""").contains("[false,true]"))
+    // piped suffix applies per product element
+    assert(run(".a[] * 2 | select(. > 2)", """{"a":[1,2]}""") ==
+      Seq(Some("4")))
+    // select() inside a scalar operand empties the whole product (jq
+    // empty-stream rule)
+    assert(run(".a[] + select(.k > 5)", """{"a":[1,2],"k":3}""").isEmpty)
+    assert(run(".a[] + (select(.k > 5) | .k)", """{"a":[1,2],"k":9}""") ==
+      Seq(Some("10"), Some("11")))
+    // inside an object constructor field
+    assert(run("{v: (.a[] + 1)}", """{"a":[1,2]}""") ==
+      Seq(Some("""{"v":2}"""), Some("""{"v":3}""")))
   }
 
   test("collect: [STREAM] gathers every output into one array") {
