@@ -607,6 +607,19 @@ object SparkEntry {
       // inside the projection so the shuffle carries (pair, count)
       TextOps.pairFrequencies(t(s, dir, "documents"), col("text"), topK = 50)),
 
+    "q_lm_quality" -> ((s, dir) => {
+      // CCNet-style LM quality gate: capped bigram model trained on
+      // the corpus, per-doc stupid-backoff hit/backoff/unseen mix —
+      // the exact integer part of the perplexity score (floating
+      // bits_per_token is Scala-oracle'd in OpsSpec, like tf_idf)
+      val docs = t(s, dir, "documents")
+      val lm = TextOps.trainNgramLm(docs, col("text"),
+        vocabCap = 200, bigramCap = 300, minCount = 2L)
+      TextOps.lmScore(docs, col("doc_id"), col("text"), lm)
+        .select("doc_id", "n_pairs", "n_hit", "n_backoff", "n_unseen")
+        .orderBy("doc_id")
+    }),
+
     "q_distinctive" -> ((s, dir) =>
       // per-doc top-2 terms by the exact tf/df rational score (the
       // bit-exact TF-IDF cousin; ln-IDF variant spec-tested in OpsSpec)
@@ -2482,6 +2495,40 @@ object SparkEntry {
         |  FROM t WHERE len(l) > 1)
         |SELECT pair, count(*) AS freq FROM pairs
         |GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
+
+    "q_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |uni AS (
+        |  SELECT token, count(*) AS freq
+        |  FROM (SELECT unnest(l) AS token FROM toks)
+        |  WHERE length(token) > 0
+        |  GROUP BY token HAVING count(*) >= 2
+        |  ORDER BY freq DESC, token LIMIT 200),
+        |pairs_all AS (
+        |  SELECT doc_id, unnest(l[1:len(l)-1]) AS prev, unnest(l[2:len(l)]) AS w
+        |  FROM toks WHERE len(l) > 1),
+        |p AS (
+        |  SELECT doc_id, prev, w FROM pairs_all
+        |  WHERE length(prev) > 0 AND length(w) > 0),
+        |bi AS (
+        |  SELECT prev, w, count(*) AS freq FROM p
+        |  GROUP BY prev, w HAVING count(*) >= 2
+        |  ORDER BY freq DESC, prev, w LIMIT 300)
+        |SELECT p.doc_id AS doc_id,
+        |  count(*) AS n_pairs,
+        |  count(CASE WHEN bi.freq IS NOT NULL AND up.freq IS NOT NULL
+        |        THEN 1 END) AS n_hit,
+        |  count(CASE WHEN NOT (bi.freq IS NOT NULL AND up.freq IS NOT NULL)
+        |        AND uw.freq IS NOT NULL THEN 1 END) AS n_backoff,
+        |  count(CASE WHEN NOT (bi.freq IS NOT NULL AND up.freq IS NOT NULL)
+        |        AND uw.freq IS NULL THEN 1 END) AS n_unseen
+        |FROM p
+        |LEFT JOIN bi ON p.prev = bi.prev AND p.w = bi.w
+        |LEFT JOIN uni up ON p.prev = up.token
+        |LEFT JOIN uni uw ON p.w = uw.token
+        |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_distinctive" ->
       """WITH tf AS (

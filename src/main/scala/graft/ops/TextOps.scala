@@ -341,4 +341,92 @@ object TextOps {
           (log((lit(n) + 1.0) / (col("df").cast("double") + 1.0)) + 1.0))
       .select("doc_id", "token", "tf", "df", "tf_idf")
   }
+
+  // ------------------------------------------------------------------
+  // n-gram LM quality scoring (the CCNet perplexity gate, Wenzek et
+  // al. 2020, with stupid-backoff smoothing, Brants et al. 2007)
+  // ------------------------------------------------------------------
+
+  /** A pruned bigram language model: top-`vocabCap` unigrams and
+    * top-`bigramCap` bigrams by frequency (deterministic tie-breaks),
+    * plus the corpus token total. Both tables are bounded by the caps
+    * — broadcast-sized BY CONSTRUCTION, independent of corpus size.
+    */
+  final case class NgramLm(unigrams: DataFrame, bigrams: DataFrame,
+                           totalTokens: Long)
+
+  /** Train the model: two map-side-combined hash aggregates over one
+    * pass each (same shape as [[vocabulary]] / [[pairFrequencies]] —
+    * executor state is O(distinct grams per partition), never
+    * O(corpus)); the caps are TakeOrdered, no global sort. At 100 TB
+    * you'd train on a sample — the caller picks the input frame.
+    */
+  def trainNgramLm(df: DataFrame, text: Column, vocabCap: Int,
+                   bigramCap: Int, minCount: Long = 1L): NgramLm = {
+    val uni = vocabulary(df, text, vocabCap, minCount)
+    val toks = tokens(text)
+    val n = greatest(size(toks) - 1, lit(0))
+    val bi = df.select(explode(zip_with(
+        slice(toks, lit(1), n), slice(toks, lit(2), n),
+        (a, b) => struct(a.as("prev"), b.as("w")))).as("p"))
+      .select(col("p.prev").as("prev"), col("p.w").as("w"))
+      .filter(length(col("prev")) > 0 && length(col("w")) > 0)
+      .groupBy("prev", "w").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+      .orderBy(col("freq").desc, col("prev"), col("w")).limit(bigramCap)
+    val total = df.select(
+      sum(size(filter(tokens(text), t => length(t) > 0))).as("t"))
+      .head.getLong(0)
+    NgramLm(uni, bi, total)
+  }
+
+  /** Per-document LM quality score. Stupid backoff:
+    * `S(w|prev) = bi(prev,w)/uni(prev)` when the bigram AND its
+    * context survive the caps, else `alpha * uni(w)/total`, else
+    * `alpha / total` (unseen). Output per doc: the exact integer
+    * mix (`n_pairs`, `n_hit`, `n_backoff`, `n_unseen` — the
+    * oracle-checkable part) plus `bits_per_token` = mean −log2 S and
+    * `perplexity` = 2^bits (floating; Scala-oracle in the spec, like
+    * [[tfIdf]]).
+    *
+    * 100 TB shape: ONE explode of the corpus into (doc, prev, w),
+    * three BROADCAST joins against the capped model (never a
+    * shuffle of the exploded table), then one hash aggregate back to
+    * doc_id with map-side partials. Docs with fewer than 2 tokens
+    * have no bigrams and drop out (the caller filters them first via
+    * [[tokenCount]] if they must be kept).
+    */
+  def lmScore(df: DataFrame, id: Column, text: Column, lm: NgramLm,
+              alpha: Double = 0.4): DataFrame = {
+    require(lm.totalTokens > 0, "lmScore: model trained on an empty corpus")
+    val toks = tokens(text)
+    val n = greatest(size(toks) - 1, lit(0))
+    val pairs = df.select(id.as("doc_id"), explode(zip_with(
+        slice(toks, lit(1), n), slice(toks, lit(2), n),
+        (a, b) => struct(a.as("prev"), b.as("w")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+      .filter(length(col("prev")) > 0 && length(col("w")) > 0)
+    val bi = broadcast(lm.bigrams.withColumnRenamed("freq", "bi_freq"))
+    val uniPrev = broadcast(lm.unigrams
+      .select(col("token").as("prev"), col("freq").as("prev_freq")))
+    val uniW = broadcast(lm.unigrams
+      .select(col("token").as("w"), col("freq").as("w_freq")))
+    val hit = col("bi_freq").isNotNull && col("prev_freq").isNotNull
+    val backoff = !hit && col("w_freq").isNotNull
+    val s = when(hit, col("bi_freq").cast("double") / col("prev_freq"))
+      .when(backoff,
+        lit(alpha) * col("w_freq").cast("double") / lm.totalTokens.toDouble)
+      .otherwise(lit(alpha) / lm.totalTokens.toDouble)
+    pairs
+      .join(bi, Seq("prev", "w"), "left")
+      .join(uniPrev, Seq("prev"), "left")
+      .join(uniW, Seq("w"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(hit, 1)).as("n_hit"),
+        count(when(backoff, 1)).as("n_backoff"),
+        count(when(!hit && !backoff, 1)).as("n_unseen"),
+        avg(-log2(s)).as("bits_per_token"))
+      .withColumn("perplexity", pow(lit(2.0), col("bits_per_token")))
+  }
 }

@@ -220,6 +220,16 @@ class PlanSpec extends SparkTestBase {
     assert(!url.contains("Exchange") && !url.contains("Join"), url)
   }
 
+  test("LM scoring: capped model joins broadcast, never sort-merge") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lm = graft.ops.TextOps.trainNgramLm(docs, col("text"),
+      vocabCap = 100, bigramCap = 100)
+    val lmp = plan(graft.ops.TextOps.lmScore(docs, col("doc_id"), col("text"), lm))
+    assert(lmp.contains("BroadcastHashJoin"), lmp)
+    assert(!lmp.contains("SortMergeJoin"),
+      "exploded pair table must never shuffle for the model join:\n" + lmp)
+  }
+
   test("native regexp count matches size(re_find_all) incl. edge cases") {
     import spark.implicits._
     val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"

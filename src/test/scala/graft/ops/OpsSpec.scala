@@ -183,6 +183,48 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.9, s"clustered IVF recall@5 = $recall")
   }
 
+  test("ngram LM: stupid-backoff bits match a hand oracle; integer mix exact") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val lm = TextOps.trainNgramLm(corpus, col("text"), vocabCap = 100, bigramCap = 100)
+    assert(lm.totalTokens == 8)
+    // bigram counts: (a,b)=3 (b,a)=1 (b,c)=1 (b,x)=1; unigrams a=3 b=3 c=1 x=1
+    val scored = TextOps.lmScore(corpus, col("doc_id"), col("text"), lm)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = scored(1L)
+    assert(d1.getAs[Long]("n_pairs") == 4 && d1.getAs[Long]("n_hit") == 4)
+    // d1 pair scores: 3/3, 1/3, 3/3, 1/3 -> bits = log2(3)/2
+    assert(math.abs(d1.getAs[Double]("bits_per_token") -
+      math.log(3) / math.log(2) / 2) < 1e-12)
+    // backoff (bigram unseen, word known) and unseen both = alpha/total
+    // paths: "c x" backs off to 0.4*1/8, "x q" is fully unseen 0.4/8
+    val oov = Seq((3L, "c x q")).toDF("doc_id", "text")
+    val s3 = TextOps.lmScore(oov, col("doc_id"), col("text"), lm).collect().head
+    assert(s3.getAs[Long]("n_backoff") == 1 && s3.getAs[Long]("n_unseen") == 1)
+    assert(math.abs(s3.getAs[Double]("bits_per_token") -
+      (-math.log(0.05) / math.log(2))) < 1e-12)
+    // the point of the gate: in-domain text scores lower perplexity
+    // than gibberish under the corpus-trained model
+    val probe = Seq((10L, "a b a b"), (11L, "q z q z")).toDF("doc_id", "text")
+    val p = TextOps.lmScore(probe, col("doc_id"), col("text"), lm)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("perplexity")).toMap
+    assert(p(10L) < p(11L), s"in-domain ${p(10L)} !< gibberish ${p(11L)}")
+  }
+
+  test("ngram LM: caps prune by frequency with deterministic tie-breaks") {
+    import spark.implicits._
+    val corpus = Seq((1L, "z z z y y x w")).toDF("doc_id", "text")
+    val lm = TextOps.trainNgramLm(corpus, col("text"), vocabCap = 2, bigramCap = 2)
+    // top-2 unigrams: z(3), y(2); bigrams (z,z)=2 top, then ties
+    // (w absent), tie-break (freq desc, prev, w) -> (y,x) before (y,y)? no:
+    // pairs: (z,z),(z,z),(z,y),(y,y),(y,x),(x,w) -> (z,z)=2 then (x,w)=1 first
+    val uni = lm.unigrams.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(uni == Set(("z", 3L), ("y", 2L)))
+    val bi = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(bi == Seq(("z", "z", 2L), ("x", "w", 1L)))
+  }
+
   test("urlFeatures: extraction, apex domains, ccTLD affixes, blocklist flag") {
     import spark.implicits._
     val df = Seq(
