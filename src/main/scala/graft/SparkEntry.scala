@@ -9,7 +9,7 @@ import graft.dsl.Processor
 import graft.dsl.Processor._
 import graft.engine.{CdcEngine, Lww}
 import graft.gen.EventLogGen
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Bpe, Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): one `queries` entry
   * per implemented operator, each with a DuckDB oracle where the
@@ -606,6 +606,20 @@ object SparkEntry {
       // BPE merge statistic: adjacent-pair frequencies, pairs built
       // inside the projection so the shuffle carries (pair, count)
       TextOps.pairFrequencies(t(s, dir, "documents"), col("text"), topK = 50)),
+
+    "q_bpe" -> ((s, dir) => {
+      // trained BPE subword tokenizer (rows-only: the iterative merge
+      // loop has no SQL twin — BpeSpec pins the Sennrich worked
+      // example + lossless-roundtrip/monotone-compression properties).
+      // Train = one word-count aggregate + driver-side learning on the
+      // capped dictionary; encode = native expression, pure projection
+      val docs = t(s, dir, "documents")
+      val model = Bpe.train(docs, col("text"), numMerges = 50, wordCap = 2000)
+      docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_words"),
+          Bpe.subwordCount(col("text"), model).cast("long").as("n_subwords"))
+        .orderBy("doc_id")
+    }),
 
     "q_lm_quality" -> ((s, dir) => {
       // CCNet-style LM quality gate: capped bigram model trained on

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenizer: the real train/apply loop (Sennrich,
+  * Haddow & Birch 2016, "Neural Machine Translation of Rare Words with
+  * Subword Units" — a public algorithm), upgrading the BPE-ish regex
+  * token counter in [[TextOps]] to a trained subword vocabulary.
+  *
+  * 100 TB shape: the ONLY corpus-scale step is one word-frequency
+  * hash aggregate (map-side combined, executor state O(distinct words
+  * per partition)); the learner itself runs on the capped
+  * (word, freq) table on the driver — vocab-sized, never
+  * corpus-sized, exactly how production BPE trainers work (they train
+  * on a word-count dictionary, not the raw corpus). Encoding is a
+  * native Catalyst expression with the merge table embedded as a plan
+  * literal — a pure projection, no shuffle, no joins.
+  */
+object Bpe {
+
+  /** End-of-word marker symbol (Sennrich's `</w>`): distinguishes
+    * word-final subwords so detokenization is lossless.
+    */
+  val EndOfWord = "</w>"
+
+  /** A trained model: ordered merge list (rank = list position). */
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    def serialize: String = merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+  }
+
+  object BpeModel {
+    def deserialize(s: String): BpeModel =
+      BpeModel(if (s.isEmpty) Seq.empty
+      else s.split("\n", -1).toSeq.map { line =>
+        val i = line.indexOf(' ')
+        (line.substring(0, i), line.substring(i + 1))
+      })
+  }
+
+  /** Split a word into per-codepoint symbols (surrogate-pair safe)
+    * plus the end-of-word marker.
+    */
+  private def symbols(w: String): Array[String] = {
+    val cps = w.codePoints().toArray
+    val out = new Array[String](cps.length + 1)
+    var i = 0
+    while (i < cps.length) { out(i) = new String(Character.toChars(cps(i))); i += 1 }
+    out(cps.length) = EndOfWord
+    out
+  }
+
+  /** Merge every non-overlapping left-to-right occurrence of the pair. */
+  private def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Train `numMerges` merges. Deterministic: the word table caps with
+    * (freq desc, word asc) TakeOrdered, and each iteration picks the
+    * most frequent pair with a lexicographic (left, right) tie-break.
+    * Training stops early when no pair repeats.
+    */
+  def train(df: DataFrame, text: Column, numMerges: Int,
+            wordCap: Int = 65536): BpeModel = {
+    val words = df.select(explode(TextOps.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(wordCap)
+      .collect().map(r => (symbols(r.getString(0)), r.getLong(1)))
+    var vocab = words
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var continue = numMerges > 0
+    while (continue) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((syms, f) <- vocab) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val best = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, f) => (mergePair(syms, best._1, best._2), f) }
+        continue = merges.length < numMerges
+      }
+    }
+    BpeModel(merges.toSeq)
+  }
+
+  private def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_encode",
+      (es: Seq[Expression]) => BpeEncode(es.head, es(1)), "built-in")
+
+  /** Subword tokens of `text` under the model: whitespace words, each
+    * encoded by the rank-ordered merge loop; output is one flattened
+    * `array<string>` per row. Pure projection.
+    */
+  def encode(text: Column, model: BpeModel): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_bpe_encode", text, lit(model.serialize))
+  }
+
+  def subwordCount(text: Column, model: BpeModel): Column =
+    size(encode(text, model))
+}
+
+/** `graft_bpe_encode(text, mergesLiteral)`: the BPE apply loop as a
+  * native expression — the merge table rides in the plan as a string
+  * literal (resolved once per task, not per row), the projection stays
+  * whole-stage-codegen'd around the CodegenFallback call, null in →
+  * null out. Per row: O(symbols × applied merges), driver-free.
+  */
+case class BpeEncode(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  // the merge table is a plan literal: parse it once, lazily, per task
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    right match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+        val s = lit.value.asInstanceOf[UTF8String].toString
+        if (s.nonEmpty) s.split("\n", -1).zipWithIndex.foreach { case (line, i) =>
+          m.put(line, i)
+        }
+      case other => throw new IllegalArgumentException(
+        s"graft_bpe_encode: merge table must be a literal, got $other")
+    }
+    m
+  }
+
+  private def encodeWord(w: String): scala.collection.Seq[String] = {
+    val cps = w.codePoints().toArray
+    var syms = new Array[String](cps.length + 1)
+    var i = 0
+    while (i < cps.length) { syms(i) = new String(Character.toChars(cps(i))); i += 1 }
+    syms(cps.length) = Bpe.EndOfWord
+    var continue = syms.length > 1 && !ranks.isEmpty
+    while (continue) {
+      // lowest-rank adjacent pair, then merge all its occurrences
+      var bestRank = Int.MaxValue
+      var bestA: String = null; var bestB: String = null
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.get(syms(j) + " " + syms(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestA = syms(j); bestB = syms(j + 1) }
+        j += 1
+      }
+      if (bestA == null) continue = false
+      else {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var k = 0
+        while (k < syms.length) {
+          if (k < syms.length - 1 && syms(k) == bestA && syms(k + 1) == bestB) {
+            out += (bestA + bestB); k += 2
+          } else { out += syms(k); k += 1 }
+        }
+        syms = out.toArray
+        if (syms.length < 2) continue = false
+      }
+    }
+    syms
+  }
+
+  override protected def nullSafeEval(text: Any, merges: Any): Any = {
+    val s = text.asInstanceOf[UTF8String].toString.trim
+    val out = scala.collection.mutable.ArrayBuffer[UTF8String]()
+    if (s.nonEmpty) s.split("\\s+").foreach { w =>
+      encodeWord(w).foreach(sub => out += UTF8String.fromString(sub))
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeEncode =
+    copy(left = l, right = r)
+}

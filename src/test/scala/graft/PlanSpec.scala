@@ -220,6 +220,14 @@ class PlanSpec extends SparkTestBase {
     assert(!url.contains("Exchange") && !url.contains("Join"), url)
   }
 
+  test("BPE encode is an exchange-free projection with the model as a plan literal") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = graft.ops.Bpe.BpeModel(Seq(("t", "h"), ("th", "e")))
+    val p = plan(docs.select(col("doc_id"),
+      graft.ops.Bpe.encode(col("text"), model).as("sub")))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
   test("LM scoring: capped model joins broadcast, never sort-merge") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val lm = graft.ops.TextOps.trainNgramLm(docs, col("text"),

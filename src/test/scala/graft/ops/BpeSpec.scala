@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BPE train/apply conformance. The merge sequence is pinned against
+  * the worked example in Sennrich et al. 2016 §3.2 (low/lower/newest/
+  * widest), hand-derived: pair counts tie at 9 for (e,s), (es,t),
+  * (est,</w>) with the lexicographic tie-break ordering them, then
+  * (l,o), (lo,w) at 7.
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+  }
+
+  test("train reproduces the Sennrich worked example merge order") {
+    val m = Bpe.train(corpus, col("text"), numMerges = 5)
+    assert(m.merges == Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+    // serialization round-trips
+    assert(Bpe.BpeModel.deserialize(m.serialize) == m)
+  }
+
+  test("encode: rank-ordered merge loop, the classic low+est split") {
+    val m = Bpe.train(corpus, col("text"), numMerges = 5)
+    val out = Seq((1L, "lowest"), (2L, "low low"), (3L, ""), (4L, "zz"))
+      .toDF("id", "text")
+      .select(col("id"), Bpe.encode(col("text"), m).as("sub"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(out(1L) == Seq("low", "est</w>"))
+    // per-word encoding flattens across the row's words
+    assert(out(2L) == Seq("low", "</w>", "low", "</w>")
+      || out(2L) == Seq("low</w>", "low</w>"))
+    assert(out(3L) == Seq.empty)
+    // out-of-vocab words fall back to characters + marker
+    assert(out(4L) == Seq("z", "z", "</w>"))
+  }
+
+  test("enough merges collapse training words to single tokens") {
+    val m = Bpe.train(corpus, col("text"), numMerges = 100)
+    val out = Seq((1L, "newest widest low lower")).toDF("id", "text")
+      .select(Bpe.encode(col("text"), m).as("sub"))
+      .collect().head.getSeq[String](0).toSeq
+    assert(out == Seq("newest</w>", "widest</w>", "low</w>", "lower</w>"))
+  }
+
+  test("properties: lossless concat, monotone compression, surrogate safety") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, (0 until 5).map(_ =>
+        rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val m0 = Bpe.BpeModel(Seq.empty)
+    val m20 = Bpe.train(docs, col("text"), numMerges = 20)
+    val rows = docs
+      .select(col("text"),
+        Bpe.encode(col("text"), m0).as("s0"),
+        Bpe.encode(col("text"), m20).as("s20"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val s0 = r.getSeq[String](1); val s20 = r.getSeq[String](2)
+      val rebuilt = s20.mkString.replace(Bpe.EndOfWord, " ").trim
+      assert(rebuilt == text.trim.split("\\s+").mkString(" "), s"lossy: $text")
+      assert(s20.length <= s0.length, "merges must never grow the encoding")
+    }
+    // surrogate pairs stay whole codepoints
+    val uni = Seq((1L, "𝄞a")).toDF("id", "text")
+      .select(Bpe.encode(col("text"), m0).as("s"))
+      .collect().head.getSeq[String](0).toSeq
+    assert(uni == Seq("𝄞", "a", "</w>"))
+    // null in, null out
+    val n = Seq((1L, null: String)).toDF("id", "text")
+      .select(Bpe.encode(col("text"), m0).as("s")).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("early stop: training beyond distinct pairs returns fewer merges") {
+    val tiny = Seq((1L, "ab")).toDF("id", "text")
+    val m = Bpe.train(tiny, col("text"), numMerges = 50)
+    // ab</w>: pairs (a,b) then (ab,</w>) then nothing
+    assert(m.merges == Seq(("a", "b"), ("ab", "</w>")))
+  }
+}
