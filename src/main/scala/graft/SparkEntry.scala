@@ -607,6 +607,13 @@ object SparkEntry {
       // inside the projection so the shuffle carries (pair, count)
       TextOps.pairFrequencies(t(s, dir, "documents"), col("text"), topK = 50)),
 
+    "q_dup_spans" -> ((s, dir) =>
+      // exact duplicated-substring pass (Lee et al. 2022 ExactSubstr
+      // shape): every 8-token window recurring corpus-wide — one
+      // explode + one map-side-combined aggregate
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("span")),
+
     "q_bpe" -> ((s, dir) => {
       // trained BPE subword tokenizer (rows-only: the iterative merge
       // loop has no SQL twin — BpeSpec pins the Sennrich worked
@@ -2509,6 +2516,16 @@ object SparkEntry {
         |  FROM t WHERE len(l) > 1)
         |SELECT pair, count(*) AS freq FROM pairs
         |GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(l[i:i+7], ' ') AS span
+        |  FROM toks CROSS JOIN UNNEST(generate_series(1, len(l) - 7)) AS g(i))
+        |SELECT span, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |FROM sh GROUP BY span HAVING count(*) >= 2 ORDER BY span""".stripMargin,
 
     "q_lm_quality" ->
       """WITH toks AS (

@@ -384,4 +384,60 @@ object Dedup {
           s => s.getField("para")), sep).as("text_dedup"),
         count(lit(1)).cast("long").as("paras_kept"))
   }
+
+  // ------------------------------------------------------------------
+  // exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better" — the ExactSubstr
+  // pass, re-expressed as shingle aggregation instead of a suffix
+  // array: every k-token window whose exact text recurs anywhere in
+  // the corpus)
+  // ------------------------------------------------------------------
+
+  /** 1-based token positions × k-token window texts of a document, as
+    * an array of (pos, span) structs; empty when the doc has fewer
+    * than k tokens.
+    */
+  private def spanWindows(text: Column, k: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val n = size(toks) - (k - 1)
+    when(n >= 1, transform(sequence(lit(1), n), i =>
+      struct(i.as("pos"), array_join(slice(toks, i, lit(k)), " ").as("span"))))
+      .otherwise(array().cast(s"array<struct<pos:int,span:string>>"))
+  }
+
+  /** Corpus-wide duplicated k-token spans: (span, n_occ, n_docs) for
+    * every window text occurring at least `minCount` times. One
+    * explode + one map-side-combined hash aggregate — executor state
+    * is O(distinct spans per partition). The paper's suffix array
+    * finds maximal duplicates; fixed-k windows are the
+    * shuffle-friendly equivalent (overlapping windows of a longer
+    * duplicate all surface, and the marker below merges them
+    * positionally). At 100 TB you'd aggregate on
+    * (xxhash64(span), length(span)) to keep shuffle rows narrow and
+    * re-join texts for the survivors; the exact-text key here is the
+    * oracle-checkable form of the same plan.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, minCount: Long = 2L): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(spanWindows(col(textCol), k)).as("w"))
+      .groupBy(col("w.span").as("span"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= minCount)
+
+  /** Every occurrence of a corpus-duplicated span: (doc_id, pos,
+    * span). The join keys on the span text — the inherent shuffle of
+    * exact-substring dedup; a downstream cut pass removes
+    * [pos, pos+k) token ranges (merging overlaps) per doc.
+    */
+  def markDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, minCount: Long = 2L): DataFrame = {
+    val occ = df.select(col(idCol).as("doc_id"),
+        explode(spanWindows(col(textCol), k)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.span").as("span"))
+    occ.join(duplicateSpans(df, idCol, textCol, k, minCount)
+      .select("span"), Seq("span"))
+      .select("doc_id", "pos", "span")
+  }
 }

@@ -183,6 +183,31 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.9, s"clustered IVF recall@5 = $recall")
   }
 
+  test("duplicateSpans/markDuplicateSpans: exact k-token windows, positions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d a b c"),      // "a b" and "b c" each twice in-doc
+      (2L, "x y a b z"),          // shares "a b" cross-doc
+      (3L, "q")                   // shorter than k -> no windows
+    ).toDF("doc_id", "text")
+    val dup = Dedup.duplicateSpans(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dup == Set(("a b", 3L, 2L), ("b c", 2L, 1L)))
+    val marks = Dedup.markDuplicateSpans(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(marks == Set(
+      (1L, 1, "a b"), (1L, 5, "a b"), (2L, 3, "a b"),
+      (1L, 2, "b c"), (1L, 6, "b c")))
+    // raising minCount prunes
+    assert(Dedup.duplicateSpans(docs, "doc_id", "text", k = 2, minCount = 3L)
+      .collect().map(_.getString(0)).toSeq == Seq("a b"))
+    // overlapping windows of a longer duplicate all surface
+    val rep = Seq((1L, "p q r s t"), (2L, "p q r s u")).toDF("doc_id", "text")
+    val longDup = Dedup.duplicateSpans(rep, "doc_id", "text", k = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(longDup == Set("p q r", "q r s"))
+  }
+
   test("ngram LM: stupid-backoff bits match a hand oracle; integer mix exact") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
