@@ -607,6 +607,18 @@ object SparkEntry {
       // inside the projection so the shuffle carries (pair, count)
       TextOps.pairFrequencies(t(s, dir, "documents"), col("text"), topK = 50)),
 
+    "q_mixture" -> ((s, dir) =>
+      // domain-mixture resampling: en downsamples (rate ~0.92), de/fr
+      // upsample with guaranteed integer epochs + hash-Bernoulli
+      // fractional part; es/zh drop. Proportions are exact binary
+      // fractions so the Scala and DuckDB rate doubles are identical
+      graft.ops.Sampling.mixtureResample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25),
+        budget = 400L, salt = "mx")
+        .orderBy("doc_id", "epoch")),
+
     "q_dup_spans" -> ((s, dir) =>
       // exact duplicated-substring pass (Lee et al. 2022 ExactSubstr
       // shape): every 8-token window recurring corpus-wide — one
@@ -2516,6 +2528,26 @@ object SparkEntry {
         |  FROM t WHERE len(l) > 1)
         |SELECT pair, count(*) AS freq FROM pairs
         |GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
+
+    "q_mixture" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT d.doc_id, d.lang,
+        |    (400 * CASE d.lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+        |                       WHEN 'de' THEN CAST(0.25 AS DOUBLE)
+        |                       WHEN 'fr' THEN CAST(0.25 AS DOUBLE) END) / n.n AS rate
+        |  FROM documents d JOIN n USING (lang)
+        |  WHERE d.lang IN ('en', 'de', 'fr')),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(rate) AS BIGINT) +
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mx'), 1, 8))::UBIGINT
+        |         < CAST(trunc((rate - floor(rate)) * 4294967296.0) AS BIGINT)
+        |         THEN 1 ELSE 0 END AS copies
+        |  FROM r)
+        |SELECT doc_id, lang, g.epoch AS epoch
+        |FROM c CROSS JOIN UNNEST(generate_series(0, copies - 1)) AS g(epoch)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "q_dup_spans" ->
       """WITH toks AS (

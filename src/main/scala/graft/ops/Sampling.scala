@@ -118,4 +118,49 @@ object Sampling {
       }
     out.select(inputCols.map(col): _*)
   }
+
+  /** Domain-mixture resampling — the pretraining mixture step (the
+    * LLaMA/UniMax-style weighted recombination of sources): given
+    * target proportions `p_d` and a total output budget, each domain's
+    * rows are emitted `rate_d = budget·p_d / n_d` times in expectation
+    * — integer part as guaranteed epochs (UPSAMPLING small domains),
+    * fractional part as a deterministic hash Bernoulli (downsampling
+    * big ones). Output = input columns + `epoch` (0-based copy index,
+    * so a trainer shuffles on (key, epoch)). Domains absent from
+    * `proportions` drop.
+    *
+    * Deterministic: copies are a pure function of (key, salt) like
+    * everything in this file. Scale shape: ONE per-domain count
+    * aggregate collected to the driver (domain cardinality must be
+    * broadcast-sized — languages/sources, like [[stratifiedTopK]]'s
+    * strata), then a pure projection + explode; no joins, no window,
+    * no shuffle of the corpus.
+    */
+  def mixtureResample(df: DataFrame, domain: Column, key: Column,
+                      proportions: Map[String, Double], budget: Long,
+                      salt: String = ""): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(proportions.nonEmpty && proportions.values.forall(_ >= 0.0) &&
+      proportions.values.sum > 0.0, "proportions must be non-negative, not all zero")
+    val psum = proportions.values.sum
+    val counts = df.groupBy(domain.as("_mx_d"))
+      .agg(count(lit(1)).as("_mx_n")).collect()
+      .flatMap(r => Option(r.get(0)).map(d => d.toString -> r.getLong(1))).toMap
+    val rates: Map[String, Double] = proportions.flatMap { case (d, p) =>
+      counts.get(d).filter(_ > 0 && p > 0)
+        .map(n => d -> budget * (p / psum) / n)
+    }
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (d, r)) =>
+      when(domain === lit(d), lit(r)).otherwise(acc)
+    }
+    val full = floor(rate).cast("long")
+    val frac = rate - floor(rate)
+    val copies = full +
+      when(hashBucket(key, salt) < (frac * 4294967296.0).cast("long"), 1L)
+        .otherwise(0L)
+    df.withColumn("_mx_copies", copies)
+      .filter(col("_mx_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_mx_copies") - 1)))
+      .drop("_mx_copies")
+  }
 }

@@ -220,6 +220,13 @@ class PlanSpec extends SparkTestBase {
     assert(!url.contains("Exchange") && !url.contains("Join"), url)
   }
 
+  test("mixtureResample emits a join-free projection+explode over the scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Sampling.mixtureResample(docs.select("doc_id", "lang"),
+      col("lang"), col("doc_id"), Map("en" -> 0.5, "de" -> 0.5), budget = 100L))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("BPE encode is an exchange-free projection with the model as a plan literal") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val model = graft.ops.Bpe.BpeModel(Seq(("t", "h"), ("th", "e")))

@@ -183,6 +183,35 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.9, s"clustered IVF recall@5 = $recall")
   }
 
+  test("mixtureResample: integer epochs, hash fractions, dropped domains") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i =>
+      (i.toLong, if (i < 80) "big" else if (i < 90) "small" else "drop"))
+      .toDF("doc_id", "lang")
+    // budget 200, proportions big 0.5 / small 0.5:
+    //   big: 100/80 = 1.25 -> everyone once + 25% twice
+    //   small: 100/10 = 10.0 -> exactly 10 epochs each
+    //   drop: absent from proportions -> zero rows
+    val out = Sampling.mixtureResample(docs, col("lang"), col("doc_id"),
+      Map("big" -> 0.5, "small" -> 0.5), budget = 200L, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!out.exists(_._2 == "drop"))
+    val small = out.filter(_._2 == "small")
+    assert(small.length == 100 &&
+      small.groupBy(_._1).forall { case (_, c) =>
+        c.map(_._3).sorted.toSeq == (0L until 10L) })
+    val big = out.filter(_._2 == "big")
+    val perDoc = big.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perDoc.size == 80 && perDoc.values.forall(c => c == 1 || c == 2))
+    val extra = perDoc.values.count(_ == 2)
+    assert(extra >= 10 && extra <= 30, s"~25% of 80 expected twice, got $extra")
+    // deterministic under re-run
+    val again = Sampling.mixtureResample(docs, col("lang"), col("doc_id"),
+      Map("big" -> 0.5, "small" -> 0.5), budget = 200L, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("duplicateSpans/markDuplicateSpans: exact k-token windows, positions") {
     import spark.implicits._
     val docs = Seq(
