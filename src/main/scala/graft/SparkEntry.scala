@@ -626,6 +626,15 @@ object SparkEntry {
       Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy("span")),
 
+    "q_dup_cut" -> ((s, dir) =>
+      // the ExactSubstr cut step: duplicated-window tokens removed,
+      // text rebuilt from survivors (overlaps merged by coverage)
+      Dedup.cutDuplicateSpans(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", k = 8)
+        .select("doc_id", "text_cut", "tokens_removed")
+        .orderBy("doc_id")),
+
     "q_bpe" -> ((s, dir) => {
       // trained BPE subword tokenizer (rows-only: the iterative merge
       // loop has no SQL twin — BpeSpec pins the Sennrich worked
@@ -2558,6 +2567,28 @@ object SparkEntry {
         |  FROM toks CROSS JOIN UNNEST(generate_series(1, len(l) - 7)) AS g(i))
         |SELECT span, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
         |FROM sh GROUP BY span HAVING count(*) >= 2 ORDER BY span""".stripMargin,
+
+    "q_dup_cut" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i AS pos, array_to_string(l[i:i+7], ' ') AS span
+        |  FROM toks CROSS JOIN UNNEST(generate_series(1, len(l) - 7)) AS g(i)),
+        |dup AS (SELECT span FROM sh GROUP BY span HAVING count(*) >= 2),
+        |mk AS (SELECT doc_id, list(DISTINCT pos) AS ps
+        |       FROM sh JOIN dup USING (span) GROUP BY doc_id),
+        |base AS (
+        |  SELECT t.doc_id, t.l, coalesce(mk.ps, CAST([] AS BIGINT[])) AS ps
+        |  FROM toks t LEFT JOIN mk USING (doc_id)),
+        |cut AS (
+        |  SELECT doc_id, l, list_filter(l,
+        |    (x, i) -> len(list_filter(ps, p -> i >= p AND i < p + 8)) = 0) AS kept
+        |  FROM base)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, ' '), '') AS text_cut,
+        |  CAST(len(l) - len(kept) AS BIGINT) AS tokens_removed
+        |FROM cut ORDER BY doc_id""".stripMargin,
 
     "q_lm_quality" ->
       """WITH toks AS (

@@ -440,4 +440,31 @@ object Dedup {
       .select("span"), Seq("span"))
       .select("doc_id", "pos", "span")
   }
+
+  /** The cut step of the ExactSubstr pass: every token covered by a
+    * corpus-duplicated k-window ([pos, pos+k), overlaps merged by the
+    * coverage test itself) is removed and the text rebuilt from the
+    * survivors. Output: all input columns + `text_cut` +
+    * `tokens_removed`. Plan: the marker's inherent span join, then one
+    * per-doc aggregate of the (small) duplicated positions, a
+    * broadcast-free LEFT join back on doc_id, and a pure
+    * array-function projection — the doc's own tokens never shuffle.
+    */
+  def cutDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, minCount: Long = 2L): DataFrame = {
+    val marks = markDuplicateSpans(df, idCol, textCol, k, minCount)
+      .groupBy(col("doc_id").as(s"_cut_id"))
+      .agg(collect_set(col("pos")).as("_cut_pos"))
+    val joined = df.join(marks, col(idCol) === col("_cut_id"), "left")
+    val toks = TextOps.tokens(col(textCol))
+    val posArr = coalesce(col("_cut_pos"), array().cast("array<int>"))
+    val kept = filter(toks, (t, i) =>
+      // token index is 0-based, span positions 1-based
+      !exists(posArr, p => (i + 1) >= p && (i + 1) < p + k))
+    joined
+      .withColumn("text_cut", array_join(kept, " "))
+      .withColumn("tokens_removed",
+        (size(toks) - size(kept)).cast("long"))
+      .drop("_cut_id", "_cut_pos")
+  }
 }

@@ -237,6 +237,24 @@ class OpsSpec extends SparkTestBase {
     assert(longDup == Set("p q r", "q r s"))
   }
 
+  test("cutDuplicateSpans: overlap-merged removal, untouched docs intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d a b c"),
+      (2L, "x y a b z"),
+      (3L, "q")).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicateSpans(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "text_cut", "tokens_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc1 tokens 1..7; covered by "a b"@{1,5} and "b c"@{2,6}:
+    // [1,3)+[2,4)+[5,7)+[6,8) = {1,2,3,5,6,7} -> only "d" survives
+    assert(out(1L) == ("d", 6L))
+    // doc2: "a b"@3 -> [3,5) cut -> "x y z"
+    assert(out(2L) == ("x y z", 2L))
+    // doc3 has no windows -> intact
+    assert(out(3L) == ("q", 0L))
+  }
+
   test("ngram LM: stupid-backoff bits match a hand oracle; integer mix exact") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
