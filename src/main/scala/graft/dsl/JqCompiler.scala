@@ -56,8 +56,10 @@ import org.apache.spark.sql.functions._
   * generator — jq's backtracking re-enters the most recent fork
   * first, i.e. the RIGHT operand varies fastest: `(1,2)+(10,20)`
   * streams 11, 21, 12, 22. A select() inside a scalar operand makes
-  * that operand the empty stream (zero outputs), exactly jq. Streams
-  * in select() conditions or function arguments remain loud errors.
+  * that operand the empty stream (zero outputs), exactly jq. A stream
+  * in a select() CONDITION emits the input once per truthy output
+  * (jq's `if f then . else empty end` desugaring). Streams in
+  * function arguments remain loud errors.
   *
   * Documented deltas from full jq (SURVEY.md §2.9): numbers evaluate
   * as doubles and render integral values without the trailing `.0`
@@ -186,6 +188,14 @@ object JqCompiler {
           val (xArr, xT) = operandStream(x, preV)
           (transform(xArr, v =>
             renderTop(eval(Neg(ColLit(JqVal(v, xT))), preV)._1)), None)
+        case Select(cond) if streamish(cond) =>
+          // jq: select(f) with a generator condition emits `.` once
+          // per truthy output of f (rendered-text truthiness: null
+          // and false are falsy, everything else truthy)
+          val condVals = buildStream(normalizeStages(cond), preV, top = false)._1
+          (transform(
+            filter(condVals, v => v.isNotNull && v =!= "false" && v =!= "null"),
+            _ => renderTop(preV)), None)
         case other => throw new IllegalArgumentException(
           s"jq: unsupported stream stage $other")
       }
@@ -271,6 +281,9 @@ object JqCompiler {
     // the cartesian product of its operand streams
     case Bin(_, l, r) => streamish(l) || streamish(r)
     case Neg(x) => streamish(x)
+    // select(f) = `if f then . else empty end`: a stream condition
+    // emits the input once per truthy f output
+    case Select(cond) => streamish(cond)
     case _ => false
   }
 

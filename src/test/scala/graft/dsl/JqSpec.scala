@@ -129,10 +129,18 @@ class JqSpec extends SparkTestBase {
     intercept[Exception](JqCompiler.compile(".a, .b"))
     // variables exist only as reduce bindings
     intercept[Exception](JqCompiler.compile(". + $y"))
-    // a generator inside a select() condition or a function argument
-    // is out of subset and stays loud
-    intercept[Exception](JqCompiler.compileAuto("select(.a[] > 1)"))
+    // a generator inside a function argument is out of subset, loud
     intercept[Exception](JqCompiler.compileAuto("ltrimstr(.a[])"))
+  }
+
+  test("stream: select() with a generator condition repeats per truthy output") {
+    // jq: select(f) == if f then . else empty end — one `.` per truthy f
+    assert(run("select(.a[] > 1)", """{"a":[1,2,3],"k":7}""") ==
+      Seq(Some("""{"a":[1,2,3],"k":7}"""), Some("""{"a":[1,2,3],"k":7}""")))
+    assert(run("select(.a[] > 9)", """{"a":[1,2],"k":7}""").isEmpty)
+    // piped suffix applies per emitted copy
+    assert(run("select(.a[] == 2) | .k", """{"a":[2,2],"k":5}""") ==
+      Seq(Some("5"), Some("5")))
   }
 
   test("stream: generator as a binary operand (the last jq delta)") {
