@@ -607,6 +607,17 @@ object SparkEntry {
       // inside the projection so the shuffle carries (pair, count)
       TextOps.pairFrequencies(t(s, dir, "documents"), col("text"), topK = 50)),
 
+    "q_classifier" -> ((s, dir) =>
+      // linear quality-classifier scoring: margin is a left-fold of
+      // binary-fraction weights, bit-exact vs DuckDB; prob (sigmoid)
+      // is spec-oracle'd (libm exp), so the gate emits margin only
+      t(s, dir, "documents").select(
+          col("doc_id") +: TextOps.linearClassifier(col("text"),
+            Map("fast" -> 0.5, "spark" -> 0.25, "slow" -> -0.5, "the" -> -0.25),
+            bias = 0.125): _*)
+        .select("doc_id", "margin")
+        .orderBy("doc_id")),
+
     "q_mixture" -> ((s, dir) =>
       // domain-mixture resampling: en downsamples (rate ~0.92), de/fr
       // upsample with guaranteed integer epochs + hash-Bernoulli
@@ -2537,6 +2548,21 @@ object SparkEntry {
         |  FROM t WHERE len(l) > 1)
         |SELECT pair, count(*) AS freq FROM pairs
         |GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
+
+    "q_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(0.125 AS DOUBLE) +
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(l, tok -> coalesce(
+        |      map(['fast', 'spark', 'slow', 'the'],
+        |          [CAST(0.5 AS DOUBLE), CAST(0.25 AS DOUBLE),
+        |           CAST(-0.5 AS DOUBLE), CAST(-0.25 AS DOUBLE)])[tok][1],
+        |      CAST(0.0 AS DOUBLE)))), (acc, x) -> acc + x)
+        |  / greatest(len(list_filter(l, tok -> length(tok) > 0)), 1) AS margin
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_mixture" ->
       """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

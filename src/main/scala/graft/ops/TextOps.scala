@@ -343,6 +343,36 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // linear bag-of-words classifier (the GPT-3/LLaMA-style "quality
+  // classifier" scoring step; fastText-shaped: mean token weight +
+  // bias through a logistic link)
+  // ------------------------------------------------------------------
+
+  /** Score a text column under a linear model: `margin` = bias +
+    * mean over tokens of weight(token) (absent tokens weigh 0), and
+    * `prob` = sigmoid(margin). The model rides in the plan as a map
+    * literal — no broadcast, no join; the 100 TB scan stays one pure
+    * projection. The sum is a LEFT FOLD over the token array (fixed
+    * association order), so `margin` is bit-reproducible across
+    * engines and gated exactly; `prob` goes through libm exp and is
+    * Scala-oracle'd in the spec, like [[tfIdf]].
+    */
+  def linearClassifier(text: Column, weights: Map[String, Double],
+                       bias: Double): Seq[Column] = {
+    require(weights.nonEmpty, "linearClassifier: empty weight map")
+    val wmap = map_from_arrays(
+      array(weights.keys.toSeq.map(lit): _*),
+      array(weights.values.toSeq.map(lit): _*))
+    val toks = tokens(text)
+    val n = greatest(size(filter(toks, t => length(t) > 0)), lit(1))
+    val s = aggregate(toks, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(wmap, t), lit(0.0)))
+    val margin = lit(bias) + s / n.cast("double")
+    Seq(margin.as("margin"),
+      (lit(1.0) / (lit(1.0) + exp(-margin))).as("prob"))
+  }
+
+  // ------------------------------------------------------------------
   // n-gram LM quality scoring (the CCNet perplexity gate, Wenzek et
   // al. 2020, with stupid-backoff smoothing, Brants et al. 2007)
   // ------------------------------------------------------------------

@@ -220,6 +220,14 @@ class PlanSpec extends SparkTestBase {
     assert(!url.contains("Exchange") && !url.contains("Join"), url)
   }
 
+  test("linearClassifier is an exchange-free projection (model = map literal)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(docs.select(col("doc_id") +:
+      graft.ops.TextOps.linearClassifier(col("text"),
+        Map("a" -> 0.5, "b" -> -0.5), bias = 0.0): _*))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
   test("mixtureResample emits a join-free projection+explode over the scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ops.Sampling.mixtureResample(docs.select("doc_id", "lang"),

@@ -183,6 +183,22 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.9, s"clustered IVF recall@5 = $recall")
   }
 
+  test("linearClassifier: mean-weight margin and sigmoid prob, hand-checked") {
+    import spark.implicits._
+    val w = Map("fast" -> 0.5, "slow" -> -0.5)
+    val out = Seq((1L, "fast slow x"), (2L, "fast fast"), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id") +: TextOps.linearClassifier(col("text"), w, bias = 0.125): _*)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 0.125 + (0.5 - 0.5 + 0.0) / 3.0)
+    assert(out(2L)._1 == 0.125 + 1.0 / 2.0)
+    assert(out(3L)._1 == 0.125) // empty text: zero weight over max(n,1)
+    val m = out(2L)._1
+    assert(math.abs(out(2L)._2 - 1.0 / (1.0 + math.exp(-m))) < 1e-12)
+    // higher share of positive tokens -> higher prob
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
   test("mixtureResample: integer epochs, hash fractions, dropped domains") {
     import spark.implicits._
     val docs = (0 until 100).map(i =>
