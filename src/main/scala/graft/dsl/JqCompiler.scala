@@ -190,8 +190,12 @@ object JqCompiler {
             renderTop(eval(Neg(ColLit(JqVal(v, xT))), preV)._1)), None)
         case Select(cond) if streamish(cond) =>
           // jq: select(f) with a generator condition emits `.` once
-          // per truthy output of f (rendered-text truthiness: null
-          // and false are falsy, everything else truthy)
+          // per truthy output of f. Stream elements are rendered
+          // texts: JSON null elements surface as the TEXT `null` (not
+          // SQL null), so both `false` and `null` texts are falsy —
+          // which also makes the STRING "null" falsy, the same
+          // quoted-vs-bare ambiguity renderJson documents for
+          // re-embedding (known textual delta).
           val condVals = buildStream(normalizeStages(cond), preV, top = false)._1
           (transform(
             filter(condVals, v => v.isNotNull && v =!= "false" && v =!= "null"),
@@ -424,6 +428,15 @@ object JqCompiler {
       val out = op match {
         case "+" if lv.t == TStr || rv.t == TStr =>
           JqVal(concat(renderTop(lv), renderTop(rv)), TStr)
+        case "+" if lv.t == TJson && rv.t == TJson =>
+          // jq + is polymorphic and a TJson value's kind is only known
+          // at runtime (stream elements, path results): dispatch
+          // textually — numbers add, null is the identity, arrays and
+          // objects concatenate members (object duplicate keys keep
+          // both textually, readers see the FIRST — the same
+          // left-wins delta as from_entries), anything else is string
+          // concatenation
+          JqVal(jsonPlus(lv.col, rv.col), TJson)
         case "+" => JqVal(num(lv) + num(rv), TNum)
         case "-" => JqVal(num(lv) - num(rv), TNum)
         case "*" => JqVal(num(lv) * num(rv), TNum)
@@ -559,6 +572,28 @@ object JqCompiler {
       if (v == name) u else subst(u, name, repl)) // inner $x shadows
     case Interp(ps) => Interp(ps.map(subst(_, name, repl)))
     case other => other // Identity, Path, Lit, ColLit, other VarE
+  }
+
+  private val JsonNumRe = "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+
+  /** Runtime-dispatched jq `+` over two JSON-text values. */
+  private def jsonPlus(l: Column, r: Column): Column = {
+    def inner(c: Column): Column = trim(c.substr(lit(2), length(c) - 2))
+    def joinContainers(open: String, close: String): Column = {
+      val li = inner(l); val ri = inner(r)
+      when(length(li) === 0, r)
+        .when(length(ri) === 0, l)
+        .otherwise(concat(lit(open), li, lit(","), ri, lit(close)))
+    }
+    // null is the identity of jq +; stream elements render JSON null
+    // as the TEXT `null` (same quoted-vs-bare delta as renderJson)
+    when(l.isNull || l === "null", r)
+      .when(r.isNull || r === "null", l)
+      .when(l.rlike(JsonNumRe) && r.rlike(JsonNumRe),
+        stripDot0(l.cast("double") + r.cast("double")))
+      .when(l.rlike("^\\[") && r.rlike("^\\["), joinContainers("[", "]"))
+      .when(l.rlike("^\\{") && r.rlike("^\\{"), joinContainers("{", "}"))
+      .otherwise(concat(l, r))
   }
 
   private def cmp(l: JqVal, r: JqVal, f: (Column, Column) => Column): Column =

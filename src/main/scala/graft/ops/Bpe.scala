@@ -44,9 +44,10 @@ object Bpe {
   }
 
   /** Split a word into per-codepoint symbols (surrogate-pair safe)
-    * plus the end-of-word marker.
+    * plus the end-of-word marker. Shared by train and apply so the
+    * two paths can never drift.
     */
-  private def symbols(w: String): Array[String] = {
+  private[ops] def symbols(w: String): Array[String] = {
     val cps = w.codePoints().toArray
     val out = new Array[String](cps.length + 1)
     var i = 0
@@ -55,8 +56,10 @@ object Bpe {
     out
   }
 
-  /** Merge every non-overlapping left-to-right occurrence of the pair. */
-  private def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
+  /** Merge every non-overlapping left-to-right occurrence of the pair.
+    * Shared by train and apply so the two paths can never drift.
+    */
+  private[ops] def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < syms.length) {
@@ -149,11 +152,7 @@ case class BpeEncode(left: Expression, right: Expression)
   }
 
   private def encodeWord(w: String): scala.collection.Seq[String] = {
-    val cps = w.codePoints().toArray
-    var syms = new Array[String](cps.length + 1)
-    var i = 0
-    while (i < cps.length) { syms(i) = new String(Character.toChars(cps(i))); i += 1 }
-    syms(cps.length) = Bpe.EndOfWord
+    var syms = Bpe.symbols(w)
     var continue = syms.length > 1 && !ranks.isEmpty
     while (continue) {
       // lowest-rank adjacent pair, then merge all its occurrences
@@ -167,14 +166,7 @@ case class BpeEncode(left: Expression, right: Expression)
       }
       if (bestA == null) continue = false
       else {
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        var k = 0
-        while (k < syms.length) {
-          if (k < syms.length - 1 && syms(k) == bestA && syms(k + 1) == bestB) {
-            out += (bestA + bestB); k += 2
-          } else { out += syms(k); k += 1 }
-        }
-        syms = out.toArray
+        syms = Bpe.mergePair(syms, bestA, bestB)
         if (syms.length < 2) continue = false
       }
     }

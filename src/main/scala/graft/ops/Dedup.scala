@@ -405,6 +405,21 @@ object Dedup {
       .otherwise(array().cast(s"array<struct<pos:int,span:string>>"))
   }
 
+  /** One (doc_id, pos, span) row per k-token window of the corpus —
+    * the single explode every downstream step derives from.
+    */
+  private def spanOccurrences(df: DataFrame, idCol: String,
+                              textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(spanWindows(col(textCol), k)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.span").as("span"))
+
+  private def dupsFromOccurrences(occ: DataFrame, minCount: Long): DataFrame =
+    occ.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= minCount)
+
   /** Corpus-wide duplicated k-token spans: (span, n_occ, n_docs) for
     * every window text occurring at least `minCount` times. One
     * explode + one map-side-combined hash aggregate — executor state
@@ -419,25 +434,20 @@ object Dedup {
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int, minCount: Long = 2L): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(spanWindows(col(textCol), k)).as("w"))
-      .groupBy(col("w.span").as("span"))
-      .agg(count(lit(1)).as("n_occ"),
-        countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_occ") >= minCount)
+    dupsFromOccurrences(spanOccurrences(df, idCol, textCol, k), minCount)
 
   /** Every occurrence of a corpus-duplicated span: (doc_id, pos,
     * span). The join keys on the span text — the inherent shuffle of
     * exact-substring dedup; a downstream cut pass removes
-    * [pos, pos+k) token ranges (merging overlaps) per doc.
+    * [pos, pos+k) token ranges (merging overlaps) per doc. Both join
+    * sides derive from ONE occurrence frame (one logical explode; at
+    * scale, persist `spanOccurrences` output once to make it one
+    * physical scan too).
     */
   def markDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                          k: Int, minCount: Long = 2L): DataFrame = {
-    val occ = df.select(col(idCol).as("doc_id"),
-        explode(spanWindows(col(textCol), k)).as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.span").as("span"))
-    occ.join(duplicateSpans(df, idCol, textCol, k, minCount)
-      .select("span"), Seq("span"))
+    val occ = spanOccurrences(df, idCol, textCol, k)
+    occ.join(dupsFromOccurrences(occ, minCount).select("span"), Seq("span"))
       .select("doc_id", "pos", "span")
   }
 

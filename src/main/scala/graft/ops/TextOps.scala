@@ -144,11 +144,16 @@ object TextOps {
   // ------------------------------------------------------------------
 
   /** http(s) URLs in document order. Java/RE2 common-subset pattern,
-    * like [[PiiPatterns]]. */
+    * like [[PiiPatterns]]; trailing sentence punctuation is stripped
+    * from each match ("see https://bad.org." would otherwise yield a
+    * host that defeats the blocklist — the standard linkifier
+    * heuristic, at the cost of eating a legitimately dot-final path).
+    */
   private val UrlPattern = """https?://[^\s"'<>)\]]+"""
 
   def urls(text: Column): Column =
-    regexp_extract_all(text, lit(UrlPattern), lit(0))
+    transform(regexp_extract_all(text, lit(UrlPattern), lit(0)),
+      u => regexp_replace(u, "[.,;:!?]+$", ""))
 
   /** Lower-cased hosts of every URL (port and path stripped), one per
     * match, duplicates kept (callers dedupe when counting).
@@ -276,22 +281,29 @@ object TextOps {
       .filter(col("freq") >= minCount)
       .orderBy(col("freq").desc, col("token")).limit(topK)
 
-  /** Adjacent-token-pair frequencies — the statistic a BPE merge
-    * iteration maximizes, at corpus scale. Pairs are built inside the
-    * projection (zip of the token array with its own tail), so the
-    * shuffle carries (pair, partial count) only.
+  /** Adjacent-token pairs as (prev, w) structs — the ONE bigram
+    * construction shared by [[pairFrequencies]], [[trainNgramLm]] and
+    * [[lmScore]] (zip of the token array with its own tail, built
+    * inside the projection), so the model-training and scoring pair
+    * definitions can never drift apart.
     */
-  def pairFrequencies(df: org.apache.spark.sql.DataFrame, text: Column,
-                      topK: Int): org.apache.spark.sql.DataFrame = {
+  private def adjacentPairs(text: Column): Column = {
     val toks = tokens(text)
     val n = greatest(size(toks) - 1, lit(0))
-    val pairs = zip_with(
-      slice(toks, lit(1), n), slice(toks, lit(2), n),
-      (a, b) => concat(a, lit(" "), b))
-    df.select(explode(pairs).as("pair"))
+    zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => struct(a.as("prev"), b.as("w")))
+  }
+
+  /** Adjacent-token-pair frequencies — the statistic a BPE merge
+    * iteration maximizes, at corpus scale. The shuffle carries
+    * (pair, partial count) only.
+    */
+  def pairFrequencies(df: org.apache.spark.sql.DataFrame, text: Column,
+                      topK: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(adjacentPairs(text)).as("p"))
+      .select(concat(col("p.prev"), lit(" "), col("p.w")).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("pair")).limit(topK)
-  }
 
   /** Per-document term-frequency table: (doc_id, token, tf). The one
     * inherent corpus-width shuffle; everything downstream
@@ -394,11 +406,7 @@ object TextOps {
   def trainNgramLm(df: DataFrame, text: Column, vocabCap: Int,
                    bigramCap: Int, minCount: Long = 1L): NgramLm = {
     val uni = vocabulary(df, text, vocabCap, minCount)
-    val toks = tokens(text)
-    val n = greatest(size(toks) - 1, lit(0))
-    val bi = df.select(explode(zip_with(
-        slice(toks, lit(1), n), slice(toks, lit(2), n),
-        (a, b) => struct(a.as("prev"), b.as("w")))).as("p"))
+    val bi = df.select(explode(adjacentPairs(text)).as("p"))
       .select(col("p.prev").as("prev"), col("p.w").as("w"))
       .filter(length(col("prev")) > 0 && length(col("w")) > 0)
       .groupBy("prev", "w").agg(count(lit(1)).as("freq"))
@@ -429,11 +437,7 @@ object TextOps {
   def lmScore(df: DataFrame, id: Column, text: Column, lm: NgramLm,
               alpha: Double = 0.4): DataFrame = {
     require(lm.totalTokens > 0, "lmScore: model trained on an empty corpus")
-    val toks = tokens(text)
-    val n = greatest(size(toks) - 1, lit(0))
-    val pairs = df.select(id.as("doc_id"), explode(zip_with(
-        slice(toks, lit(1), n), slice(toks, lit(2), n),
-        (a, b) => struct(a.as("prev"), b.as("w")))).as("p"))
+    val pairs = df.select(id.as("doc_id"), explode(adjacentPairs(text)).as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
       .filter(length(col("prev")) > 0 && length(col("w")) > 0)
     val bi = broadcast(lm.bigrams.withColumnRenamed("freq", "bi_freq"))

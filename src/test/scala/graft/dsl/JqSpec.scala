@@ -141,6 +141,11 @@ class JqSpec extends SparkTestBase {
     // piped suffix applies per emitted copy
     assert(run("select(.a[] == 2) | .k", """{"a":[2,2],"k":5}""") ==
       Seq(Some("5"), Some("5")))
+    // jq truthiness over the element stream: false and null are falsy
+    // (null elements render as the TEXT `null`; the string "null"
+    // shares it — renderJson's documented quoted-vs-bare delta)
+    assert(run("select(.a[]) | .k", """{"a":[true,false,null,"x"],"k":1}""") ==
+      Seq(Some("1"), Some("1")))
   }
 
   test("stream: generator as a binary operand (the last jq delta)") {
@@ -173,6 +178,26 @@ class JqSpec extends SparkTestBase {
     // inside an object constructor field
     assert(run("{v: (.a[] + 1)}", """{"a":[1,2]}""") ==
       Seq(Some("""{"v":2}"""), Some("""{"v":3}""")))
+  }
+
+  test("+ on runtime JSON values dispatches like jq: strings/arrays/objects/null") {
+    // string operand streams concatenate, never NaN-null
+    assert(run("(.a[]) + (.b[])", """{"a":["p"],"b":["q"]}""") ==
+      Seq(Some("pq")))
+    // null is the identity of + (jq: null + x == x + null == x)
+    assert(one(".a + .b", """{"b":5}""").contains("5"))
+    assert(one(".a + .b", """{"a":5}""").contains("5"))
+    // arrays concatenate members
+    assert(one(".x + .y", """{"x":[1,2],"y":[3]}""").contains("[1,2,3]"))
+    assert(one(".x + .y", """{"x":[],"y":[3]}""").contains("[3]"))
+    // objects merge textually (duplicate keys: left wins, the
+    // documented from_entries delta)
+    assert(one(".x + .y", """{"x":{"a":1},"y":{"b":2}}""")
+      .contains("""{"a":1,"b":2}"""))
+    // numbers still add when both sides are numeric at runtime
+    assert(one(".x + .y", """{"x":2,"y":40}""").contains("42"))
+    assert(run(".a[] + .a[]", """{"a":[1,2]}""") ==
+      Seq(Some("2"), Some("3"), Some("3"), Some("4")))
   }
 
   test("collect: [STREAM] gathers every output into one array") {

@@ -332,6 +332,15 @@ class OpsSpec extends SparkTestBase {
     assert(out(3L).getAs[scala.collection.Seq[String]]("domains").toSeq ==
       Seq("example.com"))
     assert(!out(3L).getAs[Boolean]("blocked"))
+    // sentence-final punctuation can't smuggle a domain past the list
+    val punct = Seq((9L, "see https://evil.bad.co.uk, then https://ok.example.com. done"))
+      .toDF("id", "text")
+      .select(col("id") +:
+        graft.ops.TextOps.urlFeatures(col("text"), Seq("bad.co.uk")): _*)
+      .collect().head
+    assert(punct.getAs[Boolean]("blocked"))
+    assert(punct.getAs[scala.collection.Seq[String]]("domains").toSeq ==
+      Seq("bad.co.uk", "example.com"))
   }
 
   test("int8-quantized IVF: high recall vs the exact index, bounded cosine error") {
