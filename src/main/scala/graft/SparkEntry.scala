@@ -607,6 +607,19 @@ object SparkEntry {
       // inside the projection so the shuffle carries (pair, count)
       TextOps.pairFrequencies(t(s, dir, "documents"), col("text"), topK = 50)),
 
+    "q_nb_classifier" -> ((s, dir) => {
+      // trained quality classifier (rows-only: log-odds weights go
+      // through libm log — the hand oracle lives in OpsSpec): NB
+      // trained on lang=='en' as the "curated" class, then scored
+      val docs = t(s, dir, "documents")
+      val (w, bias) = TextOps.trainNaiveBayes(
+        docs, col("lang") === "en", col("text"))
+      docs.select(col("doc_id") +:
+          TextOps.linearClassifier(col("text"), w, bias): _*)
+        .select(col("doc_id"), (col("margin") > 0).as("predicted_en"))
+        .orderBy("doc_id")
+    }),
+
     "q_classifier" -> ((s, dir) =>
       // linear quality-classifier scoring: margin is a left-fold of
       // binary-fraction weights, bit-exact vs DuckDB; prob (sigmoid)

@@ -138,13 +138,18 @@ object Sampling {
     */
   def mixtureResample(df: DataFrame, domain: Column, key: Column,
                       proportions: Map[String, Double], budget: Long,
-                      salt: String = ""): DataFrame = {
+                      salt: String = "", weight: Column = lit(1L)): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(proportions.nonEmpty && proportions.values.forall(_ >= 0.0) &&
       proportions.values.sum > 0.0, "proportions must be non-negative, not all zero")
     val psum = proportions.values.sum
+    // `weight` generalizes the budget's unit: lit(1) makes it rows;
+    // a token-count column makes it a TOKEN budget (the unit real
+    // mixtures are specified in) — rate_d = budget·p_d / tokens_d,
+    // and every row of a domain still replicates at its domain's
+    // rate, so the expected token share matches p_d
     val counts = df.groupBy(domain.as("_mx_d"))
-      .agg(count(lit(1)).as("_mx_n")).collect()
+      .agg(sum(weight.cast("long")).as("_mx_n")).collect()
       .flatMap(r => Option(r.get(0)).map(d => d.toString -> r.getLong(1))).toMap
     val rates: Map[String, Double] = proportions.flatMap { case (d, p) =>
       counts.get(d).filter(_ > 0 && p > 0)

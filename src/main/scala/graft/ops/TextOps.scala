@@ -384,6 +384,41 @@ object TextOps {
       (lit(1.0) / (lit(1.0) + exp(-margin))).as("prob"))
   }
 
+  /** Train a binary multinomial Naive Bayes model over labeled docs —
+    * the curated-vs-raw quality-classifier TRAINING step (the public
+    * GPT-3/LLaMA recipe: positives = a trusted corpus, negatives =
+    * raw web), closed-form in ONE corpus pass: per-(token, class)
+    * counts via a map-side-combined aggregate with a deterministic
+    * vocabCap (freq desc, token asc), then add-one-smoothed log-odds
+    * on the driver (vocab-sized). Returns (weights, bias) that feed
+    * [[linearClassifier]] directly — scores are length-normalized NB
+    * log-odds (the mean in linearClassifier rescales per doc length,
+    * fastText-style).
+    */
+  def trainNaiveBayes(df: DataFrame, label: Column, text: Column,
+                      vocabCap: Int = 65536): (Map[String, Double], Double) = {
+    val y = label.cast("boolean")
+    val counts = df.select(y.as("_nb_y"), explode(tokens(text)).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(
+        count(when(col("_nb_y"), 1)).as("c_pos"),
+        count(when(!col("_nb_y"), 1)).as("c_neg"),
+        count(lit(1)).as("c_all"))
+      .orderBy(col("c_all").desc, col("token")).limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(counts.nonEmpty, "trainNaiveBayes: no tokens in the corpus")
+    val nPos = counts.map(_._2).sum.toDouble
+    val nNeg = counts.map(_._3).sum.toDouble
+    val v = counts.length.toDouble
+    val weights = counts.map { case (t, cp, cn) =>
+      t -> (math.log((cp + 1.0) / (nPos + v)) -
+        math.log((cn + 1.0) / (nNeg + v)))
+    }.toMap
+    val docs = df.agg(count(when(y, 1)).as("p"), count(when(!y, 1)).as("n")).head
+    val bias = math.log((docs.getLong(0) + 1.0) / (docs.getLong(1) + 1.0))
+    (weights, bias)
+  }
+
   // ------------------------------------------------------------------
   // n-gram LM quality scoring (the CCNet perplexity gate, Wenzek et
   // al. 2020, with stupid-backoff smoothing, Brants et al. 2007)

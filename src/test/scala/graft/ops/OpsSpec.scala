@@ -199,6 +199,25 @@ class OpsSpec extends SparkTestBase {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  test("trainNaiveBayes: hand-checked smoothed log-odds; separates classes") {
+    import spark.implicits._
+    val labeled = Seq(
+      (true, "good good fun"), (true, "good fun"), (false, "bad thing"))
+      .toDF("y", "text")
+    val (w, bias) = TextOps.trainNaiveBayes(labeled, col("y"), col("text"))
+    // vocab {good:3+0, fun:2+0, bad:0+1, thing:0+1}; N_pos=5 N_neg=2 V=4
+    assert(math.abs(w("good") - (math.log(4.0 / 9.0) - math.log(1.0 / 6.0))) < 1e-12)
+    assert(math.abs(bias - math.log(3.0 / 2.0)) < 1e-12)
+    assert(w("good") > 0 && w("fun") > 0 && w("bad") < 0 && w("thing") < 0)
+    // scoring through linearClassifier separates held-out texts
+    val scored = Seq((1L, "good fun fun"), (2L, "bad bad thing"))
+      .toDF("id", "text")
+      .select(col("id") +: TextOps.linearClassifier(col("text"), w, bias): _*)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) > 0 && scored(2L) < 0,
+      s"pos ${scored(1L)} / neg ${scored(2L)}")
+  }
+
   test("mixtureResample: integer epochs, hash fractions, dropped domains") {
     import spark.implicits._
     val docs = (0 until 100).map(i =>
@@ -226,6 +245,23 @@ class OpsSpec extends SparkTestBase {
       Map("big" -> 0.5, "small" -> 0.5), budget = 200L, salt = "t")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("mixtureResample with a token weight column: budget in tokens") {
+    import spark.implicits._
+    // domain A: 2 docs x 50 tokens = 100; domain B: 10 docs x 1 = 10
+    val docs = (Seq((0L, "A", 50L), (1L, "A", 50L)) ++
+      (2L until 12L).map(i => (i, "B", 1L))).toDF("doc_id", "lang", "n_tok")
+    val out = Sampling.mixtureResample(docs, col("lang"), col("doc_id"),
+      Map("A" -> 0.5, "B" -> 0.5), budget = 100L, salt = "w",
+      weight = col("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // rate_A = 100*0.5/100 tokens = 0.5 (hash-halved rows);
+    // rate_B = 100*0.5/10 = 5.0 -> every B doc exactly 5 epochs
+    val b = out.filter(_._2 == "B")
+    assert(b.length == 50 && b.groupBy(_._1).forall(_._2.length == 5))
+    val a = out.filter(_._2 == "A")
+    assert(a.forall(_._3 == 0L) && a.length <= 2)
   }
 
   test("duplicateSpans/markDuplicateSpans: exact k-token windows, positions") {
