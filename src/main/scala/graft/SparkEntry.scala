@@ -1306,6 +1306,49 @@ object SparkEntry {
         .orderBy("scanner", "content")
     }),
 
+    "q_warc_input" -> ((s, dir) => {
+      // Common Crawl-shaped ingestion: documents wrapped as HTTP
+      // responses inside WARC records — half in a plain .warc, half
+      // in the member-per-record .warc.gz Common Crawl ships — read
+      // back through the `warc` file scanner, then HTTP header strip
+      // + html_text extraction. Fixture construction collects the
+      // gate-SF documents driver-side; the read path is the
+      // distributed binaryFile scanner + native WARC expression.
+      import graft.functions.{WarcSupport, Codecs}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      def record(id: Long, lang: String, text: String): WarcSupport.Record = {
+        val html = s"""<html><head><title>doc $id</title>""" +
+          """<script>var skip = "<p>not text</p>";</script>""" +
+          """<style>p { color: red }</style></head>""" +
+          s"""<body><!-- $lang --><h1>Doc &#39;$id&#39;</h1><p> $text </p>""" +
+          s"""<a href="http://g.test/${id + 1}">next</a></body></html>"""
+        ("response", f"http://ex.test/doc/$id%06d", s"<urn:graft:$id>",
+          "2026-01-02T00:00:00Z", "application/http; msgtype=response",
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n" +
+            html).getBytes("UTF-8"))
+      }
+      val info: WarcSupport.Record = ("warcinfo", null, "<urn:graft:info>",
+        "2026-01-02T00:00:00Z", "application/warc-fields",
+        "software: graft\r\n".getBytes("UTF-8"))
+      val (a, b) = docs.map((record _).tupled).splitAt(docs.length / 2)
+      val base = java.nio.file.Files.createTempDirectory("graft-warc")
+      java.nio.file.Files.write(base.resolve("a.warc"),
+        WarcSupport.create(info +: a.toSeq))
+      java.nio.file.Files.write(base.resolve("b.warc.gz"),
+        (info +: b.toSeq).flatMap(r =>
+          Codecs.compress("gzip", WarcSupport.create(Seq(r)))).toArray)
+      val payload = col("content").cast("string")
+      graft.sources.FileInput.batch(s, base.toString, "warc")
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri").as("uri"),
+          graft.ops.TextOps.htmlText(graft.ops.TextOps.httpBody(payload)).as("txt"),
+          array_join(graft.ops.TextOps.htmlLinks(payload), ",").as("links"))
+        .orderBy("uri")
+    }),
+
     "q_file_zstd" -> ((s, dir) => {
       // compressed-codec file input: whole-file zstd JSONL through the
       // native codec expressions (fixture files compressed with the
@@ -2957,6 +3000,17 @@ object SparkEntry {
 
     "q_file_zstd" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+
+    // documents.text is verified whitespace-normalized and
+    // HTML-special-char-free at every gate SF, so the extraction
+    // chain's collapse/entity steps are identity on it and the
+    // expected text is directly constructible
+    "q_warc_input" ->
+      """SELECT 'http://ex.test/doc/' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS uri,
+        |       'doc ' || CAST(doc_id AS VARCHAR) || ' Doc ''' ||
+        |         CAST(doc_id AS VARCHAR) || ''' ' || text || ' next' AS txt,
+        |       'http://g.test/' || CAST(doc_id + 1 AS VARCHAR) AS links
+        |FROM documents ORDER BY uri""".stripMargin,
 
     "q_lake_input" ->
       """WITH rows AS (

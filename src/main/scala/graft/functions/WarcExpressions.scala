@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC (Web ARChive, ISO 28500) record codec — the container format
+  * of Common Crawl and every serious web-scale text corpus, i.e. the
+  * actual on-disk input of an LLM pretraining pipeline. Implemented
+  * from the public WARC 1.0/1.1 spec (no library in the sandbox):
+  *
+  *   WARC/1.0 CRLF
+  *   <name>: <value> CRLF ...            (named headers)
+  *   CRLF                                (end of header block)
+  *   <Content-Length bytes of payload>
+  *   CRLF CRLF                           (record separator)
+  *
+  * Parsing is lenient on line endings (accepts bare LF) and skips
+  * unparseable trailing garbage rather than failing the file — at
+  * crawl scale a truncated tail record is routine. Gzip transparency:
+  * Common Crawl ships `.warc.gz` as one gzip MEMBER PER RECORD,
+  * concatenated; `java.util.zip.GZIPInputStream` reads concatenated
+  * members natively, so a leading 1f 8b magic routes the whole blob
+  * through the existing native gzip codec first.
+  *
+  * Scale shape: one task per WARC file (Common Crawl files are ~1 GiB
+  * — the right task granularity), parsing is a single forward pass,
+  * and the exploded records flow straight into the columnar pipeline
+  * (html_text extraction, dedup, quality, langid downstream).
+  */
+object WarcSupport {
+
+  /** (warc_type, target_uri, record_id, date, content_type, payload).
+    * Optional headers come back null.
+    */
+  type Record = (String, String, String, String, String, Array[Byte])
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length > 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Read one header line starting at `pos`; returns (line, nextPos)
+    * with the CR?LF terminator consumed, or null line at end of input.
+    */
+  private def line(b: Array[Byte], pos: Int): (String, Int) = {
+    var i = pos
+    while (i < b.length && b(i) != '\n') i += 1
+    if (i >= b.length) (null, b.length)
+    else {
+      val end = if (i > pos && b(i - 1) == '\r') i - 1 else i
+      (new String(b, pos, end - pos, "UTF-8"), i + 1)
+    }
+  }
+
+  /** Parse all records of a (possibly gzipped) WARC blob. */
+  def records(raw: Array[Byte]): Seq[Record] = {
+    val b = if (isGzip(raw)) gunzipAll(raw) else raw
+    val out = Seq.newBuilder[Record]
+    var pos = 0
+    while (pos < b.length) {
+      // skip inter-record blank lines
+      var (l, next) = line(b, pos)
+      while (l != null && l.isEmpty && next < b.length) {
+        val t = line(b, next); l = t._1; next = t._2
+      }
+      if (l == null || !l.startsWith("WARC/")) return out.result()
+      var warcType, uri, id, date, ctype: String = null
+      var len = -1L
+      var hdrEnd = next
+      var cont = true
+      while (cont) {
+        val (h, n2) = line(b, hdrEnd)
+        hdrEnd = n2
+        if (h == null || h.isEmpty) cont = false
+        else {
+          val ci = h.indexOf(':')
+          if (ci > 0) {
+            val name = h.substring(0, ci).trim.toLowerCase
+            val v = h.substring(ci + 1).trim
+            name match {
+              case "warc-type"       => warcType = v
+              case "warc-target-uri" => uri = v
+              case "warc-record-id"  => id = v
+              case "warc-date"       => date = v
+              case "content-type"    => ctype = v
+              case "content-length"  =>
+                len = try v.toLong catch { case _: NumberFormatException => -1L }
+              case _ =>
+            }
+          }
+        }
+      }
+      if (len < 0 || hdrEnd + len > b.length) return out.result() // truncated tail
+      val payload = java.util.Arrays.copyOfRange(b, hdrEnd, hdrEnd + len.toInt)
+      out += ((warcType, uri, id, date, ctype, payload))
+      pos = hdrEnd + len.toInt
+    }
+    out.result()
+  }
+
+  /** Serialize records to a spec-shaped WARC 1.0 blob (CRLF endings,
+    * two-CRLF record separator). Null optional headers are omitted.
+    */
+  def create(recs: Seq[Record]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("UTF-8"))
+    recs.foreach { case (t, uri, id, date, ctype, payload) =>
+      w("WARC/1.0\r\n")
+      if (t != null)     w(s"WARC-Type: $t\r\n")
+      if (id != null)    w(s"WARC-Record-ID: $id\r\n")
+      if (date != null)  w(s"WARC-Date: $date\r\n")
+      if (uri != null)   w(s"WARC-Target-URI: $uri\r\n")
+      if (ctype != null) w(s"Content-Type: $ctype\r\n")
+      w(s"Content-Length: ${payload.length}\r\n\r\n")
+      bos.write(payload)
+      w("\r\n\r\n")
+    }
+    bos.toByteArray
+  }
+
+  val RecordType: StructType = StructType(Seq(
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("record_id", StringType),
+    StructField("date", StringType),
+    StructField("content_type", StringType),
+    StructField("content", BinaryType, nullable = false)))
+}
+
+case class WarcRecords(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(WarcSupport.RecordType, containsNull = false)
+  override def prettyName: String = "graft_warc_records"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(WarcSupport.records(input.asInstanceOf[Array[Byte]])
+      .map { case (t, uri, id, date, ctype, payload) =>
+        def s(x: String) = if (x == null) null else UTF8String.fromString(x)
+        InternalRow(s(t), s(uri), s(id), s(date), s(ctype), payload)
+      }.toArray[Any])
+  override protected def withNewChildInternal(newChild: Expression): WarcRecords =
+    copy(child = newChild)
+}
+
+case class WarcCreate(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_warc_create"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    WarcSupport.create((0 until arr.numElements()).map { i =>
+      val row = arr.getStruct(i, 6)
+      def s(j: Int) = if (row.isNullAt(j)) null else row.getUTF8String(j).toString
+      (s(0), s(1), s(2), s(3), s(4), row.getBinary(5))
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): WarcCreate =
+    copy(child = newChild)
+}
+
+object WarcFunctions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_warc_records", (es: Seq[Expression]) => WarcRecords(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_warc_create", (es: Seq[Expression]) => WarcCreate(es.head), "built-in")
+  }
+  def warcRecords(binCol: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_warc_records", binCol)
+  }
+  def warcCreate(entriesCol: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_warc_create", entriesCol)
+  }
+}

@@ -192,6 +192,53 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // HTML → text extraction (the WARC-payload → document step)
+  // ------------------------------------------------------------------
+
+  /** Body of an HTTP response payload: everything after the first
+    * blank line when the payload starts with a status line, else the
+    * payload unchanged. This is the WARC `response` record shape —
+    * Common Crawl payloads are full HTTP messages, and the header
+    * block must go before text extraction.
+    */
+  def httpBody(payload: Column): Column = {
+    val i = instr(payload, "\r\n\r\n")
+    when(payload.startsWith("HTTP/") && i > 0,
+      payload.substr(i + 4, length(payload))).otherwise(payload)
+  }
+
+  /** Plain text of an HTML document: comments, then `<script>` /
+    * `<style>` elements WITH their content, then remaining tags are
+    * replaced by spaces; the six dominant named entities are decoded
+    * (`&amp;` last, per the standard double-decode guard; `&nbsp;`
+    * becomes a plain space so whitespace collapse sees it); finally
+    * runs of whitespace collapse to one space and the result is
+    * trimmed. Every step is a Java/RE2 common-subset regex (script
+    * and style are separate passes — RE2 has no backreferences), so
+    * the DuckDB oracle can express the identical chain. Pure
+    * projection: the 100 TB extraction pass is a map over the scan,
+    * no shuffle, whole-stage-codegen'd regexps.
+    */
+  def htmlText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComments,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** `href` attribute values of all anchors, in document order
+    * (double-quoted form — the overwhelming share of real markup).
+    */
+  def htmlLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)href=\"([^\"]*)\""), lit(1))
+
+  // ------------------------------------------------------------------
   // repetition / diversity filters (the Gopher-style repetition gates)
   // ------------------------------------------------------------------
 

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.StructType
 object FileInput {
 
   val Codecs = Set("parquet", "lines", "json", "csv",
-    "tar", "json_documents", "to_the_end") // + lines+<algo>, chunker:N, re_match:RE
+    "tar", "warc", "json_documents", "to_the_end") // + lines+<algo>, chunker:N, re_match:RE
 
   /** `lines+zstd`-style codec: whole-file decompress through the
     * native codec expressions (graft.functions.Codecs — all 8
@@ -38,16 +38,18 @@ object FileInput {
   /** Whole-file scanners (reference `internal/impl/io/input_file.go`
     * scanner stack): `chunker:N` fixed-size byte parts, `re_match:RE`
     * one message per regex match, `tar` one message per archive entry
-    * (name + content), `json_documents` concatenated-JSON split,
-    * `to_the_end` the whole file as one message. All explode from one
-    * binaryFile scan — per-file task granularity, like decompress.
+    * (name + content), `warc` one message per WARC record (Common
+    * Crawl ingestion; gzip-transparent), `json_documents`
+    * concatenated-JSON split, `to_the_end` the whole file as one
+    * message. All explode from one binaryFile scan — per-file task
+    * granularity, like decompress.
     */
   private val ChunkerCodec = "^chunker:([0-9]+)$".r
   private val ReMatchCodec = "^re_match:(.+)$".r
 
   private def isScanner(codec: String): Boolean = codec match {
     case ChunkerCodec(_) | ReMatchCodec(_) => true
-    case "tar" | "json_documents" | "to_the_end" => true
+    case "tar" | "warc" | "json_documents" | "to_the_end" => true
     case _ => false
   }
 
@@ -87,6 +89,11 @@ object FileInput {
       case "tar" =>
         r.select(explode(graft.functions.TarFunctions.tarEntries(c)).as("_e"))
           .select(col("_e.name").as("name"), col("_e.content").as("content"))
+      case "warc" =>
+        // one row per WARC record (gzip-transparent, incl. the
+        // member-per-record .warc.gz Common Crawl ships)
+        r.select(explode(graft.functions.WarcFunctions.warcRecords(c)).as("_e"))
+          .select(col("_e.*"))
       case "json_documents" =>
         r.select(explode(graft.functions.MultipartFunctions
           .jsonDocuments(c.cast("string"))).as("content"))

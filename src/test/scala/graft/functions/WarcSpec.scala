@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.ops.TextOps
+
+/** WARC codec (ISO 28500; the Common Crawl container) + the HTML→text
+  * extraction chain that turns a `response` payload into a document.
+  */
+class WarcSpec extends SparkTestBase {
+
+  private def rec(t: String, uri: String, body: String): WarcSupport.Record =
+    (t, uri, s"<urn:uuid:$t-${if (uri == null) "x" else uri.hashCode}>",
+      "2026-01-02T03:04:05Z",
+      if (t == "warcinfo") "application/warc-fields" else "application/http; msgtype=response",
+      body.getBytes("UTF-8"))
+
+  test("roundtrip: create -> records preserves headers and payload bytes") {
+    val recs = Seq(
+      rec("warcinfo", null, "software: graft\r\n"),
+      rec("response", "http://a.test/1", "HTTP/1.1 200 OK\r\n\r\n<p>one</p>"),
+      rec("response", "http://a.test/2", "payload two"))
+    val blob = WarcSupport.create(recs)
+    // spec shape: version line + CRLF header block
+    val head = new String(blob.take(9), "UTF-8")
+    assert(head == "WARC/1.0\r")
+    assert(new String(blob, "UTF-8").contains("Content-Length: 29"))
+    val back = WarcSupport.records(blob)
+    assert(back.size == 3)
+    back.zip(recs).foreach { case (b, r) =>
+      assert(b._1 == r._1 && b._2 == r._2 && b._3 == r._3 &&
+        b._4 == r._4 && b._5 == r._5)
+      assert(java.util.Arrays.equals(b._6, r._6))
+    }
+  }
+
+  test("gzip transparency: one member per record, concatenated (CC shape)") {
+    val recs = Seq(
+      rec("response", "http://b.test/1", "alpha"),
+      rec("response", "http://b.test/2", "beta"),
+      rec("response", "http://b.test/3", "gamma"))
+    val gz = recs.flatMap(r =>
+      Codecs.compress("gzip", WarcSupport.create(Seq(r)))).toArray
+    val back = WarcSupport.records(gz)
+    assert(back.map(_._2) == Seq("http://b.test/1", "http://b.test/2", "http://b.test/3"))
+    assert(back.map(r => new String(r._6, "UTF-8")) == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("lenient: bare-LF headers parse; truncated tail record is dropped") {
+    val lf = ("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://lf.test\n" +
+      "Content-Length: 5\n\nhello\n\n").getBytes("UTF-8")
+    val ok = WarcSupport.records(lf)
+    assert(ok.size == 1 && ok.head._2 == "http://lf.test" &&
+      new String(ok.head._6, "UTF-8") == "hello")
+    // tail record claims more bytes than remain -> dropped, no failure
+    val truncated = WarcSupport.create(Seq(rec("response", "http://t.test/1", "full"))) ++
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999\r\n\r\nshort".getBytes("UTF-8")
+    val t = WarcSupport.records(truncated)
+    assert(t.size == 1 && t.head._2 == "http://t.test/1")
+    // non-WARC garbage after a record boundary stops cleanly
+    val garbage = WarcSupport.create(Seq(rec("response", "http://g.test/1", "x"))) ++
+      "not a warc header".getBytes("UTF-8")
+    assert(WarcSupport.records(garbage).size == 1)
+  }
+
+  test("warc file scanner: one row per record, gz and plain side by side") {
+    val s = spark
+    import s.implicits._
+    val recs = (1 to 6).map(i => rec("response", s"http://c.test/$i", s"body-$i"))
+    val dir = java.nio.file.Files.createTempDirectory("warc-scan")
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      WarcSupport.create(recs.take(3)))
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"),
+      recs.drop(3).flatMap(r => Codecs.compress("gzip", WarcSupport.create(Seq(r)))).toArray)
+    val got = graft.sources.FileInput.batch(spark, dir.toString, "warc")
+      .select(col("warc_type"), col("target_uri"), col("content").cast("string").as("body"))
+      .orderBy("target_uri")
+      .as[(String, String, String)].collect()
+    assert(got.length == 6)
+    assert(got.forall(_._1 == "response"))
+    assert(got.map(_._2).toSeq == (1 to 6).map(i => s"http://c.test/$i").sorted)
+    got.foreach { case (_, uri, body) => assert(body == "body-" + uri.split('/').last) }
+  }
+
+  test("httpBody strips the header block; non-HTTP payloads pass through") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hi</p>",
+      "plain payload").toDF("p")
+    val got = df.select(TextOps.httpBody(col("p"))).as[String].collect()
+    assert(got.toSeq == Seq("<p>hi</p>", "plain payload"))
+  }
+
+  test("htmlText: comments/script/style stripped, entities, whitespace collapse") {
+    val s = spark
+    import s.implicits._
+    val html = """<html><head><title>T</title>
+      |<script type="x">var a = "<b>not text</b>";</script>
+      |<style>p { color: red }</style></head>
+      |<body><!-- note --><h1>Head&#39;s</h1>
+      |<p>a &lt;tag&gt; &amp;amp; &quot;q&quot;&nbsp;end</p>
+      |<a href="http://x.test/1">one</a> <a href='u'>skip</a>
+      |<A HREF="http://x.test/2">two</A></body></html>""".stripMargin
+    val df = Seq(html).toDF("h")
+    val txt = df.select(TextOps.htmlText(col("h"))).as[String].head()
+    // &amp;amp; -> &amp; (single decode, & last: no double-decode)
+    assert(txt == "T Head's a <tag> &amp; \"q\" end one skip two")
+    val links = df.select(array_join(TextOps.htmlLinks(col("h")), ",")).as[String].head()
+    assert(links == "http://x.test/1,http://x.test/2")
+  }
+}
