@@ -1080,6 +1080,24 @@ object SparkEntry {
       pipe(prep).orderBy("key")
     }),
 
+    "q_warc_archive" -> ((s, dir) => {
+      // WARC archive -> unarchive columnar roundtrip through the
+      // pipeline DSL (resource records, target URI as the key) —
+      // the WRITE side of the Common Crawl container, symmetric with
+      // the `warc` file scanner gate
+      val prep = t(s, dir, "nation").select(
+        concat(lit("urn:n:"), col("n_nationkey").cast("string")).as("key"),
+        col("n_name").as("content"), col("n_regionkey").as("grp"))
+      val pipe = compile(Seq(
+        PArchive("warc", groupBy = Seq("grp")),
+        PUnarchive("warc"),
+        PMapping(
+          """root.key = this.key
+            |root.name = this.content
+            |""".stripMargin)))
+      pipe(prep).orderBy("key")
+    }),
+
     "q_sql_enrich" -> ((s, dir) => {
       // sql_select PROCESSOR (per-row lookup inverted to one JDBC load
       // + broadcast join): enrich nations with their region row
@@ -2918,6 +2936,10 @@ object SparkEntry {
 
     "q_tar_roundtrip" ->
       """SELECT 'n/' || CAST(n_nationkey AS VARCHAR) || '.txt' AS key,
+        |n_name AS name FROM nation ORDER BY key""".stripMargin,
+
+    "q_warc_archive" ->
+      """SELECT 'urn:n:' || CAST(n_nationkey AS VARCHAR) AS key,
         |n_name AS name FROM nation ORDER BY key""".stripMargin,
 
     "q_binary_archive" ->

@@ -373,6 +373,20 @@ object Processor {
           graft.functions.TarFunctions.tarCreate(array_sort(
             collect_list(struct(col(keyField).cast(StringType).as("name"),
               col(field).cast(org.apache.spark.sql.types.BinaryType).as("content")))))
+        // one WARC blob per group: `resource` records keyed by
+        // `keyField` as WARC-Target-URI, sorted for determinism;
+        // record ids derived from the key and WARC-Date pinned
+        // (same determinism contract as ZipCreate entry times)
+        case "warc" =>
+          graft.functions.WarcFunctions.warcCreate(array_sort(
+            collect_list(struct(
+              lit("resource").as("warc_type"),
+              col(keyField).cast(StringType).as("target_uri"),
+              concat(lit("<urn:graft:"), col(keyField).cast(StringType),
+                lit(">")).as("record_id"),
+              lit("2026-01-01T00:00:00Z").as("date"),
+              lit("application/octet-stream").as("content_type"),
+              col(field).cast(org.apache.spark.sql.types.BinaryType).as("content")))))
         // the reference's internal multipart serialization (format
         // "binary"): length-prefixed ordered parts, one blob per group
         case "binary" =>
@@ -673,6 +687,15 @@ object Processor {
           .withColumn(keyField, col("_te.name"))
           .withColumn(field, col("_te.content").cast(StringType))
           .drop("_te")
+      // one row per WARC record: keyField = WARC-Target-URI, field =
+      // the payload bytes as string (gzip-transparent, like the scanner)
+      case "warc" =>
+        val others = df.columns.filterNot(c => c == field || c == keyField).map(col)
+        df.select(others :+ explode(
+            graft.functions.WarcFunctions.warcRecords(col(field).cast(org.apache.spark.sql.types.BinaryType))).as("_we"): _*)
+          .withColumn(keyField, col("_we.target_uri"))
+          .withColumn(field, col("_we.content").cast(StringType))
+          .drop("_we")
       // one row per CSV data line; the header line types the row as a
       // MAP<STRING,STRING> (the header is per-document data, so the
       // columnar type must be a map, not static columns — callers

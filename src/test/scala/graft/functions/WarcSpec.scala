@@ -82,6 +82,29 @@ class WarcSpec extends SparkTestBase {
     got.foreach { case (_, uri, body) => assert(body == "body-" + uri.split('/').last) }
   }
 
+  test("archive/unarchive warc: pipeline roundtrip, key = target URI") {
+    val s = spark
+    import s.implicits._
+    import graft.dsl.Processor._
+    val df = Seq(("urn:x:1", "alpha", 0), ("urn:x:2", "beta", 0),
+      ("urn:x:3", "gamma", 1)).toDF("key", "content", "grp")
+    val pipe = compile(Seq(
+      PArchive("warc", groupBy = Seq("grp")),
+      PUnarchive("warc")))
+    val got = pipe(df).select("grp", "key", "content")
+      .as[(Int, String, String)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((0, "urn:x:1", "alpha"), (0, "urn:x:2", "beta"),
+      (1, "urn:x:3", "gamma")))
+    // the archived blob is a real spec-shaped WARC resource record set
+    val blob = compile(Seq(PArchive("warc", groupBy = Seq("grp"))))(df)
+      .filter(col("grp") === 0).select(col("content").cast("binary"))
+      .as[Array[Byte]].head()
+    val recs = WarcSupport.records(blob)
+    assert(recs.map(_._1) == Seq("resource", "resource"))
+    assert(recs.map(_._2) == Seq("urn:x:1", "urn:x:2"))
+    assert(recs.head._3 == "<urn:graft:urn:x:1>")
+  }
+
   test("httpBody strips the header block; non-HTTP payloads pass through") {
     val s = spark
     import s.implicits._
