@@ -2111,6 +2111,21 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id", "doc")
     }),
 
+    "q_jq_fnargs" -> ((s, dir) => {
+      // generator functions + stream-valued function args (round 3,
+      // closing the jq function-arg delta): first(stream | select),
+      // add(limit(n; stream)), [range(n)] collect, map with a
+      // generator body — one program, still a single projection
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "{\"a\":[" + $k.string() + "," + ($k + 3).string() + "," + ($k + 6).string() + "]}"
+            |""".stripMargin),
+        PJq("""{f: first(.a[] | select(. % 2 == 0)), s: add(limit(2; .a[])), n: [range(2)], m: (.a | map(., . + 1)) | add}""", "doc")))
+      pipe(t(s, dir, "events")).orderBy("event_id", "doc")
+    }),
+
     "q_jq_reduce" -> ((s, dir) => {
       // reduce .[] as $x (...) — jq's fold, compiled to aggregate():
       // sums the per-event array, still a pure projection
@@ -3358,6 +3373,15 @@ object SparkEntry {
         |             CROSS JOIN (VALUES (10), (100)) AS toff(off))
         |SELECT event_id, CAST(v AS VARCHAR) AS doc FROM e
         |WHERE v % 2 = 0 ORDER BY event_id, doc""".stripMargin,
+
+    "q_jq_fnargs" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_id,
+        |  '{"f":' || CAST(CASE WHEN k % 2 = 0 THEN k ELSE k + 3 END AS VARCHAR)
+        |  || ',"s":' || CAST(2 * k + 3 AS VARCHAR)
+        |  || ',"n":[0,1],"m":' || CAST(6 * k + 21 AS VARCHAR) || '}' AS doc
+        |FROM k ORDER BY event_id, doc""".stripMargin,
 
     "q_jq_reduce" ->
       """SELECT event_id,

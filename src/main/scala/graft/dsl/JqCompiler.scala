@@ -58,8 +58,19 @@ import org.apache.spark.sql.functions._
   * streams 11, 21, 12, 22. A select() inside a scalar operand makes
   * that operand the empty stream (zero outputs), exactly jq. A stream
   * in a select() CONDITION emits the input once per truthy output
-  * (jq's `if f then . else empty end` desugaring). Streams in
-  * function arguments remain loud errors.
+  * (jq's `if f then . else empty end` desugaring).
+  *
+  * Generator FUNCTIONS and stream-valued function args (round 3,
+  * closing the function-arg delta): `range(n)` / `range(from;upto)` /
+  * `range(from;upto;step)` stream arithmetic sequences (step 0 — jq's
+  * infinite stream — yields empty, documented); `empty` is the zero-
+  * output stream; `limit(n; f)` streams the first n outputs of f;
+  * `first(f)` / `last(f)` take one output of a stream arg (zero
+  * outputs when f is empty — jq exact, via the keep channel);
+  * `any(gen; cond)` / `all(gen; cond)` test cond over a stream;
+  * `add(f)` folds a stream arg; `map(f)` with a generator body
+  * flattens per-element outputs like jq's `[.[] | f]`. Remaining
+  * loud errors: streams in other function-arg positions.
   *
   * Documented deltas from full jq (SURVEY.md §2.9): numbers evaluate
   * as doubles and render integral values without the trailing `.0`
@@ -200,6 +211,34 @@ object JqCompiler {
           (transform(
             filter(condVals, v => v.isNotNull && v =!= "false" && v =!= "null"),
             _ => renderTop(preV)), None)
+        // range(upto) / range(from; upto) / range(from; upto; step):
+        // jq's arithmetic-sequence generator. Elements render like
+        // numbers (integral values drop the .0). step 0 — jq's
+        // infinite stream — yields the empty stream here (documented:
+        // an unbounded stream cannot be a column).
+        case Fn("range", rargs) =>
+          require(rargs.nonEmpty && rargs.size <= 3,
+            "jq: range takes 1-3 arguments")
+          val vals = rargs.map(a => num(eval(a, preV)._1))
+          val (from, upto, step) = rargs.size match {
+            case 1 => (lit(0.0), vals(0), lit(1.0))
+            case 2 => (vals(0), vals(1), lit(1.0))
+            case _ => (vals(0), vals(1), vals(2))
+          }
+          val n = when(step > 0, ceil((upto - from) / step))
+            .when(step < 0, ceil((from - upto) / -step))
+            .otherwise(lit(0)).cast("int")
+          (when(n > 0, transform(sequence(lit(0), n - 1),
+            i => stripDot0(from + i.cast("double") * step)))
+            .otherwise(emptyOut), None)
+        // jq's `empty`: the zero-output stream
+        case Fn("empty", _) => (emptyOut, None)
+        // limit(n; f): the first n outputs of f (n <= 0 → empty, jq)
+        case Fn("limit", largs) =>
+          require(largs.size == 2, "jq: limit takes (n; f)")
+          val n = num(eval(largs.head, preV)._1).cast("int")
+          val els = buildStream(normalizeStages(largs(1)), preV, top = false)._1
+          (when(n > 0, slice(els, lit(1), n)).otherwise(emptyOut), None)
         case other => throw new IllegalArgumentException(
           s"jq: unsupported stream stage $other")
       }
@@ -237,6 +276,23 @@ object JqCompiler {
     else {
       val (v, k) = eval(e, in)
       val one = array(renderJson(v))
+      k match {
+        case None => one
+        case Some(cond) =>
+          when(coalesce(cond, lit(false)), one).otherwise(emptyOut)
+      }
+    }
+
+  /** A function argument as an element stream (rendered payload
+    * texts, same convention as IterAll elements): a generator arg
+    * contributes its whole stream; a scalar arg one element — or zero
+    * when its select() rejects (jq's empty stream).
+    */
+  private def streamEls(e: E, in: JqVal): Column =
+    if (streamish(e)) buildStream(normalizeStages(e), in, top = false)._1
+    else {
+      val (v, k) = eval(e, in)
+      val one = array(renderTop(v))
       k match {
         case None => one
         case Some(cond) =>
@@ -288,6 +344,9 @@ object JqCompiler {
     // select(f) = `if f then . else empty end`: a stream condition
     // emits the input once per truthy f output
     case Select(cond) => streamish(cond)
+    // generator functions: range streams a sequence, empty streams
+    // nothing, limit(n; f) streams a prefix of f's outputs
+    case Fn("range", _) | Fn("empty", _) | Fn("limit", _) => true
     case _ => false
   }
 
@@ -607,7 +666,33 @@ object JqCompiler {
       case (None, y) => y
     }
 
-  private def evalFn(name: String, args: Seq[E], in: JqVal): (JqVal, Option[Column]) = {
+  private def evalFn(name: String, args: Seq[E], in: JqVal): (JqVal, Option[Column]) = (name, args) match {
+    // ---- stream-valued function arguments (round 3) ----------------
+    // first(f)/last(f): ONE output of f's stream; an empty stream
+    // emits nothing — expressed through the keep channel, jq-exact
+    case ("first" | "last", f +: _) =>
+      val els = streamEls(f, in)
+      (JqVal(element_at(els, if (name == "first") 1 else -1), TJson),
+        Some(size(els) > 0))
+    // any(gen; cond) / all(gen; cond): cond over each stream output
+    case ("any" | "all", Seq(gen, cond)) =>
+      val els = streamEls(gen, in)
+      val pred = (el: Column) => boolOf(eval(cond, JqVal(el, TJson))._1)
+      (JqVal(if (name == "any") exists(els, pred) else forall(els, pred),
+        TBool), None)
+    // add(f): fold f's whole stream (jq 1.7's add/1)
+    case ("add", Seq(f)) =>
+      (addOf(streamEls(f, in)), None)
+    // map(f) with a generator body: jq map(f) = [.[] | f] — each
+    // element's outputs flatten into the result array
+    case ("map", Seq(f)) if streamish(f) =>
+      (JqVal(rebuildArr(flatten(transform(jsonArrayElements(in.col), el =>
+        transform(buildStream(normalizeStages(f), JqVal(el, TJson), top = false)._1,
+          o => renderJson(JqVal(o, TJson)))))), TJson), None)
+    case _ => evalFnScalar(name, args, in)
+  }
+
+  private def evalFnScalar(name: String, args: Seq[E], in: JqVal): (JqVal, Option[Column]) = {
     def arg(i: Int): JqVal = eval(args(i), in)._1
     val out = name match {
       case "not" => JqVal(!boolOf(in), TBool)
@@ -651,14 +736,7 @@ object JqCompiler {
       case "map" =>
         // jq map(f) = [.[] | f]; select() inside f drops elements
         JqVal(rebuildArr(mapArr(args.head, in.col)), TJson)
-      case "add" =>
-        // numeric arrays sum; string arrays concatenate (jq add);
-        // empty/null input → null like jq
-        val els = jsonArrayElements(in.col)
-        val summed = aggregate(els, lit(0.0), (acc, el) => acc + el.cast("double"))
-        JqVal(when(size(els) === 0, lit(null).cast("string"))
-          .when(allNumeric(els), stripDot0(summed))
-          .otherwise(array_join(els, "")), TJson)
+      case "add" => addOf(jsonArrayElements(in.col))
       case "any" | "all" =>
         val els = jsonArrayElements(in.col)
         val pred: Column => Column = args.headOption match {
@@ -714,9 +792,21 @@ object JqCompiler {
         // jq: with_entries(f) == to_entries | map(f) | from_entries
         val mapped = mapEls(toEntries(in.col), args.head)
         JqVal(fromEntries(mapped), TJson)
+      case "range" | "empty" | "limit" => throw new IllegalArgumentException(
+        s"jq: $name streams multiple outputs — unsupported in this position")
       case other => throw new IllegalArgumentException(s"jq: unsupported function $other")
     }
     (out, None)
+  }
+
+  /** jq `add`: numeric element streams sum, string streams
+    * concatenate, the empty stream is null.
+    */
+  private def addOf(els: Column): JqVal = {
+    val summed = aggregate(els, lit(0.0), (acc, el) => acc + el.cast("double"))
+    JqVal(when(size(els) === 0, lit(null).cast("string"))
+      .when(allNumeric(els), stripDot0(summed))
+      .otherwise(array_join(els, "")), TJson)
   }
 
   /** Apply a jq filter to each element of an element stream,
@@ -937,7 +1027,8 @@ object JqCompiler {
           case "false" => Lit(false)
           case "null" => Lit(null)
           case "select" =>
-            expect("("); val cond = parsePipe(); expect(")"); Select(cond)
+            // comma-aware: select(.a, .b) has a generator condition
+            expect("("); val cond = parseTop(); expect(")"); Select(cond)
           case "reduce" =>
             val term = parsePostfix()
             expectWord("as"); skipWs()
@@ -964,9 +1055,12 @@ object JqCompiler {
           case name =>
             skipWs()
             if (pos < src.length && src.charAt(pos) == '(') {
+              // args are `;`-separated; a comma INSIDE an arg is a
+              // generator (jq grammar), so each arg re-enters the
+              // comma-aware top level
               expect("(")
-              val args = scala.collection.mutable.ArrayBuffer[E](parsePipe())
-              while (eat(";")) args += parsePipe()
+              val args = scala.collection.mutable.ArrayBuffer[E](parseTop())
+              while (eat(";")) args += parseTop()
               expect(")")
               Fn(name, args.toSeq)
             } else Fn(name, Nil)

@@ -340,6 +340,59 @@ class JqSpec extends SparkTestBase {
     assert(run(".[]", "{}").isEmpty) // empty object -> empty stream
   }
 
+  test("stream: range() generates arithmetic sequences like jq") {
+    assert(run("range(3)", "{}") == Seq(Some("0"), Some("1"), Some("2")))
+    assert(run("range(1;4)", "{}") == Seq(Some("1"), Some("2"), Some("3")))
+    assert(run("range(0;10;3)", "{}") ==
+      Seq(Some("0"), Some("3"), Some("6"), Some("9")))
+    assert(run("range(4;1;-1)", "{}") == Seq(Some("4"), Some("3"), Some("2")))
+    assert(run("range(2;2)", "{}").isEmpty)
+    // fractional steps render like jq numbers
+    assert(run("range(0;1;0.4)", "{}") ==
+      Seq(Some("0"), Some("0.4"), Some("0.8")))
+    // bounds can come from the input document
+    assert(run("range(.n)", """{"n":2}""") == Seq(Some("0"), Some("1")))
+    // collected / in arithmetic / as a reduce source
+    assert(one("[range(3)]", "{}").contains("[0,1,2]"))
+    assert(run("10 + range(2)", "{}") == Seq(Some("10"), Some("11")))
+    assert(one("reduce range(4) as $x (0; . + $x)", "{}").contains("6"))
+  }
+
+  test("stream: empty emits nothing; limit(n; f) truncates a stream") {
+    assert(run("empty", """{"a":1}""").isEmpty)
+    assert(run(".a, empty, .b", """{"a":1,"b":2}""") ==
+      Seq(Some("1"), Some("2")))
+    assert(one("[.a[], empty]", """{"a":[1,2]}""").contains("[1,2]"))
+    assert(run("limit(2; .a[])", """{"a":[7,8,9]}""") ==
+      Seq(Some("7"), Some("8")))
+    assert(run("limit(0; .a[])", """{"a":[7,8]}""").isEmpty)
+    assert(run("limit(5; .a[])", """{"a":[7,8]}""") ==
+      Seq(Some("7"), Some("8")))
+    assert(run("limit(2; range(9))", "{}") == Seq(Some("0"), Some("1")))
+  }
+
+  test("stream-valued function args: first/last/any/all/add/map") {
+    // first/last of a generator; empty stream -> zero outputs (keep)
+    assert(one("first(.a[])", """{"a":[5,6,7]}""").contains("5"))
+    assert(one("last(.a[])", """{"a":[5,6,7]}""").contains("7"))
+    assert(run("first(.a[])", """{"a":[]}""").isEmpty)
+    assert(run("first(empty)", """{"a":[1]}""").isEmpty)
+    assert(one("first(.a[] | select(. > 5))", """{"a":[3,6,9]}""").contains("6"))
+    // scalar args still take one output, jq's first(.a) == .a
+    assert(one("first(.a)", """{"a":42}""").contains("42"))
+    // any/all over a generator with a condition
+    assert(one("any(.a[]; . > 8)", """{"a":[3,6,9]}""").contains("true"))
+    assert(one("all(.a[]; . > 2)", """{"a":[3,6,9]}""").contains("true"))
+    assert(one("all(.a[]; . > 5)", """{"a":[3,6,9]}""").contains("false"))
+    assert(one("any(range(3); . == 2)", "{}").contains("true"))
+    // add/1 folds the stream (jq 1.7)
+    assert(one("add(.a[])", """{"a":[1,2,3]}""").contains("6"))
+    assert(one("add(range(1;5))", "{}").contains("10"))
+    // map(f) with a generator body flattens per-element outputs
+    assert(one("map(.[])", "[[1,2],[3]]").contains("[1,2,3]"))
+    assert(one("map(., . * 10)", "[1,2]").contains("[1,10,2,20]"))
+  }
+
   test("stream: malformed / non-iterable JSON yields zero messages, never an error") {
     assert(run(".items[]", """{"items":"not-an-array"}""").isEmpty)
     assert(run(".[]", "42").isEmpty) // scalar: not iterable
