@@ -535,6 +535,24 @@ object SparkEntry {
         .select("id_a", "id_b") // cosine dropped: float-vs-double across engines
         .orderBy("id_a", "id_b")),
 
+    "q_semdedup" -> ((s, dir) => {
+      // SemDedup (Abbas et al. 2023): cluster-scoped semantic dedup.
+      // Corpus = embeddings plus a perturbed near-copy of each (first
+      // component +0.05, cosine ~0.999); centroids = the first 4
+      // vectors. Each near-dup pair keeps its LOWEST-centroid-sim
+      // member (the paper's choice), id tiebreak. Output: kept ids.
+      val e = t(s, dir, "embeddings")
+      val base = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val pert = base.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("embedding"))
+      val cents = base.filter(col("vec_id") < 4).collect().map(r =>
+        (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+      Similarity.semDedup(base.unionByName(pert), cents, threshold = 0.95)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // ---------------- training-data ops: similarity search ------------
 
     "q_knn_brute" -> ((s, dir) => {
@@ -2550,6 +2568,30 @@ object SparkEntry {
         |FROM corpus a JOIN corpus b
         |  ON a.id < b.id AND list_cosine_similarity(a.embedding, b.embedding) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_semdedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_prepend(CAST(embedding[1] AS DOUBLE) + 0.05,
+        |                 CAST(embedding[2:] AS DOUBLE[]))
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |          FROM embeddings WHERE vec_id < 4),
+        |sims AS (SELECT corpus.vec_id, v, cid,
+        |           list_cosine_similarity(v, cv) AS s
+        |         FROM corpus CROSS JOIN cents),
+        |asg AS (SELECT vec_id, v, cid, s AS csim FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                   ORDER BY s DESC, cid ASC) rn FROM sims)
+        |        WHERE rn = 1),
+        |rem AS (SELECT DISTINCT x.vec_id FROM asg x JOIN asg y
+        |        ON x.cid = y.cid
+        |        AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+        |        AND list_cosine_similarity(x.v, y.v) >= 0.95)
+        |SELECT vec_id FROM asg WHERE vec_id NOT IN (SELECT vec_id FROM rem)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

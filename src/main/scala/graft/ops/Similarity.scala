@@ -128,6 +128,50 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // SemDedup (cluster-scoped semantic deduplication)
+  // ------------------------------------------------------------------
+
+  /** SemDedup (Abbas et al. 2023, arXiv:2303.09540): assign every
+    * vector to its nearest coarse centroid (k-means cells — pass
+    * `buildIvf(...).centroids` or any literal centroid set), then
+    * WITHIN each cluster drop every vector that has a semantic
+    * duplicate (cosine >= `threshold`) ranked before it. Rank =
+    * (centroid-similarity ASC, id ASC), so each duplicate group keeps
+    * its LOWEST-centroid-sim member — the paper's keep-low-sim choice
+    * ("keep the examples with the lowest cosine similarity to the
+    * cluster centroid"), with the id as a total-order tiebreak.
+    *
+    * Scale shape: candidate pairs are generated within-cluster only —
+    * the paper's own complexity bound, O(sum of cluster-size^2) ≪
+    * all-pairs when k tracks corpus size. Assignment and centroid-sim
+    * are one literal-centroid projection (no join); the pair join
+    * shuffles by `centroid_id` so each cluster co-locates, and the
+    * verified-removal set reduces to ids before the anti-join back.
+    * Returns the KEPT rows of `corpus`, original schema.
+    */
+  def semDedup(corpus: DataFrame, cents: Seq[(Int, Array[Double])],
+               threshold: Double,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(cents.nonEmpty, "semDedup: empty centroid set")
+    val asg = spread(corpus).select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cid", nearestCentroid(col("v"), cents))
+      // distArray d = -dot(v,c)/|c|, so the assigned centroid's cosine
+      // is -d_min/|v| (same argmin, ties on the lower cell id)
+      .withColumn("csim",
+        -array_min(distArray(col("v"), cents)).getField("d") / norm(col("v")))
+    val y = asg.select(col("id").as("y_id"), col("v").as("y_v"),
+      col("cid").as("y_cid"), col("csim").as("y_csim"))
+    val removed = asg.join(y,
+        col("cid") === col("y_cid") &&
+          (col("y_csim") < col("csim") ||
+            (col("y_csim") === col("csim") && col("y_id") < col("id"))))
+      .filter(cosine(col("v"), col("y_v")) >= threshold)
+      .select(col("id").as("rm_id")).distinct()
+    corpus.join(removed, col(idCol) === col("rm_id"), "left_anti")
+  }
+
+  // ------------------------------------------------------------------
   // IVF (inverted file / coarse quantizer)
   // ------------------------------------------------------------------
 

@@ -118,6 +118,51 @@ class OpsSpec extends SparkTestBase {
     assert(twins.subsetOf(got)) // identical vectors always collide in every table
   }
 
+  test("semDedup: keep-lowest-centroid-sim per duplicate group (paper rule)") {
+    import spark.implicits._
+    // cluster 0: a=(1,0) csim 1.0, b=(0.999,0.01) csim <1, e=(2,0)
+    // csim 1.0 — all pairwise cosine >= .95, so rank (csim asc, id
+    // asc) = b, a, e keeps only b; cluster 1: c,d at cosine 0.8 <
+    // threshold, both kept
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.999, 0.01)), (3L, Array(0.0, 1.0)),
+      (4L, Array(0.6, 0.8)), (5L, Array(2.0, 0.0))).toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    val kept = Similarity.semDedup(df, cents, threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L))
+  }
+
+  test("semDedup matches a brute-force oracle on real embeddings") {
+    val base = vecs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val pert = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("embedding"))
+    val corpus = base.unionByName(pert)
+    val cents = base.filter(col("vec_id") < 4).collect().map(r =>
+      (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+    val got = Similarity.semDedup(corpus, cents, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val asg = corpus.collect().map { r =>
+      val id = r.getLong(0); val v = r.getSeq[Double](1).toArray
+      val (cid, csim) = cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) } // max sim, ties -> lower cell id
+      (id, v, cid, csim)
+    }
+    val removed = (for {
+      (xid, xv, xc, xs) <- asg
+      (yid, yv, yc, ys) <- asg
+      if xc == yc && (ys < xs || (ys == xs && yid < xid)) && cos(xv, yv) >= 0.95
+    } yield xid).toSet
+    assert(got == asg.map(_._1).toSet -- removed)
+    assert(got.nonEmpty && removed.nonEmpty, "fixture should exercise both sides")
+  }
+
   test("ivfKnn: full probe == brute force; partial probe beats its scan fraction") {
     // testdata embeddings are isotropic random (no cluster structure),
     // so partial-probe recall is data-bounded — the honest asserts here
