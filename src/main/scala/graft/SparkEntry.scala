@@ -9,7 +9,7 @@ import graft.dsl.Processor
 import graft.dsl.Processor._
 import graft.engine.{CdcEngine, Lww}
 import graft.gen.EventLogGen
-import graft.ops.{Bpe, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Bpe, Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): one `queries` entry
   * per implemented operator, each with a DuckDB oracle where the
@@ -660,6 +660,21 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25),
         budget = 400L, salt = "mx")
         .orderBy("doc_id", "epoch")),
+
+    "q_dsir" -> ((s, dir) => {
+      // DSIR (Xie et al. 2023): hashed-ngram importance resampling —
+      // target model = English docs, raw model = the whole pool;
+      // deterministic hash-Gumbel top-100 by log importance weight.
+      // Output ids only: logw rides through libm ln, so the exact
+      // gate is membership (margins ~1e-3 >> cross-engine ulps)
+      val docs0 = t(s, dir, "documents")
+      val (lam, dflt) = Sampling.dsirLogRatios(
+        docs0.filter(col("lang") === "en"), docs0, col("text"), buckets = 512)
+      val scored = docs0.withColumn("logw",
+        Sampling.dsirScore(col("text"), lam, dflt, buckets = 512))
+      Sampling.gumbelTopK(scored, col("doc_id"), col("logw"), k = 100)
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     "q_dup_spans" -> ((s, dir) =>
       // exact duplicated-substring pass (Lee et al. 2022 ExactSubstr
@@ -2714,6 +2729,43 @@ object SparkEntry {
         |SELECT doc_id, lang, g.epoch AS epoch
         |FROM c CROSS JOIN UNNEST(generate_series(0, copies - 1)) AS g(epoch)
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    "q_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(f || 'dsir'), 1, 8))::UBIGINT % 512 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(ts) AS f FROM tok
+        |    UNION ALL
+        |    SELECT doc_id, lang, unnest(list_transform(
+        |      generate_series(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i + 1])) AS f FROM tok)),
+        |ct AS (SELECT b, count(*) AS c FROM feat WHERE lang = 'en' GROUP BY b),
+        |cr AS (SELECT b, count(*) AS c FROM feat GROUP BY b),
+        |tot AS (SELECT (SELECT sum(c) FROM ct) AS nt, (SELECT sum(c) FROM cr) AS nr),
+        |lam AS (
+        |  SELECT cr.b,
+        |    ln((COALESCE(ct.c, 0) + 1.0) / (tot.nt + 512))
+        |      - ln((cr.c + 1.0) / (tot.nr + 512)) AS l
+        |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+        |score AS (
+        |  SELECT d.doc_id, COALESCE(s.logw, 0.0) AS logw
+        |  FROM documents d LEFT JOIN (
+        |    SELECT f.doc_id, sum(lam.l) AS logw
+        |    FROM feat f JOIN lam ON f.b = lam.b GROUP BY f.doc_id) s
+        |  USING (doc_id)),
+        |g AS (
+        |  SELECT doc_id, logw - ln(-ln(
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'dsir-gumbel'), 1, 8))::UBIGINT + 0.5)
+        |    / 4294967296.0)) AS gk
+        |  FROM score)
+        |SELECT doc_id FROM (SELECT doc_id FROM g ORDER BY gk DESC, doc_id ASC LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dup_spans" ->
       """WITH toks AS (

@@ -168,4 +168,87 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(0L), col("_mx_copies") - 1)))
       .drop("_mx_copies")
   }
+
+  // ------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169): estimate bag-of-hashed-ngram models over a
+  // TARGET corpus (the distribution you want, e.g. wiki/books) and the
+  // RAW pool, score every raw document with its log importance weight
+  // log p̂_target(x) - log p̂_raw(x), and take a Gumbel top-k sample —
+  // here with hash-derived uniforms, so selection is deterministic
+  // under retries and re-derivable downstream, like everything else
+  // in this module.
+  // ------------------------------------------------------------------
+
+  /** Hashed n-gram feature buckets of a document: unigrams then
+    * bigrams of whitespace tokens, in document order (a FIXED order so
+    * the scoring fold is reproducible). Bucket = md5-high-32 %
+    * `buckets` — the cross-engine-rederivable hash convention above.
+    * Pure projection.
+    */
+  def ngramBuckets(text: Column, buckets: Int, salt: String = "dsir"): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = filter(TextOps.tokens(text), t => length(t) > 0)
+    val bis = when(size(toks) > 1,
+      transform(slice(toks, lit(1), size(toks) - 1),
+        (t, i) => concat(t, lit(" "), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bis),
+      f => (hashBucket(f, salt) % buckets).cast("int"))
+  }
+
+  /** Fit the two hashed-ngram unigram models and return their add-one
+    * smoothed per-bucket log-ratios λ[b] = log p̂_t[b] - log p̂_r[b],
+    * plus the default λ for buckets unseen in BOTH corpora. One
+    * map-side-combined count aggregate per corpus; the collected state
+    * is bucket-bounded (the paper uses B ~ 10^4), never corpus-sized.
+    */
+  def dsirLogRatios(target: DataFrame, raw: DataFrame, text: Column,
+                    buckets: Int, salt: String = "dsir"): (Map[Int, Double], Double) = {
+    require(buckets > 0 && buckets <= 65536,
+      s"dsir buckets must be in [1, 65536] (literal-map scoring), got $buckets")
+    def bucketCounts(df: DataFrame): Map[Int, Long] =
+      df.select(explode(ngramBuckets(text, buckets, salt)).as("b"))
+        .groupBy("b").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ct = bucketCounts(target)
+    val cr = bucketCounts(raw)
+    val nt = ct.values.sum.toDouble
+    val nr = cr.values.sum.toDouble
+    val lam = (ct.keySet ++ cr.keySet).iterator.map { b =>
+      b -> (math.log((ct.getOrElse(b, 0L) + 1.0) / (nt + buckets)) -
+        math.log((cr.getOrElse(b, 0L) + 1.0) / (nr + buckets)))
+    }.toMap
+    (lam, math.log(1.0 / (nt + buckets)) - math.log(1.0 / (nr + buckets)))
+  }
+
+  /** Log importance weight of a document: a LEFT FOLD of per-feature
+    * log-ratios over its hashed n-gram stream (empty document → 0).
+    * The model rides along as literals, so scoring is one codegen'd
+    * projection — no join, nothing shuffles.
+    */
+  def dsirScore(text: Column, logRatios: Map[Int, Double], default: Double,
+                buckets: Int, salt: String = "dsir"): Column = {
+    require(logRatios.nonEmpty, "dsirScore: empty log-ratio model")
+    val rmap = map_from_arrays(
+      array(logRatios.keys.toSeq.map(lit): _*),
+      array(logRatios.values.toSeq.map(lit): _*))
+    aggregate(ngramBuckets(text, buckets, salt), lit(0.0),
+      (acc, b) => acc + coalesce(element_at(rmap, b), lit(default)))
+  }
+
+  /** Deterministic Gumbel top-k (the paper's resampler, with
+    * hash-derived uniforms): g = logw − ln(−ln(u)), u ∈ (0,1) from
+    * md5(key‖salt); the sample is the top k by (g DESC, key ASC).
+    * orderBy + limit compiles to TakeOrderedAndProject — a per-
+    * partition heap + driver merge of k rows, never a full sort.
+    * Adds the `gumbel` key column.
+    */
+  def gumbelTopK(df: DataFrame, key: Column, logw: Column, k: Int,
+                 salt: String = "dsir-gumbel"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (hashBucket(key, salt).cast("double") + 0.5) / 4294967296.0
+    df.withColumn("gumbel", logw - log(-log(u)))
+      .orderBy(col("gumbel").desc, key.asc).limit(k)
+  }
 }

@@ -263,6 +263,63 @@ class OpsSpec extends SparkTestBase {
       s"pos ${scored(1L)} / neg ${scored(2L)}")
   }
 
+  test("dsir: ngram features, closed-form log-ratios, fold scoring") {
+    import spark.implicits._
+    val B = 65536
+    // feature stream order is unigrams then bigrams, document order
+    val featsOf = (s: String) => spark.range(1)
+      .select(Sampling.ngramBuckets(lit(s), B).as("f"))
+      .head().getSeq[Int](0).toSeq
+    val bucketOf = (f: String) => spark.range(1)
+      .select((Sampling.hashBucket(lit(f), "dsir") % B).cast("int")).head().getInt(0)
+    assert(featsOf("aa bb cc") ==
+      Seq("aa", "bb", "cc", "aa bb", "bb cc").map(bucketOf))
+    assert(featsOf("aa") == Seq(bucketOf("aa"))) // no bigrams of one token
+    assert(featsOf("") == Seq.empty)
+    // closed-form λ on a collision-free fixture: target "aa bb" (nt=3
+    // features), raw "aa cc" (nr=3) — shared feature cancels, target-
+    // only features score +ln2, raw-only −ln2, unseen 0
+    val target = Seq("aa bb").toDF("text")
+    val raw = Seq("aa cc").toDF("text")
+    val (lam, dflt) = Sampling.dsirLogRatios(target, raw, col("text"), B)
+    assert(math.abs(dflt) < 1e-15) // nt == nr
+    assert(math.abs(lam(bucketOf("aa"))) < 1e-15)
+    assert(math.abs(lam(bucketOf("bb")) - math.log(2.0)) < 1e-12)
+    assert(math.abs(lam(bucketOf("cc")) + math.log(2.0)) < 1e-12)
+    assert(math.abs(lam(bucketOf("aa bb")) - math.log(2.0)) < 1e-12)
+    // scoring is the fold of λ over the feature stream; unseen → default
+    val sc = Seq(("aa bb", 1), ("bb xx", 2), ("", 3)).toDF("text", "i")
+      .select(col("i"), Sampling.dsirScore(col("text"), lam, dflt, B).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sc(1) - 2 * math.log(2.0)) < 1e-12) // aa + bb + "aa bb"
+    assert(math.abs(sc(2) - math.log(2.0)) < 1e-12)     // bb + unseen + unseen
+    assert(sc(3) == 0.0)                                 // empty doc
+  }
+
+  test("dsir gumbelTopK: deterministic, k-bounded, prefers target-like docs") {
+    val docs500 = docs
+    val (lam, dflt) = Sampling.dsirLogRatios(
+      docs500.filter(col("lang") === "en"), docs500, col("text"), 512)
+    val scored = docs500.withColumn("logw",
+      Sampling.dsirScore(col("text"), lam, dflt, 512))
+    val pick = Sampling.gumbelTopK(scored, col("doc_id"), col("logw"), k = 15)
+    val ids = pick.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 15)
+    val again = Sampling.gumbelTopK(scored.repartition(7), col("doc_id"),
+      col("logw"), k = 15).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids) // retry/partitioning stable
+    // the sampler tilts toward the target distribution: en share among
+    // the selected beats the pool's en share
+    val poolEn = docs500.filter(col("lang") === "en").count().toDouble /
+      docs500.count()
+    val pickEn = pick.filter(col("lang") === "en").count().toDouble / 15
+    assert(pickEn > poolEn,
+      s"DSIR selection should upweight the target language: $pickEn <= $poolEn")
+    // top-k compiles to TakeOrderedAndProject, never a full sort
+    val plan = pick.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("mixtureResample: integer epochs, hash fractions, dropped domains") {
     import spark.implicits._
     val docs = (0 until 100).map(i =>
