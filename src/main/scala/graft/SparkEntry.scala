@@ -1771,6 +1771,18 @@ object SparkEntry {
       cdcStateDump(s, lake.read(s))
     }),
 
+    "q_scd2" -> ((s, dir) => {
+      // SCD-2 history materialization (the classic CDC consumer):
+      // events as a change stream keyed by user — 'error' closes the
+      // open interval as a delete, everything else opens a version;
+      // one hash shuffle (the per-key lead window), no join
+      graft.lake.Scd2.fromChangeStream(
+          t(s, dir, "events").select("user_id", "event_id", "event_type", "value"),
+          col("user_id"), col("event_id"), col("event_type") === "error")
+        .select("user_id", "valid_from", "valid_to", "is_current", "value")
+        .orderBy("user_id", "valid_from")
+    }),
+
     "q_changelog" -> ((s, dir) => {
       // incremental read (Delta-CDF-style): the changelog between the
       // post-batch-0 snapshot and the final state = every key whose
@@ -3184,6 +3196,17 @@ object SparkEntry {
     "q_rebucket" -> cdcLwwOracle(""),
 
     "q_cdc_mor" -> cdcLwwOracle(""),
+
+    "q_scd2" ->
+      """WITH h AS (
+        |  SELECT user_id, event_id AS valid_from,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+        |    event_type, value
+        |  FROM events)
+        |SELECT user_id, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current, value
+        |FROM h WHERE event_type <> 'error'
+        |ORDER BY user_id, valid_from""".stripMargin,
 
     "q_changelog" ->
       """WITH log AS (

@@ -1,0 +1,40 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD-2 (slowly-changing-dimension type 2) materialization of a
+  * keyed change stream — the classic CDC consumer: every upsert opens
+  * a version interval, the next change (upsert OR delete) of the same
+  * key closes it, so the table's full history becomes point-in-time
+  * queryable (`WHERE v.valid_from <= t AND (t < v.valid_to OR
+  * v.valid_to IS NULL)`).
+  *
+  * Composes with the lake's change feed: `changesBetween`/
+  * `ChangeFeed.poll` post-images keyed by (repo, path) with `seq` as
+  * the change order are exactly this input shape.
+  *
+  * Scale shape: ONE hash shuffle by key for the per-key `lead`
+  * window — per-key history is small by construction (a key's change
+  * count, not the table), so the window sort never concentrates a
+  * table-sized partition; there is no join and no second exchange.
+  */
+object Scd2 {
+
+  /** `df` rows are changes; `seq` must be unique per `key` (a CDC
+    * sequence/LSN is). A row with `isDelete` true closes its
+    * predecessor's interval and emits no version. Output = the
+    * surviving rows of `df` plus `valid_from` (its seq), `valid_to`
+    * (the NEXT change's seq for the key, null while current) and
+    * `is_current`.
+    */
+  def fromChangeStream(df: DataFrame, key: Column, seq: Column,
+                       isDelete: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(seq)
+    df.withColumn("valid_from", seq)
+      .withColumn("valid_to", lead(seq, 1).over(w))
+      .filter(!coalesce(isDelete, lit(false)))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** SCD-2 materialization semantics: upserts open intervals, the next
+  * change of the key closes them, deletes close without opening,
+  * re-inserts after a delete start a fresh version.
+  */
+class Scd2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def history(rows: (String, Long, String, String)*) = {
+    val df = rows.toSeq.toDF("k", "seq", "op", "v")
+    Scd2.fromChangeStream(df, col("k"), col("seq"), col("op") === "del")
+      .select("k", "valid_from", "valid_to", "is_current", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3),
+        r.getString(4))).toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  test("intervals chain per key; only the last open version is current") {
+    val h = history(
+      ("a", 1L, "up", "a1"), ("a", 3L, "up", "a2"), ("a", 7L, "up", "a3"),
+      ("b", 2L, "up", "b1"))
+    assert(h == Seq(
+      ("a", 1L, Some(3L), false, "a1"),
+      ("a", 3L, Some(7L), false, "a2"),
+      ("a", 7L, None, true, "a3"),
+      ("b", 2L, None, true, "b1")))
+  }
+
+  test("delete closes the open interval without opening; re-insert reopens") {
+    val h = history(
+      ("a", 1L, "up", "a1"), ("a", 4L, "del", ""), ("a", 9L, "up", "a2"),
+      ("b", 2L, "up", "b1"), ("b", 5L, "del", ""))
+    assert(h == Seq(
+      ("a", 1L, Some(4L), false, "a1"),   // closed by the delete
+      ("a", 9L, None, true, "a2"),        // fresh version after the gap
+      ("b", 2L, Some(5L), false, "b1")))  // b has NO current row
+  }
+
+  test("point-in-time filter reconstructs the state at any seq") {
+    val df = Seq(
+      ("a", 1L, "up", "a1"), ("a", 4L, "del", ""), ("a", 9L, "up", "a2"),
+      ("b", 2L, "up", "b1")).toDF("k", "seq", "op", "v")
+    val h = Scd2.fromChangeStream(df, col("k"), col("seq"), col("op") === "del")
+    def at(t: Long): Set[(String, String)] =
+      h.filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .select("k", "v").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(at(0) == Set.empty)
+    assert(at(2) == Set("a" -> "a1", "b" -> "b1"))
+    assert(at(5) == Set("b" -> "b1"))          // a deleted at 4
+    assert(at(9) == Set("a" -> "a2", "b" -> "b1"))
+  }
+
+  test("plan: exactly one exchange (the key-hash window shuffle), no join") {
+    val df = Seq(("a", 1L, "up", "x")).toDF("k", "seq", "op", "v")
+    val plan = Scd2.fromChangeStream(df, col("k"), col("seq"),
+      col("op") === "del").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+}
