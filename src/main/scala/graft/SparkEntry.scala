@@ -805,6 +805,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_winnow" -> ((s, dir) =>
+      // winnowing fingerprints (Schleimer et al. 2003, MOSS): per-doc
+      // (fp, pos) selections from w-windows over char 8-gram hashes —
+      // pure projection + explode, the corpus fingerprint index
+      t(s, dir, "documents").select(col("doc_id"),
+          explode(TextOps.winnow(col("text"), k = 8, w = 4)).as("f"))
+        .select(col("doc_id"), col("f.fp").as("fp"),
+          col("f.pos").cast("long").as("pos"))
+        .distinct()
+        .orderBy("doc_id", "pos", "fp")),
+
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"),
@@ -2938,6 +2949,22 @@ object SparkEntry {
         |  ELSE 0.0 END AS uniq_token_frac,
         |CAST(coalesce(list_max(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS max_line_len
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(text) - 8 + 1, 0)),
+        |    i -> {fp: ('0x' || substr(md5(substr(text, i, 8) || 'winnow'), 1, 8))::UBIGINT::BIGINT,
+        |          pos: i}) AS hs
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(hs) - 4 + 1, 1)),
+        |    i -> list_sort(hs[i:i+3])[1]) AS fps
+        |  FROM g WHERE len(hs) > 0)
+        |SELECT DISTINCT doc_id, f.fp AS fp, f.pos AS pos
+        |FROM w, UNNEST(fps) t(f)
+        |ORDER BY doc_id, pos, fp""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -291,6 +291,37 @@ object TextOps {
     aggregate(tokens(normalized(text)), lit(0L),
       (acc, t) => xxhash64(acc, t))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    * MOSS local document-fingerprinting scheme): hash every character
+    * k-gram (md5-high-32, the cross-engine hash convention), slide a
+    * window of `w` consecutive hashes, and keep each window's minimum
+    * as a `(fp, pos)` fingerprint (ties break to the leftmost
+    * position — a documented variant of the paper's rightmost rule;
+    * md5 ties are negligible). Guarantee: any shared substring of
+    * length >= w + k - 1 contributes at least one shared fingerprint,
+    * and fingerprint density is ~2/(w+1) — position-robust plagiarism
+    * /near-copy detection that exact-dup and shingle-set methods miss.
+    *
+    * Returns `array<struct<fp,pos>>` (1-based gram positions); docs
+    * shorter than k fingerprint to the empty array, docs shorter than
+    * w+k-1 winnow once over all their grams. Pure array projection —
+    * no shuffle; explode + distinct for a corpus fingerprint index.
+    */
+  def winnow(text: Column, k: Int, w: Int, salt: String = "winnow"): Column = {
+    require(k > 0 && w > 0, s"winnow: k and w must be positive, got k=$k w=$w")
+    val empty = array().cast("array<struct<fp:bigint,pos:int>>")
+    val n = length(text)
+    val hs = when(text.isNotNull && n >= k,
+      transform(sequence(lit(1), n - k + 1),
+        i => struct(Sampling.hashBucket(text.substr(i, lit(k)), salt).as("fp"),
+          i.as("pos"))))
+      .otherwise(empty)
+    when(size(hs) > 0,
+      transform(sequence(lit(1), greatest(size(hs) - w + 1, lit(1))),
+        i => array_min(slice(hs, i, lit(w)))))
+      .otherwise(empty)
+  }
+
   /** Sequence packing for pretraining — the concat-then-chunk layout:
     * documents concatenated in a deterministic order and cut into
     * fixed-token-budget training sequences. Each doc gets

@@ -591,6 +591,42 @@ class OpsSpec extends SparkTestBase {
     assert(got(1L) != got(2L)) // order matters
   }
 
+  test("winnow: window minima, short-doc edges, and the MOSS guarantee") {
+    import spark.implicits._
+    def fps(s: String, k: Int, w: Int): Seq[(Long, Int)] =
+      Seq(Tuple1(s)).toDF("text")
+        .select(explode(TextOps.winnow(col("text"), k, w)).as("f"))
+        .select("f.fp", "f.pos").distinct()
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2).toSeq
+    // driver-side oracle: same md5-high-32 buckets, window minima as
+    // (hash, pos) tuple mins (leftmost pos on hash ties)
+    def bucket(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((s + "winnow").getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def oracle(s: String, k: Int, w: Int): Seq[(Long, Int)] = {
+      val hs = (1 to s.length - k + 1).map(i => (bucket(s.substring(i - 1, i - 1 + k)), i))
+      if (hs.isEmpty) Seq.empty
+      else (1 to math.max(hs.size - w + 1, 1))
+        .map(i => hs.slice(i - 1, i - 1 + w).min).distinct.sortBy(_._2)
+    }
+    for (s <- Seq("abcdabcd", "the quick brown fox", "aaaaaaaaaa"))
+      assert(fps(s, 4, 3) == oracle(s, 4, 3), s"winnow($s)")
+    // shorter than k -> empty; shorter than w+k-1 -> one global min
+    assert(fps("abc", 4, 3).isEmpty)
+    assert(fps("abcde", 4, 3).size == 1)
+    // the guarantee: a shared substring of length >= w + k - 1 shares
+    // at least one fingerprint HASH between documents
+    val shared = "zqxwvutsrq" // 10 chars >= 3 + 4 - 1... use k=4 w=3
+    val a = fps("AAAA" + shared + "BBBB", 4, 3).map(_._1).toSet
+    val b = fps("cc" + shared + "dd", 4, 3).map(_._1).toSet
+    assert((a & b).nonEmpty, "winnowing guarantee violated")
+    // density is ~2/(w+1), never more than one fp per window position
+    val dense = fps("the quick brown fox jumps over the lazy dog", 4, 4)
+    assert(dense.size <= 44 - 4 + 1 && dense.size >= (44 - 4 - 4 + 2) / (4 + 1))
+  }
+
   // ------------------------------------------------------------------
   // multimodal plumbing
   // ------------------------------------------------------------------
