@@ -805,6 +805,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_chunk" -> ((s, dir) =>
+      // context-window chunking: 32-token windows advancing by 24
+      // (8-token overlap) — the embedding/RAG ingestion cut, one
+      // projection + one explode
+      t(s, dir, "documents").select(col("doc_id"),
+          posexplode(TextOps.chunkTokens(col("text"), maxTokens = 32,
+            stride = 24)).as(Seq("chunk_id", "chunk")))
+        .withColumn("chunk_id", col("chunk_id").cast("long"))
+        .orderBy("doc_id", "chunk_id")),
+
     "q_winnow" -> ((s, dir) =>
       // winnowing fingerprints (Schleimer et al. 2003, MOSS): per-doc
       // (fp, pos) selections from w-windows over char 8-gram hashes —
@@ -2182,6 +2192,20 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id", "doc")
     }),
 
+    "q_jq_recurse" -> ((s, dir) => {
+      // `..` recursive descent (round 3): deep-search every node of a
+      // nested doc for numeric values — preorder traversal unrolled in
+      // one projection, numerics at depths 1-3 all surface
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "{\"a\":" + $k.string() + ",\"b\":[" + ($k + 1).string() + ",{\"c\":[" + ($k + 2).string() + "]}]}"
+            |""".stripMargin),
+        PJq(".. | select(. % 1 == 0)", "doc")))
+      pipe(t(s, dir, "events")).orderBy("event_id", "doc")
+    }),
+
     "q_jq_reduce" -> ((s, dir) => {
       // reduce .[] as $x (...) — jq's fold, compiled to aggregate():
       // sums the per-event array, still a pure projection
@@ -2950,6 +2974,21 @@ object SparkEntry {
         |CAST(coalesce(list_max(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS max_line_len
         |FROM f ORDER BY doc_id""".stripMargin,
 
+    "q_chunk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |           t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ts,
+        |    CASE WHEN len(ts) <= 32 THEN 1
+        |         ELSE CAST(ceil((len(ts) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+        |  FROM tk WHERE len(ts) > 0)
+        |SELECT doc_id, g.c AS chunk_id,
+        |  array_to_string(ts[g.c * 24 + 1 : g.c * 24 + 32], ' ') AS chunk
+        |FROM c CROSS JOIN UNNEST(generate_series(0, nc - 1)) g(c)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q_winnow" ->
       """WITH g AS (
         |  SELECT doc_id, list_transform(
@@ -3517,6 +3556,13 @@ object SparkEntry {
         |             CROSS JOIN (VALUES (10), (100)) AS toff(off))
         |SELECT event_id, CAST(v AS VARCHAR) AS doc FROM e
         |WHERE v % 2 = 0 ORDER BY event_id, doc""".stripMargin,
+
+    "q_jq_recurse" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_id, CAST(k + i AS VARCHAR) AS doc
+        |FROM k CROSS JOIN (VALUES (0), (1), (2)) t(i)
+        |ORDER BY event_id, doc""".stripMargin,
 
     "q_jq_fnargs" ->
       """WITH k AS (SELECT event_id,

@@ -69,8 +69,10 @@ import org.apache.spark.sql.functions._
   * outputs when f is empty — jq exact, via the keep channel);
   * `any(gen; cond)` / `all(gen; cond)` test cond over a stream;
   * `add(f)` folds a stream arg; `map(f)` with a generator body
-  * flattens per-element outputs like jq's `[.[] | f]`. Remaining
-  * loud errors: streams in other function-arg positions.
+  * flattens per-element outputs like jq's `[.[] | f]`; `..`/`recurse`
+  * streams the preorder self-then-children traversal, unrolled to
+  * [[RecurseDepth]] levels (documented cap). Remaining loud errors:
+  * streams in other function-arg positions.
   *
   * Documented deltas from full jq (SURVEY.md §2.9): numbers evaluate
   * as doubles and render integral values without the trailing `.0`
@@ -129,6 +131,13 @@ object JqCompiler {
   }
 
   private val emptyOut = array().cast("array<string>")
+
+  /** Unroll depth of `..`/recurse — documents nested deeper lose the
+    * tail (documented cap: a column cannot recurse unboundedly). The
+    * unrolled expression grows LINEARLY with the cap (each level wraps
+    * the next exactly once), so 16 stays one codegen'd projection.
+    */
+  val RecurseDepth = 16
 
   /** Recursive stream builder: pre | GENERATOR | rest, with `rest`
     * handled per element — a flat filter+map when it has no further
@@ -233,6 +242,18 @@ object JqCompiler {
             .otherwise(emptyOut), None)
         // jq's `empty`: the zero-output stream
         case Fn("empty", _) => (emptyOut, None)
+        // `..` / recurse: preorder self-then-children traversal,
+        // unrolled to RecurseDepth (a column cannot recurse
+        // unboundedly; deeper values are absent — documented cap).
+        // Children = array elements / object values via the same
+        // iterator as `.[]`, error-suppressed on scalars like jq's
+        // `.[]?` desugaring
+        case Fn("recurse", _) =>
+          def walk(el: Column, depth: Int): Column =
+            if (depth == 0) array(el)
+            else concat(array(el),
+              flatten(transform(jsonArrayElements(el), c => walk(c, depth - 1))))
+          (walk(renderTop(preV), RecurseDepth), None)
         // limit(n; f): the first n outputs of f (n <= 0 → empty, jq)
         case Fn("limit", largs) =>
           require(largs.size == 2, "jq: limit takes (n; f)")
@@ -345,8 +366,10 @@ object JqCompiler {
     // emits the input once per truthy f output
     case Select(cond) => streamish(cond)
     // generator functions: range streams a sequence, empty streams
-    // nothing, limit(n; f) streams a prefix of f's outputs
-    case Fn("range", _) | Fn("empty", _) | Fn("limit", _) => true
+    // nothing, limit(n; f) streams a prefix of f's outputs, recurse
+    // (`..`) streams the preorder traversal
+    case Fn("range", _) | Fn("empty", _) | Fn("limit", _) |
+         Fn("recurse", _) => true
     case _ => false
   }
 
@@ -410,7 +433,19 @@ object JqCompiler {
       regexp_replace(regexp_replace(c.cast("string"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
       lit("\""))
 
-  private def num(v: JqVal): Column = v.col.cast("double")
+  /** Numeric view of a value. Textual kinds (TJson/TStr) are regex-
+    * guarded so a non-numeric value becomes NULL, never an ANSI cast
+    * error — arithmetic on objects/strings then nulls out and
+    * select() drops it, the same null-on-type-error model as paths
+    * (jq raises; documented delta, essential for `.. | select(...)`
+    * deep searches that visit every node kind).
+    */
+  private def num(v: JqVal): Column = v.t match {
+    case TNum | TBool => v.col.cast("double")
+    case _ =>
+      val s = v.col.cast("string")
+      when(s.rlike(JsonNumRe), s).cast("double")
+  }
   private def boolOf(v: JqVal): Column = v.t match {
     case TBool => v.col
     // jq truthiness: false and null are false, everything else true
@@ -792,7 +827,7 @@ object JqCompiler {
         // jq: with_entries(f) == to_entries | map(f) | from_entries
         val mapped = mapEls(toEntries(in.col), args.head)
         JqVal(fromEntries(mapped), TJson)
-      case "range" | "empty" | "limit" => throw new IllegalArgumentException(
+      case "range" | "empty" | "limit" | "recurse" => throw new IllegalArgumentException(
         s"jq: $name streams multiple outputs — unsupported in this position")
       case other => throw new IllegalArgumentException(s"jq: unsupported function $other")
     }
@@ -1013,6 +1048,9 @@ object JqCompiler {
       else if (c == '{') parseObj()
       else if (c == '[') parseArr()
       else if (c == '"') parseInterpString()
+      else if (c == '.' && src.startsWith("..", pos)) {
+        pos += 2; Fn("recurse", Nil) // jq `..` == recurse
+      }
       else if (c == '.') {
         pos += 1
         val segs = parseSegments(allowLeadingDot = false)

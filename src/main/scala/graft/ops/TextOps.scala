@@ -322,6 +322,29 @@ object TextOps {
       .otherwise(empty)
   }
 
+  /** Context-window chunking — the embedding/RAG ingestion cut: split
+    * a document's token stream into windows of `maxTokens` tokens
+    * advancing by `stride` (overlap = maxTokens − stride). Chunks
+    * rejoin with a single space (token-level chunking normalizes
+    * whitespace by construction); the last window is the shorter
+    * tail. Empty documents produce no chunks. Pure projection —
+    * `posexplode` the result for (chunk_id, chunk) rows, no shuffle.
+    */
+  def chunkTokens(text: Column, maxTokens: Int, stride: Int): Column = {
+    require(maxTokens > 0, s"chunkTokens: maxTokens must be positive, got $maxTokens")
+    require(stride > 0 && stride <= maxTokens,
+      s"chunkTokens: stride must be in [1, maxTokens], got $stride")
+    val toks = filter(tokens(text), t => length(t) > 0)
+    val n = size(toks)
+    // ceil((n - max) / stride) + 1 windows; n <= max is one window.
+    // double-ceil is exact for any plausible token count (< 2^52)
+    val nc = when(n <= maxTokens, lit(1L)).otherwise(
+      ceil((n - maxTokens).cast("double") / stride).cast("long") + 1L)
+    when(n > 0, transform(sequence(lit(0L), nc - 1),
+      c => array_join(slice(toks, (c * stride + 1).cast("int"), lit(maxTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Sequence packing for pretraining — the concat-then-chunk layout:
     * documents concatenated in a deterministic order and cut into
     * fixed-token-budget training sequences. Each doc gets

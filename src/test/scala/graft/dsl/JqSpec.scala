@@ -371,6 +371,21 @@ class JqSpec extends SparkTestBase {
     assert(run("limit(2; range(9))", "{}") == Seq(Some("0"), Some("1")))
   }
 
+  test("stream: .. recursive descent is jq's preorder traversal") {
+    assert(run("..", """{"a":[1,{"b":2}]}""") == Seq(
+      Some("""{"a":[1,{"b":2}]}"""), Some("""[1,{"b":2}]"""),
+      Some("1"), Some("""{"b":2}"""), Some("2")))
+    // the classic `.. | select(...)` deep-search pattern
+    assert(run(".. | select(. % 2 == 0)", """{"a":[1,{"b":2}],"c":4}""") ==
+      Seq(Some("2"), Some("4")))
+    // scalar input streams just itself; collect counts the nodes
+    assert(run("..", "7") == Seq(Some("7")))
+    assert(one("[..] | length", """{"a":1}""").contains("2"))
+    // keyword spelling and post-traversal paths
+    assert(run("recurse | select(. % 2 == 0)", "[1,2]") == Seq(Some("2")))
+    assert(run(".. | .b", """{"a":{"b":5}}""").flatten == Seq("5"))
+  }
+
   test("stream-valued function args: first/last/any/all/add/map") {
     // first/last of a generator; empty stream -> zero outputs (keep)
     assert(one("first(.a[])", """{"a":[5,6,7]}""").contains("5"))

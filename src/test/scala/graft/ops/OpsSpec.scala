@@ -591,6 +591,25 @@ class OpsSpec extends SparkTestBase {
     assert(got(1L) != got(2L)) // order matters
   }
 
+  test("chunkTokens: overlapping windows, shorter tail, empty docs") {
+    import spark.implicits._
+    def chunks(s: String, m: Int, st: Int): Seq[String] =
+      Seq(Tuple1(s)).toDF("text")
+        .select(TextOps.chunkTokens(col("text"), m, st).as("c"))
+        .head().getSeq[String](0).toSeq
+    val ten = (1 to 10).map("t" + _).mkString(" ")
+    assert(chunks(ten, 4, 3) == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))         // exact cover
+    assert(chunks(ten, 4, 2) == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(chunks(ten, 4, 4) == Seq(
+      "t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))               // shorter tail
+    assert(chunks("a b", 4, 3) == Seq("a b"))                // one short window
+    assert(chunks("  a   b  ", 4, 3) == Seq("a b"))          // ws normalized
+    assert(chunks("", 4, 3).isEmpty)
+    assert(chunks("   ", 4, 3).isEmpty)
+  }
+
   test("winnow: window minima, short-doc edges, and the MOSS guarantee") {
     import spark.implicits._
     def fps(s: String, k: Int, w: Int): Seq[(Long, Int)] =
