@@ -858,6 +858,34 @@ object SparkEntry {
           md5(to_json(col("feature"))).as("feature_md5"))
         .orderBy("media_id")),
 
+    "q_image_dedup" -> ((s, dir) => {
+      // rows-only (pixel hashes have no SQL oracle; the exact brute-
+      // force hamming oracle lives in OpsSpec): synthetic PNGs + one-
+      // pixel-perturbed near-copies -> dHash perceptual signatures ->
+      // the same exact Manku hamming search as SimHash text dedup
+      import s.implicits._
+      def png(i: Int, perturb: Boolean): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(16, 12,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 12; x <- 0 until 16) {
+          val on = (((x + (i % 7)) % 7 < 3) ^ (y < (i % 11)))
+          img.setRGB(x, y, if (on) 0xE0E0E0 else 0x101010)
+        }
+        if (perturb) img.setRGB(14, 10, 0x202020)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val rows = (0 until 24).flatMap(i =>
+        Seq((i.toLong, png(i, perturb = false)),
+          (i + 100L, png(i, perturb = true))))
+      val env = rows.toDF("media_id", "payload").select(
+        col("media_id"), lit("image").as("modality"),
+        lit("image/png").as("mime"), col("payload"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      Multimodal.imageNearDups(env).orderBy("id_a", "id_b")
+    }),
+
     "q_avro_roundtrip" -> ((s, dir) => {
       // REAL avro wire-format roundtrip (avro-core GenericDatum
       // expressions): json -> avro binary -> json must be the

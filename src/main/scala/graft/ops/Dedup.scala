@@ -178,9 +178,22 @@ object Dedup {
     * key width.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+                      maxHamming: Int = 3, blocks: Int = 6): DataFrame =
+    hammingNearDups(
+      spread(df).select(col(idCol).as("id"), simHash64(col(textCol)).as("sig")),
+      maxHamming, blocks)
+
+  /** Generic Hamming-ball pair search over 64-bit signatures —
+    * EXACT: pairs within `maxHamming` bits always share one of the
+    * C(blocks, blocks-maxHamming) block-combination keys (pigeonhole),
+    * and survivors verify with the true popcount, so the result equals
+    * the brute-force O(n²) scan at bucket-join cost. Shared by SimHash
+    * text near-dup and dHash image near-dup. Input: (`id`, `sig`)
+    * columns. Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def hammingNearDups(sigs: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
     require(blocks > maxHamming && blocks <= 16,
-      s"simhash blocking needs maxHamming < blocks <= 16, got h=$maxHamming blocks=$blocks")
+      s"hamming blocking needs maxHamming < blocks <= 16, got h=$maxHamming blocks=$blocks")
     val base = 64 / blocks; val extra = 64 % blocks
     val widths = Array.tabulate(blocks)(i => if (i < extra) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).dropRight(1)
@@ -188,10 +201,9 @@ object Dedup {
       shiftright(sim, offsets(i)).bitwiseAND(
         lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
     val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
-    val sigs = spread(df).select(col(idCol).as("id"), simHash64(col(textCol)).as("simhash"))
-    val keyed = sigs.select(col("id"), col("simhash"),
+    val keyed = sigs.select(col("id"), col("sig"),
       posexplode(array(combos.map { c =>
-        xxhash64(c.map(i => blockVal(col("simhash"), i)): _*)
+        xxhash64(c.map(i => blockVal(col("sig"), i)): _*)
       }: _*)).as(Seq("table_idx", "bkey")))
     val a = keyed.as("a")
     val b = keyed.as("b")
@@ -200,7 +212,7 @@ object Dedup {
         col("a.bkey") === col("b.bkey") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -282,6 +282,68 @@ object Multimodal {
       }
   }
 
+  final case class MediaSig(media_id: Long, dhash: Long)
+
+  /** dHash perceptual image fingerprint (difference hash — the
+    * standard public pHash-family scheme): decode, luminance-sample a
+    * (w+1)×h grid (nearest-neighbor, same sampling as [[resize]]),
+    * emit one bit per horizontal neighbor pair — bit set when the
+    * left sample is darker than the right — row-major from bit 0.
+    * Global brightness/contrast shifts preserve the inequalities, so
+    * near-identical images land within a few Hamming bits; 8×8 = the
+    * classic 64-bit hash. Undecodable payloads drop. Same
+    * mapPartitions kernel shape as [[decodeAndFeaturize]].
+    */
+  def dHash(envelope: DataFrame, w: Int = 8, h: Int = 8): Dataset[MediaSig] = {
+    val spark = envelope.sparkSession
+    import spark.implicits._
+    require(w > 0 && h > 0 && w * h <= 64,
+      s"dHash: need 0 < w*h <= 64 bits, got ${w}x$h")
+    envelope.select("media_id", "modality", "mime", "payload", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+            else {
+              def lum(sx: Int, sy: Int): Double = {
+                val rgb = img.getRGB(sx, sy)
+                0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              }
+              var bits = 0L
+              var y = 0
+              while (y < h) {
+                val sy = y * img.getHeight / h
+                var prev = lum(0, sy)
+                var x = 0
+                while (x < w) {
+                  val cur = lum((x + 1) * img.getWidth / (w + 1), sy)
+                  if (prev < cur) bits |= 1L << (y * w + x)
+                  prev = cur
+                  x += 1
+                }
+                y += 1
+              }
+              Some(MediaSig(r.media_id, bits))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs: dHash signatures through the same
+    * EXACT Manku block-combination Hamming search as SimHash text
+    * dedup ([[Dedup.hammingNearDups]]) — bucket-join candidates, true
+    * popcount verify, never all-pairs. Output (id_a, id_b, hamming).
+    */
+  def imageNearDups(envelope: DataFrame, maxHamming: Int = 3,
+                    blocks: Int = 6): DataFrame =
+    Dedup.hammingNearDups(
+      dHash(envelope).toDF().select(col("media_id").as("id"),
+        col("dhash").as("sig")),
+      maxHamming, blocks)
+
   /** Frame sampling for video-like payloads: split the payload into
     * fixed-size "frames" and keep every `stride`-th — pure Column
     * (sequence + transform over binary slices), demonstrating the

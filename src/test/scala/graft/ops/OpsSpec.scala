@@ -683,6 +683,53 @@ class OpsSpec extends SparkTestBase {
     assert(out.width == 4 && out.height == 4 && out.feature.sameElements(r.feature))
   }
 
+  test("dHash: gradient bit patterns, brightness invariance, near-dup search") {
+    import spark.implicits._
+    def png(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, paint(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def env(rows: Seq[(Long, Array[Byte])]) =
+      rows.toDF("media_id", "payload").select(
+        col("media_id"), lit("image").as("modality"),
+        lit("image/png").as("mime"), col("payload"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    def hashOf(bytes: Array[Byte]): Long =
+      Multimodal.dHash(env(Seq(1L -> bytes))).collect().head.dhash
+    val grad = (x: Int, _: Int) => { val v = x * 15; (v << 16) | (v << 8) | v }
+    // strictly increasing left->right luminance: every bit set
+    assert(hashOf(png(grad)) == -1L)
+    // strictly decreasing: no bit set
+    assert(hashOf(png((x, y) => grad(15 - x, y))) == 0L)
+    // global brightness shift preserves every inequality -> same hash
+    val stripes = (x: Int, y: Int) =>
+      if ((x / 3 + y / 4) % 2 == 0) 0xD0D0D0 else 0x303030
+    val shifted = (x: Int, y: Int) => stripes(x, y) + 0x1F1F1F
+    assert(hashOf(png(stripes)) == hashOf(png(shifted)))
+    assert(hashOf(png(stripes)) != hashOf(png(grad)))
+    // near-dup search: banded result == brute-force hamming scan, and
+    // a one-pixel perturbed copy pairs with its original
+    val perturbed = (x: Int, y: Int) =>
+      if (x == 14 && y == 10) 0x404040 else stripes(x, y)
+    val all = env(Seq(1L -> png(stripes), 2L -> png(perturbed),
+      3L -> png(grad), 4L -> png((x, y) => grad(15 - x, y))))
+    val got = Multimodal.imageNearDups(all, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Multimodal.dHash(all).collect().map(s => s.media_id -> s.dhash)
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L)), s"planted near-copy not found: $got")
+    assert(!got.contains((3L, 4L))) // opposite gradients are 64 bits apart
+  }
+
   test("real WAV decode: rate/channels + band RMS from synthesized PCM") {
     // mono 8kHz PCM-16: first half silence, second half full-scale square
     val n = 1000
