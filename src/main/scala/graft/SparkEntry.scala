@@ -886,6 +886,37 @@ object SparkEntry {
       Multimodal.imageNearDups(env).orderBy("id_a", "id_b")
     }),
 
+    "q_audio_dedup" -> ((s, dir) => {
+      // rows-only (PCM energy hashes have no SQL oracle; exact brute-
+      // force oracle in OpsSpec): synthetic WAVs + re-levelled/blipped
+      // near-copies -> energy-envelope hash -> exact hamming search
+      import s.implicits._
+      val n = 2600
+      def wav(i: Int, blip: Boolean): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+        bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+          .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        bb.put("data".getBytes).putInt(n * 2)
+        for (j <- 0 until n) {
+          val win = j / 40
+          var a = if ((win / (2 + i % 5) + i) % 2 == 0) 0.8 else 0.2
+          if (blip && win == 30) a *= 1.5
+          bb.putShort((a * 32767 * (if (j % 2 == 0) 1 else -1)).toShort)
+        }
+        bb.array()
+      }
+      val rows = (0 until 16).flatMap(i =>
+        Seq((i.toLong, wav(i, blip = false)),
+          (i + 100L, wav(i, blip = true))))
+      val env = rows.toDF("media_id", "payload").select(
+        col("media_id"), lit("audio").as("modality"),
+        lit("audio/wav").as("mime"), col("payload"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      Multimodal.audioNearDups(env).orderBy("id_a", "id_b")
+    }),
+
     "q_avro_roundtrip" -> ((s, dir) => {
       // REAL avro wire-format roundtrip (avro-core GenericDatum
       // expressions): json -> avro binary -> json must be the

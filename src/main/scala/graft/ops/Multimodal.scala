@@ -344,6 +344,47 @@ object Multimodal {
         col("dhash").as("sig")),
       maxHamming, blocks)
 
+  final case class AudioSig(media_id: Long, ahash: Long)
+
+  /** Energy-envelope difference hash for PCM audio — [[dHash]]'s
+    * scheme over the time axis: decode WAV (the real PCM path), split
+    * the sample stream into `bits`+1 equal windows, take per-window
+    * RMS energy, and emit one bit per neighbor pair (left quieter
+    * than right). Gain scaling preserves every inequality, so
+    * re-levelled copies of a recording hash identically — the audio
+    * analog of dHash's brightness invariance. Non-WAV payloads drop.
+    */
+  def audioHash(envelope: DataFrame, bits: Int = 64): Dataset[AudioSig] = {
+    val spark = envelope.sparkSession
+    import spark.implicits._
+    require(bits > 0 && bits <= 64, s"audioHash: need 0 < bits <= 64, got $bits")
+    envelope.select("media_id", "modality", "mime", "payload", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeWav(r, bits + 1).map { f =>
+            var sig = 0L
+            var i = 0
+            while (i < bits) {
+              if (f.feature(i) < f.feature(i + 1)) sig |= 1L << i
+              i += 1
+            }
+            AudioSig(r.media_id, sig)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate audio pairs: [[audioHash]] signatures through the
+    * exact Manku Hamming search ([[Dedup.hammingNearDups]]).
+    */
+  def audioNearDups(envelope: DataFrame, maxHamming: Int = 3,
+                    blocks: Int = 6): DataFrame =
+    Dedup.hammingNearDups(
+      audioHash(envelope).toDF().select(col("media_id").as("id"),
+        col("ahash").as("sig")),
+      maxHamming, blocks)
+
   /** Frame sampling for video-like payloads: split the payload into
     * fixed-size "frames" and keep every `stride`-th — pure Column
     * (sequence + transform over binary slices), demonstrating the

@@ -730,6 +730,51 @@ class OpsSpec extends SparkTestBase {
     assert(!got.contains((3L, 4L))) // opposite gradients are 64 bits apart
   }
 
+  test("audioHash: envelope bit patterns, gain invariance, near-dup search") {
+    import spark.implicits._
+    val n = 2600 // 65 windows x 40 samples
+    def wav(amp: Int => Double): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(n * 2)
+      for (i <- 0 until n) // square carrier under the test envelope
+        bb.putShort((amp(i) * 32767 * (if (i % 2 == 0) 1 else -1)).toShort)
+      bb.array()
+    }
+    def env(rows: Seq[(Long, Array[Byte])]) =
+      rows.toDF("media_id", "payload").select(
+        col("media_id"), lit("audio").as("modality"),
+        lit("audio/wav").as("mime"), col("payload"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    def hashOf(bytes: Array[Byte]): Long =
+      Multimodal.audioHash(env(Seq(1L -> bytes))).collect().head.ahash
+    // strictly rising envelope: every window louder than the last
+    assert(hashOf(wav(i => 0.1 + 0.8 * i / n)) == -1L)
+    assert(hashOf(wav(i => 0.9 - 0.8 * i / n)) == 0L)
+    // gain scaling preserves the inequalities -> identical hash
+    val steps = (i: Int) => if ((i / 40 / 5) % 2 == 0) 0.8 else 0.2
+    assert(hashOf(wav(steps)) == hashOf(wav(i => steps(i) * 0.5)))
+    assert(hashOf(wav(steps)) != hashOf(wav(i => 0.1 + 0.8 * i / n)))
+    // near-dup: a briefly-perturbed copy pairs with its original;
+    // banded search == brute-force hamming
+    val blip = (i: Int) => if (i / 40 == 30) steps(i) * 1.5 else steps(i)
+    val all = env(Seq(1L -> wav(steps), 2L -> wav(blip),
+      3L -> wav(i => 0.1 + 0.8 * i / n), 4L -> wav(i => 0.9 - 0.8 * i / n)))
+    val got = Multimodal.audioNearDups(all, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Multimodal.audioHash(all).collect().map(s => s.media_id -> s.ahash)
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L)), s"planted near-copy not found: $got")
+  }
+
   test("real WAV decode: rate/channels + band RMS from synthesized PCM") {
     // mono 8kHz PCM-16: first half silence, second half full-scale square
     val n = 1000
