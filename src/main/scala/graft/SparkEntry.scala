@@ -1840,6 +1840,14 @@ object SparkEntry {
       cdcStateDump(s, lake.read(s))
     }),
 
+    // OPTIMIZE ZORDER: the clustering rewrite is pure layout — same
+    // LWW oracle, content byte-identical through the rewrite
+    "q_zorder" -> ((s, dir) => {
+      val (lake, _) = eventsCdcReplay(s, dir)
+      lake.zorder(s, Seq("commit", "path"), tasks = 8)
+      cdcStateDump(s, lake.read(s))
+    }),
+
     "q_rollback" -> ((s, dir) => {
       // rollback_to_snapshot: after the full replay, roll the table
       // back to the state committed by the FIRST micro-batch; the
@@ -3319,6 +3327,7 @@ object SparkEntry {
     "q_lake_maintenance" -> cdcLwwOracle(""),
 
     "q_rebucket" -> cdcLwwOracle(""),
+    "q_zorder" -> cdcLwwOracle(""),
 
     "q_cdc_mor" -> cdcLwwOracle(""),
 

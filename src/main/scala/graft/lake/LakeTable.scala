@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -801,6 +801,97 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     writeSnapshot(snap.copy(
       version = commitVersion,
       buckets = newBuckets,
+      manifests = newRefs.sortBy(r => (r.bucket, r.path)),
+      lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
+        LineageEntry(-1L, bk, fs.size, commitVersion)
+      }.toSeq.sortBy(_.bucket)))
+    commitVersion
+  }
+
+  /** Z-ORDER clustering rewrite (Delta `OPTIMIZE ZORDER` / Iceberg
+    * sort-order analog): rewrite the whole table with rows ordered by
+    * the interleaved-bit z-value of `zcols`, so every output file
+    * covers a small HYPERCUBE of the z-column space instead of a thin
+    * full-width slice — parquet footer min/max stats on EVERY z
+    * column then skip row groups/files for multi-column predicates,
+    * which a single-column sort only gives the leading column.
+    *
+    * Column ordinals: numerics scale by global min/max into 16-bit
+    * cells (one aggregate pass, driver-literalized); strings use
+    * their first-7-byte big-endian prefix (Iceberg's truncate
+    * transform) — lexicographic locality, documented skew caveat vs
+    * range-id cells. Bucket routing (repo → bucket) is untouched, so
+    * merge/prune semantics are identical; within buckets the (repo,
+    * path) manifest ranges widen — the documented z-order tradeoff:
+    * multi-dim scan locality bought with single-key range width.
+    * Admin-cadence whole-table rewrite like [[rebucket]]; folds MoR
+    * debt on the way through. `tasks` > 0 pins the rewrite fan
+    * (otherwise the compact/rebucket row-volume policy applies).
+    */
+  def zorder(spark: SparkSession, zcols: Seq[String], tasks: Int = -1): Long = synchronized {
+    require(zcols.nonEmpty && zcols.size <= 4,
+      s"zorder: 1-4 columns, got ${zcols.size}")
+    val snap = snapshot()
+    val sch = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    zcols.foreach(c => require(sch.fieldNames.contains(c),
+      s"zorder: column '$c' not in table schema ${sch.fieldNames.mkString(",")}"))
+    val all = allFiles(snap)
+    val commitVersion = snap.version + 1
+    val outDir = s"$root/" + f"data/c$commitVersion%08d"
+    val folded =
+      if (all.isEmpty) emptyDf(spark, sch).drop(BucketCol)
+      else resolve(spark.read.schema(internalSchema(sch))
+        .parquet(all.map(f => s"$root/${f.path}"): _*), snap)
+    // per-column ordinal: numeric/temporal → double; string → first-7-
+    // byte big-endian prefix (monotone in byte order, < 2^56)
+    def ordinal(name: String): Column = sch(name).dataType match {
+      case StringType =>
+        conv(rpad(substring(hex(encode(col(name), "UTF-8")), 1, 14), 14, "0"),
+          16, 10).cast("double")
+      case _ => col(name).cast("double")
+    }
+    // one pass for the global [min, max] of every ordinal
+    val aggs = zcols.flatMap(c => Seq(min(ordinal(c)), max(ordinal(c))))
+    val stats = folded.agg(aggs.head, aggs.tail: _*).head()
+    val ranges = zcols.indices.map { i =>
+      (Option(stats.get(2 * i)).fold(0.0)(_.asInstanceOf[Double]),
+        Option(stats.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double]))
+    }
+    // 16-bit cell per column, bits interleaved column-major per level:
+    // z = Σ_bit Σ_col ((cell_c >> bit) & 1) << (bit*k + c) — a literal-
+    // unrolled pure projection (16·k terms), one codegen stage
+    val k = zcols.size
+    val cells = zcols.zip(ranges).map { case (c, (lo, hi)) =>
+      if (hi <= lo) lit(0L)
+      else least(greatest(
+        floor((ordinal(c) - lit(lo)) / lit(hi - lo) * 65535.0), lit(0.0)),
+        lit(65535.0)).cast("long")
+    }
+    val z = (0 until 16).flatMap(bit => cells.zipWithIndex.map { case (cell, ci) =>
+      shiftleft(shiftright(cell, bit).bitwiseAND(lit(1L)), bit * k + ci)
+    }).reduce((a, b) => a.bitwiseOR(b))
+    val bucketed = folded.withColumn(BucketCol, bucketExpr(col("repo"), snap.buckets))
+      .withColumn("_z", z)
+    val totalRows = if (all.forall(_.rows >= 0)) all.map(_.rows).sum else -1L
+    val targetRowsPerTask = math.max(maxRecordsPerFile, 1L << 22)
+    val parallelism =
+      if (tasks > 0) tasks
+      else if (totalRows < 0) snap.buckets
+      else math.max(snap.buckets,
+        math.min(((totalRows + targetRowsPerTask - 1) / targetRowsPerTask).toInt,
+          spark.sparkContext.defaultParallelism * 4))
+    val partitioned =
+      if (parallelism <= snap.buckets)
+        bucketed.repartition(math.max(snap.buckets, 1), col(BucketCol))
+      else bucketed.repartitionByRange(parallelism, col(BucketCol), col("_z"))
+    writeData(partitioned
+      .sortWithinPartitions(col(BucketCol), col("_z"))
+      .drop("_z"), outDir)
+    val newFiles = manifestEntries(outDir)
+    val newRefs = newFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
+      .map { case (bk, fs) => writeManifest(commitVersion, bk, fs.sortBy(_.path)) }
+    writeSnapshot(snap.copy(
+      version = commitVersion,
       manifests = newRefs.sortBy(r => (r.bucket, r.path)),
       lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
         LineageEntry(-1L, bk, fs.size, commitVersion)

@@ -1,0 +1,108 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkTestBase
+
+/** Z-order clustering rewrite: content-invariant (same winners, time
+  * travel intact, empty changelog across the commit), and the layout
+  * actually clusters — every output file covers a small hypercube of
+  * the z-column space, unlike a lexicographic sort at the same file
+  * count.
+  */
+class ZorderSpec extends SparkTestBase {
+
+  private val userSchema = StructType(Seq(
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false)))
+
+  private def rows(n: Int): Seq[(Long, String, String, String, Long, Long)] =
+    (0 until n).map { i =>
+      // a, b decorrelated from insertion/path order: a path-sorted
+      // layout spans the full (a, b) plane in every file
+      (i.toLong, "upsert", "r0", f"p$i%05d", (i * 37L) % 64, (i * 101L) % 64)
+    }
+
+  private def freshLake(dir: String): LakeTable = {
+    val lake = new LakeTable(dir, buckets = 1)
+    lake.initIfNeeded(userSchema)
+    lake
+  }
+
+  private def content(lake: LakeTable, version: Long = -1L): Set[(String, Long, Long)] = {
+    val df = if (version < 0) lake.read(spark) else lake.readVersion(spark, version)
+    df.select("path", "a", "b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  /** Σ over files of the (a, b) bounding-box area — the stat that
+    * drives min/max skipping for 2-D predicates.
+    */
+  private def areaSum(parquetDir: Seq[String]): (Double, Int) = {
+    val per = spark.read.parquet(parquetDir: _*)
+      .groupBy(input_file_name()).agg(
+        min("a").as("la"), max("a").as("ha"),
+        min("b").as("lb"), max("b").as("hb"))
+      .collect().map(r => ((r.getLong(2) - r.getLong(1) + 1) *
+        (r.getLong(4) - r.getLong(3) + 1)).toDouble)
+    (per.sum, per.length)
+  }
+
+  test("zorder: content-invariant rewrite that clusters the z columns") {
+    import spark.implicits._
+    val dir = tmpDir("zorder")
+    val lake = freshLake(dir)
+    lake.merge(rows(4096).toDF("seq", "op", "repo", "path", "a", "b"), 0L)
+    val v1 = lake.currentVersion()
+    val before = content(lake)
+
+    val v2 = lake.zorder(spark, Seq("a", "b"), tasks = 8)
+    assert(v2 == v1 + 1)
+    assert(content(lake) == before, "zorder changed table content")
+    assert(content(lake, v1) == before, "time travel broken")
+    // a pure-layout commit is changelog-silent
+    assert(lake.changesBetween(spark, v1 + 1, v2).isEmpty)
+
+    // layout quality: z files cover small (a, b) boxes; the same rows
+    // written path-sorted at the same file count span the whole plane
+    val zPaths = lake.files(v2).map(f => s"$dir/${f.path}")
+    val (zArea, zFiles) = areaSum(zPaths)
+    assert(zFiles >= 4, s"expected a fanned rewrite, got $zFiles files")
+    val lexDir = tmpDir("zorder-lex")
+    rows(4096).toDF("seq", "op", "repo", "path", "a", "b")
+      .repartitionByRange(zFiles, col("path")).sortWithinPartitions("path")
+      .write.mode("overwrite").parquet(lexDir)
+    val (lexArea, _) = areaSum(Seq(lexDir))
+    assert(zArea * 3 < lexArea,
+      s"z-order boxes not tighter: z=$zArea lex=$lexArea over $zFiles files")
+
+    // the table stays fully writable after the rewrite
+    lake.merge(Seq((9999L, "upsert", "r0", "p00000", 1L, 2L))
+      .toDF("seq", "op", "repo", "path", "a", "b"), 1L)
+    assert(content(lake).contains(("p00000", 1L, 2L)))
+  }
+
+  test("zorder: string columns cluster by byte prefix; single column = sort") {
+    import spark.implicits._
+    val lake = freshLake(tmpDir("zorder-str"))
+    lake.merge(rows(256).toDF("seq", "op", "repo", "path", "a", "b"), 0L)
+    val before = content(lake)
+    lake.zorder(spark, Seq("path", "a"))
+    assert(content(lake) == before)
+    lake.zorder(spark, Seq("b"))
+    assert(content(lake) == before)
+  }
+
+  test("zorder rejects unknown and too-many columns") {
+    import spark.implicits._
+    val lake = freshLake(tmpDir("zorder-bad"))
+    lake.merge(rows(8).toDF("seq", "op", "repo", "path", "a", "b"), 0L)
+    intercept[IllegalArgumentException](lake.zorder(spark, Seq("nope")))
+    intercept[IllegalArgumentException](lake.zorder(spark, Nil))
+    intercept[IllegalArgumentException](
+      lake.zorder(spark, Seq("a", "b", "path", "repo", "a")))
+  }
+}
