@@ -224,7 +224,13 @@ object JqCompiler {
         // jq's arithmetic-sequence generator. Elements render like
         // numbers (integral values drop the .0). step 0 — jq's
         // infinite stream — yields the empty stream here (documented:
-        // an unbounded stream cannot be a column).
+        // an unbounded stream cannot be a column). FRACTIONAL steps:
+        // elements are from + i*step and count = ceil((upto-from)/
+        // step), not jq's accumulate-and-compare loop — the two can
+        // differ by one element and in low float bits near the end of
+        // the range (range(0;1;0.1): 10 here, 11 in jq, whose
+        // accumulated 0.999… still compares < 1). Integer steps are
+        // exact; documented delta for fractional ones.
         case Fn("range", rargs) =>
           require(rargs.nonEmpty && rargs.size <= 3,
             "jq: range takes 1-3 arguments")
@@ -247,7 +253,11 @@ object JqCompiler {
         // unboundedly; deeper values are absent — documented cap).
         // Children = array elements / object values via the same
         // iterator as `.[]`, error-suppressed on scalars like jq's
-        // `.[]?` desugaring
+        // `.[]?` desugaring. recurse(f)'s custom step filter is NOT
+        // supported — loud, never silently the wrong traversal
+        case Fn("recurse", rargs) if rargs.nonEmpty =>
+          throw new IllegalArgumentException(
+            "jq: recurse(f) with a custom step filter is not supported — use `..`")
         case Fn("recurse", _) =>
           def walk(el: Column, depth: Int): Column =
             if (depth == 0) array(el)

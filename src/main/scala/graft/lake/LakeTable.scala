@@ -857,17 +857,22 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       (Option(stats.get(2 * i)).fold(0.0)(_.asInstanceOf[Double]),
         Option(stats.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double]))
     }
-    // 16-bit cell per column, bits interleaved column-major per level:
-    // z = Σ_bit Σ_col ((cell_c >> bit) & 1) << (bit*k + c) — a literal-
-    // unrolled pure projection (16·k terms), one codegen stage
+    // per-column min/max cell, bits interleaved column-major per
+    // level: z = Σ_bit Σ_col ((cell_c >> bit) & 1) << (bit*k + c) — a
+    // literal-unrolled pure projection, one codegen stage. Cell width
+    // is capped so the interleaved value never reaches the long's
+    // SIGN bit (k=4 → 15 bits/col = 60 bits): a sign-bit z would sort
+    // the top half of the space BEFORE the bottom
     val k = zcols.size
+    val bitsPerCol = math.min(16, 63 / k)
+    val cellMax = ((1L << bitsPerCol) - 1).toDouble
     val cells = zcols.zip(ranges).map { case (c, (lo, hi)) =>
       if (hi <= lo) lit(0L)
       else least(greatest(
-        floor((ordinal(c) - lit(lo)) / lit(hi - lo) * 65535.0), lit(0.0)),
-        lit(65535.0)).cast("long")
+        floor((ordinal(c) - lit(lo)) / lit(hi - lo) * cellMax), lit(0.0)),
+        lit(cellMax)).cast("long")
     }
-    val z = (0 until 16).flatMap(bit => cells.zipWithIndex.map { case (cell, ci) =>
+    val z = (0 until bitsPerCol).flatMap(bit => cells.zipWithIndex.map { case (cell, ci) =>
       shiftleft(shiftright(cell, bit).bitwiseAND(lit(1L)), bit * k + ci)
     }).reduce((a, b) => a.bitwiseOR(b))
     val bucketed = folded.withColumn(BucketCol, bucketExpr(col("repo"), snap.buckets))
@@ -875,15 +880,16 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     val totalRows = if (all.forall(_.rows >= 0)) all.map(_.rows).sum else -1L
     val targetRowsPerTask = math.max(maxRecordsPerFile, 1L << 22)
     val parallelism =
-      if (tasks > 0) tasks
+      if (tasks > 0) tasks // pinned fan is honored verbatim
       else if (totalRows < 0) snap.buckets
       else math.max(snap.buckets,
         math.min(((totalRows + targetRowsPerTask - 1) / targetRowsPerTask).toInt,
           spark.sparkContext.defaultParallelism * 4))
     val partitioned =
-      if (parallelism <= snap.buckets)
+      if (tasks <= 0 && parallelism <= snap.buckets)
         bucketed.repartition(math.max(snap.buckets, 1), col(BucketCol))
-      else bucketed.repartitionByRange(parallelism, col(BucketCol), col("_z"))
+      else bucketed.repartitionByRange(math.max(parallelism, 1),
+        col(BucketCol), col("_z"))
     writeData(partitioned
       .sortWithinPartitions(col(BucketCol), col("_z"))
       .drop("_z"), outDir)

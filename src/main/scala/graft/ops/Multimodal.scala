@@ -167,7 +167,9 @@ object Multimodal {
     val bandN = new Array[Long](featureDim)
     var i = 0
     while (i < n) {
-      val band = math.min(i * featureDim / n, featureDim - 1)
+      // long math: i * featureDim overflows Int at ~33M samples with
+      // the 65-band audioHash — a few minutes of 44.1kHz audio
+      val band = math.min((i.toLong * featureDim / n).toInt, featureDim - 1)
       val s = le16(b, dataOff + i * 2).toShort / 32768.0
       bandSq(band) += s * s
       bandN(band) += 1
@@ -362,7 +364,8 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          decodeWav(r, bits + 1).map { f =>
+          // a malformed payload drops the record, never the task
+          try decodeWav(r, bits + 1).map { f =>
             var sig = 0L
             var i = 0
             while (i < bits) {
@@ -370,7 +373,7 @@ object Multimodal {
               i += 1
             }
             AudioSig(r.media_id, sig)
-          }
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
       }
   }

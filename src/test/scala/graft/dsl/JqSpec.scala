@@ -131,6 +131,9 @@ class JqSpec extends SparkTestBase {
     intercept[Exception](JqCompiler.compile(". + $y"))
     // a generator inside a function argument is out of subset, loud
     intercept[Exception](JqCompiler.compileAuto("ltrimstr(.a[])"))
+    // recurse(f)'s custom step filter would silently mis-traverse —
+    // loud instead (bare `..`/recurse is the supported form)
+    intercept[Exception](JqCompiler.compileAuto("recurse(.children[])"))
   }
 
   test("stream: select() with a generator condition repeats per truthy output") {

@@ -63,8 +63,8 @@ class ZorderSpec extends SparkTestBase {
     assert(v2 == v1 + 1)
     assert(content(lake) == before, "zorder changed table content")
     assert(content(lake, v1) == before, "time travel broken")
-    // a pure-layout commit is changelog-silent
-    assert(lake.changesBetween(spark, v1 + 1, v2).isEmpty)
+    // a pure-layout commit is changelog-silent (diff SPANS the commit)
+    assert(lake.changesBetween(spark, v1, v2).isEmpty)
 
     // layout quality: z files cover small (a, b) boxes; the same rows
     // written path-sorted at the same file count span the whole plane
