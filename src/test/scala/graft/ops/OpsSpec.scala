@@ -646,6 +646,42 @@ class OpsSpec extends SparkTestBase {
     assert(dense.size <= 44 - 4 + 1 && dense.size >= (44 - 4 - 4 + 2) / (4 + 1))
   }
 
+  test("winnow guarantee holds on 200 randomized shared-substring pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def s(len: Int): String =
+      Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    val k = 5; val w = 4
+    val rows = (0 until 200).map { i =>
+      val shared = s(w + k - 1 + rnd.nextInt(12)) // >= w+k-1 chars
+      (i.toLong, s(rnd.nextInt(20)) + shared + s(rnd.nextInt(20)),
+        s(rnd.nextInt(20)) + shared + s(rnd.nextInt(20)))
+    }
+    val fps = rows.toDF("i", "d1", "d2").select(col("i"),
+      transform(TextOps.winnow(col("d1"), k, w), _.getField("fp")).as("f1"),
+      transform(TextOps.winnow(col("d2"), k, w), _.getField("fp")).as("f2"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSet))
+    fps.foreach { case (i, a, b) =>
+      assert((a & b).nonEmpty, s"pair $i shares no fingerprint")
+    }
+  }
+
+  test("chunkTokens covers every token exactly once at stride == maxTokens") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, (0 until rnd.nextInt(50)).map(_ =>
+        "t" + rnd.nextInt(1000)).mkString("  "))
+    }
+    val got = rows.toDF("i", "text").select(col("i"),
+      array_join(TextOps.chunkTokens(col("text"), 7, 7), " ").as("joined"),
+      array_join(filter(TextOps.tokens(col("text")),
+        t => length(t) > 0), " ").as("norm"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    got.foreach { case (joined, norm) => assert(joined == norm) }
+  }
+
   // ------------------------------------------------------------------
   // multimodal plumbing
   // ------------------------------------------------------------------
