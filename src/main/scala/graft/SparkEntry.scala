@@ -1682,6 +1682,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_sink_partitioned" -> ((s, dir) => {
+      // Hive-style dataset partitioning under the batch-id level:
+      // partition_by [event_type] -> readers partition-prune, replays
+      // still overwrite exactly their own batch subtree
+      val out = java.nio.file.Files.createTempDirectory("graft-pt").toString
+      val sink = graft.sinks.Sink.ParquetDir(out, Seq("event_type"))
+      val batch = t(s, dir, "events").select("event_id", "event_type", "value")
+      sink.write(batch, batchId = 0L)
+      sink.write(batch, batchId = 0L) // replay: dynamic overwrite, no dupes
+      s.read.parquet(out).select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
     "q_sink_reject" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-rj").toString
       val pipe = compile(Seq(PValidate("this.value <= 450.0", "too_big")))
@@ -3505,6 +3518,10 @@ object SparkEntry {
     "q_sink_fanout" ->
       """SELECT event_id FROM
         |(SELECT event_id FROM events UNION ALL SELECT event_id FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sink_partitioned" ->
+      """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
 
     "q_sink_reject" ->

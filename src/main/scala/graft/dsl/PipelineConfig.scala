@@ -326,7 +326,9 @@ object PipelineConfig {
         val codec = if (body.isTextual) "parquet"
           else opt(body, "codec").map(_.asText).getOrElse("parquet")
         codec match {
-          case "parquet" => ParquetDir(path)
+          case "parquet" => ParquetDir(path,
+            opt(body, "partition_by").map(g =>
+              (0 until g.size).map(g.get(_).asText)).getOrElse(Nil))
           case c => TextDir(path, c,
             opt(body, "column").map(_.asText).getOrElse("content"),
             opt(body, "compression").map(_.asText))

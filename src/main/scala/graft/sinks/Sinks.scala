@@ -32,14 +32,22 @@ object Sink {
   /** Append parquet files under `path` (reference `file` output;
     * upstream internal/impl/io/output_file.go). Batch-id partitioned
     * so replays overwrite their own partition instead of duplicating:
-    * idempotence via dynamic partition overwrite.
+    * idempotence via dynamic partition overwrite. `partitionCols`
+    * adds user Hive-style dataset partitioning UNDER the batch-id
+    * level (`_batch_id=N/lang=en/...`): readers partition-prune on
+    * the user columns, replays still overwrite exactly their own
+    * batch subtree.
     */
-  final case class ParquetDir(path: String) extends Sink {
+  final case class ParquetDir(path: String,
+                              partitionCols: Seq[String] = Nil) extends Sink {
     def write(batch: DataFrame, batchId: Long): Unit = {
+      partitionCols.foreach(c => require(batch.columns.contains(c),
+        s"file output partition_by column '$c' not in batch schema " +
+          batch.columns.mkString(",")))
       batch.withColumn("_batch_id", lit(batchId))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch_id")
+        .partitionBy("_batch_id" +: partitionCols: _*)
         .parquet(path)
       // An all-empty batch writes no files at all (the dynamic
       // partition writer sees no partition values), which can leave
@@ -47,9 +55,13 @@ object Sink {
       // of RejectErrored on a clean batch. Pin the schema with a
       // zero-row parquet file in this batch's partition. Detection is
       // a filesystem-metadata check, not a data pass.
+      // (only in the unpartitioned layout: a bare pin file next to
+      // user partition dirs would make partition discovery see
+      // conflicting structures; with partition_by an empty batch
+      // simply writes no subtree)
       val part = new org.apache.hadoop.fs.Path(s"$path/_batch_id=$batchId")
       val fs = part.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-      if (!fs.exists(part))
+      if (partitionCols.isEmpty && !fs.exists(part))
         batch.sparkSession.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), batch.schema)
           .write.mode(SaveMode.Overwrite).parquet(part.toString)

@@ -71,6 +71,39 @@ class SinksSpec extends SparkTestBase {
     assert(readDir(s"$d/b").count() == 3)
   }
 
+  test("parquet sink partition_by: Hive layout under batch id, pruning, replay") {
+    val d = tmpDir("sink-part")
+    val batch = Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c"))
+      .toDF("id", "lang", "content")
+    val s = Sink.ParquetDir(d, Seq("lang"))
+    s.write(batch, 0L)
+    s.write(batch, 0L) // replay overwrites its own subtree, no dupes
+    // directory layout: _batch_id=0/lang=en, lang=de
+    val sub = new java.io.File(s"$d/_batch_id=0").listFiles().map(_.getName).toSet
+    assert(Set("lang=en", "lang=de").subsetOf(sub), sub.toString)
+    assert(readDir(d).drop("lang").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // partition pruning engages on the user column
+    val pruned = spark.read.parquet(d).filter(col("lang") === "en")
+    assert(pruned.count() == 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"), scan.take(500))
+    // a missing partition column fails loudly
+    intercept[IllegalArgumentException](
+      Sink.ParquetDir(d, Seq("nope")).write(batch, 1L))
+    // YAML wiring
+    val yaml =
+      s"""output:
+         |  file:
+         |    path: $d-yaml
+         |    codec: parquet
+         |    partition_by: [lang]
+         |""".stripMargin
+    PipelineConfig.parse(s"pipeline:\n  processors: []\n$yaml")
+      .sink.get.write(batch, 0L)
+    assert(new java.io.File(s"$d-yaml/_batch_id=0/lang=de").exists())
+  }
+
   test("file output codecs: JSONL + gzipped lines roundtrip, replay idempotent") {
     val d = tmpDir("textsink")
     val batch = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0))
