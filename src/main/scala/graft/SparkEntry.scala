@@ -582,6 +582,23 @@ object SparkEntry {
           TextOps.langScores(col("text")): _*)
         .orderBy("doc_id")),
 
+    "q_text_ops_dsl" -> ((s, dir) => {
+      // the training-data text ops on the MAPPING-LANGUAGE surface:
+      // a pipeline scores quality, ids the language, counts tokens,
+      // fingerprints, and GATES on the score — one codegen'd
+      // projection + filter, the YAML user's curation loop
+      val pipe = compile(Seq(
+        PMapping(
+          """root.doc_id = this.doc_id
+            |root.lang_pred = this.text.lang_id()
+            |root.quality = this.text.quality_score()
+            |root.n_tokens = this.text.token_count()
+            |root.fp = this.text.content_fingerprint()
+            |""".stripMargin),
+        PFilter("this.quality > 0.5")))
+      pipe(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
     "q_quality" -> ((s, dir) =>
       graft.ops.spread(t(s, dir, "documents"))
         .select(col("doc_id") +: TextOps.qualityFeatures(col("text")): _*)
@@ -2757,6 +2774,29 @@ object SparkEntry {
       }
       val scoreCols = scoreSql.map { case (l, sc) => s"$sc AS score_$l" }.mkString(",\n")
       s"SELECT doc_id, $pred AS lang_pred,\n$scoreCols\nFROM documents ORDER BY doc_id"
+    },
+
+    "q_text_ops_dsl" -> {
+      val scoreSql = TextOps.LangMarkers.map { case (lang, ms) =>
+        val cnt = ms.map(m => s"len(regexp_extract_all(lower(text), '\\b$m\\b'))").mkString(" + ")
+        lang -> s"($cnt)"
+      }
+      val best = scoreSql.map(_._2).mkString("greatest(", ", ", ")")
+      val pred = scoreSql.reverse.foldLeft("'unknown'") { case (els, (lang, sc)) =>
+        s"CASE WHEN $sc > 0 AND $sc = $best THEN '$lang' ELSE $els END"
+      }
+      val quality =
+        """least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 64.0, 1.0) * 0.4
+          |  + greatest(1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+          |      / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 0.0) * 0.4
+          |  + (CASE WHEN (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          |        t -> list_contains(['the','a','an','and','of','to','in','is','it','for'], lower(t)))) AS DOUBLE)
+          |      / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE))
+          |      BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2""".stripMargin
+      s"""SELECT doc_id, $pred AS lang_pred, $quality AS quality,
+         |CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |FROM documents WHERE $quality > 0.5 ORDER BY doc_id""".stripMargin
     },
 
     "q_quality" ->

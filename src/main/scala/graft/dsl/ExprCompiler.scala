@@ -344,7 +344,7 @@ object ExprCompiler {
     "escape_html", "unescape_html", "strip_html", "escape_url_query",
     "unescape_url_query", "format", "pad_left", "pad_right",
     "filepath_join", "format_yaml",
-    "quote", "unquote", "reverse",
+    "quote", "unquote", "reverse", "lang_id", "content_fingerprint",
     "sign_jwt_hs256", "sign_jwt_hs384", "sign_jwt_hs512",
     "type", "first", "last", "index", "not_null", "not_empty", "or", "catch")
 
@@ -552,6 +552,14 @@ object ExprCompiler {
         s".$name() needs a literal arg at position $i")
     }
     val out: Column = name match {
+      // text-analysis (faithful extensions: the training-data ops
+      // exposed on the mapping-language surface, so YAML pipelines can
+      // gate/score/route on them — all pure projections)
+      case "lang_id" => graft.ops.TextOps.langId(c)
+      case "quality_score" => graft.ops.TextOps.qualityScore(c)
+      case "token_count" => graft.ops.TextOps.tokenCount(c).cast("long")
+      case "bpe_token_count" => graft.ops.TextOps.bpeTokenCount(c).cast("long")
+      case "content_fingerprint" => graft.ops.TextOps.fingerprintMd5(c)
       // strings
       case "uppercase" => upper(c)
       case "lowercase" => lower(c)

@@ -107,6 +107,12 @@ object TextOps {
       score.as("quality"))
   }
 
+  /** The scalar quality score alone (the `quality` column of
+    * [[qualityFeatures]]) — the mapping-language `quality_score()`
+    * method's target.
+    */
+  def qualityScore(text: Column): Column = qualityFeatures(text).last
+
   // ------------------------------------------------------------------
   // PII scanning / redaction (the C4/CCNet-style scrub pass)
   // ------------------------------------------------------------------
