@@ -2316,6 +2316,34 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id")
     }),
 
+    "q_jq_var" -> ((s, dir) => {
+      // `EXPR as $x | body` variable binding + foreach running fold
+      // (round 3, closing the $var delta): bind the doc's key, then
+      // stream the running sum of its array with the binding attached
+      // to every output — one aggregate() projection, no shuffle
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "{\"k\":" + $k.string() + ",\"xs\":[" + $k.string() + "," + ($k + 1).string() + "," + ($k + 2).string() + "]}"
+            |""".stripMargin),
+        PJq(".k as $b | foreach .xs[] as $x (0; . + $x; {id: $b, run: .})", "doc")))
+      pipe(t(s, dir, "events")).orderBy("event_id", "doc")
+    }),
+
+    "q_jq_recurse_f" -> ((s, dir) => {
+      // recurse(f; cond) custom-step traversal (round 3): arithmetic
+      // climb from k while the next value stays under the bound —
+      // unrolled like `..`, one projection; oracle is a recursive CTE
+      val pipe = compile(Seq(
+        PMapping(
+          """root.event_id = this.event_id
+            |root.doc = this.props.json_path("$.k").int64().string()
+            |""".stripMargin),
+        PJq("recurse(. + 17; . < 200)", "doc")))
+      pipe(t(s, dir, "events")).orderBy("event_id", "doc")
+    }),
+
     "q_jq_object" -> ((s, dir) => {
       // `.[]` over an OBJECT streams its values in document key order
       // (round-3 delta closed) — one output row per even value
@@ -3702,6 +3730,23 @@ object SparkEntry {
       """SELECT event_id,
         |CAST(3 * CAST(json_extract_string(props, '$.k') AS BIGINT) + 3 AS VARCHAR) AS doc
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_jq_var" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |e AS (SELECT event_id, k,
+        |        CASE off WHEN 0 THEN k WHEN 1 THEN 2*k+1 ELSE 3*k+3 END AS run
+        |      FROM k CROSS JOIN (VALUES (0), (1), (2)) AS t(off))
+        |SELECT event_id, '{"id":' || k || ',"run":' || run || '}' AS doc
+        |FROM e ORDER BY event_id, doc""".stripMargin,
+
+    "q_jq_recurse_f" ->
+      """WITH RECURSIVE k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |r AS (SELECT event_id, k AS v FROM k
+        |      UNION ALL SELECT event_id, v + 17 FROM r WHERE v + 17 < 200)
+        |SELECT event_id, CAST(v AS VARCHAR) AS doc
+        |FROM r ORDER BY event_id, doc""".stripMargin,
 
     "q_jq_object" ->
       """WITH k AS (SELECT event_id,

@@ -74,6 +74,18 @@ import org.apache.spark.sql.functions._
   * [[RecurseDepth]] levels (documented cap). Remaining loud errors:
   * streams in other function-arg positions.
   *
+  * Variable bindings (round 3, closing the `$var` delta):
+  * `EXPR as $x | body` binds each output of EXPR for the REST of the
+  * pipeline (`.` stays the binding point's input, jq exact; EXPR
+  * varying slowest; inner `as $x` shadows; destructuring patterns
+  * are rejected loudly); `foreach STREAM as $x (INIT; UPDATE[;
+  * EXTRACT])` is jq's running fold — one output per element, compiled
+  * to a single aggregate() carrying an (accumulator, outputs) struct
+  * state; `recurse(f)` / `recurse(f; cond)` unroll the custom-step
+  * traversal to [[RecurseDepth]] like `..` (SQL-null step outputs end
+  * a branch — the `recurse(f?)` error-suppressed reading, same
+  * missing-vs-null conflation documented for paths).
+  *
   * Documented deltas from full jq (SURVEY.md §2.9): numbers evaluate
   * as doubles and render integral values without the trailing `.0`
   * (jq's own integer rendering); re-embedding a path value into a
@@ -167,6 +179,37 @@ object JqCompiler {
     } else {
       val preE = stages.take(genIdx).reduceOption(Pipe(_, _))
       val (preV, preK) = preE.map(eval(_, inV)).getOrElse((inV, None))
+      stages(genIdx) match {
+        // `EXPR as $x | body` — jq's variable binding: for each output
+        // of EXPR the body (the REST of the pipeline) evaluates with
+        // `.` UNCHANGED (the binding point's input, not the element)
+        // and $x substituted at the AST level, exactly like reduce;
+        // EXPR varying slowest matches jq's backtracking order. The
+        // rest of the pipeline is consumed here, so return directly.
+        case AsBind(src, name) =>
+          val rest = stages.drop(genIdx + 1)
+          require(rest.nonEmpty,
+            "jq: `as $x` needs a body — `EXPR as $x | body`")
+          // an inner `as $name` rebind shadows: substitute only up to
+          // (and including — its src sees the outer value) the first
+          // sibling stage that rebinds the name
+          def boundRest(repl: E): Seq[E] = rest.indexWhere(bindsVar(_, name)) match {
+            case -1 => rest.map(subst(_, name, repl))
+            case i => rest.take(i + 1).map(subst(_, name, repl)) ++ rest.drop(i + 1)
+          }
+          val els = streamEls(src, preV)
+          val out = flatten(transform(els, el =>
+            buildStream(boundRest(ColLit(JqVal(el, TJson))),
+              preV, top = false)._1))
+          return (
+            if (top) (out, preK)
+            else (preK match {
+              case None => out
+              case Some(k) =>
+                when(coalesce(k, lit(false)), out).otherwise(emptyOut)
+            }, None))
+        case _ => ()
+      }
       val (raw, genK) = stages(genIdx) match {
         case IterAll(t) =>
           val (tv, tk) = eval(t, preV)
@@ -255,9 +298,43 @@ object JqCompiler {
         // iterator as `.[]`, error-suppressed on scalars like jq's
         // `.[]?` desugaring. recurse(f)'s custom step filter is NOT
         // supported — loud, never silently the wrong traversal
+        // recurse(f) / recurse(f; cond): jq's
+        // `def recurse(f): ., (f | recurse(f));` unrolled to
+        // RecurseDepth like `..` (growth stays linear — each level
+        // embeds f exactly once). A step output that is SQL-null
+        // (absent path) ends that branch — the error-suppressed
+        // `recurse(f?)` behavior, same missing-vs-JSON-null
+        // conflation documented for paths. With cond, a child is
+        // visited only while cond is truthy — jq's `f | select(cond)`
+        // step (the root is always emitted, exactly jq).
         case Fn("recurse", rargs) if rargs.nonEmpty =>
-          throw new IllegalArgumentException(
-            "jq: recurse(f) with a custom step filter is not supported — use `..`")
+          require(rargs.size <= 2, "jq: recurse takes (f) or (f; cond)")
+          val stepStages = normalizeStages(rargs.head)
+          val condE = rargs.lift(1)
+          def kids(el: Column): Column = {
+            val raw0 = filter(
+              buildStream(stepStages, JqVal(el, TJson), top = false)._1,
+              c => c.isNotNull)
+            condE match {
+              case None => raw0
+              case Some(ce) => filter(raw0, c => {
+                val (cv, ck) = eval(ce, JqVal(c, TJson))
+                val truthy = cv.t match {
+                  // stream elements are rendered texts: JSON null is
+                  // the TEXT `null` (falsy, like the Select case)
+                  case TJson =>
+                    cv.col.isNotNull && cv.col =!= "false" && cv.col =!= "null"
+                  case _ => boolOf(cv)
+                }
+                coalesce(truthy && ck.getOrElse(lit(true)), lit(false))
+              })
+            }
+          }
+          def walkF(el: Column, depth: Int): Column =
+            if (depth == 0) array(el)
+            else concat(array(el),
+              flatten(transform(kids(el), c => walkF(c, depth - 1))))
+          (walkF(renderTop(preV), RecurseDepth), None)
         case Fn("recurse", _) =>
           def walk(el: Column, depth: Int): Column =
             if (depth == 0) array(el)
@@ -270,6 +347,46 @@ object JqCompiler {
           val n = num(eval(largs.head, preV)._1).cast("int")
           val els = buildStream(normalizeStages(largs(1)), preV, top = false)._1
           (when(n > 0, slice(els, lit(1), n)).otherwise(emptyOut), None)
+        // foreach STREAM as $x (INIT; UPDATE[; EXTRACT]) — jq's
+        // running fold: one output per element (the updated
+        // accumulator, or EXTRACT of it with `.` = that accumulator),
+        // compiled to ONE aggregate() whose state is a struct of
+        // (accumulator, outputs-so-far) — still a single codegen'd
+        // projection, like reduce.
+        case Foreach(term, varName, init, update, extract) =>
+          val elems = buildStream(normalizeStages(term), preV, top = false)._1
+          val (initV, initK) = eval(init, preV)
+          val sparkT = initV.t match {
+            case TNum => "double"
+            case TBool => "boolean"
+            case _ => "string"
+          }
+          val z = struct(initV.col.cast(sparkT).as("acc"),
+            array().cast("array<string>").as("out"))
+          val folded = aggregate(elems, z, (st, x) => {
+            val accV = JqVal(st.getField("acc"), initV.t)
+            val bound = ColLit(JqVal(x, TJson))
+            val (uv, uk) = eval(subst(update, varName, bound), accV)
+            require(uk.isEmpty,
+              "jq: select() inside a foreach update is not supported")
+            val newAcc = (initV.t match {
+              case TNum => num(uv)
+              case TBool => boolOf(uv)
+              case _ => renderTop(uv)
+            }).cast(sparkT)
+            val outVal = extract match {
+              case None => renderTop(JqVal(newAcc, initV.t))
+              case Some(ex) =>
+                val (ev, ek) = eval(subst(ex, varName, bound),
+                  JqVal(newAcc, initV.t))
+                require(ek.isEmpty,
+                  "jq: select() inside a foreach extract is not supported")
+                renderTop(ev)
+            }
+            struct(newAcc.as("acc"),
+              concat(st.getField("out"), array(outVal)).as("out"))
+          }, st => st.getField("out"))
+          (folded, initK)
         case other => throw new IllegalArgumentException(
           s"jq: unsupported stream stage $other")
       }
@@ -380,6 +497,9 @@ object JqCompiler {
     // (`..`) streams the preorder traversal
     case Fn("range", _) | Fn("empty", _) | Fn("limit", _) |
          Fn("recurse", _) => true
+    // `E as $x` streams one body evaluation per output of E; foreach
+    // streams one output per element of its term
+    case AsBind(_, _) | Foreach(_, _, _, _, _) => true
     case _ => false
   }
 
@@ -480,8 +600,14 @@ object JqCompiler {
   private final case class PostPath(target: E, segs: Seq[Either[String, Int]]) extends E
   private final case class IterAll(target: E) extends E                   // target[]
   private final case class Comma(items: Seq[E]) extends E                 // e1, e2 (top level)
-  private final case class VarE(name: String) extends E                   // $x (reduce-bound)
+  private final case class VarE(name: String) extends E                   // $x (as/reduce/foreach-bound)
   private final case class Reduce(term: E, varName: String, init: E, update: E) extends E
+  // `EXPR as $x` — the body is the REST of the enclosing pipeline
+  // (compiler-level scope, like jq's `Term "as" Patterns '|' Exp`)
+  private final case class AsBind(src: E, varName: String) extends E
+  // foreach STREAM as $x (INIT; UPDATE[; EXTRACT]) — jq's running fold
+  private final case class Foreach(term: E, varName: String, init: E,
+                                   update: E, extract: Option[E]) extends E
   private final case class ColLit(v: JqVal) extends E                     // bound value (subst)
   private final case class Interp(parts: Seq[E]) extends E                // "a\(expr)b"
 
@@ -649,15 +775,31 @@ object JqCompiler {
         TStr), keep)
     case ColLit(v) => (v, None)
     case VarE(n) => throw new IllegalArgumentException(
-      s"jq: unbound variable $$$n (variables are only bound by reduce)")
+      s"jq: unbound variable $$$n (variables are bound by `as $$x`, reduce, or foreach)")
+    case AsBind(_, _) => throw new IllegalArgumentException(
+      "jq: `as $x` binding is only supported as a pipe stage (`EXPR as $x | body`)")
+    case Foreach(_, _, _, _, _) => throw new IllegalArgumentException(
+      "jq: foreach is a generator — only supported as a pipe stage")
     case IterAll(_) | Comma(_) => throw new IllegalArgumentException(
       "jq: multi-output (.[]/comma) is only supported as a top-level pipe stage")
   }
 
-  /** Capture-aware substitution of a reduce-bound variable. */
+  /** Does this pipe stage (or its rightmost sub-stage) bind `name`
+    * via `as $name`, shadowing it for the rest of the pipeline?
+    */
+  private def bindsVar(e: E, name: String): Boolean = e match {
+    case AsBind(_, v) => v == name
+    case Pipe(_, r) => bindsVar(r, name)
+    case _ => false
+  }
+
+  /** Capture-aware substitution of a bound variable (as/reduce/foreach). */
   private def subst(e: E, name: String, repl: E): E = e match {
     case VarE(n) if n == name => repl
-    case Pipe(l, r) => Pipe(subst(l, name, repl), subst(r, name, repl))
+    // an `as $name` in the left arm shadows the right arm (the rest
+    // of the pipeline is the binding's body)
+    case Pipe(l, r) => Pipe(subst(l, name, repl),
+      if (bindsVar(l, name)) r else subst(r, name, repl))
     case Alt(l, r) => Alt(subst(l, name, repl), subst(r, name, repl))
     case Bin(op, l, r) => Bin(op, subst(l, name, repl), subst(r, name, repl))
     case Neg(x) => Neg(subst(x, name, repl))
@@ -674,6 +816,11 @@ object JqCompiler {
     case Reduce(t, v, i, u) => Reduce(subst(t, name, repl), v,
       subst(i, name, repl),
       if (v == name) u else subst(u, name, repl)) // inner $x shadows
+    case AsBind(s, v) => AsBind(subst(s, name, repl), v) // body = rest of pipe (Pipe case)
+    case Foreach(t, v, i, u, x) => Foreach(subst(t, name, repl), v,
+      subst(i, name, repl),
+      if (v == name) u else subst(u, name, repl), // inner $x shadows
+      if (v == name) x else x.map(subst(_, name, repl)))
     case Interp(ps) => Interp(ps.map(subst(_, name, repl)))
     case other => other // Identity, Path, Lit, ColLit, other VarE
   }
@@ -936,9 +1083,26 @@ object JqCompiler {
     }
 
     private def parseCommaStage(): E = {
-      val es = scala.collection.mutable.ArrayBuffer[E](parseAlt())
-      while (eat(",")) es += parseAlt()
+      val es = scala.collection.mutable.ArrayBuffer[E](parseBindable())
+      while (eat(",")) es += parseBindable()
       if (es.size == 1) es.head else Comma(es.toSeq)
+    }
+
+    /** An alt-level expression optionally bound with `as $x` (jq's
+      * variable binding; the body is the rest of the pipeline, scoped
+      * at the compiler level). Only the plain `$var` pattern is
+      * supported — destructuring patterns (`as [$a,$b]`, `as {…}`)
+      * are rejected loudly, never silently misbound.
+      */
+    private def parseBindable(): E = {
+      val e = parseAlt()
+      if (peekWord("as")) {
+        eatWord("as"); skipWs()
+        require(pos < src.length && src.charAt(pos) == '$',
+          "jq: only `as $var` binding patterns are supported")
+        pos += 1
+        AsBind(e, parseWord())
+      } else e
     }
 
     private def skipWs(): Unit =
@@ -1087,6 +1251,18 @@ object JqCompiler {
             expect("("); val init = parsePipe(); expect(";")
             val upd = parsePipe(); expect(")")
             Reduce(term, v, init, upd)
+          case "foreach" =>
+            val term = parsePostfix()
+            expectWord("as"); skipWs()
+            require(pos < src.length && src.charAt(pos) == '$',
+              "jq: foreach expects `as $var`")
+            pos += 1
+            val v = parseWord()
+            expect("("); val init = parsePipe(); expect(";")
+            val upd = parsePipe()
+            val ext = if (eat(";")) Some(parsePipe()) else None
+            expect(")")
+            Foreach(term, v, init, upd, ext)
           case "if" =>
             val branches = scala.collection.mutable.ArrayBuffer[(E, E)]()
             val c0 = parsePipe(); expectWord("then")

@@ -131,9 +131,6 @@ class JqSpec extends SparkTestBase {
     intercept[Exception](JqCompiler.compile(". + $y"))
     // a generator inside a function argument is out of subset, loud
     intercept[Exception](JqCompiler.compileAuto("ltrimstr(.a[])"))
-    // recurse(f)'s custom step filter would silently mis-traverse —
-    // loud instead (bare `..`/recurse is the supported form)
-    intercept[Exception](JqCompiler.compileAuto("recurse(.children[])"))
   }
 
   test("stream: select() with a generator condition repeats per truthy output") {
@@ -485,5 +482,68 @@ class JqSpec extends SparkTestBase {
     intercept[Exception](one("with_entries(.value = .value + 1)", """{"a":1}"""))
     assert(one("""with_entries({key: .key, value: (.value + 1)})""", """{"a":1,"b":2}""")
       .contains("""{"a":2,"b":3}"""))
+  }
+
+  test("as $x binding: body sees $x, `.` stays the binding-point input") {
+    // scalar binding
+    assert(one(". as $x | $x.a + 1", """{"a":41}""").contains("42"))
+    // `.` unchanged in the body
+    assert(one(".a as $x | {v: $x, w: .b}", """{"a":1,"b":2}""")
+      .contains("""{"v":1,"w":2}"""))
+    // stream binding: one body evaluation per element
+    assert(run(".a[] as $x | $x * 10", """{"a":[1,2,3]}""") ==
+      Seq(Some("10"), Some("20"), Some("30")))
+    // classic shape: bind the doc, iterate, re-attach a root field
+    assert(run(". as $d | .items[] | {v: ., t: $d.tag}",
+      """{"tag":"k","items":[1,2]}""") ==
+      Seq(Some("""{"v":1,"t":"k"}"""), Some("""{"v":2,"t":"k"}""")))
+    // EXPR varies slowest across a body stream (jq backtracking order)
+    assert(run(".a[] as $x | .b[] + $x", """{"a":[10,20],"b":[1,2]}""") ==
+      Seq(Some("11"), Some("12"), Some("21"), Some("22")))
+    // inner binding shadows; both in scope before the shadow point
+    assert(one("1 as $x | 2 as $x | $x", "{}").contains("2"))
+    assert(one("1 as $x | ($x + 1) as $y | $x + $y", "{}").contains("3"))
+    // select() in the body filters per bound element
+    assert(run(".a[] as $x | select($x > 1) | $x", """{"a":[1,2,3]}""") ==
+      Seq(Some("2"), Some("3")))
+    // loud: destructuring patterns, missing body, non-stage positions
+    intercept[Exception](run(". as [$a, $b] | $a", "[1,2]"))
+    intercept[Exception](run(".a as $x", """{"a":1}"""))
+    intercept[Exception](run("ltrimstr(. as $x | $x)", "\"s\""))
+  }
+
+  test("foreach: running fold, one output per element") {
+    // 2-arg: emit each updated accumulator (running total)
+    assert(run("foreach .a[] as $x (0; . + $x)", """{"a":[1,2,3]}""") ==
+      Seq(Some("1"), Some("3"), Some("6")))
+    // 3-arg: EXTRACT runs with `.` = updated accumulator and $x bound
+    assert(run("foreach .a[] as $x (0; . + $x; {sum: ., el: $x})",
+      """{"a":[1,2]}""") ==
+      Seq(Some("""{"sum":1,"el":1}"""), Some("""{"sum":3,"el":2}""")))
+    // downstream stages apply per emitted output
+    assert(run("foreach .a[] as $x (0; . + $x) | . * 2", """{"a":[1,2]}""") ==
+      Seq(Some("2"), Some("6")))
+    // string accumulator
+    assert(run("""foreach .a[] as $x (""; . + $x)""", """{"a":["x","y"]}""") ==
+      Seq(Some("x"), Some("xy")))
+  }
+
+  test("recurse(f) and recurse(f; cond): custom-step traversal") {
+    // recurse(f): preorder, a SQL-null step output ends the branch
+    assert(run("recurse(.a)", """{"a":{"a":1}}""") ==
+      Seq(Some("""{"a":{"a":1}}"""), Some("""{"a":1}"""), Some("1")))
+    // recurse(f; cond): children visited only while cond holds;
+    // the root is always emitted
+    assert(run("1 | recurse(. * 2; . < 100)", "{}") ==
+      Seq(Some("1"), Some("2"), Some("4"), Some("8"), Some("16"),
+        Some("32"), Some("64")))
+    // jq manual's example shape: numeric halving
+    assert(run(".n | recurse(. / 2; . > 1)", """{"n":8}""") ==
+      Seq(Some("8"), Some("4"), Some("2")))
+    // step can be a generator: recurse(.[]?) over arrays == `..`
+    assert(run("recurse(.[])", "[[1],2]") ==
+      Seq(Some("[[1],2]"), Some("[1]"), Some("1"), Some("2")))
+    // loud: too many args
+    intercept[Exception](run("recurse(.a; .b; .c)", "{}"))
   }
 }
