@@ -259,6 +259,19 @@ object SparkEntry {
       pipe(t(s, dir, "events")).select("event_id", "value").orderBy("event_id")
     }),
 
+    "q_throw" -> ((s, dir) => {
+      // throw() inside a mapping (round 3): aborts the mapping for the
+      // row (assignments revert), sets _error with the message, and a
+      // downstream catch{} recovers — the reference's mapping-level
+      // error flow, all pure projections
+      val pipe = compile(Seq(
+        PMutation(
+          """root.status = if this.props.json_path("$.k").int64() % 7 == 0 { throw("k divisible by 7") } else { "ok" }
+            |""".stripMargin),
+        PCatch(Seq(PMutation("root.status = \"recovered\"")))))
+      pipe(t(s, dir, "events")).select("event_id", "status").orderBy("event_id")
+    }),
+
     "q_hash_fns" -> ((s, dir) => {
       val pipe = compile(Seq(PMapping(
         """root.id = this.p_partkey
@@ -2507,6 +2520,12 @@ object SparkEntry {
     "q_try_catch" ->
       """SELECT event_id,
         |CASE WHEN value <= 450.0 THEN value ELSE -1.0 END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_throw" ->
+      """SELECT event_id,
+        |CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+        |     THEN 'recovered' ELSE 'ok' END AS status
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_compress" ->

@@ -22,10 +22,18 @@ import Ast._
 object ExprCompiler {
 
   /** A compiled value: its column, plus the condition (if any) under
-    * which the enclosing message is deleted instead of valued.
+    * which the enclosing message is deleted instead of valued, plus
+    * the `throw()` channel — a string column that is NULL when no
+    * throw fired and the error message otherwise (reference
+    * query/functions.go `throw`: aborts the mapping, message stays
+    * unchanged, the error is set — our `_error` column). `thrown`
+    * propagates through containers, operators, if/match branches and
+    * method chains exactly like `deleted`; `.catch(x)` / `.or(x)`
+    * clear it (the reference's error-recovery methods).
     */
-  final case class CVal(col: Column, deleted: Option[Column]) {
-    def mapCol(f: Column => Column): CVal = CVal(f(col), deleted)
+  final case class CVal(col: Column, deleted: Option[Column],
+                        thrown: Option[Column] = None) {
+    def mapCol(f: Column => Column): CVal = CVal(f(col), deleted, thrown)
   }
   object CVal { def apply(c: Column): CVal = CVal(c, None) }
 
@@ -65,6 +73,15 @@ object ExprCompiler {
       case _ => Some(orFalse(a) || orFalse(b))
     }
 
+  private def noThrow: Column = lit(null).cast(StringType)
+  /** First-throw-wins merge of two `thrown` channels (left evaluates
+    * first, like the reference's eager argument evaluation). */
+  private def mergeThrow(a: Option[Column], b: Option[Column]): Option[Column] =
+    (a, b) match {
+      case (None, None) => None
+      case _ => Some(coalesce(a.getOrElse(noThrow), b.getOrElse(noThrow)))
+    }
+
   def compile(e: Expr, ctx: Ctx): CVal = e match {
     case StrLit(v) => CVal(lit(v))
     case NumLit(v) =>
@@ -73,11 +90,13 @@ object ExprCompiler {
     case NullLit => CVal(lit(null))
     case ArrayLit(items) =>
       val cs = items.map(compile(_, ctx))
-      CVal(array(cs.map(_.col): _*), cs.map(_.deleted).reduceOption(mergeDel).flatten)
+      CVal(array(cs.map(_.col): _*), cs.map(_.deleted).reduceOption(mergeDel).flatten,
+        cs.map(_.thrown).reduceOption(mergeThrow).flatten)
     case ObjectLit(fields) =>
       val cs = fields.map { case (k, v) => k -> compile(v, ctx) }
       CVal(struct(cs.map { case (k, v) => v.col.as(k) }: _*),
-        cs.map(_._2.deleted).reduceOption(mergeDel).flatten)
+        cs.map(_._2.deleted).reduceOption(mergeDel).flatten,
+        cs.map(_._2.thrown).reduceOption(mergeThrow).flatten)
 
     case This => CVal(ctx.thisCol)
     case Field(This, name) => CVal(ctx.fieldOfThis(name))
@@ -93,7 +112,7 @@ object ExprCompiler {
       val tc = compile(t, ctx); val ic = compile(idx, ctx)
       // reference arrays are 0-based; element_at is 1-based
       CVal(element_at(tc.col, (ic.col + lit(1)).cast(IntegerType)),
-        mergeDel(tc.deleted, ic.deleted))
+        mergeDel(tc.deleted, ic.deleted), mergeThrow(tc.thrown, ic.thrown))
     case MethodCall(t, "index", Seq(NumLit(i))) if isVariantTyped(t) =>
       compile(t, ctx).mapCol(c => try_variant_get(c, s"$$[${i.toLong}]", "variant"))
 
@@ -162,11 +181,17 @@ object ExprCompiler {
         case "||" => lc.col || rc.col
         case other => throw new IllegalArgumentException(s"binop $other")
       }
-      CVal(c, mergeDel(lc.deleted, rc.deleted))
+      CVal(c, mergeDel(lc.deleted, rc.deleted), mergeThrow(lc.thrown, rc.thrown))
 
     case Coalesce(l, r) =>
       val lc = compile(l, ctx); val rc = compile(r, ctx)
-      CVal(coalesce(lc.col, rc.col), mergeDel(lc.deleted, rc.deleted))
+      // the coalesce pipe is error-recovering in the reference: a
+      // throw on the LEFT falls through to the right (like .catch)
+      val value = lc.thrown match {
+        case Some(tt) => when(tt.isNotNull, rc.col).otherwise(coalesce(lc.col, rc.col))
+        case None => coalesce(lc.col, rc.col)
+      }
+      CVal(value, mergeDel(lc.deleted, rc.deleted), rc.thrown)
 
     case IfExpr(cond, t, eOpt) =>
       val cc = compile(cond, ctx).col
@@ -176,7 +201,12 @@ object ExprCompiler {
         case (None, None) => None
         case _ => Some(when(cc, orFalse(tc.deleted)).otherwise(orFalse(ec.deleted)))
       }
-      CVal(when(cc, tc.col).otherwise(ec.col), del)
+      val thr = (tc.thrown, ec.thrown) match {
+        case (None, None) => None
+        case _ => Some(when(cc, tc.thrown.getOrElse(noThrow))
+          .otherwise(ec.thrown.getOrElse(noThrow)))
+      }
+      CVal(when(cc, tc.col).otherwise(ec.col), del, thr)
 
     case MatchExpr(target, cases) =>
       val tc = compile(target, ctx)
@@ -200,7 +230,12 @@ object ExprCompiler {
         cs.foldRight(orFalse(default.deleted)) { case ((c, v), acc) =>
           when(c, orFalse(v.deleted)).otherwise(acc)
         })
-      CVal(value, mergeDel(tc.deleted, del))
+      val anyThr = cs.exists(_._2.thrown.isDefined) || default.thrown.isDefined
+      val thr = if (!anyThr) None else Some(
+        cs.foldRight(default.thrown.getOrElse(noThrow)) { case ((c, v), acc) =>
+          when(c, v.thrown.getOrElse(noThrow)).otherwise(acc)
+        })
+      CVal(value, mergeDel(tc.deleted, del), mergeThrow(tc.thrown, thr))
 
     case Lambda(_, _) =>
       throw new IllegalArgumentException(
@@ -466,6 +501,20 @@ object ExprCompiler {
     def a(i: Int): CVal = compile(args(i), ctx)
     name match {
       case "deleted" => CVal(lit(null), Some(lit(true)))
+      // throw(msg) (reference query/functions.go): aborts the mapping
+      // and flags the message errored — compiled as the `thrown`
+      // channel (value null, message carried; MappingCompiler reverts
+      // every assignment and sets `_error` when it fires)
+      case "throw" =>
+        require(args.size == 1, "throw(message) takes exactly one argument")
+        CVal(lit(null).cast(StringType), None, Some(a(0).col.cast(StringType)))
+      // counter() is a process-global mutable counter in the
+      // reference — no deterministic distributed twin; same loud
+      // rejection as bare count()
+      case "counter" =>
+        throw new IllegalArgumentException(
+          "counter() (process-global mutable counter) is not supported; " +
+            "use count(\"name\") for a per-batch counter or batch_index()")
       case "content" =>
         CVal(if (ctx.inputCols.contains("content")) col("content")
         else to_json(ctx.thisCol))
@@ -543,6 +592,12 @@ object ExprCompiler {
   private def method(t: CVal, name: String, rawArgs: Seq[Expr], ctx: Ctx): CVal = {
     val args = rawArgs.map(compile(_, ctx))
     val del = (t.deleted +: args.map(_.deleted)).reduce(mergeDel)
+    // .catch(x)/.or(x) RECOVER a throw on the target (reference error
+    // recovery); every other method propagates it
+    val thr =
+      if (name == "catch" || name == "or")
+        args.map(_.thrown).foldLeft(Option.empty[Column])(mergeThrow)
+      else (t.thrown +: args.map(_.thrown)).reduce(mergeThrow)
     def c = t.col
     def a(i: Int) = args(i).col
     def str(i: Int): String = rawArgs.lift(i) match {
@@ -966,13 +1021,17 @@ object ExprCompiler {
       // fails analysis for them, which is the right loud behavior)
       case "not_empty" =>
         when(length(c) === 0, raise_error(lit("not_empty(): string is empty"))).otherwise(c)
-      case "or" => coalesce(c, a(0))
-      case "catch" => coalesce(c, a(0)) // errors surface as null in our compiled form
+      // errors surface as null in our compiled form; a throw() on the
+      // target additionally falls through to the fallback value
+      case "or" | "catch" => t.thrown match {
+        case Some(tt) => when(tt.isNotNull, a(0)).otherwise(coalesce(c, a(0)))
+        case None => coalesce(c, a(0))
+      }
       case "apply" =>
         throw new IllegalArgumentException(".apply() needs a literal map name")
       case other => throw new IllegalArgumentException(s"unknown method .$other()")
     }
-    CVal(out, del)
+    CVal(out, del, thr)
   }
 
   /** Capture groups of a regex literal, in order: Some(name) for

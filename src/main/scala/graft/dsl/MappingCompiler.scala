@@ -78,6 +78,13 @@ object MappingCompiler {
     var metaOut: Option[Column] =
       if (inputCols.contains("metadata")) Some(col("metadata")) else None
     val deleteConds = scala.collection.mutable.Buffer[Column]()
+    // throw() channel: string columns, null = no throw; statement
+    // order preserved so the FIRST throw's message wins (reference
+    // semantics: a throw aborts the whole mapping)
+    val throwConds = scala.collection.mutable.Buffer[Column]()
+    def collectThrow(v: ExprCompiler.CVal, guard: Option[Column]): Unit =
+      v.thrown.foreach(t => throwConds +=
+        guard.fold(t)(g => when(g, t).otherwise(lit(null).cast(StringType))))
 
     def currentOf(name: String): Column =
       outputs.getOrElse(name, if (inputCols.contains(name)) col(name) else lit(null))
@@ -91,13 +98,16 @@ object MappingCompiler {
       case MapDefStmt(_, _) => () // collected above
 
       case LetStmt(name, e) =>
-        ctx = ctx.copy(vars = ctx.vars + (name -> compileV(e).col),
+        val v = compileV(e)
+        collectThrow(v, guard)
+        ctx = ctx.copy(vars = ctx.vars + (name -> v.col),
           stringVars =
             if (ExprCompiler.isStringTyped(e, ctx)) ctx.stringVars + name
             else ctx.stringVars - name)
 
       case MetaStmt(k, e) =>
         val v = compileV(e)
+        collectThrow(v, guard)
         val entry = map(lit(k), v.col.cast(StringType))
         val prev = metaOut.getOrElse(
           map().cast(org.apache.spark.sql.types.MapType(StringType, StringType)))
@@ -114,11 +124,13 @@ object MappingCompiler {
         fields.foreach { case (k, e) =>
           val v = compileV(e)
           v.deleted.foreach(d => deleteConds += guard.fold(d)(_ && d))
+          collectThrow(v, guard)
           assignField(k, v.col, guard)
         }
 
       case RootStmt(Nil, e) =>
         val v = compileV(e)
+        collectThrow(v, guard)
         v.deleted match {
           case Some(d) =>
             // root = deleted() / if c { deleted() } else ...
@@ -138,6 +150,7 @@ object MappingCompiler {
       case RootStmt(path, e) =>
         val v = compileV(e)
         v.deleted.foreach(d => deleteConds += guard.fold(d)(_ && d))
+        collectThrow(v, guard)
         if (path.length == 1) assignField(path.head, v.col, guard)
         else {
           val base = path.head
@@ -156,9 +169,37 @@ object MappingCompiler {
     run(m.stmts, None)
 
     metaOut.foreach(mc => outputs("metadata") = mc.as("metadata"))
+
+    // throw() abort semantics (reference: a throw aborts the WHOLE
+    // mapping — message unchanged, error set): when any statement's
+    // thrown channel fired, every assignment reverts to the input
+    // value (null for columns the mapping introduced), deletes do not
+    // apply, and `_error` carries the first throw's message so
+    // try/catch/reject_errored route it.
+    val allThrown: Option[Column] =
+      if (throwConds.isEmpty) None
+      else Some(throwConds.reduce((x, y) => coalesce(x, y)))
+    allThrown.foreach { thrown =>
+      outputs.keys.toSeq.foreach { n =>
+        if (n != "_error") {
+          val orig = if (inputCols.contains(n)) col(n) else lit(null)
+          outputs(n) = when(thrown.isNull, outputs(n)).otherwise(orig).as(n)
+        }
+      }
+      val prevErr: Column =
+        outputs.getOrElse("_error",
+          if (inputCols.contains("_error")) col("_error")
+          else lit(null).cast(StringType))
+      outputs("_error") =
+        when(thrown.isNotNull, thrown).otherwise(prevErr).as("_error")
+    }
+
     val filtered =
       if (deleteConds.isEmpty) df
-      else df.filter(!deleteConds.map(coalesce(_, lit(false))).reduce(_ || _))
+      else {
+        val delCond = deleteConds.map(coalesce(_, lit(false))).reduce(_ || _)
+        df.filter(!allThrown.fold(delCond)(t => delCond && t.isNull))
+      }
     if (outputs.isEmpty)
       BatchOrdinals.dropOrdinals(filtered).drop(refs.values.toSeq: _*)
     else filtered.select(outputs.values.toSeq: _*)

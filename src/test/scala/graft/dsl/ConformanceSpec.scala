@@ -304,4 +304,59 @@ class ConformanceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       PipelineConfig.parseStreams("pipeline:\n  processors: []\n"))
   }
+
+  // ---- throw() / counter() ------------------------------------------
+
+  test("throw(): aborts the mapping — assignments revert, _error set") {
+    val out = run(Seq(PMutation(
+      """root.lang = lang.uppercase()
+        |root.flag = if op == "delete" { throw("deletes not allowed: " + path) } else { "ok" }
+        |root.extra = 1""".stripMargin)))
+    // non-thrown rows: mapping applied in full
+    val ok = out.filter($"op" === "upsert")
+    assert(ok.count() == 4)
+    assert(ok.filter($"lang" === "SCALA").count() == 2)
+    assert(ok.filter($"flag" === "ok" && $"extra" === 1).count() == 4)
+    assert(ok.filter($"_error".isNull).count() == 4)
+    // thrown row: EVERY assignment reverted (even ones before/after
+    // the throw), new columns null, _error carries the message
+    val bad = out.filter($"op" === "delete").collect()
+    assert(bad.length == 1)
+    val r = bad.head
+    assert(r.getAs[String]("lang") == "md") // NOT uppercased — aborted
+    assert(r.getAs[Any]("flag") == null && r.getAs[Any]("extra") == null)
+    assert(r.getAs[String]("_error") == "deletes not allowed: x.md")
+  }
+
+  test("throw(): catch method and coalesce pipe recover it") {
+    val out = run(Seq(PMutation(
+      """root.a = (if op == "delete" { throw("boom") } else { "v" }).catch("caught")
+        |root.b = (if op == "delete" { throw("boom2") } else { "w" }) | "fallback"
+        |""".stripMargin)))
+    // recovered: no _error column contamination, fallback values used
+    assert(out.columns.contains("_error") == false ||
+      out.filter($"_error".isNotNull).count() == 0)
+    val del = out.filter($"op" === "delete").collect().head
+    assert(del.getAs[String]("a") == "caught")
+    assert(del.getAs[String]("b") == "fallback")
+    assert(out.filter($"op" === "upsert" && $"a" === "v" && $"b" === "w").count() == 4)
+  }
+
+  test("throw(): deletes do not apply on a thrown row; try/catch routes it") {
+    // a row that both deletes and throws: throw wins (mapping aborted)
+    val out = run(Seq(PMutation(
+      """root.x = if op == "delete" { throw("no") } else { "y" }
+        |root = if lang == "md" { deleted() } else { this }""".stripMargin)))
+    assert(out.count() == 5) // the md row is the delete row: kept, errored
+    assert(out.filter($"_error".isNotNull).count() == 1)
+    // downstream catch processor clears and fixes the errored row
+    val fixed = Processor.compile(Seq(PCatch(Seq(PMutation("root.x = \"fixed\"")))))(out)
+    assert(fixed.filter($"x" === "fixed").count() == 1)
+    assert(fixed.filter($"_error".isNotNull).count() == 0)
+  }
+
+  test("counter() and bare count() are rejected loudly") {
+    intercept[IllegalArgumentException](run(Seq(PMapping("root.c = counter()"))))
+    intercept[IllegalArgumentException](run(Seq(PMapping("root.c = count()"))))
+  }
 }
