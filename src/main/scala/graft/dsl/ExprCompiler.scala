@@ -43,6 +43,7 @@ object ExprCompiler {
       thisOverride: Option[Column] = None,
       schema: Option[StructType] = None,
       stringVars: Set[String] = Set.empty,
+      variantVars: Set[String] = Set.empty, // let vars holding VARIANT values
       bindings: Map[String, Column] = Map.empty, // lambda params (shadow fields)
       namedMaps: Map[String, Seq[Ast.Stmt]] = Map.empty,
       // cross-part reference arrays (`expr.from(i)` / `expr.from_all()`):
@@ -103,18 +104,29 @@ object ExprCompiler {
     // VARIANT (parse_json/parse_yaml results) can't use getField —
     // navigate with try_variant_get, staying variant-typed so chains
     // keep navigating and a final cast coerces the leaf
-    case Field(t, name) if isVariantTyped(t) =>
+    case Field(t, name) if isVariantTyped(t, ctx) =>
       compile(t, ctx).mapCol(c => try_variant_get(c, s"$$.$name", "variant"))
     case Field(t, name) => compile(t, ctx).mapCol(_.getField(name))
-    case Index(t, NumLit(i)) if isVariantTyped(t) =>
+    case Index(t, NumLit(i)) if isVariantTyped(t, ctx) =>
       compile(t, ctx).mapCol(c => try_variant_get(c, s"$$[${i.toLong}]", "variant"))
     case Index(t, idx) =>
       val tc = compile(t, ctx); val ic = compile(idx, ctx)
       // reference arrays are 0-based; element_at is 1-based
       CVal(element_at(tc.col, (ic.col + lit(1)).cast(IntegerType)),
         mergeDel(tc.deleted, ic.deleted), mergeThrow(tc.thrown, ic.thrown))
-    case MethodCall(t, "index", Seq(NumLit(i))) if isVariantTyped(t) =>
+    case MethodCall(t, "index", Seq(NumLit(i))) if isVariantTyped(t, ctx) =>
       compile(t, ctx).mapCol(c => try_variant_get(c, s"$$[${i.toLong}]", "variant"))
+    // get("a.b") (reference getMethod, query/methods.go): dot-path get
+    // from an object — literal path resolved at compile time; VARIANT
+    // targets navigate with try_variant_get, struct targets getField
+    case MethodCall(t, "get", Seq(StrLit(path))) if isVariantTyped(t, ctx) =>
+      compile(t, ctx).mapCol(c => try_variant_get(c,
+        "$" + path.split('.').filter(_.nonEmpty).map("." + _).mkString, "variant"))
+    case MethodCall(t, "get", Seq(StrLit(path))) =>
+      compile(t, ctx).mapCol(c =>
+        path.split('.').filter(_.nonEmpty).foldLeft(c)(_.getField(_)))
+    case MethodCall(_, "get", _) =>
+      throw new IllegalArgumentException(".get() needs a literal dot-path string")
 
     // explode(path) (reference explodeMethod, query/methods.go):
     // array at path  → array of copies of the target, one per element;
@@ -445,12 +457,15 @@ object ExprCompiler {
     * index navigation dispatch (ExtractValue rejects VARIANT; variant
     * paths go through try_variant_get). Conservative: false when unknown.
     */
-  def isVariantTyped(e: Expr): Boolean = e match {
+  def isVariantTyped(e: Expr, ctx: Ctx): Boolean = e match {
     case MethodCall(_, "parse_json" | "parse_yaml" | "collapse"
         | "parse_jwt_hs256" | "parse_jwt_hs384" | "parse_jwt_hs512", _) => true
-    case MethodCall(t, "index" | "not_null" | "or" | "catch", _) => isVariantTyped(t)
-    case Field(t, _) => isVariantTyped(t)
-    case Index(t, _) => isVariantTyped(t)
+    case MethodCall(t, "index" | "not_null" | "or" | "catch" | "get", _) => isVariantTyped(t, ctx)
+    case Field(t, _) => isVariantTyped(t, ctx)
+    case Index(t, _) => isVariantTyped(t, ctx)
+    // let-bound variables remember variant-ness (MappingCompiler
+    // tracks it like stringVars), so `$d.a.b` navigates correctly
+    case VarRef(n) => ctx.variantVars.contains(n)
     case _ => false
   }
 

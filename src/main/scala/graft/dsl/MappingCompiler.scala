@@ -103,7 +103,10 @@ object MappingCompiler {
         ctx = ctx.copy(vars = ctx.vars + (name -> v.col),
           stringVars =
             if (ExprCompiler.isStringTyped(e, ctx)) ctx.stringVars + name
-            else ctx.stringVars - name)
+            else ctx.stringVars - name,
+          variantVars =
+            if (ExprCompiler.isVariantTyped(e, ctx)) ctx.variantVars + name
+            else ctx.variantVars - name)
 
       case MetaStmt(k, e) =>
         val v = compileV(e)

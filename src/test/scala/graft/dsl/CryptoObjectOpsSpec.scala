@@ -258,4 +258,23 @@ class CryptoObjectOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("us") == 1709296245123456L)
     assert(r.getAs[Long]("ns") == 1709296245123456000L)
   }
+
+  test("get(path): dot-path get on objects, VARIANT and struct forms") {
+    // VARIANT (parse_json) navigation, chained gets, missing → null
+    val r = one(
+      """let d = "{\"a\":{\"b\":{\"c\":7}},\"s\":\"x\"}".parse_json()
+        |root.c = $d.get("a.b.c").int64()
+        |root.c2 = $d.get("a").get("b.c").int64()
+        |root.s = $d.get("s").string()
+        |root.miss = $d.get("a.zzz.c").int64()""".stripMargin)
+    assert(r.getAs[Long]("c") == 7L)
+    assert(r.getAs[Long]("c2") == 7L)
+    assert(r.getAs[String]("s") == "x")
+    assert(r.getAs[Any]("miss") == null)
+    // struct form: get on a constructed object
+    val r2 = one("""root.v = {"a": {"b": 5}}.get("a.b")""")
+    assert(r2.getAs[Long]("v") == 5L)
+    // loud on a non-literal path
+    intercept[Exception](one("root.v = {\"a\": 1}.get(content())"))
+  }
 }
