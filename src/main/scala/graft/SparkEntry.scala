@@ -586,6 +586,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_knn_pq" -> ((s, dir) => {
+      // IVF-PQ with exact refine (faiss IVFPQ + RefineFlat shape):
+      // m-byte residual codes shortlist candidates by asymmetric
+      // distance, full-precision point reads re-rank — approximate
+      // (no SQL oracle; shortlist/refine recall pinned in OpsSpec)
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10)
+      val idx = Similarity.buildIvf(corpus, numCells = 16)
+      val cb = Similarity.trainPq(idx, m = 8, ks = 16)
+      val pqIdx = Similarity.quantizePq(idx, cb)
+      Similarity.ivfPqKnn(pqIdx, corpus, e.filter(col("vec_id") < 10),
+        k = 5, nProbe = 4, shortlist = 20)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---------------- training-data ops: text analysis ----------------
 
     "q_langid" -> ((s, dir) =>

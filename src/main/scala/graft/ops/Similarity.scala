@@ -182,7 +182,8 @@ object Similarity {
     * `assigned` = corpus + `centroid_id`.
     */
   final case class IvfIndex(centroids: Seq[(Int, Array[Double])],
-                            assigned: DataFrame)
+                            assigned: DataFrame,
+                            pq: Option[PqCodebook] = None)
 
   /** `-cosine(vec, cen)` up to the row-constant factor 1/|vec| —
     * identical argmin ordering, one fold per centroid.
@@ -254,6 +255,12 @@ object Similarity {
     index.centroids.map { case (i, c) => (i, c.toSeq) }
       .toDF("centroid_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.pq.foreach { cb =>
+      cb.codewords.zipWithIndex.flatMap { case (cws, s) =>
+        cws.zipWithIndex.map { case (cw, j) => (s, j, cw.toSeq) }
+      }.toDF("subspace", "code", "codeword")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebook")
+    }
     index.assigned.write.mode("overwrite")
       .partitionBy("centroid_id").parquet(s"$path/assigned")
   }
@@ -262,7 +269,15 @@ object Similarity {
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).toSeq
-    IvfIndex(cents, spark.read.parquet(s"$path/assigned"))
+    val pqDir = new java.io.File(s"$path/pq_codebook")
+    val pq = if (!pqDir.exists()) None else {
+      val rows = spark.read.parquet(s"$path/pq_codebook").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val bySub = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, cws) => cws.sortBy(_._2).map(_._3).toSeq }
+      Some(PqCodebook(bySub.length, bySub.head.head.length, bySub))
+    }
+    IvfIndex(cents, spark.read.parquet(s"$path/assigned"), pq)
   }
 
   /** Symmetric per-vector int8 scalar quantization of the ASSIGNED
@@ -287,6 +302,175 @@ object Similarity {
       .drop(vecCol))
   }
 
+  // ---- product quantization (IVF-PQ) --------------------------------
+
+  /** PQ codebook: `m` subspaces of `dsub` dims each; `codewords(s)` =
+    * the `ks` centroids of subspace s. Trained on a deterministic
+    * hash-sample (driver-side Lloyd — the sample is capped like every
+    * other driver collect here; faiss trains PQ on a sample too), so
+    * the codebook is a small literal that folds into codegen'd
+    * encode/decode projections with no join. Codes quantize the IVF
+    * RESIDUAL (vec − assigned centroid), the Jégou et al. 2011 IVFADC
+    * design: the coarse quantizer removes the cluster offset, so the
+    * codebook's bits all go to the within-cell structure that actually
+    * ranks neighbors — raw-vector PQ at the same bit budget loses
+    * within-cluster ordering entirely (measured: recall@5 0.1 vs 0.9+).
+    */
+  final case class PqCodebook(m: Int, dsub: Int,
+                              codewords: Seq[Seq[Array[Double]]])
+
+  /** The assigned row's own centroid as a literal lookup — a when
+    * chain over the (already literal) centroid set; the IVF assign
+    * projection embeds every centroid once, this is the same size.
+    */
+  private def centroidOf(cents: Seq[(Int, Array[Double])], cid: Column): Column =
+    cents.foldRight(lit(null).cast("array<double>")) { case ((i, cen), acc) =>
+      when(cid === i, planeLit(cen)).otherwise(acc)
+    }
+
+  /** Squared-L2 argmin score vs a literal codeword, dropping the
+    * row-constant |x|²: |x-c|² - |x|² = |c|² - 2·x·c.
+    */
+  private def negScoreLit(sub: Column, cw: Array[Double]): Column =
+    lit(cw.map(x => x * x).sum) - lit(2.0) * dot(sub, planeLit(cw))
+
+  /** Plain Lloyd k-means on a driver-side sample (deterministic:
+    * id-ordered sample, evenly-spread init, fixed iterations; empty
+    * cells keep their previous centroid).
+    */
+  private def kmeansDriver(points: Array[Array[Double]], k: Int,
+                           iters: Int): Seq[Array[Double]] = {
+    require(points.length >= k,
+      s"trainPq: sample of ${points.length} smaller than ks=$k")
+    val d = points.head.length
+    var cents = Array.tabulate(k)(i =>
+      points((i.toLong * points.length / k).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val t = p(i) - cents(j)(i); dist += t * t; i += 1 }
+          if (dist < bd) { bd = dist; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        val sj = sums(best); var i = 0
+        while (i < d) { sj(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(j =>
+        if (counts(j) == 0) cents(j) else sums(j).map(_ / counts(j)))
+    }
+    cents.toSeq
+  }
+
+  /** Train a PQ codebook on IVF RESIDUALS: a deterministic hash-sample
+    * of the assigned corpus (≤ `sampleCap` rows collected — the one
+    * driver-side step, same cap discipline as centroid seeding) has
+    * its assigned centroid subtracted, then each dim-subspace is
+    * k-means'd on the residuals.
+    */
+  def trainPq(index: IvfIndex, m: Int, ks: Int = 16,
+              sampleCap: Int = 4096, iters: Int = 8,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): PqCodebook = {
+    val dim = derivedDim(index.assigned, vecCol)
+    require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val n = index.assigned.count()
+    val rate = math.max(1L, n / math.max(1, sampleCap))
+    val centMap = index.centroids.toMap
+    val sample = index.assigned
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+        col("centroid_id"))
+      .filter(pmod(xxhash64(col(idCol)), lit(rate)) === 0)
+      .orderBy(col(idCol)).limit(sampleCap)
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val c = centMap(r.getInt(2))
+        Array.tabulate(dim)(i => v(i) - c(i))
+      }
+    require(sample.nonEmpty, "trainPq: empty corpus")
+    PqCodebook(m, dsub, (0 until m).map { s =>
+      kmeansDriver(sample.map(_.slice(s * dsub, (s + 1) * dsub)), ks, iters)
+    })
+  }
+
+  /** PQ-encode the ASSIGNED corpus: one `array<tinyint>` of length m
+    * replaces the vector — m bytes instead of dim×8 (a 64× compression
+    * at dim=128/m=16). Encoding is ONE codegen'd projection: subtract
+    * the row's (literal) centroid, then per subspace argmin over
+    * literal codewords via the same array_min-over-(d,i)-structs trick
+    * as centroid routing — no join, no shuffle. Centroid routing stays
+    * exact (literals unchanged).
+    */
+  def quantizePq(index: IvfIndex, cb: PqCodebook,
+                 vecCol: String = "embedding"): IvfIndex = {
+    require(index.assigned.columns.contains("centroid_id"),
+      "quantizePq: index must be IVF-assigned (centroid_id)")
+    val resid = zip_with(col(vecCol).cast("array<double>"),
+      centroidOf(index.centroids, col("centroid_id")), (a, b) => a - b)
+    val codes = array((0 until cb.m).map { s =>
+      val sub = slice(resid, s * cb.dsub + 1, cb.dsub)
+      array_min(array(cb.codewords(s).zipWithIndex.map { case (cw, j) =>
+        struct(negScoreLit(sub, cw).as("d"), lit(j).as("i"))
+      }: _*)).getField("i").cast("tinyint")
+    }: _*)
+    IvfIndex(index.centroids,
+      index.assigned.withColumn("_pq", codes).drop(vecCol), Some(cb))
+  }
+
+  /** Decode PQ codes back to an approximate vector: centroid + decoded
+    * residual — literal codebook lookup per subspace, concatenated;
+    * one projection, feeds the same cosine scoring as the exact/int8
+    * paths (asymmetric distance: exact query vs decoded candidate).
+    */
+  def pqDecode(codes: Column, cid: Column,
+               cents: Seq[(Int, Array[Double])], cb: PqCodebook): Column = {
+    val residual = concat((0 until cb.m).map { s =>
+      element_at(
+        array(cb.codewords(s).map(planeLit): _*),
+        element_at(codes, s + 1).cast("int") + 1)
+    }: _*)
+    zip_with(centroidOf(cents, cid), residual, (a, b) => a + b)
+  }
+
+  /** IVF-PQ search with exact re-ranking — the faiss IndexIVFPQ +
+    * RefineFlat architecture: the PQ index scores a `shortlist` of
+    * candidates per query by asymmetric distance (exact query vs
+    * decoded centroid+residual), then full-precision vectors are
+    * fetched for ONLY those candidates (a broadcast point-read join —
+    * queries×shortlist rows broadcast into the corpus, never the
+    * reverse) and re-ranked to the final top-k. ADC ordering inside a
+    * shortlist is noise-limited by quantization (spec-measured); the
+    * shortlist itself is what PQ guarantees, and the refine step
+    * restores exact order. At 10^9+ scale the PQ index is the hot
+    * structure (m bytes/vector); the full-precision corpus stays on
+    * cold storage, touched only for shortlist point reads.
+    */
+  def ivfPqKnn(index: IvfIndex, corpus: DataFrame, queries: DataFrame,
+               k: Int, nProbe: Int, shortlist: Int = 0,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val cand = ivfKnn(index, queries, sl, nProbe, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = corpus
+      .join(broadcast(cand), corpus(idCol) === cand("neighbor_id"))
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", cosine(col("qv"), col(vecCol)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
   /** ANN top-k through the IVF index: each query's `nProbe` nearest
     * cells come from sorting the literal distance array (one
     * projection, no cells join/window); the probe frame broadcasts
@@ -306,6 +490,10 @@ object Similarity {
     val corpusVec =
       if (index.assigned.columns.contains("_q8"))
         transform(col("_q8"), x => x.cast("double") * col("_q8_scale"))
+      else if (index.assigned.columns.contains("_pq"))
+        pqDecode(col("_pq"), col("centroid_id"), index.centroids,
+          index.pq.getOrElse(throw new IllegalStateException(
+            "ivfKnn: index has _pq codes but no codebook — load it with loadIvf")))
       else col(vecCol)
     val scored = index.assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col(idCol))

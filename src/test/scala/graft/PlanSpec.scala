@@ -77,6 +77,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"assign must not shuffle:\n${p.take(2000)}")
   }
 
+  test("PQ encode is a pure projection: no join, no window, no shuffle") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = ops.Similarity.buildIvf(e, numCells = 8, lloydIters = 1)
+    val cb = ops.Similarity.trainPq(idx, m = 8, ks = 16)
+    val p = plan(ops.Similarity.quantizePq(idx, cb).assigned)
+    assert(!p.contains("Window"), s"encode must not window:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"encode must not join:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n${p.take(2000)}")
+  }
+
   test("lshNearDups: candidate + pair-distinct shuffles carry ids only, never vectors") {
     // AQE wraps the plan before exchanges are visible — switch it off
     // for the inspection (the production plan shape is identical)

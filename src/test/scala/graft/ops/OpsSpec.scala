@@ -228,6 +228,72 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.9, s"clustered IVF recall@5 = $recall")
   }
 
+  test("IVF-PQ: m-byte codes, shortlist recall, exact refine, save/load") {
+    import spark.implicits._
+    // hierarchical fixture: coarse clusters × sub-clusters × noise —
+    // realistic embedding geometry (structure at several scales); the
+    // IVF handles the coarse level, PQ residual codes the sub level
+    val rnd = new scala.util.Random(11)
+    val coarse = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val subs = Array.fill(8, 4)(Array.fill(16)(rnd.nextGaussian() * 0.3))
+    val rows = (0 until 480).map { i =>
+      val c = i % 8; val s = (i / 8) % 4
+      (i.toLong, Array.tabulate(16)(d =>
+        (coarse(c)(d) + subs(c)(s)(d) + rnd.nextGaussian() * 0.03).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val corpus = df.filter(col("vec_id") >= 16)
+    val queries = df.filter(col("vec_id") < 16)
+    val brute = Similarity.bruteForceKnn(corpus, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Similarity.buildIvf(corpus, numCells = 8, lloydIters = 3)
+    val cb = Similarity.trainPq(idx, m = 8, ks = 16)
+    assert(cb.dsub == 2 && cb.codewords.length == 8 &&
+      cb.codewords.forall(_.length == 16))
+    val pqIdx = Similarity.quantizePq(idx, cb)
+    // the vector column is GONE — only m tinyint codes remain
+    assert(!pqIdx.assigned.columns.contains("embedding"))
+    assert(pqIdx.assigned.select("_pq").head.getSeq[Byte](0).length == 8)
+    // the PQ index's job is the SHORTLIST: ADC top-20 must contain the
+    // true top-5 (ordering inside the shortlist is quantization-noise
+    // limited — that's what the refine step is for)
+    val short = Similarity.ivfKnn(pqIdx, queries, k = 20, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slRecall = (brute & short).size.toDouble / brute.size
+    assert(slRecall >= 0.9, s"IVF-PQ shortlist recall@5-in-20 = $slRecall")
+    // exact refine over the shortlist restores the true top-k
+    val refined = Similarity.ivfPqKnn(pqIdx, corpus, queries,
+      k = 5, nProbe = 2, shortlist = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refRecall = (brute & refined).size.toDouble / brute.size
+    assert(refRecall >= 0.95, s"IVF-PQ refined recall@5 = $refRecall")
+    // save/load carries the codebook; results identical
+    val path = tmpDir("ivfpq")
+    Similarity.saveIvf(pqIdx, path)
+    val loaded = Similarity.loadIvf(spark, path)
+    assert(loaded.pq.isDefined)
+    loaded.pq.get.codewords.flatten.zip(cb.codewords.flatten).foreach {
+      case (a, b) => assert(a.toSeq == b.toSeq, "codebook drift through save/load")
+    }
+    val reloaded = Similarity.ivfKnn(loaded, queries, k = 20, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reloaded == short)
+    // decoded vectors (centroid + decoded residual) approximate the
+    // originals much more tightly than the cluster spread
+    val enc = Similarity.quantizePq(
+      Similarity.IvfIndex(idx.centroids,
+        idx.assigned.withColumn("orig", col("embedding"))), cb)
+    val meanCos = enc.assigned
+      .withColumn("dec",
+        Similarity.pqDecode(col("_pq"), col("centroid_id"), idx.centroids, cb))
+      .agg(avg(Similarity.cosine(col("orig"), col("dec")))).head.getDouble(0)
+    assert(meanCos >= 0.99, s"mean decode cosine = $meanCos")
+  }
+
   test("linearClassifier: mean-weight margin and sigmoid prob, hand-checked") {
     import spark.implicits._
     val w = Map("fast" -> 0.5, "slow" -> -0.5)
