@@ -2408,6 +2408,60 @@ object SparkEntry {
       pipe(t(s, dir, "events")).select("event_id", "props").orderBy("event_id")
     }),
 
+    "q_jq_builtins" -> ((s, dir) => {
+      // jq builtin round-out (late round 3): type, min_by/max_by
+      // (stable first-min/last-max), group_by/unique_by, flatten,
+      // del + keys_unsorted, nth — one codegen'd projection per row
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "{\"a\":[{\"x\":" + ($k % 5).string() + ",\"i\":0},{\"x\":" + ($k % 3).string() + ",\"i\":1},{\"x\":" + ($k % 5).string() + ",\"i\":2}],\"b\":" + $k.string() + ",\"s\":\"v\"}"
+            |""".stripMargin),
+        PJq("""{t: (.a | type), mn: (.a | min_by(.x) | .i), mx: (.a | max_by(.x) | .i), g: (.a | group_by(.x) | map(length)), u: (.a | unique_by(.x) | length), f: ([.b, [.b + 1]] | flatten), d: (del(.a) | keys_unsorted), n: (.a | nth(1) | .x)}""", "doc")))
+      pipe(t(s, dir, "events")).select("event_id", "doc").orderBy("event_id")
+    }),
+
+    "q_jq_regex_time" -> ((s, dir) => {
+      // jq regex + date builtins (late round 3): gsub/sub (first-match
+      // splice), capture named groups, todate/fromdate/strftime over
+      // unix seconds, pow — all one projection, DuckDB-exact
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "{\"s\":\"id-" + $k.string() + "-x\",\"t\":" + ($k * 100000).string() + ",\"m\":" + ($k % 3).string() + "}"
+            |""".stripMargin),
+        PJq("""{g: (.s | gsub("[0-9]"; "#")), sb: (.s | sub("-"; "_")), c: (.s | capture("(?<num>[0-9]+)") | .num | tostring), d: (.t | todate), sf: (.t | strftime("%Y/%j")), ts: (.t | todate | fromdate), p: pow(2; .m)}""", "doc")))
+      pipe(t(s, dir, "events")).select("event_id", "doc").orderBy("event_id")
+    }),
+
+    "q_jq_destructure" -> ((s, dir) => {
+      // destructuring `as [$a,$b]` + until/while iteration + paths
+      // (late round 3): all four new constructs in one projection
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "{\"p\":[" + $k.string() + "," + ($k + 7).string() + "]}"
+            |""".stripMargin),
+        PJq(""".p as [$a, $b] | {s: ($a + $b), u: ($a | until(. > 50; . + $b)), w: [(($a % 4) + 1) | while(. < 20; . * 2)], pt: [paths]}""", "doc")))
+      pipe(t(s, dir, "events")).select("event_id", "doc").orderBy("event_id")
+    }),
+
+    "q_jq_scan" -> ((s, dir) => {
+      // jq scan("re") is a GENERATOR: one output message per regex
+      // match — regexp_extract_all + the stream explode path
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.s = "a" + $k.string() + "-b" + ($k * 2).string()
+            |""".stripMargin),
+        PJq("""scan("[0-9]+")""", "s")))
+      pipe(t(s, dir, "events")).select("event_id", "s").orderBy("event_id", "s")
+    }),
+
     "q_diff_patch" -> ((s, dir) => {
       // structural JSON diff/patch (r3labs changelog shape) — the
       // changelog row set and the patch round-trip, one projection
@@ -3810,6 +3864,58 @@ object SparkEntry {
         |SELECT event_id,
         |  'e-' || CAST(k AS VARCHAR) || '-' || CAST(k + 1 AS VARCHAR) AS props
         |FROM k ORDER BY event_id""".stripMargin,
+
+    "q_jq_builtins" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |d AS (SELECT event_id, k, k % 5 AS k5, k % 3 AS k3 FROM k)
+        |SELECT event_id,
+        |  '{"t":"array"' ||
+        |  ',"mn":' || CASE WHEN k3 < k5 THEN '1' ELSE '0' END ||
+        |  ',"mx":' || CASE WHEN k3 > k5 THEN '1' ELSE '2' END ||
+        |  ',"g":' || CASE WHEN k3 < k5 THEN '[1,2]'
+        |              WHEN k3 > k5 THEN '[2,1]' ELSE '[3]' END ||
+        |  ',"u":' || CASE WHEN k3 = k5 THEN '1' ELSE '2' END ||
+        |  ',"f":[' || CAST(k AS VARCHAR) || ',' || CAST(k + 1 AS VARCHAR) || ']' ||
+        |  ',"d":["b","s"]' ||
+        |  ',"n":' || CAST(k3 AS VARCHAR) || '}' AS doc
+        |FROM d ORDER BY event_id""".stripMargin,
+
+    "q_jq_regex_time" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_id,
+        |  '{"g":"id-' || repeat('#', length(CAST(k AS VARCHAR))) || '-x"' ||
+        |  ',"sb":"id_' || CAST(k AS VARCHAR) || '-x"' ||
+        |  ',"c":"' || CAST(k AS VARCHAR) || '"' ||
+        |  ',"d":"' || strftime(epoch_ms(k * 100000 * 1000), '%Y-%m-%dT%H:%M:%SZ') || '"' ||
+        |  ',"sf":"' || strftime(epoch_ms(k * 100000 * 1000), '%Y/%j') || '"' ||
+        |  ',"ts":' || CAST(k * 100000 AS VARCHAR) ||
+        |  ',"p":' || CAST(CAST(pow(2, k % 3) AS BIGINT) AS VARCHAR) || '}' AS doc
+        |FROM k ORDER BY event_id""".stripMargin,
+
+    "q_jq_destructure" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |d AS (SELECT event_id, k, k + 7 AS b, (k % 4) + 1 AS s0 FROM k),
+        |u AS (SELECT event_id, k, b, s0,
+        |      k + b * GREATEST(0, CAST(CEIL((51.0 - k) / b) AS BIGINT)) AS uval
+        |      FROM d)
+        |SELECT event_id,
+        |  '{"s":' || CAST(k + b AS VARCHAR) ||
+        |  ',"u":' || CAST(uval AS VARCHAR) ||
+        |  ',"w":' || CASE s0 WHEN 1 THEN '[1,2,4,8,16]'
+        |                     WHEN 2 THEN '[2,4,8,16]'
+        |                     WHEN 3 THEN '[3,6,12]' ELSE '[4,8,16]' END ||
+        |  ',"pt":[["p"],["p",0],["p",1]]}' AS doc
+        |FROM u ORDER BY event_id""".stripMargin,
+
+    "q_jq_scan" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |e AS (SELECT event_id, CAST(k AS VARCHAR) AS s FROM k
+        |      UNION ALL SELECT event_id, CAST(k * 2 AS VARCHAR) AS s FROM k)
+        |SELECT event_id, s FROM e ORDER BY event_id, s""".stripMargin,
 
     "q_diff_patch" ->
       """WITH k AS (SELECT event_id,

@@ -77,14 +77,38 @@ import org.apache.spark.sql.functions._
   * Variable bindings (round 3, closing the `$var` delta):
   * `EXPR as $x | body` binds each output of EXPR for the REST of the
   * pipeline (`.` stays the binding point's input, jq exact; EXPR
-  * varying slowest; inner `as $x` shadows; destructuring patterns
-  * are rejected loudly); `foreach STREAM as $x (INIT; UPDATE[;
+  * varying slowest; inner `as $x` shadows; DESTRUCTURING patterns —
+  * late round 3 — `as [$a,$b]` binds array elements and
+  * `as {a: $x, $b}` binds object fields ({$a} shorthand), one level,
+  * nested sub-patterns rejected loudly); `foreach STREAM as $x (INIT; UPDATE[;
   * EXTRACT])` is jq's running fold — one output per element, compiled
   * to a single aggregate() carrying an (accumulator, outputs) struct
   * state; `recurse(f)` / `recurse(f; cond)` unroll the custom-step
   * traversal to [[RecurseDepth]] like `..` (SQL-null step outputs end
   * a branch — the `recurse(f?)` error-suppressed reading, same
-  * missing-vs-null conflation documented for paths).
+  * missing-vs-null conflation documented for paths). Iteration (late
+  * round 3): `until(cond; update)` (scalar) and `while(cond; update)`
+  * (generator) compile to ONE aggregate() fold over a static
+  * sequence — constant plan size, [[IterCap]] runtime iterations;
+  * `repeat(f)` is rejected (unbounded); `splits("re")` streams a
+  * regex split; `paths` / `leaf_paths` stream preorder path arrays
+  * (root excluded, RecurseDepth-capped like `..`).
+  *
+  * Builtin round-out (late round 3): `type` and the type-filter
+  * family (`values/nulls/booleans/numbers/strings/arrays/objects/
+  * iterables/scalars`, keep-channel select shapes); array HOFs
+  * `min_by/max_by/group_by/unique_by` (stable sortByKey core shared
+  * with sort_by), `flatten[(d)]` (FlattenDepth cap), `transpose`,
+  * `nth(n)` + `nth(n; f)`; object surgery `del(.a.b)` (static field
+  * paths), `getpath`, `keys_unsorted`; strings `trim/ltrim/rtrim`,
+  * `explode/implode`, `index/rindex`, `utf8bytelength`, `ascii_*`;
+  * regex `test/split("re"; flags)`, `gsub/sub` (literal replacements;
+  * sub splices at a lazy-prefix first match), `capture` (named
+  * groups; no-match emits nothing), `scan` (a generator: one output
+  * per match, capture arrays when the pattern has groups);
+  * `contains/inside/in` (string/array forms, one level deep); math
+  * `sqrt/pow/log/log2/log10/exp/exp2/exp10/round`; dates
+  * `todate/fromdate(iso8601)/strftime/gmtime/mktime` (UTC session).
   *
   * Documented deltas from full jq (SURVEY.md §2.9): numbers evaluate
   * as doubles and render integral values without the trailing `.0`
@@ -151,6 +175,13 @@ object JqCompiler {
     */
   val RecurseDepth = 16
 
+  /** Runtime iteration cap for until/while — these compile to ONE
+    * aggregate() over a static sequence (constant plan size), so the
+    * cap is a runtime loop bound, not a plan unroll, and can sit far
+    * above RecurseDepth.
+    */
+  val IterCap = 64
+
   /** Recursive stream builder: pre | GENERATOR | rest, with `rest`
     * handled per element — a flat filter+map when it has no further
     * generator (the common fast path), a flattened sub-stream when it
@@ -186,21 +217,36 @@ object JqCompiler {
         // and $x substituted at the AST level, exactly like reduce;
         // EXPR varying slowest matches jq's backtracking order. The
         // rest of the pipeline is consumed here, so return directly.
-        case AsBind(src, name) =>
+        case AsBind(src, pat) =>
           val rest = stages.drop(genIdx + 1)
           require(rest.nonEmpty,
             "jq: `as $x` needs a body — `EXPR as $x | body`")
           // an inner `as $name` rebind shadows: substitute only up to
           // (and including — its src sees the outer value) the first
-          // sibling stage that rebinds the name
-          def boundRest(repl: E): Seq[E] = rest.indexWhere(bindsVar(_, name)) match {
-            case -1 => rest.map(subst(_, name, repl))
-            case i => rest.take(i + 1).map(subst(_, name, repl)) ++ rest.drop(i + 1)
+          // sibling stage that rebinds the name. Destructuring
+          // patterns bind each name to the element's i-th item /
+          // named field (one get_json_object per name, jq-exact:
+          // missing positions bind null).
+          def bindingsOf(el: Column): Seq[(String, E)] = pat match {
+            case PVarPat(n) => Seq(n -> ColLit(JqVal(el, TJson)))
+            case PArrPat(items) => items.zipWithIndex.map { case (n, i) =>
+              n -> ColLit(JqVal(get_json_object(el, s"$$[$i]"), TJson))
+            }
+            case PObjPat(fields) => fields.map { case (f, n) =>
+              n -> ColLit(JqVal(get_json_object(el, s"$$['$f']"), TJson))
+            }
           }
+          def boundRest(el: Column): Seq[E] =
+            bindingsOf(el).foldLeft(rest) { case (stgs, (name, repl)) =>
+              stgs.indexWhere(bindsVar(_, name)) match {
+                case -1 => stgs.map(subst(_, name, repl))
+                case i =>
+                  stgs.take(i + 1).map(subst(_, name, repl)) ++ stgs.drop(i + 1)
+              }
+            }
           val els = streamEls(src, preV)
           val out = flatten(transform(els, el =>
-            buildStream(boundRest(ColLit(JqVal(el, TJson))),
-              preV, top = false)._1))
+            buildStream(boundRest(el), preV, top = false)._1))
           return (
             if (top) (out, preK)
             else (preK match {
@@ -341,6 +387,104 @@ object JqCompiler {
             else concat(array(el),
               flatten(transform(jsonArrayElements(el), c => walk(c, depth - 1))))
           (walk(renderTop(preV), RecurseDepth), None)
+        // while(cond; update): jq's `if cond then ., (update|_while)
+        // else empty end` — emit while cond holds, unrolled to
+        // RecurseDepth (values beyond the cap are absent, documented)
+        case Fn("while", wargs) =>
+          require(wargs.size == 2, "jq: while takes (cond; update)")
+          def truthyW(el: Column): Column = {
+            val (cv, ck) = eval(wargs(0), JqVal(el, TJson))
+            val t = cv.t match {
+              // stream elements are rendered texts: JSON null is the
+              // TEXT `null` (falsy, like the Select/recurse cases)
+              case TJson => cv.col.isNotNull && cv.col =!= "false" && cv.col =!= "null"
+              case _ => boolOf(cv)
+            }
+            coalesce(t && ck.getOrElse(lit(true)), lit(false))
+          }
+          // ONE aggregate() fold (the foreach shape): state carries
+          // (current, outputs, done) so cond/update appear ONCE in
+          // the plan and iteration happens at RUNTIME — IterCap
+          // outputs max (documented cap, like RecurseDepth)
+          val z = struct(renderTop(preV).cast("string").as("cur"),
+            array().cast("array<string>").as("out"),
+            lit(false).as("done"))
+          val folded = aggregate(sequence(lit(1), lit(IterCap)), z,
+            (st, _) => {
+              val cur = st.getField("cur")
+              when(!st.getField("done") && truthyW(cur), struct(
+                renderTop(eval(wargs(1), JqVal(cur, TJson))._1)
+                  .cast("string").as("cur"),
+                concat(st.getField("out"), array(cur)).as("out"),
+                lit(false).as("done")))
+                .otherwise(struct(cur.as("cur"),
+                  st.getField("out").as("out"), lit(true).as("done")))
+            }, st => st.getField("out"))
+          (folded, None)
+        // splits("re"[; flags]): the streaming regex split
+        case Fn("splits", sargs) =>
+          require(sargs.nonEmpty && sargs.size <= 2,
+            "jq: splits takes (re) or (re; flags)")
+          (split(renderTop(preV), reWithFlags(strLit(sargs.head),
+            sargs.lift(1).map(strLit).getOrElse("")), -1), None)
+        // paths / leaf_paths: preorder path streams ([“a”,0] arrays,
+        // root [] excluded like jq), walked with the same RecurseDepth
+        // cap as `..`; leaf_paths keeps scalar-valued paths only
+        case Fn(pn @ ("paths" | "leaf_paths"), pargs) =>
+          require(pargs.isEmpty, s"jq: $pn(node_filter) is not supported")
+          val leafOnly = pn == "leaf_paths"
+          def kidsP(el: Column): Column = {
+            val n = json_array_length(el)
+            val keys = json_object_keys(el)
+            val tpe = "array<struct<comp:string,v:string>>"
+            when(el.isNotNull && n > 0,
+              transform(sequence(lit(0), n - 1), i => struct(
+                i.cast("string").as("comp"),
+                call_function("get_json_object", el,
+                  concat(lit("$["), i.cast("string"), lit("]"))).as("v"))))
+              .when(el.isNotNull && keys.isNotNull && size(keys) > 0,
+                transform(keys, k => struct(quote(k).as("comp"),
+                  call_function("get_json_object", el,
+                    concat(lit("$['"), k, lit("']"))).as("v"))))
+              .otherwise(array().cast(tpe))
+          }
+          def isScalarV(c: Column): Column = {
+            val kk = kindOf(JqVal(c, TJson))
+            kk =!= "array" && kk =!= "object"
+          }
+          def walkP(el: Column, pathAcc: Column, depth: Int): Column =
+            if (depth == 0) emptyOut
+            else flatten(transform(kidsP(el), ch => {
+              val p = when(pathAcc === "", ch.getField("comp"))
+                .otherwise(concat(pathAcc, lit(","), ch.getField("comp")))
+              val self =
+                if (!leafOnly) array(concat(lit("["), p, lit("]")))
+                else when(isScalarV(ch.getField("v")),
+                  array(concat(lit("["), p, lit("]")))).otherwise(emptyOut)
+              concat(self, walkP(ch.getField("v"), p, depth - 1))
+            }))
+          (walkP(renderTop(preV), lit(""), RecurseDepth), None)
+        // scan("re"[; flags]): one output per non-overlapping match.
+        // No capture groups → the match text; with groups → one JSON
+        // array of capture strings per match (jq exact), zipped from
+        // per-group regexp_extract_all (same matches → same length)
+        case Fn("scan", sargs) =>
+          require(sargs.nonEmpty && sargs.size <= 2,
+            "jq: scan takes (re) or (re; flags)")
+          val re = reWithFlags(strLit(sargs.head),
+            sargs.lift(1).map(strLit).getOrElse(""))
+          val s = renderTop(preV)
+          val ng = countGroups(re)
+          val out =
+            if (ng == 0) regexp_extract_all(s, lit(re), lit(0))
+            else {
+              val per = (1 to ng).map(g => regexp_extract_all(s, lit(re), lit(g)))
+              transform(per.head, (_, i) =>
+                concat(lit("["), concat_ws(",", per.map(p =>
+                  quote(call_function("element_at", p, i + lit(1)))): _*),
+                  lit("]")))
+            }
+          (out, None)
         // limit(n; f): the first n outputs of f (n <= 0 → empty, jq)
         case Fn("limit", largs) =>
           require(largs.size == 2, "jq: limit takes (n; f)")
@@ -496,7 +640,8 @@ object JqCompiler {
     // nothing, limit(n; f) streams a prefix of f's outputs, recurse
     // (`..`) streams the preorder traversal
     case Fn("range", _) | Fn("empty", _) | Fn("limit", _) |
-         Fn("recurse", _) => true
+         Fn("recurse", _) | Fn("scan", _) | Fn("while", _) |
+         Fn("splits", _) | Fn("paths", _) | Fn("leaf_paths", _) => true
     // `E as $x` streams one body evaluation per output of E; foreach
     // streams one output per element of its term
     case AsBind(_, _) | Foreach(_, _, _, _, _) => true
@@ -542,8 +687,27 @@ object JqCompiler {
     case TBool => when(v.col, "true").otherwise("false")
   }
 
-  private def stripDot0(c: Column): Column =
-    regexp_replace(c.cast("double").cast("string"), "\\.0$", "")
+  /** Single-evaluation let over a Column: the body sees a LAMBDA
+    * VARIABLE, so referencing it N times duplicates nothing — the
+    * guard against expression-tree blow-up in recursive/rendering
+    * paths (a Column has no native let).
+    */
+  private def letC(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
+  private def stripDot0(c: Column): Column = {
+    // integral values render like jq integers at ANY magnitude (a
+    // plain double→string cast goes scientific past 1e7: "1.7E9").
+    // Deliberately NOT letC-wrapped: this sits on every numeric
+    // render, and a higher-order function here would drop the whole
+    // projection out of codegen; the 4 references to `d` stay cheap
+    // because recursive shapes (until/while/foreach) route values
+    // through lambda variables before they reach a render.
+    val d = c.cast("double")
+    when(d === d.cast("long").cast("double") && abs(d) < lit(1e15),
+      d.cast("long").cast("string"))
+      .otherwise(regexp_replace(d.cast("string"), "\\.0$", ""))
+  }
 
   /** Render a value for embedding INSIDE a constructed container. */
   private def renderJson(v: JqVal): Column = v.t match {
@@ -602,9 +766,22 @@ object JqCompiler {
   private final case class Comma(items: Seq[E]) extends E                 // e1, e2 (top level)
   private final case class VarE(name: String) extends E                   // $x (as/reduce/foreach-bound)
   private final case class Reduce(term: E, varName: String, init: E, update: E) extends E
-  // `EXPR as $x` — the body is the REST of the enclosing pipeline
-  // (compiler-level scope, like jq's `Term "as" Patterns '|' Exp`)
-  private final case class AsBind(src: E, varName: String) extends E
+  // `EXPR as PATTERN` — the body is the REST of the enclosing pipeline
+  // (compiler-level scope, like jq's `Term "as" Patterns '|' Exp`).
+  // Patterns: `$x` plain, `[$a,$b]` array destructuring (element i),
+  // `{a: $x, $b}` object destructuring (field access) — one level,
+  // nested sub-patterns are rejected loudly at parse time.
+  private sealed trait BindPat { def names: Seq[String] }
+  private final case class PVarPat(name: String) extends BindPat {
+    def names: Seq[String] = Seq(name)
+  }
+  private final case class PArrPat(items: Seq[String]) extends BindPat {
+    def names: Seq[String] = items
+  }
+  private final case class PObjPat(fields: Seq[(String, String)]) extends BindPat {
+    def names: Seq[String] = fields.map(_._2)
+  }
+  private final case class AsBind(src: E, pat: BindPat) extends E
   // foreach STREAM as $x (INIT; UPDATE[; EXTRACT]) — jq's running fold
   private final case class Foreach(term: E, varName: String, init: E,
                                    update: E, extract: Option[E]) extends E
@@ -788,7 +965,7 @@ object JqCompiler {
     * via `as $name`, shadowing it for the rest of the pipeline?
     */
   private def bindsVar(e: E, name: String): Boolean = e match {
-    case AsBind(_, v) => v == name
+    case AsBind(_, p) => p.names.contains(name)
     case Pipe(_, r) => bindsVar(r, name)
     case _ => false
   }
@@ -816,7 +993,7 @@ object JqCompiler {
     case Reduce(t, v, i, u) => Reduce(subst(t, name, repl), v,
       subst(i, name, repl),
       if (v == name) u else subst(u, name, repl)) // inner $x shadows
-    case AsBind(s, v) => AsBind(subst(s, name, repl), v) // body = rest of pipe (Pipe case)
+    case AsBind(s, p) => AsBind(subst(s, name, repl), p) // body = rest of pipe (Pipe case)
     case Foreach(t, v, i, u, x) => Foreach(subst(t, name, repl), v,
       subst(i, name, repl),
       if (v == name) u else subst(u, name, repl), // inner $x shadows
@@ -881,6 +1058,47 @@ object JqCompiler {
       (JqVal(rebuildArr(flatten(transform(jsonArrayElements(in.col), el =>
         transform(buildStream(normalizeStages(f), JqVal(el, TJson), top = false)._1,
           o => renderJson(JqVal(o, TJson)))))), TJson), None)
+    // nth(n; f): the nth (0-based) output of f's stream; out of range
+    // or negative emits nothing — the keep channel, jq-exact
+    case ("nth", Seq(n, f)) =>
+      val els = streamEls(f, in)
+      val idx = num(eval(n, in)._1).cast("int")
+      val inRange = idx >= 0 && size(els) > idx
+      (JqVal(when(inRange,
+        call_function("element_at", els, idx + lit(1))), TJson), Some(inRange))
+    // type-filter builtins (jq `arrays`, `objects`, …): emit the input
+    // iff its kind matches — select-shaped, so the keep channel
+    case (tf @ ("values" | "nulls" | "booleans" | "numbers" | "strings" |
+                "arrays" | "objects" | "iterables" | "scalars"), Seq()) =>
+      val k = kindOf(in)
+      val cond = tf match {
+        case "values" => k =!= "null"
+        case "nulls" => k === "null"
+        case "booleans" => k === "boolean"
+        case "numbers" => k === "number"
+        case "strings" => k === "string"
+        case "arrays" => k === "array"
+        case "objects" => k === "object"
+        case "iterables" => k === "array" || k === "object"
+        case _ => k =!= "array" && k =!= "object" // scalars
+      }
+      (in, Some(cond))
+    // capture("re"[; flags]): named groups → object; no match emits
+    // nothing (jq: capture = match | .captures | from_entries). An
+    // empty capture renders as "" (jq's null-for-unmatched-optional
+    // is a documented delta — regexp_extract conflates the two).
+    case ("capture", reE +: flagsE) =>
+      val re = reWithFlags(strLit(reE),
+        flagsE.headOption.map(strLit).getOrElse(""))
+      val s = renderTop(in)
+      val groups = namedGroups(re)
+      require(groups.nonEmpty, s"jq: capture needs (?<name>…) groups")
+      val pairs = groups.map { case (gname, gi) =>
+        concat(lit("\"" + gname + "\":"),
+          renderJson(JqVal(regexp_extract(s, re, gi), TStr)))
+      }
+      (JqVal(concat(lit("{"), concat_ws(",", pairs: _*), lit("}")), TJson),
+        Some(s.rlike(re)))
     case _ => evalFnScalar(name, args, in)
   }
 
@@ -912,8 +1130,9 @@ object JqCompiler {
         JqVal(when(c.endsWith(s), c.substr(lit(1), length(c) - s.length)).otherwise(c), TStr)
       case "startswith" => JqVal(renderTop(in).startsWith(strLit(args.head)), TBool)
       case "endswith" => JqVal(renderTop(in).endsWith(strLit(args.head)), TBool)
-      case "test" => JqVal(renderTop(in).rlike(strLit(args.head)), TBool)
-      case "split" => JqVal(to_json(split(renderTop(in),
+      case "test" if args.size == 1 =>
+        JqVal(renderTop(in).rlike(strLit(args.head)), TBool)
+      case "split" if args.size == 1 => JqVal(to_json(split(renderTop(in),
         java.util.regex.Pattern.quote(strLit(args.head)), -1)), TJson)
       case "join" =>
         require(in.t == TJson, "jq: join() needs an array input")
@@ -960,20 +1179,209 @@ object JqCompiler {
         JqVal(rebuildVals(when(allNumeric(els), numSorted).otherwise(array_sort(els))), TJson)
       case "sort_by" =>
         // decorate-sort-undecorate (struct sorts by leading fields);
-        // numeric keys sort numerically, others by rendered text; the
-        // input index breaks ties so the sort is STABLE like jq's
+        // see sortByKey — numeric keys numeric, stable like jq's
+        JqVal(rebuildVals(sortByKey(jsonArrayElements(in.col), args.head)), TJson)
+      case "min_by" | "max_by" =>
+        // stable sort then first/last: ties resolve to the first min /
+        // last max, matching jq's sort-based implementation
+        val sorted = sortByKey(jsonArrayElements(in.col), args.head)
+        val pos = if (name == "min_by") 1 else -1
+        JqVal(when(size(sorted) > 0, element_at(sorted, pos)), TJson)
+      case "group_by" | "unique_by" =>
+        // sort by key, then one group (or one representative) per
+        // distinct key in key order — array_distinct preserves first-
+        // occurrence order, which on a sorted array IS key order
         val els = jsonArrayElements(in.col)
+        val sorted = sortByKey(els, args.head)
         val keyOf = (el: Column) => renderTop(eval(args.head, JqVal(el, TJson))._1)
-        val allNumKeys = forall(els, el =>
-          keyOf(el).rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"))
-        def sortedBy(k: Column => Column): Column =
-          transform(
-            array_sort(transform(els,
-              (el, i) => struct(k(el).as("k"), i.as("i"), el.as("v")))),
-            _.getField("v"))
-        JqVal(rebuildVals(
-          when(allNumKeys, sortedBy(el => keyOf(el).cast("double")))
-            .otherwise(sortedBy(keyOf))), TJson)
+        val dk = array_distinct(transform(sorted, keyOf))
+        val result =
+          if (name == "unique_by")
+            rebuildVals(transform(dk, k =>
+              element_at(filter(sorted, el => keyOf(el) <=> k), 1)))
+          else
+            rebuildArr(transform(dk, k =>
+              rebuildVals(filter(sorted, el => keyOf(el) <=> k))))
+        JqVal(result, TJson)
+      case "flatten" =>
+        // jq flatten / flatten(d): nested arrays splice in place.
+        // Default (fully recursive) is capped at FlattenDepth levels —
+        // extra applications are no-ops, so min(d, cap) is exact for
+        // nesting shallower than the cap (documented like RecurseDepth)
+        val depth = args.headOption.map {
+          case Lit(d: Double) => math.min(math.max(d.toInt, 0), FlattenDepth)
+          case other => throw new IllegalArgumentException(
+            s"jq: flatten depth must be a number literal, got $other")
+        }.getOrElse(FlattenDepth)
+        var cur = renderedEls(in.col)
+        (0 until depth).foreach(_ => cur = flat1(cur))
+        JqVal(rebuildArr(cur), TJson)
+      case "transpose" =>
+        // matrix transpose, short rows padded with null (jq exact)
+        val rows = jsonArrayElements(in.col)
+        val maxLen = coalesce(array_max(transform(rows, r => json_array_length(r))), lit(0))
+        JqVal(when(maxLen === 0, lit("[]")).otherwise(
+          rebuildArr(transform(sequence(lit(0), greatest(maxLen - 1, lit(0))), i =>
+            rebuildVals(transform(rows, r =>
+              call_function("get_json_object", r,
+                concat(lit("$["), i.cast("string"), lit("]")))))))), TJson)
+      case "nth" =>
+        // nth(n) on an array input (0-based; out of range → null)
+        val els = jsonArrayElements(in.col)
+        val idx = num(arg(0)).cast("int")
+        JqVal(when(idx >= 0 && size(els) > idx,
+          call_function("element_at", els, idx + lit(1))), TJson)
+      case "del" =>
+        val segs = args.head match {
+          case Path(ss) if ss.forall(_.isLeft) =>
+            ss.collect { case Left(s) => s }
+          case other => throw new IllegalArgumentException(
+            s"jq: del supports static object-field paths (.a.b), got $other")
+        }
+        JqVal(delPath(in.col, segs.toList), TJson)
+      case "getpath" =>
+        val segs = args.head match {
+          case Arr(items) => items.map {
+            case Lit(s: String) => Left(s)
+            case Lit(d: Double) => Right(d.toInt)
+            case other => throw new IllegalArgumentException(
+              s"jq: getpath needs literal path elements, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"jq: getpath needs an array literal, got $other")
+        }
+        JqVal(get_json_object(in.col, pathStr(segs)), TJson)
+      case "type" => JqVal(kindOf(in), TStr)
+      case "keys_unsorted" =>
+        JqVal(to_json(json_object_keys(in.col)), TJson)
+      case "utf8bytelength" =>
+        JqVal(octet_length(renderTop(in)).cast("double"), TNum)
+      case "trim" => JqVal(trim(renderTop(in)), TStr)
+      case "ltrim" => JqVal(ltrim(renderTop(in)), TStr)
+      case "rtrim" => JqVal(rtrim(renderTop(in)), TStr)
+      case "explode" =>
+        // string → codepoint array (BMP — Spark splits on chars)
+        JqVal(to_json(transform(
+          filter(split(renderTop(in), ""), ch => ch =!= ""),
+          ch => ascii(ch))), TJson)
+      case "implode" =>
+        val arr = from_json(in.col, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType))
+        JqVal(array_join(transform(arr, i => call_function("char", i)), ""), TStr)
+      case "index" | "rindex" =>
+        // first/last 0-based position of a substring, null when absent
+        val s = renderTop(in); val sub = renderTop(arg(0))
+        val fwd = call_function("instr", s, sub) // 1-based, 0 = absent
+        val revPos = call_function("instr", reverse(s), reverse(sub))
+        val v =
+          if (name == "index") (fwd - 1).cast("double")
+          else (length(s) - revPos + lit(1) - length(sub)).cast("double")
+        JqVal(when(if (name == "index") fwd >= 1 else revPos >= 1, v), TNum)
+      case "in" =>
+        // inverse has: object → key present; array → valid 0-based index
+        val container = arg(0)
+        val key = renderTop(in)
+        val k = kindOf(container)
+        JqVal(when(k === "object",
+            call_function("get_json_object", container.col,
+              concat(lit("$['"), key, lit("']"))).isNotNull)
+          .when(k === "array",
+            key.cast("double") >= 0 &&
+              key.cast("double") < json_array_length(container.col))
+          .otherwise(lit(false)), TBool)
+      case "contains" => JqVal(containsDeep(in, arg(0)), TBool)
+      case "inside" => JqVal(containsDeep(arg(0), in), TBool)
+      case "sqrt" => JqVal(sqrt(num(in)), TNum)
+      case "pow" => JqVal(pow(num(arg(0)), num(arg(1))), TNum)
+      case "log" => JqVal(log(num(in)), TNum)
+      case "log2" => JqVal(log2(num(in)), TNum)
+      case "log10" => JqVal(log10(num(in)), TNum)
+      case "exp" => JqVal(exp(num(in)), TNum)
+      case "exp2" => JqVal(pow(lit(2.0), num(in)), TNum)
+      case "exp10" => JqVal(pow(lit(10.0), num(in)), TNum)
+      case "round" => JqVal(round(num(in), 0), TNum)
+      case "todate" | "todateiso8601" =>
+        // unix seconds → ISO-8601 Z (session timezone is UTC)
+        JqVal(date_format(timestamp_seconds(num(in).cast("long")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'"), TStr)
+      case "fromdate" | "fromdateiso8601" =>
+        JqVal(unix_timestamp(to_timestamp(renderTop(in),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'")).cast("double"), TNum)
+      case "strftime" =>
+        // C %-format over unix seconds, translated at compile time to
+        // a Java pattern (shared with Bloblang ts_strftime)
+        JqVal(date_format(timestamp_seconds(num(in).cast("long")),
+          ExprCompiler.strftimeToSpark(strLit(args.head))), TStr)
+      case "gmtime" =>
+        // unix seconds → jq's broken-down UTC time array:
+        // [year, month0, day, hour, min, sec, wday0(Sun), yday0]
+        val ts = timestamp_seconds(num(in).cast("long"))
+        JqVal(concat(lit("["), concat_ws(",",
+          year(ts).cast("string"), (month(ts) - 1).cast("string"),
+          dayofmonth(ts).cast("string"), hour(ts).cast("string"),
+          minute(ts).cast("string"), second(ts).cast("string"),
+          (dayofweek(ts) - 1).cast("string"),
+          (dayofyear(ts) - 1).cast("string")), lit("]")), TJson)
+      case "mktime" =>
+        // broken-down UTC array (gmtime's first six) → unix seconds
+        val e = from_json(in.col, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+        JqVal(unix_timestamp(call_function("make_timestamp",
+          element_at(e, 1).cast("int"), (element_at(e, 2) + 1).cast("int"),
+          element_at(e, 3).cast("int"), element_at(e, 4).cast("int"),
+          element_at(e, 5).cast("int"), element_at(e, 6))).cast("double"), TNum)
+      case "gsub" | "sub" =>
+        val repl = strLit(args(1))
+        require(!repl.contains("\\("), "jq: capture interpolation in " +
+          "sub/gsub replacements is not supported — use a literal string")
+        val flags = if (args.size >= 3) strLit(args(2)) else ""
+        val re = reWithFlags(strLit(args(0)), flags)
+        val s = renderTop(in)
+        if (name == "gsub" || flags.contains('g'))
+          JqVal(regexp_replace(s, re, javaRepl(repl)), TStr)
+        else {
+          // first occurrence only: split at the first match via a
+          // lazy-prefix group, then splice the literal replacement
+          val pat2 = "(?s)^(.*?)(" + re + ")"
+          val prefix = regexp_extract(s, pat2, 1)
+          val m = regexp_extract(s, pat2, 2)
+          JqVal(when(s.rlike(re),
+            concat(prefix, lit(repl),
+              s.substr(length(prefix) + length(m) + 1, length(s))))
+            .otherwise(s), TStr)
+        }
+      case "until" =>
+        // jq until(cond; update): iterate update until cond holds.
+        // Unrolled to RecurseDepth — non-convergence within the cap
+        // yields null (documented; a column cannot loop unboundedly).
+        require(args.size == 2, "jq: until takes (cond; update)")
+        // ONE aggregate() fold over a static sequence: cond/update
+        // appear ONCE in the plan and the iteration happens at
+        // RUNTIME (IterCap steps) — a plan-level unroll here blows
+        // the expression tree up when until sits inside a larger
+        // program. Once converged the step is the identity, so extra
+        // iterations are free; non-convergence within the cap → null.
+        val stepped = aggregate(sequence(lit(1), lit(IterCap)),
+          renderTop(in).cast("string"),
+          (acc, _) => {
+            val v = JqVal(acc, TJson)
+            when(coalesce(boolOf(eval(args(0), v)._1), lit(false)), acc)
+              .otherwise(renderTop(eval(args(1), v)._1).cast("string"))
+          })
+        JqVal(letC(stepped) { r =>
+          when(coalesce(boolOf(eval(args(0), JqVal(r, TJson))._1), lit(false)), r)
+        }, TJson)
+      case "repeat" | "while" => throw new IllegalArgumentException(
+        if (name == "repeat")
+          "jq: repeat(f) is an unbounded stream — unsupported (a column cannot loop forever)"
+        else s"jq: $name streams multiple outputs — unsupported in this position")
+      case "split" if args.size == 2 =>
+        // split("re"; flags): the regex form (1-arg split is literal)
+        JqVal(to_json(split(renderTop(in),
+          reWithFlags(strLit(args(0)), strLit(args(1))), -1)), TJson)
+      case "test" if args.size == 2 =>
+        JqVal(renderTop(in).rlike(
+          reWithFlags(strLit(args(0)), strLit(args(1)))), TBool)
       case "tojson" => JqVal(renderJson(in), TStr)
       case "fromjson" => JqVal(renderTop(in), TJson)
       case "to_entries" =>
@@ -984,7 +1392,8 @@ object JqCompiler {
         // jq: with_entries(f) == to_entries | map(f) | from_entries
         val mapped = mapEls(toEntries(in.col), args.head)
         JqVal(fromEntries(mapped), TJson)
-      case "range" | "empty" | "limit" | "recurse" => throw new IllegalArgumentException(
+      case "range" | "empty" | "limit" | "recurse" | "scan" | "splits" |
+           "paths" | "leaf_paths" => throw new IllegalArgumentException(
         s"jq: $name streams multiple outputs — unsupported in this position")
       case other => throw new IllegalArgumentException(s"jq: unsupported function $other")
     }
@@ -1059,6 +1468,173 @@ object JqCompiler {
       s"jq: expected a string literal argument, got $other")
   }
 
+  /** jq `type`: the value's JSON kind name. For path-derived values
+    * the kind is re-inferred textually (get_json_object unquotes
+    * strings — the documented re-embedding delta applies: the STRING
+    * "true" classifies as boolean, "123" as number).
+    */
+  private def kindOf(v: JqVal): Column = v.t match {
+    case TStr => lit("string")
+    case TNum => lit("number")
+    case TBool => lit("boolean")
+    case TJson =>
+      val s = v.col.cast("string")
+      when(s.isNull || s === "null", "null")
+        .when(s.rlike("^\\{"), "object")
+        .when(s.rlike("^\\["), "array")
+        .when(s === "true" || s === "false", "boolean")
+        .when(s.rlike(JsonNumRe), "number")
+        .otherwise("string")
+  }
+
+  /** Stable sort of raw element texts by a jq key filter — the shared
+    * decorate-sort-undecorate core of sort_by/min_by/max_by/group_by/
+    * unique_by. All-numeric keys sort numerically, others by rendered
+    * text; the input index breaks ties so the sort is STABLE like jq.
+    */
+  private def sortByKey(els: Column, keyF: E): Column = {
+    val keyOf = (el: Column) => renderTop(eval(keyF, JqVal(el, TJson))._1)
+    val allNumKeys = forall(els, el => keyOf(el).rlike(JsonNumRe))
+    def sortedBy(k: Column => Column): Column =
+      transform(
+        array_sort(transform(els,
+          (el, i) => struct(k(el).as("k"), i.as("i"), el.as("v")))),
+        _.getField("v"))
+    when(allNumKeys, sortedBy(el => keyOf(el).cast("double")))
+      .otherwise(sortedBy(keyOf))
+  }
+
+  /** Flatten unroll cap: a column cannot recurse unboundedly, so
+    * `flatten` (jq default: fully recursive) flattens at most this
+    * many levels — documented cap, same convention as RecurseDepth.
+    */
+  val FlattenDepth = 8
+
+  /** Array text → rendered-JSON element array (strings re-quoted),
+    * the splice-safe element convention for flatten/transpose.
+    */
+  private def renderedEls(c: Column): Column =
+    transform(jsonArrayElements(c), el => renderJson(JqVal(el, TJson)))
+
+  /** One flatten level over rendered elements: array elements splice
+    * their own (rendered) elements, everything else passes through.
+    */
+  private def flat1(rendered: Column): Column =
+    flatten(transform(rendered, el =>
+      when(el.rlike("^\\["), renderedEls(el)).otherwise(array(el))))
+
+  /** jq `contains` over the common kinds: string ⊇ substring; arrays —
+    * every element of b matches some element of a (strings by
+    * substring, everything else by rendered equality — ONE level deep,
+    * jq's full recursive containment for nested containers is a
+    * documented delta); other kinds compare equal.
+    */
+  private def containsDeep(a: JqVal, b: JqVal): Column = {
+    val ka = kindOf(a); val kb = kindOf(b)
+    val as = renderTop(a); val bs = renderTop(b)
+    def elKind(c: Column) = kindOf(JqVal(c, TJson))
+    when(ka === "string" && kb === "string", as.contains(bs))
+      .when(ka === "array" && kb === "array",
+        forall(jsonArrayElements(b.col), be =>
+          exists(jsonArrayElements(a.col), ae =>
+            when(elKind(ae) === "string" && elKind(be) === "string",
+              ae.contains(be)).otherwise(ae <=> be))))
+      .otherwise(as <=> bs)
+  }
+
+  /** jq `del(.a.b)` for static object-field paths: rebuild the object
+    * textually without the target key, recursing into the named field
+    * for nested paths. Missing intermediates / non-objects pass
+    * through unchanged (jq's del on an absent path is the identity).
+    */
+  private def delPath(c: Column, segs: List[String]): Column = {
+    val keys = json_object_keys(c)
+    def valueAt(k: Column): Column =
+      call_function("get_json_object", c, concat(lit("$['"), k, lit("']")))
+    def pairOf(k: Column): Column =
+      concat(quote(k), lit(":"), renderJson(JqVal(valueAt(k), TJson)))
+    val obj = segs match {
+      case Nil => c
+      case last :: Nil =>
+        concat(lit("{"),
+          array_join(transform(filter(keys, k => k =!= last), k => pairOf(k)), ","),
+          lit("}"))
+      case h :: t =>
+        concat(lit("{"),
+          array_join(transform(keys, k =>
+            when(k === h,
+              concat(quote(k), lit(":"), delPath(valueAt(k), t)))
+              .otherwise(pairOf(k))), ","),
+          lit("}"))
+    }
+    when(c.isNull || keys.isNull, c).otherwise(obj)
+  }
+
+  /** Count capture groups in a (literal) Java regex — unescaped `(`
+    * outside char classes, counting named groups, skipping other
+    * `(?…)` constructs. Group numbers shift by prefix wrapping, so
+    * sub/scan/capture need this at compile time.
+    */
+  private def countGroups(re: String): Int = namedOrPlainGroups(re).size
+
+  /** All capture groups in order: Some(name) for `(?<name>…)`, None
+    * for plain `(…)`. Index in this list + 1 = Java group number.
+    */
+  private def namedOrPlainGroups(re: String): Seq[Option[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Option[String]]()
+    var i = 0
+    while (i < re.length) {
+      re.charAt(i) match {
+        case '\\' => i += 1
+        case '[' =>
+          i += 1
+          if (i < re.length && re.charAt(i) == ']') i += 1 // []...] literal ]
+          while (i < re.length && re.charAt(i) != ']') {
+            if (re.charAt(i) == '\\') i += 1
+            i += 1
+          }
+        case '(' if i + 1 < re.length && re.charAt(i + 1) == '?' =>
+          if (re.startsWith("(?<", i) && i + 3 < re.length &&
+              re.charAt(i + 3) != '=' && re.charAt(i + 3) != '!') {
+            val end = re.indexOf('>', i + 3)
+            require(end > 0, s"jq: unterminated named group in '$re'")
+            out += Some(re.substring(i + 3, end))
+          }
+        case '(' => out += None
+        case _ =>
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def namedGroups(re: String): Seq[(String, Int)] =
+    namedOrPlainGroups(re).zipWithIndex.collect {
+      case (Some(n), i) => (n, i + 1)
+    }
+
+  /** jq regex flags → Java embedded flags: i/x/s/m map directly, `g`
+    * is meaningful only to sub (handled there) and a no-op elsewhere;
+    * anything else is rejected loudly.
+    */
+  private def reWithFlags(re: String, flags: String): String = {
+    val embedded = flags.filter(_ != 'g').map {
+      case 'i' => 'i'
+      case 'x' => 'x'
+      case 's' => 's'
+      case 'm' => 'm'
+      case other => throw new IllegalArgumentException(
+        s"jq: unsupported regex flag '$other' (supported: g i x s m)")
+    }
+    if (embedded.isEmpty) re else s"(?$embedded)$re"
+  }
+
+  /** Escape a literal replacement string for Java's Matcher semantics
+    * (`$` and `\` are special in regexp_replace replacements).
+    */
+  private def javaRepl(repl: String): String =
+    repl.replace("\\", "\\\\").replace("$", "\\$")
+
   // ---- parser --------------------------------------------------------
 
   private final class JqParser(src: String) {
@@ -1088,21 +1664,51 @@ object JqCompiler {
       if (es.size == 1) es.head else Comma(es.toSeq)
     }
 
-    /** An alt-level expression optionally bound with `as $x` (jq's
-      * variable binding; the body is the rest of the pipeline, scoped
-      * at the compiler level). Only the plain `$var` pattern is
-      * supported — destructuring patterns (`as [$a,$b]`, `as {…}`)
-      * are rejected loudly, never silently misbound.
+    /** An alt-level expression optionally bound with `as PATTERN`
+      * (jq's variable binding; the body is the rest of the pipeline,
+      * scoped at the compiler level). Patterns: `$x`, array
+      * destructuring `[$a, $b]`, object destructuring `{a: $x, $b}` —
+      * one level; nested sub-patterns are rejected loudly.
       */
     private def parseBindable(): E = {
       val e = parseAlt()
       if (peekWord("as")) {
-        eatWord("as"); skipWs()
-        require(pos < src.length && src.charAt(pos) == '$',
-          "jq: only `as $var` binding patterns are supported")
-        pos += 1
-        AsBind(e, parseWord())
+        eatWord("as")
+        AsBind(e, parseBindPat())
       } else e
+    }
+
+    private def parseBindPat(): BindPat = {
+      skipWs()
+      def varName(): String = {
+        skipWs()
+        require(pos < src.length && src.charAt(pos) == '$',
+          "jq: binding patterns bind variables — `$x`, `[$a,$b]`, `{a: $x}`" +
+            " (nested sub-patterns are not supported)")
+        pos += 1
+        parseWord()
+      }
+      if (eat("[")) {
+        val items = scala.collection.mutable.ArrayBuffer[String]()
+        items += varName()
+        while (eat(",")) items += varName()
+        expect("]")
+        PArrPat(items.toSeq)
+      } else if (eat("{")) {
+        val fields = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        def field(): Unit = {
+          skipWs()
+          if (pos < src.length && src.charAt(pos) == '$') {
+            val n = varName(); fields += ((n, n)) // {$a} shorthand: .a
+          } else {
+            val f = parseWord(); expect(":"); fields += ((f, varName()))
+          }
+        }
+        field()
+        while (eat(",")) field()
+        expect("}")
+        PObjPat(fields.toSeq)
+      } else PVarPat(varName())
     }
 
     private def skipWs(): Unit =

@@ -506,8 +506,9 @@ class JqSpec extends SparkTestBase {
     // select() in the body filters per bound element
     assert(run(".a[] as $x | select($x > 1) | $x", """{"a":[1,2,3]}""") ==
       Seq(Some("2"), Some("3")))
-    // loud: destructuring patterns, missing body, non-stage positions
-    intercept[Exception](run(". as [$a, $b] | $a", "[1,2]"))
+    // destructuring now supported (see the dedicated test); still
+    // loud: missing body, non-stage positions
+    assert(run(". as [$a, $b] | $a", "[1,2]") == Seq(Some("1")))
     intercept[Exception](run(".a as $x", """{"a":1}"""))
     intercept[Exception](run("ltrimstr(. as $x | $x)", "\"s\""))
   }
@@ -545,5 +546,173 @@ class JqSpec extends SparkTestBase {
       Seq(Some("[[1],2]"), Some("[1]"), Some("1"), Some("2")))
     // loud: too many args
     intercept[Exception](run("recurse(.a; .b; .c)", "{}"))
+  }
+
+  // ---- builtin round-out (late round 3) ------------------------------
+
+  test("type and the type-filter family") {
+    assert(one(".a | type", """{"a":1}""").contains("number"))
+    assert(one(".a | type", """{"a":"x"}""").contains("string"))
+    assert(one(".a | type", """{"a":[1]}""").contains("array"))
+    assert(one(".a | type", """{"a":{"b":1}}""").contains("object"))
+    assert(one(".a | type", """{"a":true}""").contains("boolean"))
+    assert(one(".a | type", """{"a":null}""").contains("null"))
+    // filters emit the input iff the kind matches (select-shaped)
+    assert(run(".a | numbers", """{"a":1}""", """{"a":"x"}""", """{"a":2}""") ==
+      Seq(Some("1"), Some("2")))
+    assert(run(".a | strings", """{"a":1}""", """{"a":"x"}""") == Seq(Some("x")))
+    assert(run(".a | arrays", """{"a":[1]}""", """{"a":1}""") == Seq(Some("[1]")))
+    assert(run(".a | objects | .b", """{"a":{"b":9}}""", """{"a":3}""") ==
+      Seq(Some("9")))
+    assert(run(".a | scalars", """{"a":[1]}""", """{"a":7}""") == Seq(Some("7")))
+    assert(run(".a | iterables", """{"a":[1]}""", """{"a":7}""") == Seq(Some("[1]")))
+  }
+
+  test("min_by / max_by / group_by / unique_by") {
+    val arr = """[{"x":3,"i":1},{"x":1,"i":2},{"x":3,"i":3}]"""
+    assert(one("min_by(.x)", arr).contains("""{"x":1,"i":2}"""))
+    // ties: last max (stable sort, jq's sort-based implementation)
+    assert(one("max_by(.x)", arr).contains("""{"x":3,"i":3}"""))
+    assert(one("group_by(.x)", arr).contains(
+      """[[{"x":1,"i":2}],[{"x":3,"i":1},{"x":3,"i":3}]]"""))
+    assert(one("unique_by(.x)", arr).contains(
+      """[{"x":1,"i":2},{"x":3,"i":1}]"""))
+    // string keys group lexically
+    assert(one("""group_by(.k) | length""",
+      """[{"k":"b"},{"k":"a"},{"k":"b"}]""").contains("2"))
+  }
+
+  test("flatten and transpose") {
+    assert(one("flatten", "[1,[2,3],[[4]]]").contains("[1,2,3,4]"))
+    assert(one("flatten(1)", "[1,[2,3],[[4]]]").contains("[1,2,3,[4]]"))
+    assert(one("flatten", "[]").contains("[]"))
+    assert(one("flatten", """[["a"],["b"]]""").contains("""["a","b"]"""))
+    assert(one("transpose", "[[1,2],[3,4],[5]]").contains("[[1,3,5],[2,4,null]]"))
+    assert(one("transpose", "[]").contains("[]"))
+  }
+
+  test("nth: array form and stream form") {
+    assert(one("nth(1)", "[10,20,30]").contains("20"))
+    assert(one("nth(9)", "[10,20,30]").isEmpty) // out of range → null
+    assert(run("nth(1; .a[])", """{"a":[5,6,7]}""") == Seq(Some("6")))
+    assert(run("nth(5; .a[])", """{"a":[5,6,7]}""") == Seq()) // keep drops
+  }
+
+  test("del / getpath / keys_unsorted") {
+    assert(one("del(.b)", """{"a":1,"b":2,"c":"x"}""")
+      .contains("""{"a":1,"c":"x"}"""))
+    assert(one("del(.a.b)", """{"a":{"b":1,"c":2},"d":3}""")
+      .contains("""{"a":{"c":2},"d":3}"""))
+    // absent path / non-object input: identity (jq)
+    assert(one("del(.zz)", """{"a":1}""").contains("""{"a":1}"""))
+    assert(one("""getpath(["a","b"])""", """{"a":{"b":42}}""").contains("42"))
+    assert(one("keys_unsorted", """{"b":1,"a":2}""").contains("""["b","a"]"""))
+  }
+
+  test("string builtins: trim family, explode/implode, index/rindex, utf8bytelength") {
+    assert(one(".s | trim", """{"s":"  x  "}""").contains("x"))
+    assert(one(".s | ltrim", """{"s":"  x"}""").contains("x"))
+    assert(one(".s | explode", """{"s":"AB"}""").contains("[65,66]"))
+    assert(one("[65,66] | implode", "{}").contains("AB"))
+    assert(one(""".s | index("b")""", """{"s":"abcabc"}""").contains("1"))
+    assert(one(""".s | rindex("b")""", """{"s":"abcabc"}""").contains("4"))
+    assert(one(""".s | index("zz")""", """{"s":"abc"}""").isEmpty)
+    assert(one(".s | utf8bytelength", """{"s":"abc"}""").contains("3"))
+  }
+
+  test("regex: gsub, sub, capture, scan, split/2, test/2") {
+    assert(one(""".s | gsub("z"; "-")""", """{"s":"azbzc"}""").contains("a-b-c"))
+    assert(one(""".s | sub("z"; "-")""", """{"s":"azbzc"}""").contains("a-bzc"))
+    // sub with the g flag is gsub
+    assert(one(""".s | sub("z"; "-"; "g")""", """{"s":"azbzc"}""").contains("a-b-c"))
+    assert(one(""".s | gsub("[0-9]+"; "N")""", """{"s":"a12b345"}""").contains("aNbN"))
+    assert(one(""".s | capture("(?<w>[a-z]+)(?<n>[0-9]+)")""",
+      """{"s":"xyz123"}""").contains("""{"w":"xyz","n":"123"}"""))
+    // capture with no match emits nothing
+    assert(run(""".s | capture("(?<n>[0-9]+)")""", """{"s":"abc"}""") == Seq())
+    // scan streams one message per match
+    assert(run(""".s | scan("[a-z][0-9]")""", """{"s":"a1 b2 c3"}""") ==
+      Seq(Some("a1"), Some("b2"), Some("c3")))
+    // scan with groups: one capture array per match
+    assert(run(""".s | scan("([a-z])([0-9])")""", """{"s":"a1 b2"}""") ==
+      Seq(Some("""["a","1"]"""), Some("""["b","2"]""")))
+    assert(one(""".s | split("[0-9]"; "")""", """{"s":"a1b2c"}""")
+      .contains("""["a","b","c"]"""))
+    assert(one(""".s | test("abc"; "i")""", """{"s":"xABCy"}""").contains("true"))
+    assert(one(""".s | test("abc")""", """{"s":"xABCy"}""").contains("false"))
+  }
+
+  test("contains / inside / in") {
+    assert(one(""".s | contains("bar")""", """{"s":"foobar"}""").contains("true"))
+    assert(one(""".s | contains("zz")""", """{"s":"foobar"}""").contains("false"))
+    // arrays: substring per element (jq's shallow common case)
+    assert(one("""contains(["foo"])""", """["foobar","x"]""").contains("true"))
+    assert(one("""contains(["zz"])""", """["foobar","x"]""").contains("false"))
+    assert(one(""".s | inside("foobar")""", """{"s":"oba"}""").contains("true"))
+    assert(one(""".k | in({"a":1})""", """{"k":"a"}""").contains("true"))
+    assert(one(""".k | in({"a":1})""", """{"k":"z"}""").contains("false"))
+    assert(one(""".i | in([10,20])""", """{"i":1}""").contains("true"))
+    assert(one(""".i | in([10,20])""", """{"i":5}""").contains("false"))
+  }
+
+  test("math: sqrt, pow, log family, round") {
+    assert(one(".n | sqrt", """{"n":9}""").contains("3"))
+    assert(one("pow(2; 10)", "{}").contains("1024"))
+    assert(one(".n | log2", """{"n":8}""").contains("3"))
+    assert(one(".n | log10", """{"n":1000}""").contains("3"))
+    assert(one(".n | exp2", """{"n":5}""").contains("32"))
+    assert(one(".n | round", """{"n":3.7}""").contains("4"))
+    assert(one(".n | round", """{"n":-3.7}""").contains("-4"))
+  }
+
+  test("destructuring binding patterns: as [$a,$b] and as {a: $x}") {
+    assert(run(".p as [$a, $b] | {s: ($a + $b), d: ($a - $b)}", """{"p":[7,3]}""") ==
+      Seq(Some("""{"s":10,"d":4}""")))
+    // missing positions bind null (jq); null + n propagates null-ish
+    assert(run(".p as [$a, $b] | $a", """{"p":[7]}""") == Seq(Some("7")))
+    assert(run(".o as {x: $v, $y} | [$v, $y]", """{"o":{"x":1,"y":2}}""") ==
+      Seq(Some("[1,2]")))
+    // `.` stays the binding point's input
+    assert(run(".p as [$a] | .k + $a", """{"p":[5],"k":10}""") == Seq(Some("15")))
+    // binding a STREAM destructures each output
+    assert(run(".ps[] as [$a, $b] | $a * $b", """{"ps":[[2,3],[4,5]]}""") ==
+      Seq(Some("6"), Some("20")))
+    // nested sub-patterns: loud
+    intercept[Exception](run(".p as [[$a]] | $a", """{"p":[[1]]}"""))
+  }
+
+  test("until and while iteration, splits") {
+    assert(one(".n | until(. > 100; . * 2)", """{"n":7}""").contains("112"))
+    assert(run(".n | while(. < 40; . * 3)", """{"n":1}""") ==
+      Seq(Some("1"), Some("3"), Some("9"), Some("27")))
+    // while with an immediately-false cond is the empty stream
+    assert(run(".n | while(. < 0; . + 1)", """{"n":5}""") == Seq())
+    assert(run(""".s | splits("[0-9]+")""", """{"s":"a1bb22ccc"}""") ==
+      Seq(Some("a"), Some("bb"), Some("ccc")))
+    intercept[Exception](run("repeat(. + 1)", "1"))
+  }
+
+  test("paths and leaf_paths stream preorder path arrays") {
+    assert(run("paths", """{"a":[1,{"b":2}],"c":3}""") ==
+      Seq(Some("""["a"]"""), Some("""["a",0]"""), Some("""["a",1]"""),
+        Some("""["a",1,"b"]"""), Some("""["c"]""")))
+    assert(run("leaf_paths", """{"a":[1,{"b":2}],"c":3}""") ==
+      Seq(Some("""["a",0]"""), Some("""["a",1,"b"]"""), Some("""["c"]""")))
+    // scalars have no paths
+    assert(run("paths", "5") == Seq())
+  }
+
+  test("dates: todate/fromdate/strftime/gmtime/mktime (UTC)") {
+    assert(one(".t | todate", """{"t":1700000000}""")
+      .contains("2023-11-14T22:13:20Z"))
+    assert(one(""".d | fromdate""", """{"d":"2023-11-14T22:13:20Z"}""")
+      .contains("1700000000"))
+    assert(one(""".t | strftime("%Y/%m/%d %H:%M")""", """{"t":1700000000}""")
+      .contains("2023/11/14 22:13"))
+    // jq gmtime for 1700000000: Tue Nov 14 2023, wday0=2, yday0=317
+    assert(one(".t | gmtime", """{"t":1700000000}""")
+      .contains("[2023,10,14,22,13,20,2,317]"))
+    assert(one(".t | gmtime | mktime", """{"t":1700000000}""")
+      .contains("1700000000"))
   }
 }
