@@ -1099,7 +1099,77 @@ object JqCompiler {
       }
       (JqVal(concat(lit("{"), concat_ws(",", pairs: _*), lit("}")), TJson),
         Some(s.rlike(re)))
+    // format strings (@csv/@tsv/@json/@text/@html/@uri/@base64/
+    // @base64d/@sh): arity 0 formats the input; arity 1 is an
+    // interpolation hole (`@uri "x=\(.a)"`), keep-channel transparent
+    case (fmt, fargs) if fmt.startsWith("@") =>
+      val (v, keep) = if (fargs.isEmpty) (in, None) else eval(fargs.head, in)
+      (formatApply(fmt.substring(1), v), keep)
     case _ => evalFnScalar(name, args, in)
+  }
+
+  /** jq `@FORMAT` application. CSV/TSV/sh render over the RAW element
+    * texts of an array input (non-array input renders empty — jq
+    * raises; same null-over-error model as paths, documented).
+    */
+  private def formatApply(fmt: String, v: JqVal): JqVal = {
+    def shq(el: Column): Column =
+      when(el.rlike(JsonNumRe) || el === "true" || el === "false", el)
+        .otherwise(concat(lit("'"),
+          replace(el, lit("'"), lit("'\\''")), lit("'")))
+    // tostring semantics: a top-level JSON *string* document renders
+    // unquoted (get_json_object at '$' unquotes; path-derived TJson
+    // strings already arrive unquoted so the guard never fires twice)
+    def textOf(x: JqVal): Column = x.t match {
+      case TJson => when(x.col.cast("string").rlike("^\""),
+        call_function("get_json_object", x.col, lit("$")))
+        .otherwise(renderTop(x))
+      case _ => renderTop(x)
+    }
+    fmt match {
+      case "text" => JqVal(textOf(v), TStr)
+      case "json" => JqVal(renderJson(v), TStr)
+      case "html" =>
+        // & first, or the entity ampersands double-escape
+        val s = textOf(v)
+        JqVal(replace(replace(replace(replace(replace(
+          s, lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+          lit(">"), lit("&gt;")), lit("'"), lit("&#39;")),
+          lit("\""), lit("&#34;")), TStr)
+      case "uri" =>
+        // java URLEncoder ≠ jq's RFC 3986 set on exactly three chars:
+        // space (+ vs %20), ~ (%7E vs bare), * (bare vs %2A)
+        JqVal(replace(replace(replace(url_encode(textOf(v)),
+          lit("+"), lit("%20")), lit("%7E"), lit("~")),
+          lit("*"), lit("%2A")), TStr)
+      case "base64" =>
+        // strip the MIME 76-char chunking Spark's codec emits
+        JqVal(regexp_replace(
+          base64(encode(textOf(v), "UTF-8")), "[\\r\\n]", ""), TStr)
+      case "base64d" =>
+        JqVal(decode(unbase64(textOf(v)), "UTF-8"), TStr)
+      case "csv" =>
+        val fields = transform(jsonArrayElements(v.col), el =>
+          when(el.isNull || el === "null", lit(""))
+            .when(el === "true" || el === "false" || el.rlike(JsonNumRe), el)
+            .otherwise(concat(lit("\""),
+              replace(el, lit("\""), lit("\"\"")), lit("\""))))
+        JqVal(array_join(fields, ","), TStr)
+      case "tsv" =>
+        val fields = transform(jsonArrayElements(v.col), el =>
+          when(el.isNull || el === "null", lit(""))
+            .otherwise(replace(replace(replace(replace(el,
+              lit("\\"), lit("\\\\")), lit("\t"), lit("\\t")),
+              lit("\n"), lit("\\n")), lit("\r"), lit("\\r"))))
+        JqVal(array_join(fields, "\t"), TStr)
+      case "sh" =>
+        val isArr = lit(v.t == TJson) && v.col.cast("string").rlike("^\\[")
+        JqVal(when(isArr,
+          array_join(transform(jsonArrayElements(v.col), shq(_)), " "))
+          .otherwise(shq(textOf(v))), TStr)
+      case other => throw new IllegalArgumentException(
+        s"jq: unsupported format string @$other")
+    }
   }
 
   private def evalFnScalar(name: String, args: Seq[E], in: JqVal): (JqVal, Option[Column]) = {
@@ -1828,6 +1898,17 @@ object JqCompiler {
       else if (c == '{') parseObj()
       else if (c == '[') parseArr()
       else if (c == '"') parseInterpString()
+      else if (c == '@') {
+        // format strings: `@csv` applies the format to the input;
+        // `@uri "x=\(.a)"` applies it to each interpolation hole
+        // (literal fragments pass through verbatim — jq semantics)
+        pos += 1
+        val fname = parseWord()
+        skipWs()
+        if (pos < src.length && src.charAt(pos) == '"')
+          parseInterpString(holeWrap = Some(fname))
+        else Fn("@" + fname, Nil)
+      }
       else if (c == '.' && src.startsWith("..", pos)) {
         pos += 2; Fn("recurse", Nil) // jq `..` == recurse
       }
@@ -1964,7 +2045,7 @@ object JqCompiler {
       * hole evaluated against the current input. Object KEYS and
       * literal function args still parse raw (parseString).
       */
-    private def parseInterpString(): E = {
+    private def parseInterpString(holeWrap: Option[String] = None): E = {
       require(src.charAt(pos) == '"', s"jq: expected string at $pos")
       pos += 1
       val parts = scala.collection.mutable.ArrayBuffer[E]()
@@ -1973,7 +2054,10 @@ object JqCompiler {
       while (pos < src.length && src.charAt(pos) != '"') {
         if (src.charAt(pos) == '\\' && pos + 1 < src.length && src.charAt(pos + 1) == '(') {
           flush(); pos += 2
-          parts += parsePipe()
+          val hole = parsePipe()
+          // a format prefix (`@uri "…"`) formats HOLES only; wrapping
+          // here (not post-hoc) keeps literal-valued holes formatted
+          parts += holeWrap.fold(hole)(f => Fn("@" + f, Seq(hole)))
           expect(")")
         } else if (src.charAt(pos) == '\\' && pos + 1 < src.length) {
           pos += 1

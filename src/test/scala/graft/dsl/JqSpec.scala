@@ -715,4 +715,37 @@ class JqSpec extends SparkTestBase {
     assert(one(".t | gmtime | mktime", """{"t":1700000000}""")
       .contains("1700000000"))
   }
+
+  test("format strings: @csv/@tsv on arrays") {
+    assert(one(".a | @csv", """{"a":[1,"x,y",true,null]}""")
+      .contains("""1,"x,y",true,"""))
+    // embedded quotes double, jq-style
+    assert(one(".a | @csv", """{"a":["he said \"hi\""]}""")
+      .contains(""""he said ""hi""""""))
+    assert(one(".a | @tsv", """{"a":["x\ty","a\nb"]}""")
+      .contains("""x\ty	a\nb"""))
+  }
+
+  test("format strings: @text/@json/@html/@uri/@base64/@base64d/@sh") {
+    assert(one("@text", "\"plain\"").contains("plain"))
+    assert(one(".a | @json", """{"a":"x"}""").contains("\"x\""))
+    assert(one(".a | @json", """{"a":{"b":1}}""").contains("""{"b":1}"""))
+    assert(one(".a | @html", """{"a":"<b>&'\""}""")
+      .contains("&lt;b&gt;&amp;&#39;&#34;"))
+    // jq RFC 3986: space -> %20, ~ bare, * escaped
+    assert(one(".a | @uri", """{"a":"a b~*"}""").contains("a%20b~%2A"))
+    assert(one(".a | @base64", """{"a":"hello"}""").contains("aGVsbG8="))
+    assert(one(".a | @base64d", """{"a":"aGVsbG8="}""").contains("hello"))
+    assert(one(".a | @sh", """{"a":["rm","-rf","it's"]}""")
+      .contains("""'rm' '-rf' 'it'\''s'"""))
+    assert(one(".a | @sh", """{"a":"word"}""").contains("'word'"))
+  }
+
+  test("format strings as interpolation-hole wrappers") {
+    assert(one("""@uri "q=\(.a)&r=\(.b)"""", """{"a":"x y","b":"z*"}""")
+      .contains("q=x%20y&r=z%2A"))
+    // literal fragments pass through unformatted (jq semantics)
+    assert(one("""@html "<p>\(.a)</p>"""", """{"a":"<i>"}""")
+      .contains("<p>&lt;i&gt;</p>"))
+  }
 }
