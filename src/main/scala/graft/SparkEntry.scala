@@ -2462,6 +2462,34 @@ object SparkEntry {
       pipe(t(s, dir, "events")).select("event_id", "s").orderBy("event_id", "s")
     }),
 
+    "q_jq_format" -> ((s, dir) => {
+      // jq format strings (late round 3): @csv/@tsv quoting, @uri as
+      // an interpolation-hole wrapper (RFC 3986 set), @html entities,
+      // @sh single-quote escaping, @base64 — each one projection; the
+      // payload carries every escapable char class (' & < # > /)
+      val doc = """let doc = "{\"s\":\"" + this.event_type + " 'q' & <#>/x\",\"k\":" + this.props.json_path("$.k") + "}""""
+      val pipe = compile(Seq(
+        PMapping(
+          s"""$doc
+             |root.event_id = this.event_id
+             |root.csv = $$doc
+             |root.tsv = $$doc
+             |root.uri = $$doc
+             |root.html = $$doc
+             |root.sh = $$doc
+             |root.b64 = $$doc
+             |""".stripMargin),
+        PJq("[.s, .k] | @csv", "csv"),
+        PJq("[.s, .k] | @tsv", "tsv"),
+        PJq("""@uri "v=\(.s)&k=\(.k)"""", "uri"),
+        PJq(".s | @html", "html"),
+        PJq("""[.s, "go"] | @sh""", "sh"),
+        PJq(".s | @base64", "b64")))
+      pipe(t(s, dir, "events"))
+        .select("event_id", "csv", "tsv", "uri", "html", "sh", "b64")
+        .orderBy("event_id")
+    }),
+
     "q_diff_patch" -> ((s, dir) => {
       // structural JSON diff/patch (r3labs changelog shape) — the
       // changelog row set and the patch round-trip, one projection
@@ -3916,6 +3944,19 @@ object SparkEntry {
         |e AS (SELECT event_id, CAST(k AS VARCHAR) AS s FROM k
         |      UNION ALL SELECT event_id, CAST(k * 2 AS VARCHAR) AS s FROM k)
         |SELECT event_id, s FROM e ORDER BY event_id, s""".stripMargin,
+
+    "q_jq_format" ->
+      """WITH b AS (SELECT event_id, event_type AS t,
+        |  json_extract_string(props, '$.k') AS k,
+        |  event_type || ' ''q'' & <#>/x' AS s FROM events)
+        |SELECT event_id,
+        |  '"' || s || '",' || k AS csv,
+        |  s || chr(9) || k AS tsv,
+        |  'v=' || t || '%20%27q%27%20%26%20%3C%23%3E%2Fx&k=' || k AS uri,
+        |  t || ' &#39;q&#39; &amp; &lt;#&gt;/x' AS html,
+        |  chr(39) || t || replace(' !\!!q!\!! & <#>/x! !go!', '!', chr(39)) AS sh,
+        |  to_base64(encode(s)) AS b64
+        |FROM b ORDER BY event_id""".stripMargin,
 
     "q_diff_patch" ->
       """WITH k AS (SELECT event_id,
