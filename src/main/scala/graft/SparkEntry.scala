@@ -2462,6 +2462,26 @@ object SparkEntry {
       pipe(t(s, dir, "events")).select("event_id", "s").orderBy("event_id", "s")
     }),
 
+    "q_cdc_debezium" -> ((s, dir) => {
+      // Debezium envelope normalization (the binlog-connector wire
+      // format a WAL tail sees): the mapping fabricates a
+      // Connect-wrapped envelope deterministically from the events
+      // table; parse_debezium lifts op / row image / commit order /
+      // source table — one codegen'd projection, no shuffle
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |let m = $k % 4
+            |let img = "{\"id\":" + $k.string() + ",\"v\":\"" + this.event_type + "\"}"
+            |root.event_id = this.event_id
+            |root.content = "{\"payload\":{\"op\":\"" + "cudr".slice($m, $m + 1) + "\"," + (if $m == 2 { "\"before\":" } else { "\"after\":" }) + $img + ",\"source\":{\"db\":\"shop\",\"table\":\"orders\",\"lsn\":" + ($k * 10 + 1).string() + "},\"ts_ms\":123}}"
+            |""".stripMargin),
+        PDebezium("content")))
+      pipe(t(s, dir, "events"))
+        .select("event_id", "op", "row_image", "cdc_seq", "source_table")
+        .orderBy("event_id")
+    }),
+
     "q_jq_format" -> ((s, dir) => {
       // jq format strings (late round 3): @csv/@tsv quoting, @uri as
       // an interpolation-hole wrapper (RFC 3986 set), @html entities,
@@ -3944,6 +3964,16 @@ object SparkEntry {
         |e AS (SELECT event_id, CAST(k AS VARCHAR) AS s FROM k
         |      UNION ALL SELECT event_id, CAST(k * 2 AS VARCHAR) AS s FROM k)
         |SELECT event_id, s FROM e ORDER BY event_id, s""".stripMargin,
+
+    "q_cdc_debezium" ->
+      """WITH k AS (SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_id,
+        |  CASE WHEN k % 4 = 2 THEN 'delete' ELSE 'upsert' END AS op,
+        |  '{"id":' || k || ',"v":"' || event_type || '"}' AS row_image,
+        |  k * 10 + 1 AS cdc_seq,
+        |  'shop.orders' AS source_table
+        |FROM k ORDER BY event_id""".stripMargin,
 
     "q_jq_format" ->
       """WITH b AS (SELECT event_id, event_type AS t,

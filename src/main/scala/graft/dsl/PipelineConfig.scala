@@ -472,6 +472,8 @@ object PipelineConfig {
         PMsgpack(opt(body, "operator").map(_.asText).getOrElse("to_json"),
           body.get("schema").asText,
           opt(body, "field").map(_.asText).getOrElse("content"))
+      case "parse_debezium" =>
+        PDebezium(opt(body, "field").map(_.asText).getOrElse("content"))
       case "parse_log" =>
         PParseLog(opt(body, "field").map(_.asText).getOrElse("content"),
           opt(body, "format").map(_.asText).getOrElse("syslog_rfc5424"))

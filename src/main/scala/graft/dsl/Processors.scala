@@ -3,6 +3,7 @@ package graft.dsl
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
+import graft.model.Model
 import Ast._
 import ExprCompiler.Ctx
 
@@ -160,6 +161,30 @@ object Processor {
     * codegen'd regexp extraction, no per-row parser object.
     */
   final case class PParseLog(field: String, format: String) extends Processor
+
+  /** Debezium change-envelope normalizer (the standard CDC wire
+    * format this engine's WAL-tail input would see off a binlog
+    * connector). Parses the envelope JSON in `field` — transparently
+    * unwrapping the Kafka Connect `{schema, payload}` wrapper — into
+    * the engine's change-event vocabulary as NEW columns, leaving the
+    * original payload untouched:
+    *
+    *   - `op`:         c/u/r → "upsert", d → "delete" ([[graft.model.Model]] ops;
+    *                   `r` is a snapshot read — an upsert by definition)
+    *   - `before`/`after`: the row images as JSON text (absent → null)
+    *   - `row_image`:  `after` for upserts, `before` for deletes —
+    *                   the image a MERGE applies / tombstones with
+    *   - `cdc_seq`:    total commit order for LWW — first non-null of
+    *                   source.lsn (postgres), source.pos (mysql),
+    *                   source.scn (oracle), then envelope ts_ms
+    *   - `source_table`: dotted db[.schema].table from `source`
+    *
+    * A Kafka tombstone (null/absent payload) yields all-null columns —
+    * route with `drop_on`/`filter` downstream. Pure `get_json_object`
+    * projections: one codegen'd stage, no per-row parser object, no
+    * shuffle — the 10^10-events/day shape.
+    */
+  final case class PDebezium(field: String) extends Processor
 
   /** compress / decompress a column in place (processor_compress.go /
     * processor_decompress.go; gzip only — the sandbox's codec set).
@@ -590,6 +615,39 @@ object Processor {
           to_json(graft.functions.ProtobufFunctions.decode(col(field), proto, message)))
       case other => throw new IllegalArgumentException(
         s"protobuf operator $other (from_json | to_json)")
+    }
+
+    case PDebezium(field) => df => {
+      def jget(c: Column, p: String): Column =
+        call_function("get_json_object", c, lit(p))
+      val raw = col(field).cast("string")
+      // Connect-wrapper transparent: use $.payload when present, else
+      // the document itself; a bare-null value (tombstone) nulls out
+      val payload = when(raw.isNull || raw === "null", lit(null))
+        .otherwise(coalesce(jget(raw, "$.payload"), raw))
+      val opRaw = jget(payload, "$.op")
+      val before = jget(payload, "$.before")
+      val after = jget(payload, "$.after")
+      val lsnish = coalesce(
+        jget(payload, "$.source.lsn"),
+        jget(payload, "$.source.pos"),
+        jget(payload, "$.source.scn"),
+        jget(payload, "$.ts_ms")).cast("long")
+      df.withColumn("op",
+          when(opRaw === "d", Model.Delete)
+            .when(opRaw.isin("c", "u", "r"), Model.Upsert))
+        .withColumn("before", before)
+        .withColumn("after", after)
+        .withColumn("row_image",
+          when(opRaw === "d", before).otherwise(after))
+        .withColumn("cdc_seq", lsnish)
+        .withColumn("source_table", {
+          val dotted = concat_ws(".",
+            jget(payload, "$.source.db"),
+            jget(payload, "$.source.schema"),
+            jget(payload, "$.source.table"))
+          when(length(dotted) > 0, dotted) // all-null parts → null, not ""
+        })
     }
 
     case PParseLog(field, format) => df => {

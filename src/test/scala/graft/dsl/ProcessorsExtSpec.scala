@@ -246,4 +246,46 @@ class ProcessorsExtSpec extends SparkTestBase {
         |""".stripMargin)
     assert(y.processors.head.isInstanceOf[PCached])
   }
+
+  test("parse_debezium: envelope forms, op mapping, image choice, seq fallback") {
+    val rows = Seq(
+      // bare envelope, create → upsert, after image, lsn order
+      """{"op":"c","after":{"id":1,"v":"a"},"source":{"db":"d","schema":"s","table":"t","lsn":77},"ts_ms":9}""",
+      // Connect-wrapped, update → upsert
+      """{"schema":{"type":"struct"},"payload":{"op":"u","before":{"id":1,"v":"a"},"after":{"id":1,"v":"b"},"source":{"db":"d","table":"t","pos":88},"ts_ms":9}}""",
+      // delete → row_image is the BEFORE image
+      """{"op":"d","before":{"id":1,"v":"b"},"after":null,"source":{"db":"d","table":"t"},"ts_ms":99}""",
+      // snapshot read → upsert
+      """{"op":"r","after":{"id":2,"v":"x"},"source":{"db":"d","table":"t","lsn":5},"ts_ms":9}""",
+      // Kafka tombstone
+      "null")
+    val df = rows.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("seq", "content")
+    val out = Processor.compileOne(PDebezium("content"))(df)
+      .orderBy("seq")
+      .select("op", "row_image", "cdc_seq", "source_table")
+      .collect()
+    assert(out(0).getString(0) == "upsert")
+    assert(out(0).getString(1) == """{"id":1,"v":"a"}""")
+    assert(out(0).getLong(2) == 77L)            // lsn preferred over ts_ms
+    assert(out(0).getString(3) == "d.s.t")      // schema joins when present
+    assert(out(1).getString(0) == "upsert")
+    assert(out(1).getString(1) == """{"id":1,"v":"b"}""") // after wins for updates
+    assert(out(1).getLong(2) == 88L)            // mysql pos fallback
+    assert(out(1).getString(3) == "d.t")
+    assert(out(2).getString(0) == "delete")
+    assert(out(2).getString(1) == """{"id":1,"v":"b"}""") // before image
+    assert(out(2).getLong(2) == 99L)            // ts_ms fallback
+    assert(out(3).getString(0) == "upsert")     // r = snapshot read
+    assert(out(4).isNullAt(0) && out(4).isNullAt(1) && out(4).isNullAt(2) && out(4).isNullAt(3))
+  }
+
+  test("parse_debezium: YAML surface") {
+    val y = PipelineConfig.parse(
+      """pipeline:
+        |  processors:
+        |    - parse_debezium:
+        |        field: content
+        |""".stripMargin)
+    assert(y.processors.head == PDebezium("content"))
+  }
 }
