@@ -2462,6 +2462,20 @@ object SparkEntry {
       pipe(t(s, dir, "events")).select("event_id", "s").orderBy("event_id", "s")
     }),
 
+    "q_lake_wap" -> ((s, dir) => {
+      // write-audit-publish over named refs (Iceberg refs analog):
+      // all three micro-batches commit (staged on the linear chain),
+      // the audit blesses only the first TWO, publish fast-forwards
+      // the "main" branch pointer there, and the consumer reads
+      // through the ref — so its state is exactly the batch-1..2 LWW,
+      // no matter what is staged beyond it. A tag pins the audit
+      // point against retention.
+      val (lake, v0) = eventsCdcReplay(s, dir)
+      lake.tag("audited", v0 + 2)
+      lake.publish("main", v0 + 2)
+      cdcStateDump(s, lake.readRef(s, "main"))
+    }),
+
     "q_cdc_debezium" -> ((s, dir) => {
       // Debezium envelope normalization (the binlog-connector wire
       // format a WAL tail sees): the mapping fabricates a
@@ -3684,6 +3698,7 @@ object SparkEntry {
         |ORDER BY batch_id""".stripMargin,
 
     "q_time_travel" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
+    "q_lake_wap" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1, 2, 3)"),
 
     "q_schema_evolution" ->
       """WITH log AS (

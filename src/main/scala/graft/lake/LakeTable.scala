@@ -914,6 +914,90 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       .map(n => n.substring(1, n.length - 5).toLong)
       .sorted
 
+  // ------------------------------------------------------------------
+  // named refs (Iceberg refs analog): tags + branch pointers, WAP
+  // ------------------------------------------------------------------
+
+  private val refsDir = metaDir.resolve("refs")
+  private def refPath(name: String) = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"ref name '$name' (allowed: letters, digits, . _ -)")
+    refsDir.resolve(s"$name.json")
+  }
+
+  /** All named refs: name → (kind, version). */
+  def refs(): Map[String, (String, Long)] =
+    if (!Files.isDirectory(refsDir)) Map.empty
+    else listDir(refsDir).filter(_.getFileName.toString.endsWith(".json"))
+      .map { p =>
+        implicit val fmt: Formats = DefaultFormats
+        val r = JsonMethods.parse(Files.readString(p)).extract[LakeRef]
+        r.name -> (r.kind, r.version)
+      }.toMap
+
+  def refVersion(name: String): Option[Long] = refs().get(name).map(_._2)
+
+  /** Immutable named snapshot pointer (Iceberg tag): time travel by
+    * name, and [[expireSnapshots]] retention protection. Refuses to
+    * overwrite any existing ref.
+    */
+  def tag(name: String, version: Long = currentVersion()): Unit = synchronized {
+    val p = refPath(name)
+    require(version >= 0 && Files.exists(metaDir.resolve(f"v$version%08d.json")),
+      s"tag $name: no snapshot v$version")
+    if (Files.exists(p))
+      throw new IllegalStateException(s"ref '$name' already exists (tags are immutable)")
+    writeRef(LakeRef(name, "tag", version), p, replace = false)
+  }
+
+  /** Move a branch pointer forward — the publish step of
+    * write-audit-publish. Writers keep committing snapshots to the
+    * linear chain (staged, invisible to ref readers); audits run
+    * against explicit versions ([[readVersion]]); `publish` then
+    * fast-forwards the named pointer to the audited version, which is
+    * the ONLY operation consumers reading through [[readRef]] observe
+    * — Iceberg's WAP cherry-pick collapsed onto a linear chain.
+    * Fast-forward only: a backward move is a rollback, which this
+    * engine expresses as a forward commit ([[rollback]]) — publish
+    * after it. Creates the branch at first use.
+    */
+  def publish(name: String = "main", version: Long = currentVersion()): Long = synchronized {
+    val p = refPath(name)
+    require(version >= 0 && Files.exists(metaDir.resolve(f"v$version%08d.json")),
+      s"publish $name: no snapshot v$version")
+    refs().get(name).foreach { case (kind, cur) =>
+      if (kind == "tag")
+        throw new IllegalStateException(s"ref '$name' is a tag (immutable); publish needs a branch")
+      require(version >= cur,
+        s"publish $name: fast-forward only (at v$cur, got v$version); rollback() then publish")
+    }
+    writeRef(LakeRef(name, "branch", version), p, replace = true)
+    version
+  }
+
+  /** Read the table as of a named ref — the consumer side of WAP. */
+  def readRef(spark: SparkSession, name: String): DataFrame = {
+    val v = refVersion(name).getOrElse(
+      throw new NoSuchElementException(s"lake at $root has no ref '$name'"))
+    readVersion(spark, v)
+  }
+
+  def dropRef(name: String): Boolean = synchronized {
+    Files.deleteIfExists(refPath(name))
+  }
+
+  private def writeRef(r: LakeRef, target: Path, replace: Boolean): Unit = {
+    Files.createDirectories(refsDir)
+    implicit val fmt: Formats = DefaultFormats
+    val tmp = Files.createTempFile(refsDir, ".tmp-r", ".json")
+    Files.writeString(tmp, Serialization.writePretty(r))
+    if (replace)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    else Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Roll the table back to an earlier snapshot by committing a NEW
     * snapshot whose content (schema, file list, batch fence) is that
     * of `toVersion` — the Iceberg `rollback_to_snapshot` pattern: the
@@ -940,7 +1024,11 @@ final class LakeTable(val root: String, val buckets: Int = 16,
   def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
     require(keepLast >= 1, "expireSnapshots: keepLast must be >= 1")
     val vs = versions()
-    val doomed = vs.dropRight(keepLast)
+    // ref'd versions (tags AND branch heads) are retention-protected,
+    // like Iceberg's — a tagged audit point outlives the keepLast
+    // window until the ref is dropped
+    val pinned = refs().values.map(_._2).toSet
+    val doomed = vs.dropRight(keepLast).filterNot(pinned.contains)
     doomed.foreach(v => Files.deleteIfExists(metaDir.resolve(f"v$v%08d.json")))
     doomed
   }
@@ -1129,6 +1217,11 @@ object LakeTable {
     * CoW merges and compaction fold a bucket back to a single ref.
     */
   final case class ManifestRef(bucket: Int, path: String, fileCount: Int, rows: Long)
+
+  /** Named snapshot pointer (`meta/refs/<name>.json`): kind "tag"
+    * (immutable) or "branch" (fast-forward pointer — WAP publish).
+    */
+  final case class LakeRef(name: String, kind: String, version: Long)
 
   final case class Snapshot(
       version: Long,

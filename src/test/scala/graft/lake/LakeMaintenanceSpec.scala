@@ -46,6 +46,45 @@ class LakeMaintenanceSpec extends SparkTestBase {
     (v0, v1, lake.currentVersion())
   }
 
+  test("refs: tag is immutable, publish fast-forwards, readRef time-travels") {
+    val lake = freshLake()
+    val (v0, v1, v2) = seedThreeVersions(lake)
+    lake.tag("audit-base", v0)
+    assert(lake.refVersion("audit-base").contains(v0))
+    intercept[IllegalStateException](lake.tag("audit-base", v1)) // immutable
+    // WAP: stage v1+v2 invisible to "main" readers until publish
+    lake.publish("main", v1)
+    assert(contentOf(lake, v1).toSet == lake.readRef(spark, "main")
+      .select("repo", "path", "content").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toSet)
+    // fast-forward only
+    intercept[IllegalArgumentException](lake.publish("main", v0))
+    // a tag cannot be published over
+    intercept[IllegalStateException](lake.publish("audit-base", v2))
+    lake.publish("main", v2)
+    assert(lake.refVersion("main").contains(v2))
+    // unknown ref is loud
+    intercept[NoSuchElementException](lake.readRef(spark, "nope"))
+    assert(lake.dropRef("audit-base"))
+  }
+
+  test("refs: expireSnapshots keeps tagged versions; vacuum keeps their files") {
+    val lake = freshLake()
+    val (v0, _, v2) = seedThreeVersions(lake)
+    lake.tag("keep-me", v0)
+    val expired = lake.expireSnapshots(keepLast = 1)
+    assert(!expired.contains(v0), "tagged version must survive retention")
+    assert(lake.versions().contains(v0))
+    lake.vacuum()
+    // the tagged snapshot still reads exactly (vacuum kept its files)
+    assert(contentOf(lake, v0) ==
+      Map(("rA", "p0") -> "v0", ("rB", "p0") -> "v0"))
+    assert(lake.currentVersion() == v2)
+    // dropping the ref releases it: next expiration removes it
+    lake.dropRef("keep-me")
+    assert(lake.expireSnapshots(keepLast = 1).contains(v0))
+  }
+
   test("rollback restores old content as a NEW version; data files untouched") {
     val lake = freshLake()
     val (v0, v1, v2) = seedThreeVersions(lake)
