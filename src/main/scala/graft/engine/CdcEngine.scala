@@ -43,6 +43,11 @@ object CdcEngine {
       // transparent by extension) — the reference's lines codec on the
       // file input (SURVEY.md §2.1, internal/codec/reader.go)
       logCodec: String = "parquet",
+      // lake commit identity for multi-writer exactly-once: each
+      // concurrent stream writing one lake uses a distinct writerId so
+      // its batch-id fence is tracked independently (Iceberg
+      // txnAppId); the default shares the classic single-writer fence
+      writerId: String = graft.lake.LakeTable.DefaultWriter,
       metricsDir: Option[String] = None,
       // building Spark's compressed columnar cache for a once-or-twice
       // reused batch can cost more than recomputing the narrow plan;
@@ -158,7 +163,8 @@ object CdcEngine {
       val winnerKeys = winners.select((Model.keyCols :+ "seq").map(col): _*)
       val lineage = graft.util.Prof(s"batch=$batchId merge") {
         lake.merge(winners, batchId,
-          countHint = Some(nKeys), precomputedWinners = Some(winnerKeys))
+          countHint = Some(nKeys), precomputedWinners = Some(winnerKeys),
+          writerId = cfg.writerId)
       }
       val ms = (System.nanoTime() - t0) / 1000000L
       val deletes =
@@ -204,7 +210,8 @@ object CdcEngine {
       val rowsIn = m0("rows_in").asInstanceOf[Long]
       if (rowsIn == 0) return None
       val lineage = lake.merge(batch, batchId,
-        countHint = Some(nKeys), precomputedWinners = Some(winners))
+        countHint = Some(nKeys), precomputedWinners = Some(winners),
+        writerId = cfg.writerId)
       val ms = (System.nanoTime() - t0) / 1000000L
       val deletesIn = m0("deletes").asInstanceOf[Long]
       val m = BatchMetrics(batchId, rowsIn,
@@ -241,7 +248,8 @@ object CdcEngine {
           .groupBy("op").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       val lineage = graft.util.Prof(s"batch=$batchId merge") {
-        lake.merge(b, batchId, countHint = Some(rowsIn))
+        lake.merge(b, batchId, countHint = Some(rowsIn),
+          writerId = cfg.writerId)
       }
       val ms = (System.nanoTime() - t0) / 1000000L
       val m = BatchMetrics(batchId, rowsIn,

@@ -37,15 +37,21 @@ import org.json4s.jackson.Serialization
   *
   * - Atomic commit: snapshot JSON is written to a temp file then moved
   *   into place with ATOMIC_MOVE; the highest v*.json is current.
-  *   Single-writer protocol: `merge`/`compact` are `synchronized`
-  *   within the JVM and the move refuses to replace an existing
-  *   version file, so a concurrent writer from another JVM surfaces as
-  *   a commit error instead of silently clobbering a snapshot (a real
-  *   multi-driver deployment would CAS through a catalog service; one
-  *   streaming driver owns a lake here, as in the engine).
-  * - Exactly-once: each snapshot records `lastCommittedBatchId`; a
-  *   merge whose batchId <= that is a no-op (idempotent fencing, the
-  *   Delta/Iceberg txnAppId/txnVersion pattern).
+  *   Multi-writer protocol: the refuse-to-replace version-file move
+  *   is the commit CAS (a real multi-driver deployment would CAS
+  *   through a catalog service; the protocol is identical). A merge
+  *   that loses the race REBASES its metadata onto the new head and
+  *   retries — see [[LakeTable!.commitOptimistic]] — so N concurrent
+  *   streams can feed one table; only a copy-on-write bucket overlap
+  *   (or a raced rebucket) is a hard [[LakeTable.ConcurrentCommitException]].
+  *   Maintenance ops (`compact`/`rebucket`/`zorder`) still commit
+  *   non-rebasing: a raced maintenance commit surfaces as the CAS
+  *   error and is simply re-run.
+  * - Exactly-once: each snapshot records `lastCommittedBatchId` (the
+  *   default writer) plus a per-writer `fences` map; a merge whose
+  *   batchId <= its writer's fence is a no-op (idempotent fencing,
+  *   the Delta/Iceberg txnAppId/txnVersion pattern, one fence per
+  *   concurrent stream).
   * - Layout: data files are hash-bucketed by repo
   *   (`pmod(xxhash64(repo), buckets)`) and CLUSTERED by (repo, path)
   *   within each written file (sortWithinPartitions before every
@@ -114,11 +120,21 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     math.max(1, math.min(fan,
       math.max(8, spark.sparkContext.defaultParallelism / 4)))
 
+  /** Short random suffix for commit-scoped artifact names (data dirs,
+    * manifests). Two writers racing the same version MUST NOT share
+    * file names — the loser of the snapshot CAS rebases its metadata,
+    * but its already-written files keep their paths (paths in
+    * manifests are opaque; only snapshot version numbers are ordered).
+    */
+  private def nonce(): String =
+    java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+
   private def writeManifest(version: Long, bucket: Int,
                             files: Seq[DataFileMeta]): ManifestRef = {
     implicit val fmt: Formats = DefaultFormats
     Files.createDirectories(manifestDir)
-    val name = f"m$version%08d-b$bucket%04d.json"
+    val name = f"m$version%08d-b$bucket%04d-${nonce()}.json"
     val tmp = Files.createTempFile(manifestDir, ".tmp-m", ".json")
     Files.writeString(tmp, Serialization.write(files))
     Files.move(tmp, manifestDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
@@ -178,7 +194,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     val target = metaDir.resolve(f"v${s.version}%08d.json")
     if (Files.exists(target))
       throw new IllegalStateException(
-        s"concurrent commit detected: $target already exists (single-writer protocol)")
+        s"commit CAS lost: $target already exists (a concurrent writer committed this version)")
     val tmp = Files.createTempFile(metaDir, ".tmp-v", ".json")
     Files.writeString(tmp, Serialization.writePretty(s))
     // the ATOMIC_MOVE is the linearization point of the commit
@@ -187,6 +203,109 @@ final class LakeTable(val root: String, val buckets: Int = 16,
 
   def schema(): StructType =
     DataType.fromJson(snapshot().schemaJson).asInstanceOf[StructType]
+
+  private def fenceOf(s: Snapshot, writerId: String): Long =
+    if (writerId == DefaultWriter) s.lastCommittedBatchId
+    else s.fences.getOrElse(writerId, -1L)
+
+  /** Buckets whose manifest-ref sets differ between two snapshots —
+    * the commit-conflict granularity (manifest paths are immutable, so
+    * a ref-path symmetric diff IS the changed-bucket set; metadata
+    * only, no manifest is opened).
+    */
+  private def changedBuckets(a: Snapshot, b: Snapshot): Set[Int] = {
+    val ap = a.manifests.map(r => r.path -> r.bucket).toMap
+    val bp = b.manifests.map(r => r.path -> r.bucket).toMap
+    (ap.keySet.diff(bp.keySet).map(ap) ++ bp.keySet.diff(ap.keySet).map(bp)).toSet
+  }
+
+  /** Test seam: runs once at the head of every optimistic commit,
+    * between a merge's plan/write phase and its snapshot CAS — the
+    * window a concurrent writer's commit lands in.
+    */
+  private[lake] var beforeCommitHook: () => Unit = () => ()
+
+  /** Optimistic snapshot commit — Iceberg's concurrency model over
+    * the filesystem CAS ([[writeSnapshot]]'s refuse-to-replace move).
+    * The loser of a version race does NOT redo its (expensive) data
+    * write; it rebases METADATA onto the new head and retries:
+    *
+    *  - append-only commits (MoR merges) always rebase — two appends
+    *    commute, per-key order is LWW-resolved by `seq` on read;
+    *  - copy-on-write commits rebase iff the interleaved commits
+    *    touched DISJOINT buckets (the CoW rewrite's read set is
+    *    bucket-contained, so disjointness proves the rewrite is still
+    *    current); overlap throws [[ConcurrentCommitException]] — the
+    *    caller's batch must re-run against the new head;
+    *  - a raced rebucket always conflicts (the bucket function itself
+    *    changed under the writer);
+    *  - schema evolution composes: the committed schema is
+    *    evolve(head's, mine), and files written under the narrower
+    *    pre-race schema read correctly under the evolved one (the
+    *    normal schema-evolution read path).
+    *
+    * Returns the committed lineage (re-stamped with the version the
+    * commit actually landed at, which a rebase shifts), or None iff
+    * `(writerId, batchId)` turns out to be already committed at the
+    * new head (a zombie retry) — the caller treats that as the
+    * idempotent fence. Per-writer fences make the fence
+    * correct under N concurrent streams: each writer's batch sequence
+    * fences independently (`fences` map; the default writer stays on
+    * `lastCommittedBatchId` for pre-multi-writer snapshots).
+    */
+  private def commitOptimistic(base: Snapshot, touched: Set[Int],
+      myRefs: Seq[ManifestRef], appendOnly: Boolean, batchId: Long,
+      writerId: String, mySchema: StructType,
+      lineage: Seq[LineageEntry]): Option[Seq[LineageEntry]] = {
+    beforeCommitHook()
+    var head = base
+    var attempts = 0
+    while (true) {
+      val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      val outSchema = evolve(headSchema, mySchema)
+      val schemaId =
+        if (outSchema.json == head.schemaJson) head.schemaId else head.schemaId + 1
+      val manifests = ((if (appendOnly) head.manifests
+        else head.manifests.filterNot(r => touched.contains(r.bucket))) ++ myRefs)
+        .sortBy(r => (r.bucket, r.path))
+      val v = head.version + 1
+      val myLineage = lineage.map(_.copy(snapshotVersion = v))
+      val next = Snapshot(
+        version = v,
+        schemaId = schemaId,
+        schemaJson = outSchema.json,
+        lastCommittedBatchId =
+          if (writerId == DefaultWriter) batchId else head.lastCommittedBatchId,
+        buckets = head.buckets,
+        manifests = manifests,
+        lineage = myLineage,
+        mor = head.mor,
+        fences =
+          if (writerId == DefaultWriter) head.fences
+          else head.fences.updated(writerId, batchId))
+      try { writeSnapshot(next); return Some(myLineage) }
+      catch {
+        case e: IllegalStateException =>
+          attempts += 1
+          if (attempts > MaxCommitRetries) throw e
+          val newHead = snapshot()
+          if (batchId <= fenceOf(newHead, writerId)) return None
+          if (newHead.buckets != head.buckets)
+            throw new ConcurrentCommitException(
+              s"commit v$v lost the race to a rebucket " +
+                s"(${head.buckets} -> ${newHead.buckets} buckets); re-run the batch")
+          if (!appendOnly) {
+            val overlap = changedBuckets(head, newHead).intersect(touched)
+            if (overlap.nonEmpty)
+              throw new ConcurrentCommitException(
+                s"concurrent commit rewrote bucket(s) ${overlap.toSeq.sorted.mkString(",")} " +
+                  "this merge also rewrote; copy-on-write output is stale — re-run the batch")
+          }
+          head = newHead
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   // ------------------------------------------------------------------
   // read path
@@ -466,17 +585,16 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     */
   def merge(updates: DataFrame, batchId: Long,
             countHint: Option[Long] = None,
-            precomputedWinners: Option[DataFrame] = None): Seq[LineageEntry] = synchronized {
+            precomputedWinners: Option[DataFrame] = None,
+            writerId: String = DefaultWriter): Seq[LineageEntry] = synchronized {
     val spark = updates.sparkSession
     val snap = graft.util.Prof("merge.snapshot_read") { snapshot() }
-    if (batchId <= snap.lastCommittedBatchId) return Nil // idempotent fence
+    if (batchId <= fenceOf(snap, writerId)) return Nil // idempotent fence
 
     val oldSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val updDataSchema = StructType(updates.schema.fields
       .filterNot(f => f.name == "op" || f.name == "seq"))
     val newSchema = evolve(oldSchema, updDataSchema)
-    val schemaId = if (newSchema.json == oldSchema.json) snap.schemaId else snap.schemaId + 1
-
     val b = snap.buckets
     val upd = conformTo(updates, newSchema, Seq("op", "seq"))
       .withColumn(SeqCol, col("seq")).drop("seq")
@@ -514,7 +632,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
             .agg(max_by(struct(allCols.map(col): _*), col(SeqCol)).as("w"))
             .select(col("w.*"))
       val commitVersion = snap.version + 1
-      val outDir = s"$root/" + f"data/c$commitVersion%08d"
+      val outDir = s"$root/" + f"data/c$commitVersion%08d-${nonce()}"
       graft.util.Prof("merge.write") {
         writeData(winnerRows
           .repartition(writeTasks(upd.sparkSession, b), col(BucketCol))
@@ -524,21 +642,18 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       val lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
         LineageEntry(batchId, bk, fs.size, commitVersion)
       }.toSeq.sortBy(_.bucket)
-      graft.util.Prof("merge.snapshot_commit") {
+      val committedLineage = graft.util.Prof("merge.snapshot_commit") {
         // append-only at the metadata level too: one new manifest ref
         // per bucket written, NO existing manifest is read or rewritten
+        // — which is also why a raced commit ALWAYS rebases here
         val newRefs = newFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
           .map { case (bk, fs) =>
             writeManifest(commitVersion, bk, fs.sortBy(_.path)) }
-        writeSnapshot(snap.copy(
-          version = commitVersion,
-          schemaId = schemaId,
-          schemaJson = newSchema.json,
-          lastCommittedBatchId = batchId,
-          manifests = (snap.manifests ++ newRefs).sortBy(r => (r.bucket, r.path)),
-          lineage = lineage))
+        commitOptimistic(snap, touched = Set.empty, myRefs = newRefs,
+          appendOnly = true, batchId = batchId, writerId = writerId,
+          mySchema = newSchema, lineage = lineage)
       }
-      return lineage
+      return committedLineage.getOrElse(Nil)
     }
 
     val keySrc = winnersKeyed.getOrElse(upd)
@@ -570,8 +685,8 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       else keySrc.select(bucketExpr(col("repo"), b).as(BucketCol))
         .distinct().collect().map(_.getInt(0)).toSet
     // only the touched buckets' manifests are ever loaded; untouched
-    // buckets survive the commit as unopened manifest REFS
-    val untouchedRefs = snap.manifests.filterNot(r => touched.contains(r.bucket))
+    // buckets survive the commit as unopened manifest REFS (re-read
+    // from the head snapshot inside the optimistic commit)
     val inTouched = filesOf(snap, touched)
     val (rewriteFiles, prunedFiles) =
       if (updRepos == null) (inTouched, Seq.empty[DataFileMeta])
@@ -650,8 +765,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     // LOCAL sort (no shuffle) that keeps files clustered by
     // (repo, path) so their manifest ranges stay tight and prunable.
     val commitVersion = snap.version + 1
-    val commitRel = f"data/c$commitVersion%08d"
-    val outDir = s"$root/$commitRel"
+    val outDir = s"$root/" + f"data/c$commitVersion%08d-${nonce()}"
     graft.util.Prof("merge.write") {
       writeData(winners.sortWithinPartitions(col(BucketCol), col("repo"), col("path")), outDir)
     }
@@ -662,22 +776,19 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       LineageEntry(batchId, bk, fs.size, commitVersion)
     }.toSeq.sortBy(_.bucket)
 
-    graft.util.Prof("merge.snapshot_commit") {
+    val committedLineage = graft.util.Prof("merge.snapshot_commit") {
       // each touched bucket folds to ONE new manifest (its surviving
       // pruned files + this commit's files); untouched refs are reused
+      // — re-resolved from the head on a rebase, which is safe exactly
+      // when the raced commits stayed out of `touched`
       val newRefs = (prunedFiles ++ newFiles).groupBy(_.bucket)
         .toSeq.sortBy(_._1).map { case (bk, fs) =>
           writeManifest(commitVersion, bk, fs.sortBy(_.path)) }
-      writeSnapshot(Snapshot(
-        version = commitVersion,
-        schemaId = schemaId,
-        schemaJson = newSchema.json,
-        lastCommittedBatchId = batchId,
-        buckets = b,
-        manifests = (untouchedRefs ++ newRefs).sortBy(r => (r.bucket, r.path)),
-        lineage = lineage))
+      commitOptimistic(snap, touched = touched, myRefs = newRefs,
+        appendOnly = false, batchId = batchId, writerId = writerId,
+        mySchema = newSchema, lineage = lineage)
     }
-    lineage
+    committedLineage.getOrElse(Nil)
   }
 
   // ------------------------------------------------------------------
@@ -704,7 +815,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     val fatFiles = filesOf(snap, fat)
     val keepRefs = snap.manifests.filterNot(r => fat.contains(r.bucket))
     val commitVersion = snap.version + 1
-    val outDir = s"$root/" + f"data/c$commitVersion%08d"
+    val outDir = s"$root/" + f"data/c$commitVersion%08d-${nonce()}"
     // range-partition on (bucket, repo, path) rather than hash on
     // bucket alone: the dynamic partitionBy write routes rows to
     // bucket dirs regardless of task layout, so a fat bucket compacts
@@ -774,7 +885,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     val sch = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val all = allFiles(snap)
     val commitVersion = snap.version + 1
-    val outDir = s"$root/" + f"data/c$commitVersion%08d"
+    val outDir = s"$root/" + f"data/c$commitVersion%08d-${nonce()}"
     val folded =
       if (all.isEmpty) emptyDf(spark, sch).drop(BucketCol)
       else resolve(spark.read.schema(internalSchema(sch))
@@ -837,7 +948,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
       s"zorder: column '$c' not in table schema ${sch.fieldNames.mkString(",")}"))
     val all = allFiles(snap)
     val commitVersion = snap.version + 1
-    val outDir = s"$root/" + f"data/c$commitVersion%08d"
+    val outDir = s"$root/" + f"data/c$commitVersion%08d-${nonce()}"
     val folded =
       if (all.isEmpty) emptyDf(spark, sch).drop(BucketCol)
       else resolve(spark.read.schema(internalSchema(sch))
@@ -1234,7 +1345,24 @@ object LakeTable {
       // merge-on-read table property (fixed at init, carried by every
       // snapshot; json4s fills the default for pre-MoR snapshots):
       // true = merges append winner rows only and readers resolve LWW
-      mor: Boolean = false)
+      mor: Boolean = false,
+      // per-writer idempotence fences (Iceberg txnAppId/txnVersion,
+      // one per concurrent stream): writerId → last committed batchId.
+      // The default writer keeps using `lastCommittedBatchId` so
+      // pre-multi-writer snapshots stay readable unchanged.
+      fences: Map[String, Long] = Map.empty)
+
+  /** A concurrent commit rewrote state this merge also rewrote (CoW
+    * bucket overlap, or a bucket-count change raced in). The merge's
+    * copy-on-write output is stale — the caller must re-run it against
+    * the new head. Disjoint-bucket and append-only (MoR) commits never
+    * throw this; they rebase and retry internally.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
+  val DefaultWriter = "default"
+  val MaxCommitRetries = 5
 
   /** Unsigned UTF-8 byte-order comparison — the order parquet binary
     * stats are computed under. All range pruning goes through this so

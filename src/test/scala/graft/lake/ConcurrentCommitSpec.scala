@@ -1,0 +1,145 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import graft.SparkTestBase
+import LakeTable._
+
+/** Multi-writer optimistic concurrency (Iceberg's commit model over
+  * the filesystem CAS): the loser of a snapshot version race rebases
+  * its METADATA and retries without redoing the data write — always
+  * safe for append-only (MoR) commits, safe for copy-on-write exactly
+  * when the raced commits touched disjoint buckets, and a loud
+  * [[LakeTable.ConcurrentCommitException]] otherwise. Races are forced
+  * deterministically through `beforeCommitHook`, which runs in the
+  * window between a merge's data write and its snapshot CAS.
+  */
+class ConcurrentCommitSpec extends SparkTestBase {
+
+  private val userSchema = StructType(Seq(
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("content", StringType, nullable = false)))
+
+  private val B = 4
+
+  private def batch(rows: Seq[(Long, String, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("seq", "op", "repo", "path", "content")
+  }
+
+  /** One repo name per bucket 0..B-1 (probed via the real hash). */
+  private val repoInBucket: Map[Int, String] =
+    Iterator.from(0).map(i => s"repo-$i")
+      .scanLeft(Map.empty[Int, String]) { (m, r) =>
+        val b = bucketOfRepo(r, B)
+        if (m.contains(b)) m else m + (b -> r)
+      }.dropWhile(_.size < B).next()
+
+  private def twoHandles(mor: Boolean = false): (LakeTable, LakeTable) = {
+    val root = tmpDir("ccs")
+    val a = new LakeTable(root, buckets = B, mergeOnRead = mor)
+    a.initIfNeeded(userSchema)
+    (a, new LakeTable(root, buckets = B, mergeOnRead = mor))
+  }
+
+  private def contents(lake: LakeTable): Map[(String, String), String] =
+    lake.read(spark).select("repo", "path", "content").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+
+  test("CoW: disjoint-bucket race rebases — both commits land, no data rewrite") {
+    val (a, b) = twoHandles()
+    val (r0, r1) = (repoInBucket(0), repoInBucket(1))
+    a.merge(batch(Seq((0L, "upsert", r0, "p", "base0"))), 0L)
+    val vBase = a.currentVersion()
+    a.beforeCommitHook = () => {
+      a.beforeCommitHook = () => ()
+      b.merge(batch(Seq((10L, "upsert", r1, "p", "fromB"))), 0L, writerId = "wB")
+    }
+    val lineage = a.merge(batch(Seq((11L, "upsert", r0, "p", "fromA"))), 1L)
+    assert(lineage.nonEmpty, "rebased merge must still report lineage")
+    assert(a.currentVersion() == vBase + 2) // two commits, two versions
+    assert(contents(a) == Map((r0, "p") -> "fromA", (r1, "p") -> "fromB"))
+    // both writers' fences recorded independently
+    val s = a.snapshot()
+    assert(s.lastCommittedBatchId == 1L) // default writer
+    assert(s.fences.get("wB").contains(0L))
+    // lineage stamped with the ACTUAL (rebased) version
+    assert(lineage.forall(_.snapshotVersion == vBase + 2))
+  }
+
+  test("CoW: overlapping-bucket race is a loud conflict") {
+    val (a, b) = twoHandles()
+    val r0 = repoInBucket(0)
+    a.merge(batch(Seq((0L, "upsert", r0, "p", "base"))), 0L)
+    a.beforeCommitHook = () => {
+      a.beforeCommitHook = () => ()
+      b.merge(batch(Seq((10L, "upsert", r0, "q", "fromB"))), 0L, writerId = "wB")
+    }
+    intercept[ConcurrentCommitException] {
+      a.merge(batch(Seq((11L, "upsert", r0, "p", "fromA"))), 1L)
+    }
+    // B's commit is intact; A's failed batch left no visible state
+    assert(contents(a) == Map((r0, "p") -> "base", (r0, "q") -> "fromB"))
+  }
+
+  test("MoR: same-bucket race rebases (appends commute; read-side LWW orders)") {
+    val (a, b) = twoHandles(mor = true)
+    val r0 = repoInBucket(0)
+    a.merge(batch(Seq((0L, "upsert", r0, "p", "base"))), 0L)
+    a.beforeCommitHook = () => {
+      a.beforeCommitHook = () => ()
+      b.merge(batch(Seq((20L, "upsert", r0, "p", "fromB"))), 0L, writerId = "wB")
+    }
+    // A commits AFTER B at the snapshot level but carries the LOWER
+    // seq — read-side LWW must still pick B's row
+    val lineage = a.merge(batch(Seq((11L, "upsert", r0, "p", "fromA"))), 1L)
+    assert(lineage.nonEmpty)
+    assert(contents(a) == Map((r0, "p") -> "fromB"))
+  }
+
+  test("zombie writer: raced duplicate of the same (writer, batch) fences to a no-op") {
+    val (a, b) = twoHandles()
+    val (r0, r1) = (repoInBucket(0), repoInBucket(1))
+    a.merge(batch(Seq((0L, "upsert", r0, "p", "base"))), 0L)
+    val v1 = a.currentVersion()
+    a.beforeCommitHook = () => {
+      a.beforeCommitHook = () => ()
+      // the rival driver commits the SAME logical batch first
+      b.merge(batch(Seq((10L, "upsert", r1, "p", "winner"))), 1L)
+    }
+    val lineage = a.merge(batch(Seq((10L, "upsert", r1, "p", "zombie"))), 1L)
+    assert(lineage.isEmpty, "fenced retry must be a no-op")
+    assert(a.currentVersion() == v1 + 1) // only the rival's commit landed
+    assert(contents(a) == Map((r0, "p") -> "base", (r1, "p") -> "winner"))
+  }
+
+  test("schema evolution races compose: committed schema is the evolve of both") {
+    val (a, b) = twoHandles()
+    val (r0, r1) = (repoInBucket(0), repoInBucket(1))
+    a.merge(batch(Seq((0L, "upsert", r0, "p", "base"))), 0L)
+    a.beforeCommitHook = () => {
+      a.beforeCommitHook = () => ()
+      import spark.implicits._
+      b.merge(Seq((10L, "upsert", r1, "p", "fromB", 7L))
+        .toDF("seq", "op", "repo", "path", "content", "stars"), 0L, writerId = "wB")
+    }
+    a.merge(batch(Seq((11L, "upsert", r0, "p", "fromA"))), 1L)
+    assert(a.schema().fieldNames.contains("stars"))
+    val rows = a.read(spark).select("repo", "content", "stars").collect()
+      .map(r => r.getString(0) -> (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(rows(r1) == ("fromB", 7L))
+    assert(rows(r0) == ("fromA", -1L)) // A's narrower file reads as null
+  }
+
+  test("per-writer fences are independent") {
+    val (a, _) = twoHandles()
+    val (r0, r1) = (repoInBucket(0), repoInBucket(1))
+    a.merge(batch(Seq((0L, "upsert", r0, "p", "w1b0"))), 0L, writerId = "w1")
+    // same batchId under ANOTHER writer id must still apply
+    a.merge(batch(Seq((1L, "upsert", r1, "p", "w2b0"))), 0L, writerId = "w2")
+    // and the same (writer, batch) re-merge is fenced
+    assert(a.merge(batch(Seq((2L, "upsert", r0, "x", "dup"))), 0L, writerId = "w1").isEmpty)
+    assert(contents(a) == Map((r0, "p") -> "w1b0", (r1, "p") -> "w2b0"))
+  }
+}
