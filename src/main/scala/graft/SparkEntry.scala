@@ -2462,6 +2462,39 @@ object SparkEntry {
       pipe(t(s, dir, "events")).select("event_id", "s").orderBy("event_id", "s")
     }),
 
+    "q_concurrent_writers" -> ((s, dir) => {
+      // two racing streams feed ONE merge-on-read lake: writer A holds
+      // the even events, writer B the odd ones, and B's commit lands
+      // inside A's commit window (the snapshot-CAS race, forced via
+      // the commit hook). A rebases append-only; the final state must
+      // equal the single-stream LWW over ALL events — the multi-writer
+      // protocol's whole contract in one oracle
+      import org.apache.spark.sql.types._
+      val work = java.nio.file.Files.createTempDirectory("graft-entry-cw")
+      val log = t(s, dir, "events").select(
+        col("event_id").as("seq"),
+        when(pmod(col("event_id"), lit(20L)) === 0L, "delete")
+          .otherwise("upsert").as("op"),
+        format_string("user-%05d", col("user_id")).as("repo"),
+        col("event_type").as("path"),
+        col("event_id").cast("string").as("commit"),
+        lit("json").as("lang"),
+        col("props").as("content"))
+      val userSchema = StructType(Seq(
+        StructField("repo", StringType), StructField("path", StringType),
+        StructField("commit", StringType), StructField("lang", StringType),
+        StructField("content", StringType)))
+      val a = new graft.lake.LakeTable(s"$work/lake", buckets = 4, mergeOnRead = true)
+      a.initIfNeeded(userSchema)
+      val b = new graft.lake.LakeTable(s"$work/lake", buckets = 4, mergeOnRead = true)
+      a.beforeCommitHook = () => {
+        a.beforeCommitHook = () => ()
+        b.merge(log.filter(col("seq") % 2 === 1), 0L, writerId = "writer-odd")
+      }
+      a.merge(log.filter(col("seq") % 2 === 0), 0L, writerId = "writer-even")
+      cdcStateDump(s, a.read(s))
+    }),
+
     "q_lake_wap" -> ((s, dir) => {
       // write-audit-publish over named refs (Iceberg refs analog):
       // all three micro-batches commit (staged on the linear chain),
@@ -3699,6 +3732,7 @@ object SparkEntry {
 
     "q_time_travel" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
     "q_lake_wap" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1, 2, 3)"),
+    "q_concurrent_writers" -> cdcLwwOracle(""),
 
     "q_schema_evolution" ->
       """WITH log AS (

@@ -223,7 +223,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     * between a merge's plan/write phase and its snapshot CAS — the
     * window a concurrent writer's commit lands in.
     */
-  private[lake] var beforeCommitHook: () => Unit = () => ()
+  private[graft] var beforeCommitHook: () => Unit = () => ()
 
   /** Optimistic snapshot commit — Iceberg's concurrency model over
     * the filesystem CAS ([[writeSnapshot]]'s refuse-to-replace move).
