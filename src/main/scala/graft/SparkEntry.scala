@@ -473,6 +473,25 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
 
+    "q_data_recipe" -> ((s, dir) => {
+      // the end-to-end curation recipe (the CCNet/C4 shape): exact
+      // dedup keep-first → language gate → quality gate →
+      // deterministic hash sample → token accounting. Every stage is
+      // an already-oracled op; the COMPOSITION is the gate because a
+      // real corpus build runs the chain, not the pieces — and the
+      // whole chain plans as ONE hash aggregate (the dedup) over pure
+      // projections + filters, nothing else shuffles
+      val deduped = Dedup.exactDedup(
+        graft.ops.spread(t(s, dir, "documents")), "doc_id", "text")
+      val scored = deduped.select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val gated = scored.filter(col("lang_pred") === "en" && col("quality") > 0.5)
+      graft.ops.Sampling.hashSample(gated, col("doc_id"), 0.5, "recipe")
+        .orderBy("doc_id")
+    }),
+
     "q_paragraph_dedup" -> ((s, dir) => {
       // CCNet-style corpus-wide paragraph dedup: shared boilerplate
       // (injected header/footer + any cross-doc paragraph overlap in
@@ -2852,6 +2871,36 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |min(doc_id) AS keeper_id, count(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q_data_recipe" -> {
+      val scoreSql = TextOps.LangMarkers.map { case (lang, ms) =>
+        val cnt = ms.map(m => s"len(regexp_extract_all(lower(text), '\\b$m\\b'))").mkString(" + ")
+        lang -> s"($cnt)"
+      }
+      val best = scoreSql.map(_._2).mkString("greatest(", ", ", ")")
+      val pred = scoreSql.reverse.foldLeft("'unknown'") { case (els, (lang, sc)) =>
+        s"CASE WHEN $sc > 0 AND $sc = $best THEN '$lang' ELSE $els END"
+      }
+      s"""WITH keepers AS (
+         |  SELECT min(doc_id) AS keep_id FROM documents
+         |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         |d AS (SELECT doc_id, text FROM documents
+         |      WHERE doc_id IN (SELECT keep_id FROM keepers)),
+         |scored AS (SELECT doc_id, $pred AS lang_pred,
+         |  least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 64.0, 1.0) * 0.4
+         |    + greatest(1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |        / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 0.0) * 0.4
+         |    + (CASE WHEN (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |          t -> list_contains(['the','a','an','and','of','to','in','is','it','for'], lower(t)))) AS DOUBLE)
+         |        / CAST(greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS DOUBLE))
+         |        BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM d)
+         |SELECT doc_id, lang_pred, quality, n_tokens FROM scored
+         |WHERE lang_pred = 'en' AND quality > 0.5
+         |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'recipe'), 1, 8))::UBIGINT < 2147483648
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_pack" ->
       """WITH t AS (SELECT doc_id,
