@@ -1,0 +1,83 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The AUDIT step of write-audit-publish, made first-class: canned
+  * data-quality checks evaluated against a staged snapshot version,
+  * gating [[LakeTable.publish]]. The reference pipeline expresses
+  * per-message validation (json_schema / bounds_check / validate);
+  * WAP is the TABLE-level twin — validate the whole staged state,
+  * then atomically move the consumer-visible pointer.
+  *
+  * Check costs: KeyUniqueness / NullRate / RowCountDrift scan the
+  * candidate snapshot once (audit cadence, not per-batch);
+  * ChangedRowsBound rides the incremental changelog — O(files of the
+  * audited window's commits), never a full snapshot.
+  */
+object Audit {
+
+  sealed trait Check
+  /** |rows(candidate) - rows(base)| / max(rows(base), 1) ≤ maxRatio —
+    * the fat-finger guard (a bad backfill that doubles or empties the
+    * table fails here before consumers see it).
+    */
+  final case class RowCountDrift(maxRatio: Double) extends Check
+  /** (repo, path) appears once in the candidate read — the invariant
+    * every LWW merge maintains; a violation means table corruption.
+    */
+  case object KeyUniqueness extends Check
+  /** ≤ maxFraction of candidate rows may hold NULL in `column`. */
+  final case class NullRate(column: String, maxFraction: Double) extends Check
+  /** ≤ maxChanged keys changed between base and candidate (drift
+    * bound on the audited window; incremental changelog scan).
+    */
+  final case class ChangedRowsBound(maxChanged: Long) extends Check
+
+  final case class Result(check: String, passed: Boolean, detail: String)
+
+  def run(spark: SparkSession, lake: LakeTable,
+          baseVersion: Long, candidateVersion: Long,
+          checks: Seq[Check]): Seq[Result] = {
+    lazy val cand: DataFrame = lake.readVersion(spark, candidateVersion)
+    lazy val candRows: Long = cand.count()
+    checks.map {
+      case RowCountDrift(maxRatio) =>
+        val baseRows = lake.readVersion(spark, baseVersion).count()
+        val drift = math.abs(candRows - baseRows).toDouble / math.max(baseRows, 1L)
+        Result("row_count_drift", drift <= maxRatio,
+          f"base=$baseRows candidate=$candRows drift=$drift%.4f max=$maxRatio%.4f")
+      case KeyUniqueness =>
+        val dupes = cand.groupBy("repo", "path").count()
+          .filter(col("count") > 1).limit(1).count()
+        Result("key_uniqueness", dupes == 0,
+          if (dupes == 0) "unique" else "duplicate (repo, path) found")
+      case NullRate(column, maxFraction) =>
+        val nulls = cand.filter(col(column).isNull).count()
+        val frac = nulls.toDouble / math.max(candRows, 1L)
+        Result(s"null_rate($column)", frac <= maxFraction,
+          f"nulls=$nulls rows=$candRows frac=$frac%.4f max=$maxFraction%.4f")
+      case ChangedRowsBound(maxChanged) =>
+        val changed = lake.changesBetween(spark, baseVersion, candidateVersion).count()
+        Result("changed_rows_bound", changed <= maxChanged,
+          s"changed=$changed max=$maxChanged")
+    }
+  }
+
+  /** Audit `candidateVersion` against the branch's CURRENT version and
+    * fast-forward the branch iff every check passes. Left = the full
+    * result list on any failure (the branch pointer does not move);
+    * Right = the published version.
+    */
+  def publishIfPassing(spark: SparkSession, lake: LakeTable, branch: String,
+                       candidateVersion: Long,
+                       checks: Seq[Check]): Either[Seq[Result], Long] = {
+    val base = lake.refVersion(branch).getOrElse(
+      // first publish: audit against the candidate's predecessor (or
+      // itself at version 0 — drift vs an empty chain is meaningless)
+      math.max(candidateVersion - 1, 0L))
+    val results = run(spark, lake, base, candidateVersion, checks)
+    if (results.forall(_.passed)) Right(lake.publish(branch, candidateVersion))
+    else Left(results)
+  }
+}

@@ -24,6 +24,13 @@ object Describe {
         println(s"mode:             ${if (s.mor) "merge-on-read" else "copy-on-write"}")
         println(s"buckets:          ${s.buckets}")
         println(s"lastBatchId:      ${s.lastCommittedBatchId}")
+        if (s.fences.nonEmpty)
+          println(s"writer fences:    ${s.fences.toSeq.sorted
+            .map { case (w, b) => s"$w=$b" }.mkString(" ")}")
+        val refs = lake.refs()
+        if (refs.nonEmpty)
+          println(s"refs:             ${refs.toSeq.sortBy(_._1)
+            .map { case (n, (k, v)) => s"$n($k)=v$v" }.mkString(" ")}")
         println(s"manifest refs:    ${s.manifests.size}")
         println(s"data files:       ${counts.values.sum}")
         println(s"rows (manifest):  ${s.manifests.map(_.rows).sum}")

@@ -85,6 +85,27 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(lake.expireSnapshots(keepLast = 1).contains(v0))
   }
 
+  test("audit: checks gate publish; failures leave the branch pointer in place") {
+    val lake = freshLake()
+    val (v0, v1, v2) = seedThreeVersions(lake)
+    lake.publish("main", v0)
+    // v1 changed one key out of two; tight drift + uniqueness pass
+    val ok = Audit.publishIfPassing(spark, lake, "main", v1, Seq(
+      Audit.RowCountDrift(maxRatio = 0.5), Audit.KeyUniqueness,
+      Audit.NullRate("content", 0.0), Audit.ChangedRowsBound(1L)))
+    assert(ok == Right(v1))
+    assert(lake.refVersion("main").contains(v1))
+    // v2 deletes rB/p0 and adds rA/p1 — 2 changed keys > bound of 1
+    val bad = Audit.publishIfPassing(spark, lake, "main", v2, Seq(
+      Audit.ChangedRowsBound(1L)))
+    assert(bad.isLeft)
+    assert(bad.swap.toOption.get.exists(r => !r.passed && r.check == "changed_rows_bound"))
+    assert(lake.refVersion("main").contains(v1), "failed audit must not move the pointer")
+    // widening the bound publishes
+    assert(Audit.publishIfPassing(spark, lake, "main", v2,
+      Seq(Audit.ChangedRowsBound(2L), Audit.KeyUniqueness)) == Right(v2))
+  }
+
   test("rollback restores old content as a NEW version; data files untouched") {
     val lake = freshLake()
     val (v0, v1, v2) = seedThreeVersions(lake)
