@@ -281,7 +281,7 @@ final class LakeTable(val root: String, val buckets: Int = 16,
         lineage = myLineage,
         mor = head.mor,
         fences =
-          if (writerId == DefaultWriter) head.fences
+          if (writerId == DefaultWriter || writerId == MaintenanceWriter) head.fences
           else head.fences.updated(writerId, batchId))
       try { writeSnapshot(next); return Some(myLineage) }
       catch {
@@ -289,7 +289,8 @@ final class LakeTable(val root: String, val buckets: Int = 16,
           attempts += 1
           if (attempts > MaxCommitRetries) throw e
           val newHead = snapshot()
-          if (batchId <= fenceOf(newHead, writerId)) return None
+          if (writerId != MaintenanceWriter &&
+              batchId <= fenceOf(newHead, writerId)) return None
           if (newHead.buckets != head.buckets)
             throw new ConcurrentCommitException(
               s"commit v$v lost the race to a rebucket " +
@@ -813,7 +814,6 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     if (fat.isEmpty) return None
     val sch = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val fatFiles = filesOf(snap, fat)
-    val keepRefs = snap.manifests.filterNot(r => fat.contains(r.bucket))
     val commitVersion = snap.version + 1
     val outDir = s"$root/" + f"data/c$commitVersion%08d-${nonce()}"
     // range-partition on (bucket, repo, path) rather than hash on
@@ -854,13 +854,17 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     val newFiles = manifestEntries(outDir)
     val newRefs = newFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
       .map { case (bk, fs) => writeManifest(commitVersion, bk, fs.sortBy(_.path)) }
-    writeSnapshot(snap.copy(
-      version = commitVersion,
-      manifests = (keepRefs ++ newRefs).sortBy(r => (r.bucket, r.path)),
-      lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
-        LineageEntry(-1L, bk, fs.size, commitVersion)
-      }.toSeq.sortBy(_.bucket)))
-    Some(commitVersion)
+    // compaction races ongoing ingest: rebase like any CoW commit —
+    // safe iff the interleaved commits stayed out of the compacted
+    // (fat) buckets; an overlap (e.g. a raced MoR append whose delta
+    // the fold would silently drop) is a loud conflict, re-run compact
+    val lineage = newFiles.groupBy(_.bucket).map { case (bk, fs) =>
+      LineageEntry(-1L, bk, fs.size, commitVersion)
+    }.toSeq.sortBy(_.bucket)
+    commitOptimistic(snap, touched = fat, myRefs = newRefs,
+      appendOnly = false, batchId = -1L, writerId = MaintenanceWriter,
+      mySchema = sch, lineage = lineage)
+      .map(_.headOption.map(_.snapshotVersion).getOrElse(currentVersion()))
   }
 
   /** Change the table's bucket count — the growth escape hatch for a
@@ -1362,6 +1366,10 @@ object LakeTable {
     extends IllegalStateException(msg)
 
   val DefaultWriter = "default"
+  /** Sentinel writer for maintenance commits (compact): no batch to
+    * fence, and the commit must PRESERVE every stream's fence.
+    */
+  val MaintenanceWriter = ""
   val MaxCommitRetries = 5
 
   /** Unsigned UTF-8 byte-order comparison — the order parquet binary

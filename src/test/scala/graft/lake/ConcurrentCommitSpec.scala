@@ -132,6 +132,46 @@ class ConcurrentCommitSpec extends SparkTestBase {
     assert(rows(r0) == ("fromA", -1L)) // A's narrower file reads as null
   }
 
+  test("compact: race with ingest into another bucket rebases; fences survive") {
+    val (a, b) = twoHandles(mor = true)
+    val (r0, r1) = (repoInBucket(0), repoInBucket(1))
+    // pile files into r0's bucket so it is the (only) fat one
+    (0 until 4).foreach { i =>
+      a.merge(batch(Seq((i.toLong, "upsert", r0, s"p$i", s"v$i"))), i.toLong)
+    }
+    a.beforeCommitHook = () => {
+      a.beforeCommitHook = () => ()
+      b.merge(batch(Seq((100L, "upsert", r1, "p", "raced"))), 0L, writerId = "wB")
+    }
+    val v = a.compact(spark, maxFilesPerBucket = 2)
+    assert(v.nonEmpty, "compaction must rebase past the disjoint-bucket race")
+    // both the compaction fold and the raced ingest are visible
+    assert(contents(a) == (0 until 4).map(i => (r0, s"p$i") -> s"v$i").toMap
+      + ((r1, "p") -> "raced"))
+    val s = a.snapshot()
+    assert(s.lastCommittedBatchId == 3L, "maintenance must not move the default fence")
+    assert(s.fences.get("wB").contains(0L), "maintenance must carry writer fences forward")
+  }
+
+  test("compact: race INTO a compacted bucket is a loud conflict") {
+    val (a, b) = twoHandles(mor = true)
+    val r0 = repoInBucket(0)
+    (0 until 4).foreach { i =>
+      a.merge(batch(Seq((i.toLong, "upsert", r0, s"p$i", s"v$i"))), i.toLong)
+    }
+    a.beforeCommitHook = () => {
+      a.beforeCommitHook = () => ()
+      // raced MoR delta lands in the bucket being folded — its rows
+      // would be silently dropped by the fold, so compact must refuse
+      b.merge(batch(Seq((100L, "upsert", r0, "p0", "raced"))), 0L, writerId = "wB")
+    }
+    intercept[ConcurrentCommitException] { a.compact(spark, maxFilesPerBucket = 2) }
+    // the raced ingest won; a re-run compacts cleanly on the new head
+    assert(contents(a)((r0, "p0")) == "raced")
+    assert(a.compact(spark, maxFilesPerBucket = 2).nonEmpty)
+    assert(contents(a)((r0, "p0")) == "raced")
+  }
+
   test("per-writer fences are independent") {
     val (a, _) = twoHandles()
     val (r0, r1) = (repoInBucket(0), repoInBucket(1))
