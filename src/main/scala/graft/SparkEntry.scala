@@ -2481,6 +2481,27 @@ object SparkEntry {
       pipe(t(s, dir, "events")).select("event_id", "s").orderBy("event_id", "s")
     }),
 
+    "q_lake_audit" -> ((s, dir) => {
+      // audited publish: the staged head passes canned checks (key
+      // uniqueness, bounded drift vs the published base) and the
+      // branch fast-forwards; the consumer's readRef state is then
+      // exactly the full-replay LWW. A deliberately impossible check
+      // first proves a failing audit leaves the pointer in place.
+      val (lake, v0) = eventsCdcReplay(s, dir)
+      lake.publish("main", v0 + 1)
+      val rejected = graft.lake.Audit.publishIfPassing(s, lake, "main",
+        lake.currentVersion(), Seq(graft.lake.Audit.NullRate("content", -1.0)))
+      require(rejected.isLeft && lake.refVersion("main").contains(v0 + 1),
+        "failing audit must not move the branch")
+      val ok = graft.lake.Audit.publishIfPassing(s, lake, "main",
+        lake.currentVersion(), Seq(
+          graft.lake.Audit.KeyUniqueness,
+          graft.lake.Audit.NullRate("content", 0.0),
+          graft.lake.Audit.RowCountDrift(10.0)))
+      require(ok.isRight, s"audit unexpectedly failed: $ok")
+      cdcStateDump(s, lake.readRef(s, "main"))
+    }),
+
     "q_concurrent_writers" -> ((s, dir) => {
       // two racing streams feed ONE merge-on-read lake: writer A holds
       // the even events, writer B the odd ones, and B's commit lands
@@ -3782,6 +3803,7 @@ object SparkEntry {
     "q_time_travel" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1)"),
     "q_lake_wap" -> cdcLwwOracle("WHERE event_id % 6 IN (0, 1, 2, 3)"),
     "q_concurrent_writers" -> cdcLwwOracle(""),
+    "q_lake_audit" -> cdcLwwOracle(""),
 
     "q_schema_evolution" ->
       """WITH log AS (
