@@ -2437,7 +2437,7 @@ object SparkEntry {
             |root.event_id = this.event_id
             |root.doc = "{\"a\":[{\"x\":" + ($k % 5).string() + ",\"i\":0},{\"x\":" + ($k % 3).string() + ",\"i\":1},{\"x\":" + ($k % 5).string() + ",\"i\":2}],\"b\":" + $k.string() + ",\"s\":\"v\"}"
             |""".stripMargin),
-        PJq("""{t: (.a | type), mn: (.a | min_by(.x) | .i), mx: (.a | max_by(.x) | .i), g: (.a | group_by(.x) | map(length)), u: (.a | unique_by(.x) | length), f: ([.b, [.b + 1]] | flatten), d: (del(.a) | keys_unsorted), n: (.a | nth(1) | .x)}""", "doc")))
+        PJq("""{t: (.a | type), mn: (.a | min_by(.x) | .i), mx: (.a | max_by(.x) | .i), g: (.a | group_by(.x) | map(length)), u: (.a | unique_by(.x) | length), f: ([.b, [.b + 1]] | flatten), d: (del(.a) | keys_unsorted), n: (.a | nth(1) | .x), sp: (setpath(["w","z"]; .b) | .w.z), dp: (delpaths([["a"],["s"]]) | keys_unsorted)}""", "doc")))
       pipe(t(s, dir, "events")).select("event_id", "doc").orderBy("event_id")
     }),
 
@@ -4046,7 +4046,9 @@ object SparkEntry {
         |  ',"u":' || CASE WHEN k3 = k5 THEN '1' ELSE '2' END ||
         |  ',"f":[' || CAST(k AS VARCHAR) || ',' || CAST(k + 1 AS VARCHAR) || ']' ||
         |  ',"d":["b","s"]' ||
-        |  ',"n":' || CAST(k3 AS VARCHAR) || '}' AS doc
+        |  ',"n":' || CAST(k3 AS VARCHAR) ||
+        |  ',"sp":' || CAST(k AS VARCHAR) ||
+        |  ',"dp":["b"]}' AS doc
         |FROM d ORDER BY event_id""".stripMargin,
 
     "q_jq_regex_time" ->

@@ -1321,6 +1321,21 @@ object JqCompiler {
             s"jq: getpath needs an array literal, got $other")
         }
         JqVal(get_json_object(in.col, pathStr(segs)), TJson)
+      case "setpath" =>
+        // setpath(["a","b"]; v): static object-field paths, like del;
+        // missing intermediates are created (jq semantics)
+        JqVal(setPath(in.col, fieldPathLit("setpath", args.head),
+          renderJson(eval(args(1), in)._1)), TJson)
+      case "delpaths" =>
+        val paths = args.head match {
+          case Arr(ps) => ps.map(p => fieldPathLit("delpaths", p))
+          case other => throw new IllegalArgumentException(
+            s"jq: delpaths needs an array of path literals, got $other")
+        }
+        // deepest-first like jq, so shallower deletes cannot orphan
+        // deeper ones in the fold
+        JqVal(paths.sortBy(-_.length).foldLeft(in.col)((c, p) =>
+          delPath(c, p)), TJson)
       case "type" => JqVal(kindOf(in), TStr)
       case "keys_unsorted" =>
         JqVal(to_json(json_object_keys(in.col)), TJson)
@@ -1617,6 +1632,44 @@ object JqCompiler {
     * for nested paths. Missing intermediates / non-objects pass
     * through unchanged (jq's del on an absent path is the identity).
     */
+  /** Static object-field path literal (`["a","b"]` with string
+    * elements) for setpath/delpaths — same restriction as `del`.
+    */
+  private def fieldPathLit(fn: String, e: E): List[String] = e match {
+    case Arr(items) => items.map {
+      case Lit(s: String) => s
+      case other => throw new IllegalArgumentException(
+        s"jq: $fn supports static object-field path literals, got $other")
+    }.toList
+    case other => throw new IllegalArgumentException(
+      s"jq: $fn needs an array-literal path, got $other")
+  }
+
+  /** jq `setpath`: rebuild the object text with the value spliced at
+    * `segs`, creating missing intermediate objects (recursion on an
+    * absent key sees NULL → empty key set → builds the fresh object).
+    * Static paths keep this a pure string-construction Column, like
+    * [[delPath]].
+    */
+  private def setPath(c: Column, segs: List[String], vJson: Column): Column =
+    segs match {
+      case Nil => vJson
+      case h :: t =>
+        val keys = json_object_keys(c)
+        val safe = when(c.isNull || keys.isNull,
+          array().cast("array<string>")).otherwise(keys)
+        def valueAt(k: Column): Column =
+          call_function("get_json_object", c, concat(lit("$['"), k, lit("']")))
+        val pairs = transform(safe, k =>
+          when(k === h, concat(quote(k), lit(":"), setPath(valueAt(k), t, vJson)))
+            .otherwise(concat(quote(k), lit(":"),
+              renderJson(JqVal(valueAt(k), TJson)))))
+        val withNew = when(array_contains(safe, h), pairs)
+          .otherwise(concat(pairs, array(concat(quote(lit(h)), lit(":"),
+            setPath(lit(null).cast("string"), t, vJson)))))
+        concat(lit("{"), array_join(withNew, ","), lit("}"))
+    }
+
   private def delPath(c: Column, segs: List[String]): Column = {
     val keys = json_object_keys(c)
     def valueAt(k: Column): Column =

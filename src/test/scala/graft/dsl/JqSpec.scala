@@ -716,6 +716,18 @@ class JqSpec extends SparkTestBase {
       .contains("1700000000"))
   }
 
+  test("setpath/delpaths: static field paths, intermediate creation, deep-first delete") {
+    assert(one("""setpath(["a"]; 9)""", """{"a":1,"b":2}""")
+      .contains("""{"a":9,"b":2}"""))
+    assert(one("""setpath(["x","y"]; "v")""", """{"a":1}""")
+      .contains("""{"a":1,"x":{"y":"v"}}"""))    // intermediates created
+    assert(one("""setpath(["a","c"]; .b)""", """{"a":{"d":4},"b":7}""")
+      .contains("""{"a":{"d":4,"c":7},"b":7}""")) // value is an expression
+    assert(one("""delpaths([["a"],["c","d"]])""", """{"a":1,"b":2,"c":{"d":3,"e":4}}""")
+      .contains("""{"b":2,"c":{"e":4}}"""))
+    assert(one("""delpaths([])""", """{"a":1}""").contains("""{"a":1}"""))
+  }
+
   test("format strings: @csv/@tsv on arrays") {
     assert(one(".a | @csv", """{"a":[1,"x,y",true,null]}""")
       .contains("""1,"x,y",true,"""))
