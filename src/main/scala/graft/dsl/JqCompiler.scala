@@ -452,11 +452,17 @@ object JqCompiler {
             val kk = kindOf(JqVal(c, TJson))
             kk =!= "array" && kk =!= "object"
           }
+          // the accumulated path is BOUND per level (letC) before the
+          // recursive call: referencing the raw `when(acc…, acc…)`
+          // expression twice per level doubles the tree each level —
+          // 2^RecurseDepth nodes, an analyzer heap blowup (observed:
+          // q_jq_destructure OOM) — where the bound lambda var is one
+          // node and growth stays linear in depth
           def walkP(el: Column, pathAcc: Column, depth: Int): Column =
             if (depth == 0) emptyOut
-            else flatten(transform(kidsP(el), ch => {
-              val p = when(pathAcc === "", ch.getField("comp"))
-                .otherwise(concat(pathAcc, lit(","), ch.getField("comp")))
+            else flatten(transform(kidsP(el), ch => letC(
+              when(pathAcc === "", ch.getField("comp"))
+                .otherwise(concat(pathAcc, lit(","), ch.getField("comp")))) { p =>
               val self =
                 if (!leafOnly) array(concat(lit("["), p, lit("]")))
                 else when(isScalarV(ch.getField("v")),
