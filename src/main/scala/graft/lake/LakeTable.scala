@@ -1155,15 +1155,29 @@ final class LakeTable(val root: String, val buckets: Int = 16,
     * the referenced set comes from the snapshot chain, no data scan.
     * Returns the deleted file paths (relative to the table root).
     */
-  def vacuum(): Seq[String] = synchronized {
+  /** @param minAgeMs orphan retention window: files younger than this
+    *   are NEVER swept, because under the multi-writer protocol a
+    *   concurrent merge has a window where its data files and
+    *   manifests exist on disk but its snapshot CAS has not landed —
+    *   an age-0 vacuum racing that window would delete a live commit's
+    *   files (the Delta `VACUUM ... RETAIN 0 HOURS` footgun). The 0
+    *   default preserves single-writer behavior; set it above the
+    *   longest plausible merge wall time when other writers may be
+    *   active.
+    */
+  def vacuum(minAgeMs: Long = 0L): Seq[String] = synchronized {
     val snaps = versions().map(snapshot(_))
     val refManifests: Set[String] = snaps.flatMap(_.manifests.map(_.path)).toSet
     val referenced: Set[String] = snaps.flatMap(s => allFiles(s).map(_.path)).toSet
     val deleted = Seq.newBuilder[String]
+    val now = System.currentTimeMillis()
+    def oldEnough(p: Path): Boolean =
+      minAgeMs <= 0L || (now - Files.getLastModifiedTime(p).toMillis) >= minAgeMs
     // manifests unreferenced by every retained snapshot are orphans too
     if (Files.isDirectory(manifestDir)) listDir(manifestDir).foreach { p =>
       val rel = Paths.get(root).relativize(p).toString
-      if (p.getFileName.toString.endsWith(".json") && !refManifests.contains(rel)) {
+      if (p.getFileName.toString.endsWith(".json") && !refManifests.contains(rel)
+          && oldEnough(p)) {
         Files.delete(p); manifestCache.remove(rel); deleted += rel
       }
     }
@@ -1177,14 +1191,16 @@ final class LakeTable(val root: String, val buckets: Int = 16,
         val rel = Paths.get(root).relativize(p).toString
         rel.endsWith(".parquet") && referenced.contains(rel)
       }
+      var keptYoung = false
       plain.foreach { p =>
         val rel = Paths.get(root).relativize(p).toString
         val keep =
           if (rel.endsWith(".parquet")) referenced.contains(rel)
           else liveHere || liveBelow
-        if (!keep) { Files.delete(p); deleted += rel }
+        if (!keep && oldEnough(p)) { Files.delete(p); deleted += rel }
+        else if (!keep) keptYoung = true
       }
-      val live = liveHere || liveBelow
+      val live = liveHere || liveBelow || keptYoung
       if (!live && dir != dataDir) Files.delete(dir)
       live
     }

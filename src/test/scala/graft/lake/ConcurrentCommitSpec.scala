@@ -172,6 +172,19 @@ class ConcurrentCommitSpec extends SparkTestBase {
     assert(contents(a)((r0, "p0")) == "raced")
   }
 
+  test("vacuum minAgeMs: young orphans survive the sweep, old ones go") {
+    val (a, _) = twoHandles()
+    val r0 = repoInBucket(0)
+    a.merge(batch(Seq((0L, "upsert", r0, "p", "v0"))), 0L)
+    a.merge(batch(Seq((1L, "upsert", r0, "p", "v1"))), 1L)
+    a.expireSnapshots(keepLast = 1) // v1's files become orphans
+    // a huge retention window: the just-orphaned (young) files survive
+    assert(a.vacuum(minAgeMs = 3600L * 1000).isEmpty)
+    // age 0: the orphans are swept
+    assert(a.vacuum().nonEmpty)
+    assert(contents(a) == Map((r0, "p") -> "v1"))
+  }
+
   test("per-writer fences are independent") {
     val (a, _) = twoHandles()
     val (r0, r1) = (repoInBucket(0), repoInBucket(1))
