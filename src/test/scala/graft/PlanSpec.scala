@@ -283,6 +283,23 @@ class PlanSpec extends SparkTestBase {
     assert(nullOut)
   }
 
+  test("jq recursive builders stay linear in unroll depth (paths tree-doubling guard)") {
+    // the accumulated-path expression once doubled per level (2^16
+    // nodes -> analyzer OOM); the per-level letC bind keeps the whole
+    // [paths]-in-constructor plan tree small. Node count, not wall
+    // time, so the guard is noise-proof.
+    import org.apache.spark.sql.functions.col
+    import graft.dsl.Processor, Processor.PJq
+    import spark.implicits._
+    val df = Seq((1L, """{"p":[3,7]}""")).toDF("seq", "doc")
+    val out = Processor.compileOne(
+      PJq("""{pt: [paths], lp: [leaf_paths]}""", "doc"))(df)
+    val nodes = out.queryExecution.analyzed
+      .flatMap(p => p.expressions.map(e => e.collect { case x => x }.size)).sum
+    assert(nodes < 100000, s"jq paths plan exploded: $nodes expression nodes")
+    assert(out.select(col("doc")).head().getString(0).nonEmpty)
+  }
+
   test("vocabulary: partial-aggregate + TakeOrdered, never a global sort of the token table") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ops.TextOps.vocabulary(docs, org.apache.spark.sql.functions.col("text"), 50))
