@@ -83,12 +83,16 @@ object PipelineConfig {
     */
   final case class LakeIn(root: String, version: Option[Long],
                           changesFrom: Option[Long], changesTo: Option[Long],
-                          images: Boolean = false) extends Input {
+                          images: Boolean = false,
+                          ref: Option[String] = None) extends Input {
     def batch(spark: org.apache.spark.sql.SparkSession): DataFrame = {
       val lake = new graft.lake.LakeTable(root)
-      (version, changesFrom) match {
-        case (Some(v), _) => lake.readVersion(spark, v)
-        case (_, Some(f)) =>
+      (ref, version, changesFrom) match {
+        // `ref:` = the WAP consumer: read through the published
+        // branch/tag pointer, never the staged head
+        case (Some(r), _, _) => lake.readRef(spark, r)
+        case (_, Some(v), _) => lake.readVersion(spark, v)
+        case (_, _, Some(f)) =>
           val to = changesTo.getOrElse(lake.currentVersion())
           if (images) lake.changelog(spark, f, to)
           else lake.changesBetween(spark, f, to)
@@ -299,7 +303,8 @@ object PipelineConfig {
         opt(body, "version").map(_.asLong),
         opt(body, "changes_from").map(_.asLong),
         opt(body, "changes_to").map(_.asLong),
-        opt(body, "images").exists(_.asBoolean))
+        opt(body, "images").exists(_.asBoolean),
+        opt(body, "ref").map(_.asText))
       case "sequence" =>
         val ins = body.get("inputs")
         require(ins != null && ins.isArray, "sequence input needs an `inputs` list")

@@ -322,6 +322,9 @@ class InputsSpec extends SparkTestBase {
     }
     assert(read("").select("content").as[String].collect().toSeq == Seq("v2"))
     assert(read(", version: 1").select("content").as[String].collect().toSeq == Seq("v1"))
+    // ref mode: the WAP consumer reads the published pointer, not head
+    lake.publish("main", 1L)
+    assert(read(", ref: main").select("content").as[String].collect().toSeq == Seq("v1"))
     val chg = read(", changes_from: 1, changes_to: 2")
     assert(chg.select("content").as[String].collect().toSeq == Seq("v2"))
     assert(chg.columns.contains("_change"))
