@@ -1612,6 +1612,41 @@ object SparkEntry {
       cfg.transform(cfg.input.get.batch(s)).orderBy("new_seq")
     }),
 
+    // sequence sharded_join: two document children joined on id, deep
+    // merged in child-major order (full-outer, replace). Content is
+    // exact JSON text, so the DuckDB oracle rebuilds each merged doc
+    // by string algebra over the same events rows.
+    "q_sequence_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-seqjoin").toString
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_id").between(1, 600))
+        .select(col("event_id").as("seq"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("x"))).as("content"))
+        .write.mode("overwrite").parquet(s"$tmp/a")
+      ev.filter(col("event_id").between(401, 1000))
+        .select(col("event_id").as("seq"),
+          to_json(struct(col("event_id").as("id"), upper(col("event_type")).as("y"))).as("content"))
+        .write.mode("overwrite").parquet(s"$tmp/b")
+      val cfg = graft.dsl.PipelineConfig.parse(
+        s"""input:
+           |  sequence:
+           |    sharded_join:
+           |      type: full-outer
+           |      id_path: id
+           |      merge_strategy: replace
+           |    inputs:
+           |      - file: { path: "$tmp/a", codec: parquet }
+           |      - file: { path: "$tmp/b", codec: parquet }
+           |pipeline:
+           |  processors:
+           |    - noop: {}
+           |""".stripMargin)
+      cfg.transform(cfg.input.get.batch(s))
+        .select(get_json_object(col("content"), "$.id").cast("long").as("id"),
+          col("content"))
+        .orderBy("id")
+    }),
+
     // streams mode: one config, several named pipelines, each compiled
     // and run independently over the same source
     "q_streams_mode" -> ((s, dir) => {
@@ -3643,6 +3678,19 @@ object SparkEntry {
         |SELECT event_id - (SELECT min(event_id) FROM b)
         |  + (SELECT max(event_id) - min(event_id) + 1 FROM a) AS new_seq, event_type FROM b
         |ORDER BY new_seq""".stripMargin,
+
+    "q_sequence_join" ->
+      """SELECT event_id AS id,
+        |  CASE
+        |    WHEN event_id <= 400
+        |      THEN '{"id":' || event_id || ',"x":"' || event_type || '"}'
+        |    WHEN event_id <= 600
+        |      THEN '{"id":' || event_id || ',"x":"' || event_type
+        |        || '","y":"' || upper(event_type) || '"}'
+        |    ELSE '{"id":' || event_id || ',"y":"' || upper(event_type) || '"}'
+        |  END AS content
+        |FROM events WHERE event_id BETWEEN 1 AND 1000
+        |ORDER BY id""".stripMargin,
 
     "q_streams_mode" ->
       """SELECT event_id, 'hi' AS stream FROM events WHERE value >= 450.0

@@ -128,9 +128,23 @@ object PipelineConfig {
     */
   final case class SequenceIn(inputs: Seq[Input]) extends Input {
     require(inputs.nonEmpty, "sequence input needs at least one child")
-    def batch(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    def batch(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      SequenceIn.rebaseChildMajor(inputs.map(_.batch(spark)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      throw new IllegalArgumentException(
+        "sequence is bounded (children are drained in order); use batch()")
+  }
+
+  object SequenceIn {
+    /** Child-major `seq` rebase: child i's rows all sort after child
+      * i-1's, preserving relative order within each child. Offsets come
+      * from per-child min/max(seq) aggregates (metadata-sized);
+      * children must carry a `seq` column (the same requirement every
+      * ordered operator in this engine has).
+      */
+    def rebaseChildMajor(frames: Seq[DataFrame]): Seq[DataFrame] = {
       import org.apache.spark.sql.functions.{col, max, min}
-      val frames = inputs.map(_.batch(spark))
       frames.foreach(f => require(f.columns.contains("seq"),
         "sequence input: every child needs a seq column to define its order"))
       var offset = 0L
@@ -145,7 +159,56 @@ object PipelineConfig {
           offset += mx - mn + 1
           shifted
         }
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+    }
+  }
+
+  /** `sequence:` input with `sharded_join` (upstream
+    * input_sequence.go sharded-join mode): every child's JSON
+    * documents are joined on the value at `id_path`, documents sharing
+    * an id deep-merged in child-major order
+    * ([[graft.functions.JsonMergeSupport]] — collision `merge_strategy`
+    * replace | array | keep). `type: full-outer` emits one document
+    * per id seen anywhere; `type: outer` only ids present in the LAST
+    * child (the reference's stream-the-final-input-against-stored-
+    * shards shape). Documents without the id path are dropped, like
+    * upstream's unroutable shards.
+    *
+    * Columnar shape: children expose `(seq, content)` rows; the join
+    * is ONE hash aggregate — `groupBy(id).agg(merge(sorted docs))` —
+    * no window, no driver-side shard cache (upstream holds all but the
+    * last input in memory; here the shuffle IS the shard store, so it
+    * scales past memory). Output `seq` = the id's first-appearance
+    * rebased seq, a total order consistent with child-major reading.
+    */
+  final case class SequenceJoinIn(inputs: Seq[Input], joinType: String,
+      idPath: String, strategy: String) extends Input {
+    require(inputs.nonEmpty, "sequence input needs at least one child")
+    require(Seq("full-outer", "outer").contains(joinType),
+      s"sharded_join type $joinType (full-outer | outer)")
+    def batch(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import org.apache.spark.sql.functions._
+      graft.functions.JsonMergeFunctions.ensureRegistered(spark)
+      val frames = SequenceIn.rebaseChildMajor(inputs.map(_.batch(spark)))
+      frames.foreach(f => require(f.columns.contains("content"),
+        "sharded_join: every child needs a `content` JSON document column"))
+      val last = frames.size - 1
+      val tagged = frames.zipWithIndex.map { case (f, i) =>
+        f.select(col("seq").cast("long").as("seq"),
+          col("content").cast("string").as("content"), lit(i).as("_child"))
+      }.reduce(_.unionByName(_))
+      val keyed = tagged.withColumn("_id",
+          get_json_object(col("content"), "$." + idPath))
+        .filter(col("_id").isNotNull)
+      val merged = keyed.groupBy(col("_id"))
+        .agg(
+          min(col("seq")).as("seq"),
+          max(when(col("_child") === last, true)).as("_in_last"),
+          graft.functions.JsonMergeFunctions.mergeDocs(
+            transform(array_sort(collect_list(struct(col("seq"), col("content")))),
+              x => x.getField("content")), strategy).as("content"))
+      (if (joinType == "outer") merged.filter(col("_in_last")) else merged)
+        .select(col("seq"), col("content"))
     }
     def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
       throw new IllegalArgumentException(
@@ -308,7 +371,16 @@ object PipelineConfig {
       case "sequence" =>
         val ins = body.get("inputs")
         require(ins != null && ins.isArray, "sequence input needs an `inputs` list")
-        SequenceIn((0 until ins.size).map(i => parseInput(ins.get(i))))
+        val children = (0 until ins.size).map(i => parseInput(ins.get(i)))
+        opt(body, "sharded_join") match {
+          case Some(sj) if opt(sj, "type").map(_.asText).exists(_ != "none") =>
+            SequenceJoinIn(children,
+              sj.get("type").asText,
+              opt(sj, "id_path").map(_.asText).getOrElse(
+                throw new IllegalArgumentException("sharded_join needs id_path")),
+              opt(sj, "merge_strategy").map(_.asText).getOrElse("replace"))
+          case _ => SequenceIn(children)
+        }
       case "read_until" => ReadUntilIn(
         parseInput(Option(body.get("input")).getOrElse(
           throw new IllegalArgumentException("read_until needs a child `input`"))),
@@ -364,9 +436,12 @@ object PipelineConfig {
           // sequential = same writes in declared order, which FanOut's
           // loop already guarantees
           case "fan_out" | "fan_out_sequential" => FanOut(children)
-          case "round_robin" => RoundRobin(children)
+          // greedy = upstream's ready-first load balancing; its only
+          // deterministic twin is a balanced split, which is exactly
+          // what RoundRobin's stable-ordinal partition already is
+          case "round_robin" | "greedy" => RoundRobin(children)
           case other => throw new IllegalArgumentException(
-            s"broker pattern $other (fan_out | fan_out_sequential | round_robin)")
+            s"broker pattern $other (fan_out | fan_out_sequential | round_robin | greedy)")
         }
       case "fallback" =>
         Fallback((0 until body.size).map(i => parseSink(body.get(i))))

@@ -1,0 +1,97 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Ordered deep-merge of JSON documents — the join step of the
+  * reference's `sequence` input `sharded_join` mode (upstream
+  * `internal/impl/pure/input_sequence.go`: documents sharing an id are
+  * folded into one with a gabs-style recursive merge). Semantics here,
+  * documented precisely because they ARE the conformance surface:
+  *
+  *  - object ∪ object: recursive — keys of the right document are
+  *    merged into the left, left-to-right over the input order, so
+  *    key order is "first writer's position, later keys appended"
+  *    (Jackson preserves insertion order, like gabs);
+  *  - any other collision (scalar/array/mixed) resolves by strategy:
+  *    `replace` (later wins), `keep` (first wins), `array` (values
+  *    collide into a flat array, appending in document order —
+  *    array operands are concatenated element-wise);
+  *  - null/absent docs are skipped.
+  *
+  * One expression over an already-ordered `array<string>` column (the
+  * caller sorts by its order key and projects the doc strings), so the
+  * whole join is `groupBy(id).agg(...)` — one hash aggregate, no
+  * window, no driver loop.
+  */
+object JsonMergeSupport {
+  def mergeDocs(docs: Seq[String], strategy: String): String = {
+    val mapper = YamlSupport.jsonMapper
+    def merge(a: JsonNode, b: JsonNode): JsonNode = (a, b) match {
+      case (ao: ObjectNode, bo: ObjectNode) =>
+        val out = ao.deepCopy()
+        bo.properties().forEach { e =>
+          val k = e.getKey
+          if (out.has(k)) out.set[JsonNode](k, merge(out.get(k), e.getValue))
+          else out.set[JsonNode](k, e.getValue.deepCopy())
+        }
+        out
+      case (av, bv) => strategy match {
+        case "replace" => bv.deepCopy()
+        case "keep"    => av.deepCopy()
+        case "array" =>
+          val arr = mapper.createArrayNode()
+          def add(n: JsonNode): Unit = n match {
+            case xs: ArrayNode => xs.forEach { x => arr.add(x.deepCopy[JsonNode]()); () }
+            case x             => arr.add(x.deepCopy[JsonNode]()); ()
+          }
+          add(av); add(bv); arr
+        case other => throw new IllegalArgumentException(
+          s"json merge strategy $other (replace | array | keep)")
+      }
+    }
+    val parsed = docs.filter(_ != null).map(mapper.readTree)
+    require(parsed.nonEmpty, "mergeDocs: empty document list")
+    mapper.writeValueAsString(parsed.reduce(merge))
+  }
+}
+
+case class JsonMergeDocs(child: Expression, strategy: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"graft_json_merge_$strategy"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val docs = (0 until arr.numElements()).map { i =>
+      if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+    }
+    UTF8String.fromString(JsonMergeSupport.mergeDocs(docs, strategy))
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonMergeDocs =
+    copy(child = newChild)
+}
+
+object JsonMergeFunctions {
+  private val Strategies = Seq("replace", "array", "keep")
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    Strategies.foreach { s =>
+      reg.createOrReplaceTempFunction(
+        s"graft_json_merge_$s", (es: Seq[Expression]) => JsonMergeDocs(es.head, s), "built-in")
+    }
+  }
+  /** Merge an ordered array-of-JSON-docs column under `strategy`. */
+  def mergeDocs(docs: Column, strategy: String): Column = {
+    require(Strategies.contains(strategy),
+      s"json merge strategy $strategy (replace | array | keep)")
+    ensureRegistered(SparkSession.active)
+    call_function(s"graft_json_merge_$strategy", docs)
+  }
+}

@@ -222,6 +222,14 @@ class SinksSpec extends SparkTestBase {
     // overwrite-by-batch) and the split is the same
     sink.write(batch, 0L)
     assert(readDir(s"$d/o0").select("seq").as[Long].collect().sorted.toSeq == o0)
+    // `greedy` (upstream ready-first balancing) parses to the same
+    // deterministic balanced split
+    val greedy = PipelineConfig.parseSink(
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(
+        s"""{"broker": {"pattern": "greedy", "outputs": [
+           |  {"parquet": "$d/g0"}, {"parquet": "$d/g1"}]}}""".stripMargin))
+    greedy.write(batch, 0L)
+    assert(readDir(s"$d/g0").select("seq").as[Long].collect().sorted.toSeq == o0)
   }
 
   test("broker round_robin without a seq column routes by content hash, retry-stable") {

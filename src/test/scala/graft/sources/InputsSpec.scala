@@ -400,4 +400,53 @@ class InputsSpec extends SparkTestBase {
       FileInput.batch(spark, dir, "lines+brotli"))
     assert(err.getMessage.contains("supported algorithms"))
   }
+
+  test("sequence sharded_join: merge strategies, outer type, deep merge, null ids") {
+    import spark.implicits._
+    val dir = tmpDir("seqjoin")
+    // child A: ids 1,2,3 (+ one unroutable doc without the id path);
+    // child B: ids 2,3,4. Collision on "v"; nested object on "n".
+    Seq(
+      (10L, """{"id":1,"v":"a1","n":{"p":1}}"""),
+      (11L, """{"id":2,"v":"a2"}"""),
+      (12L, """{"id":3,"v":"a3"}"""),
+      (13L, """{"novel":"no id here"}""")).toDF("seq", "content")
+      .write.mode("overwrite").parquet(s"$dir/a")
+    Seq(
+      (10L, """{"id":2,"v":"b2","n":{"q":2}}"""),
+      (11L, """{"id":3,"v":"b3"}"""),
+      (12L, """{"id":4,"v":"b4"}""")).toDF("seq", "content")
+      .write.mode("overwrite").parquet(s"$dir/b")
+    def run(joinType: String, strategy: String): Map[Long, String] = {
+      val in = PipelineConfig.parseInput(
+        com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(
+          s"""{"sequence": {"sharded_join": {"type": "$joinType",
+             |  "id_path": "id", "merge_strategy": "$strategy"},
+             |  "inputs": [{"file": {"path": "$dir/a", "codec": "parquet"}},
+             |             {"file": {"path": "$dir/b", "codec": "parquet"}}]}}""".stripMargin))
+      in.batch(spark).collect()
+        .map(r => idOf(r.getAs[String]("content")) -> r.getAs[String]("content")).toMap
+    }
+    // id may be a scalar, or (array strategy) the collision array [id,id]
+    def idOf(doc: String): Long = {
+      val n = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(doc).get("id")
+      assert(n != null, s"id missing in $doc")
+      if (n.isArray) n.get(0).asLong() else n.asLong()
+    }
+    // full-outer + replace: all 4 ids; collisions take the later doc,
+    // nested objects merge recursively, unroutable doc dropped
+    val fo = run("full-outer", "replace")
+    assert(fo.keySet == Set(1L, 2L, 3L, 4L))
+    assert(fo(1L) == """{"id":1,"v":"a1","n":{"p":1}}""")
+    assert(fo(2L) == """{"id":2,"v":"b2","n":{"q":2}}""")
+    assert(fo(3L) == """{"id":3,"v":"b3"}""")
+    assert(fo(4L) == """{"id":4,"v":"b4"}""")
+    // outer: only ids present in the LAST child
+    assert(run("outer", "replace").keySet == Set(2L, 3L, 4L))
+    // keep: first writer wins on collision
+    assert(run("full-outer", "keep")(2L) == """{"id":2,"v":"a2","n":{"q":2}}""")
+    // array: colliding scalars collect in document order
+    assert(run("full-outer", "array")(3L) == """{"id":[3,3],"v":["a3","b3"]}""")
+  }
 }
