@@ -307,4 +307,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(2000))
     assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n${p.take(2000)}")
   }
+
+  test("sequence sharded_join is one id-keyed hash aggregate: no window, no join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-sj").toString
+    Seq((1L, """{"id":1,"v":"a"}""")).toDF("seq", "content").write.parquet(s"$dir/a")
+    Seq((1L, """{"id":1,"v":"b"}""")).toDF("seq", "content").write.parquet(s"$dir/b")
+    val in = graft.dsl.PipelineConfig.parseInput(
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(
+        s"""{"sequence": {"sharded_join": {"type": "full-outer", "id_path": "id"},
+           |  "inputs": [{"file": {"path": "$dir/a", "codec": "parquet"}},
+           |             {"file": {"path": "$dir/b", "codec": "parquet"}}]}}""".stripMargin))
+    val p = plan(in.batch(spark))
+    // the shuffle IS the shard store: exactly one id-keyed exchange
+    // feeding a hash aggregate — never a window or a join
+    assert(!p.contains("Window"), s"sharded_join must not window:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"sharded_join must not join:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(2000))
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly 1 keyed shuffle, got $shuffles:\n${p.take(3000)}")
+  }
 }
