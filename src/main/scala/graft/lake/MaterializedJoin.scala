@@ -39,12 +39,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * back to a FULL re-derivation (logged via the return value's
   * `fullRebuild` flag — never silent).
   *
-  * Exactly-once: each refresh merges under a monotonically increasing
-  * batch id persisted in the cursor BEFORE the merge; a crash after
-  * the merge but before the cursor's version advance re-runs the same
-  * delta under the same batch id and is fenced by the state lake into
-  * a no-op, after which the cursor advances. Refreshes compose across
-  * any number of upstream commits (the changelog is state-based).
+  * Exactly-once: a refresh first persists its INTENT — the upstream
+  * (headL, headR) it is about to reflect — then merges under the
+  * cursor's monotonically increasing batch id, then advances the
+  * cursor and clears the intent. A crash after the merge but before
+  * the cursor advance re-runs against the INTENT's heads (not the
+  * current ones): the replayed merge is fenced by the state lake into
+  * a no-op and the cursor lands exactly where the interrupted refresh
+  * was going. Without the intent, upstream commits arriving between
+  * the crash and the re-run would widen the replayed delta under the
+  * SAME batch id — fenced away, yet recorded as reflected: silent
+  * loss. Refreshes compose across any number of upstream commits (the
+  * changelog is state-based).
   */
 final class MaterializedJoin(
     val left: LakeTable,
@@ -57,6 +63,7 @@ final class MaterializedJoin(
   val state = new LakeTable(stateRoot, buckets)
 
   private val cursorFile = Paths.get(stateRoot, "join-cursor")
+  private val intentFile = Paths.get(stateRoot, "join-intent")
 
   /** (left version, right version, next merge batch id) the view
     * reflects; (-1, -1, 0) before the first refresh.
@@ -66,6 +73,21 @@ final class MaterializedJoin(
     else Files.readString(cursorFile).trim.split(" ") match {
       case Array(l, r, b) => (l.toLong, r.toLong, b.toLong)
     }
+
+  /** The (headL, headR) an interrupted refresh was reflecting, if any. */
+  private def readIntent(): Option[(Long, Long)] =
+    if (!Files.exists(intentFile)) None
+    else Files.readString(intentFile).trim.split(" ") match {
+      case Array(l, r) => Some((l.toLong, r.toLong))
+    }
+
+  private def writeAtomic(target: java.nio.file.Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(target.getParent, ".tmp-" + target.getFileName, "")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** The maintained view as of [[position]]. */
   def read(spark: SparkSession): DataFrame = {
@@ -106,8 +128,16 @@ final class MaterializedJoin(
     */
   def refresh(spark: SparkSession): Refresh = {
     val (vL0, vR0, bid) = position()
-    val headL = left.currentVersion(); val headR = right.currentVersion()
+    // a leftover intent equal to the reflected position is a completed
+    // refresh whose intent cleanup crashed — drop it; any other intent
+    // is an interrupted refresh whose heads MUST be replayed verbatim
+    // (see the exactly-once note in the class doc)
+    val pending = readIntent().filter { case (hl, hr) => hl != vL0 || hr != vR0 }
+    if (pending.isEmpty) Files.deleteIfExists(intentFile)
+    val (headL, headR) = pending.getOrElse(
+      (left.currentVersion(), right.currentVersion()))
     if (vL0 == headL && vR0 == headR) return Refresh(applied = false, fullRebuild = false, 0L)
+    if (pending.isEmpty) writeAtomic(intentFile, s"$headL $headR")
     val first = vL0 < 0
 
     def retained(t: LakeTable, v: Long, side: String): Unit =
@@ -126,6 +156,12 @@ final class MaterializedJoin(
         if (changed.size > AffectedRepoCap) None else Some(changed)
       }
 
+    // point reads run at the upstream HEAD, which may be newer than
+    // (headL, headR) if a writer committed mid-refresh — harmless: a
+    // repo's view rows are always re-derived whole, so the next
+    // refresh's changelog window re-derives any repo that moved and
+    // the view converges (it can transiently be "ahead" for affected
+    // repos, never behind the cursor)
     val (lRows, rRows) = affected match {
       case Some(repos) => (left.readRepos(spark, repos), right.readRepos(spark, repos))
       case None => (left.read(spark), right.read(spark))
@@ -153,10 +189,8 @@ final class MaterializedJoin(
       upserts.unionByName(d, allowMissingColumns = true))
     state.merge(batch, batchId = bid)
 
-    val tmp = Files.createTempFile(cursorFile.getParent, ".tmp-join-cursor", "")
-    Files.writeString(tmp, s"$headL $headR ${bid + 1}")
-    Files.move(tmp, cursorFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writeAtomic(cursorFile, s"$headL $headR ${bid + 1}")
+    Files.deleteIfExists(intentFile)
     Refresh(applied = true, fullRebuild = affected.isEmpty && !first,
       affectedRepos = affected.fold(-1L)(_.size.toLong))
   }

@@ -125,6 +125,42 @@ class MaterializedJoinSpec extends SparkTestBase {
     assert(viewRows(view.read(spark)) == expected(fact, dim))
   }
 
+  test("crashed refresh replays its INTENT heads; upstream commits in between are not lost") {
+    val fact = new LakeTable(tmpDir("mj4i-fact"), buckets = 2)
+    val dim = new LakeTable(tmpDir("mj4i-dim"), buckets = 2)
+    fact.initIfNeeded(factSchema); dim.initIfNeeded(dimSchema)
+    fact.merge(factBatch(Seq((1L, "upsert", "rA", "p1", "a1"))), 0L)
+    dim.merge(dimBatch(Seq((2L, "upsert", "rA", "alice"))), 0L)
+    val stateDir = tmpDir("mj4i-state")
+    val view = new MaterializedJoin(fact, dim, stateDir, buckets = 2)
+    view.refresh(spark)
+    fact.merge(factBatch(Seq((3L, "upsert", "rA", "p2", "a2"))), 1L)
+    val cursorBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(stateDir, "join-cursor"))
+    view.refresh(spark) // the refresh whose cursor advance will "crash"
+    val cursorAfter = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(stateDir, "join-cursor")).trim.split(" ")
+    // simulate the crash-after-merge: cursor rolled back, intent left
+    // behind with the heads that refresh was reflecting
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stateDir, "join-cursor"), cursorBefore)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stateDir, "join-intent"),
+      s"${cursorAfter(0)} ${cursorAfter(1)}")
+    // upstream advances BEFORE the operator re-runs the refresh — the
+    // replayed (fenced, no-op) merge must not swallow this commit
+    fact.merge(factBatch(Seq((4L, "upsert", "rB", "p3", "b1"))), 2L)
+    assert(view.refresh(spark).applied)
+    val (vL1, _, _) = view.position()
+    assert(vL1.toString == cursorAfter(0),
+      "replay must land the cursor at the INTENT heads, not the current ones")
+    // the next refresh picks up the in-between commit; nothing is lost
+    assert(view.refresh(spark).applied)
+    assert(viewRows(view.read(spark)) == expected(fact, dim))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stateDir, "join-intent")), "intent cleared")
+  }
+
   test("left-table schema evolution flows through refresh into the view state") {
     val fact = new LakeTable(tmpDir("mj6-fact"), buckets = 2)
     val dim = new LakeTable(tmpDir("mj6-dim"), buckets = 2)
