@@ -72,12 +72,16 @@ final class CacheResource(val root: String, val buckets: Int = 16) {
     val spark = kv.sparkSession
     val keys = kv.select(col("key").cast(StringType)).distinct()
       .limit(CacheResource.AddKeyCap + 1).collect().map(_.getString(0))
+    // broadcast only the PRUNED live side (bounded by the batch's key
+    // ranges); the >cap fallback anti-joins against the full cache
+    // read, which must stay a shuffled join — broadcasting a
+    // 10^9-entry cache is an executor OOM, not a plan
     val live =
       if (keys.length <= CacheResource.AddKeyCap)
-        unexpired(lake.readRepos(spark, keys.toIndexedSeq), seq)
-          .select(col("repo").as("key"))
+        broadcast(unexpired(lake.readRepos(spark, keys.toIndexedSeq), seq)
+          .select(col("repo").as("key")))
       else read(spark, seq).select(col("key"))
-    val fresh = kv.join(broadcast(live), Seq("key"), "left_anti")
+    val fresh = kv.join(live, Seq("key"), "left_anti")
     lake.merge(conform(fresh, "upsert", seq, ttl), batchId)
     ()
   }
