@@ -1,0 +1,17 @@
+#!/bin/bash
+# N->4N scaling evidence runner (BASELINE.md protocol): one JVM per leg,
+# separate executor JVMs via local-cluster, shared pre-generated log.
+set -u
+cd /root/repo
+JAR=target/scala-2.13/benthosspark_2.13-0.1.0.jar
+WORK=${1:-/tmp/scalework}
+EVENTS=${2:-64000000}
+SPARK_GRAFT_MASTER='local-cluster[1,2,12288]' /opt/spark/bin/spark-submit \
+  --conf spark.executor.memory=10g --class graft.ScalingBench \
+  "$JAR" "$EVENTS" 2 "$WORK" 2 > /tmp/scale_N.log 2>&1
+echo "EXIT:$?" >> /tmp/scale_N.log
+SPARK_GRAFT_MASTER='local-cluster[4,2,12288]' /opt/spark/bin/spark-submit \
+  --conf spark.executor.memory=10g --class graft.ScalingBench \
+  "$JAR" "$EVENTS" 8 "$WORK" 3 > /tmp/scale_4N.log 2>&1
+echo "EXIT:$?" >> /tmp/scale_4N.log
+touch /tmp/scale_done
