@@ -108,14 +108,21 @@ final class MaterializedAgg(
 
     val out = statePath(head)
     merged.write.mode("overwrite").parquet(out)
-    val prev = position()
     Files.createDirectories(cursorFile.getParent)
     val tmp = Files.createTempFile(cursorFile.getParent, ".tmp-cursor", "")
     Files.writeString(tmp, head.toString)
     Files.move(tmp, cursorFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // the superseded state dir is dead weight once the cursor moved
-    if (prev >= 0 && prev != head) deleteDir(statePath(prev))
+    // every non-current state dir is dead weight once the cursor moved
+    // — sweeping ALL of them (not just the direct predecessor) also
+    // reclaims orphans left by a crash between state write and cursor
+    // move, which a predecessor-only delete would leak forever
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(stateDir)).iterator().asScala.toList
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("state-v") && n != f"state-v$head%08d"
+      }.foreach(p => deleteDir(p.toString))
     true
   }
 

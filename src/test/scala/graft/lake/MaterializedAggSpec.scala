@@ -176,6 +176,14 @@ class MaterializedAggSpec extends SparkTestBase {
     assert(stateOf(agg) == before, "partial dir invisible until cursor moves")
     assert(agg.refresh(spark), "refresh overwrites the partial dir")
     assert(stateOf(agg) == recompute(lake))
+    // the completed refresh sweeps every non-current state dir —
+    // including crash orphans, not just its direct predecessor
+    import scala.jdk.CollectionConverters._
+    val stateDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("state-v")).toList
+    assert(stateDirs == List(f"state-v$head%08d"),
+      s"only the current state dir survives, got $stateDirs")
   }
 
   test("a NEW consumer's first refresh works on a retention-truncated lake") {
