@@ -224,17 +224,17 @@ object JqCompiler {
           // an inner `as $name` rebind shadows: substitute only up to
           // (and including — its src sees the outer value) the first
           // sibling stage that rebinds the name. Destructuring
-          // patterns bind each name to the element's i-th item /
-          // named field (one get_json_object per name, jq-exact:
-          // missing positions bind null).
-          def bindingsOf(el: Column): Seq[(String, E)] = pat match {
-            case PVarPat(n) => Seq(n -> ColLit(JqVal(el, TJson)))
-            case PArrPat(items) => items.zipWithIndex.map { case (n, i) =>
-              n -> ColLit(JqVal(get_json_object(el, s"$$[$i]"), TJson))
-            }
-            case PObjPat(fields) => fields.map { case (f, n) =>
-              n -> ColLit(JqVal(get_json_object(el, s"$$['$f']"), TJson))
-            }
+          // patterns (nested like jq's) bind each leaf name to its
+          // path into the element (one get_json_object per name,
+          // jq-exact: missing positions bind null).
+          def bindingsOf(el: Column): Seq[(String, E)] = pat.bindings.map {
+            case (n, Nil) => n -> ColLit(JqVal(el, TJson))
+            case (n, segs) =>
+              val p = "$" + segs.map {
+                case Left(f) => s"['$f']"
+                case Right(i) => s"[$i]"
+              }.mkString
+              n -> ColLit(JqVal(get_json_object(el, p), TJson))
           }
           def boundRest(el: Column): Seq[E] =
             bindingsOf(el).foldLeft(rest) { case (stgs, (name, repl)) =>
@@ -774,18 +774,30 @@ object JqCompiler {
   private final case class Reduce(term: E, varName: String, init: E, update: E) extends E
   // `EXPR as PATTERN` — the body is the REST of the enclosing pipeline
   // (compiler-level scope, like jq's `Term "as" Patterns '|' Exp`).
-  // Patterns: `$x` plain, `[$a,$b]` array destructuring (element i),
-  // `{a: $x, $b}` object destructuring (field access) — one level,
-  // nested sub-patterns are rejected loudly at parse time.
-  private sealed trait BindPat { def names: Seq[String] }
+  // Patterns nest like jq's: `$x` plain, `[$a, [$b, $c]]` array
+  // destructuring (element i), `{a: $x, b: [$y], $c}` object
+  // destructuring (field access) — each bound variable resolves to
+  // ONE path into the matched value (missing positions bind null,
+  // jq-exact), so a pattern compiles to a flat (name → path) list.
+  private sealed trait BindPat {
+    /** Leaf bindings as (name, path-from-the-matched-value). */
+    def bindings: Seq[(String, Seq[Either[String, Int]])]
+    final def names: Seq[String] = bindings.map(_._1)
+  }
   private final case class PVarPat(name: String) extends BindPat {
-    def names: Seq[String] = Seq(name)
+    def bindings: Seq[(String, Seq[Either[String, Int]])] = Seq(name -> Nil)
   }
-  private final case class PArrPat(items: Seq[String]) extends BindPat {
-    def names: Seq[String] = items
+  private final case class PArrPat(items: Seq[BindPat]) extends BindPat {
+    def bindings: Seq[(String, Seq[Either[String, Int]])] =
+      items.zipWithIndex.flatMap { case (p, i) =>
+        p.bindings.map { case (n, segs) => n -> (Right(i) +: segs) }
+      }
   }
-  private final case class PObjPat(fields: Seq[(String, String)]) extends BindPat {
-    def names: Seq[String] = fields.map(_._2)
+  private final case class PObjPat(fields: Seq[(String, BindPat)]) extends BindPat {
+    def bindings: Seq[(String, Seq[Either[String, Int]])] =
+      fields.flatMap { case (f, p) =>
+        p.bindings.map { case (n, segs) => n -> (Left(f) +: segs) }
+      }
   }
   private final case class AsBind(src: E, pat: BindPat) extends E
   // foreach STREAM as $x (INIT; UPDATE[; EXTRACT]) — jq's running fold
@@ -1795,9 +1807,9 @@ object JqCompiler {
 
     /** An alt-level expression optionally bound with `as PATTERN`
       * (jq's variable binding; the body is the rest of the pipeline,
-      * scoped at the compiler level). Patterns: `$x`, array
-      * destructuring `[$a, $b]`, object destructuring `{a: $x, $b}` —
-      * one level; nested sub-patterns are rejected loudly.
+      * scoped at the compiler level). Patterns nest like jq's: `$x`,
+      * array destructuring `[$a, [$b]]`, object destructuring
+      * `{a: $x, b: {c: $y}, $d}`.
       */
     private def parseBindable(): E = {
       val e = parseAlt()
@@ -1812,25 +1824,24 @@ object JqCompiler {
       def varName(): String = {
         skipWs()
         require(pos < src.length && src.charAt(pos) == '$',
-          "jq: binding patterns bind variables — `$x`, `[$a,$b]`, `{a: $x}`" +
-            " (nested sub-patterns are not supported)")
+          "jq: binding patterns bind variables — `$x`, `[$a,[$b]]`, `{a: $x}`")
         pos += 1
         parseWord()
       }
       if (eat("[")) {
-        val items = scala.collection.mutable.ArrayBuffer[String]()
-        items += varName()
-        while (eat(",")) items += varName()
+        val items = scala.collection.mutable.ArrayBuffer[BindPat]()
+        items += parseBindPat()
+        while (eat(",")) items += parseBindPat()
         expect("]")
         PArrPat(items.toSeq)
       } else if (eat("{")) {
-        val fields = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        val fields = scala.collection.mutable.ArrayBuffer[(String, BindPat)]()
         def field(): Unit = {
           skipWs()
           if (pos < src.length && src.charAt(pos) == '$') {
-            val n = varName(); fields += ((n, n)) // {$a} shorthand: .a
+            val n = varName(); fields += ((n, PVarPat(n))) // {$a} shorthand: .a
           } else {
-            val f = parseWord(); expect(":"); fields += ((f, varName()))
+            val f = parseWord(); expect(":"); fields += ((f, parseBindPat()))
           }
         }
         field()

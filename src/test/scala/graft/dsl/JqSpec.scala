@@ -677,8 +677,17 @@ class JqSpec extends SparkTestBase {
     // binding a STREAM destructures each output
     assert(run(".ps[] as [$a, $b] | $a * $b", """{"ps":[[2,3],[4,5]]}""") ==
       Seq(Some("6"), Some("20")))
-    // nested sub-patterns: loud
-    intercept[Exception](run(".p as [[$a]] | $a", """{"p":[[1]]}"""))
+    // NESTED sub-patterns, array and object, any depth (jq-exact)
+    assert(run(".p as [[$a], $b] | $a + $b", """{"p":[[1],2]}""") == Seq(Some("3")))
+    assert(run(".o as {a: {b: $x}, c: [$y, $z]} | [$x, $y, $z]",
+      """{"o":{"a":{"b":1},"c":[2,3]}}""") == Seq(Some("[1,2,3]")))
+    assert(run(".o as {a: [{b: $x}]} | $x", """{"o":{"a":[{"b":9}]}}""") ==
+      Seq(Some("9")))
+    // a missing nested position binds null, like jq; present leaves
+    // still bind through their full path
+    assert(run(".p as [[$a], [$b]] | $a", """{"p":[[1]]}""") == Seq(Some("1")))
+    assert(run(".p as [[$a], [$b]] | $b // \"absent\"", """{"p":[[1]]}""") ==
+      Seq(Some("absent")))
   }
 
   test("until and while iteration, splits") {
