@@ -230,11 +230,7 @@ object JqCompiler {
           def bindingsOf(el: Column): Seq[(String, E)] = pat.bindings.map {
             case (n, Nil) => n -> ColLit(JqVal(el, TJson))
             case (n, segs) =>
-              val p = "$" + segs.map {
-                case Left(f) => s"['$f']"
-                case Right(i) => s"[$i]"
-              }.mkString
-              n -> ColLit(JqVal(get_json_object(el, p), TJson))
+              n -> ColLit(JqVal(get_json_object(el, patPath(segs)), TJson))
           }
           def boundRest(el: Column): Seq[E] =
             bindingsOf(el).foldLeft(rest) { case (stgs, (name, repl)) =>
@@ -503,7 +499,7 @@ object JqCompiler {
         // compiled to ONE aggregate() whose state is a struct of
         // (accumulator, outputs-so-far) — still a single codegen'd
         // projection, like reduce.
-        case Foreach(term, varName, init, update, extract) =>
+        case Foreach(term, pat, init, update, extract) =>
           val elems = buildStream(normalizeStages(term), preV, top = false)._1
           val (initV, initK) = eval(init, preV)
           val sparkT = initV.t match {
@@ -515,8 +511,7 @@ object JqCompiler {
             array().cast("array<string>").as("out"))
           val folded = aggregate(elems, z, (st, x) => {
             val accV = JqVal(st.getField("acc"), initV.t)
-            val bound = ColLit(JqVal(x, TJson))
-            val (uv, uk) = eval(subst(update, varName, bound), accV)
+            val (uv, uk) = eval(substPat(update, pat, x), accV)
             require(uk.isEmpty,
               "jq: select() inside a foreach update is not supported")
             val newAcc = (initV.t match {
@@ -527,7 +522,7 @@ object JqCompiler {
             val outVal = extract match {
               case None => renderTop(JqVal(newAcc, initV.t))
               case Some(ex) =>
-                val (ev, ek) = eval(subst(ex, varName, bound),
+                val (ev, ek) = eval(substPat(ex, pat, x),
                   JqVal(newAcc, initV.t))
                 require(ek.isEmpty,
                   "jq: select() inside a foreach extract is not supported")
@@ -771,7 +766,7 @@ object JqCompiler {
   private final case class IterAll(target: E) extends E                   // target[]
   private final case class Comma(items: Seq[E]) extends E                 // e1, e2 (top level)
   private final case class VarE(name: String) extends E                   // $x (as/reduce/foreach-bound)
-  private final case class Reduce(term: E, varName: String, init: E, update: E) extends E
+  private final case class Reduce(term: E, pat: BindPat, init: E, update: E) extends E
   // `EXPR as PATTERN` — the body is the REST of the enclosing pipeline
   // (compiler-level scope, like jq's `Term "as" Patterns '|' Exp`).
   // Patterns nest like jq's: `$x` plain, `[$a, [$b, $c]]` array
@@ -800,11 +795,27 @@ object JqCompiler {
       }
   }
   private final case class AsBind(src: E, pat: BindPat) extends E
-  // foreach STREAM as $x (INIT; UPDATE[; EXTRACT]) — jq's running fold
-  private final case class Foreach(term: E, varName: String, init: E,
+  // foreach STREAM as PATTERN (INIT; UPDATE[; EXTRACT]) — jq's running fold
+  private final case class Foreach(term: E, pat: BindPat, init: E,
                                    update: E, extract: Option[E]) extends E
   private final case class ColLit(v: JqVal) extends E                     // bound value (subst)
   private final case class Interp(parts: Seq[E]) extends E                // "a\(expr)b"
+
+  /** get_json_object path of a pattern leaf's segments. */
+  private def patPath(segs: Seq[Either[String, Int]]): String =
+    "$" + segs.map {
+      case Left(f) => s"['$f']"
+      case Right(i) => s"[$i]"
+    }.mkString
+
+  /** Substitute every leaf of `pat` into `e`, each bound to its path
+    * into the matched element `el` (missing positions bind null).
+    */
+  private def substPat(e: E, pat: BindPat, el: Column): E =
+    pat.bindings.foldLeft(e) { case (acc, (n, segs)) =>
+      val v = if (segs.isEmpty) el else get_json_object(el, patPath(segs))
+      subst(acc, n, ColLit(JqVal(v, TJson)))
+    }
 
   // ---- eval: E × input → (value, keep) -------------------------------
 
@@ -869,7 +880,19 @@ object JqCompiler {
         case "%" => JqVal(num(lv) % num(rv), TNum)
         case "==" | "!=" =>
           val eq =
-            if (lv.t == TNum || rv.t == TNum) num(lv) <=> num(rv)
+            if (l == Lit(null) || r == Lit(null)) {
+              // `x == null` (jq's null test): a TJson value is null
+              // when its text is SQL NULL (missing path) OR the JSON
+              // literal `null` (array/stream element extraction keeps
+              // the raw text — [null] elements arrive as "null").
+              // get_json_object strips quotes from JSON strings, so a
+              // literal string "null" is textually ambiguous here —
+              // the same representational delta every TJson compare
+              // in this compiler has, documented over fixed.
+              val side = if (l == Lit(null)) rv else lv
+              val txt = renderTop(side)
+              txt.isNull || txt <=> "null"
+            } else if (lv.t == TNum || rv.t == TNum) num(lv) <=> num(rv)
             else renderTop(lv) <=> renderTop(rv)
           JqVal(if (op == "==") eq else !eq, TBool)
         case "<" => JqVal(cmp(lv, rv, _ < _), TBool)
@@ -937,7 +960,7 @@ object JqCompiler {
     // UPDATE evaluates with `.` = accumulator and $x substituted at
     // the AST level (no runtime environment), so the whole fold stays
     // one codegen'd projection
-    case Reduce(term, varName, init, update) =>
+    case Reduce(term, pat, init, update) =>
       val elems = buildStream(normalizeStages(term), in, top = false)._1
       val (initV, initK) = eval(init, in)
       val sparkT = initV.t match {
@@ -946,7 +969,7 @@ object JqCompiler {
         case _ => "string"
       }
       val out = aggregate(elems, initV.col.cast(sparkT), (acc, x) => {
-        val (uv, uk) = eval(subst(update, varName, ColLit(JqVal(x, TJson))),
+        val (uv, uk) = eval(substPat(update, pat, x),
           JqVal(acc, initV.t))
         require(uk.isEmpty, "jq: select() inside a reduce update is not supported")
         // bridge the update's static type back to the accumulator's
@@ -1008,14 +1031,14 @@ object JqCompiler {
     case PostPath(t, segs) => PostPath(subst(t, name, repl), segs)
     case IterAll(t) => IterAll(subst(t, name, repl))
     case Comma(items) => Comma(items.map(subst(_, name, repl)))
-    case Reduce(t, v, i, u) => Reduce(subst(t, name, repl), v,
+    case Reduce(t, p, i, u) => Reduce(subst(t, name, repl), p,
       subst(i, name, repl),
-      if (v == name) u else subst(u, name, repl)) // inner $x shadows
+      if (p.names.contains(name)) u else subst(u, name, repl)) // inner $x shadows
     case AsBind(s, p) => AsBind(subst(s, name, repl), p) // body = rest of pipe (Pipe case)
-    case Foreach(t, v, i, u, x) => Foreach(subst(t, name, repl), v,
+    case Foreach(t, p, i, u, x) => Foreach(subst(t, name, repl), p,
       subst(i, name, repl),
-      if (v == name) u else subst(u, name, repl), // inner $x shadows
-      if (v == name) x else x.map(subst(_, name, repl)))
+      if (p.names.contains(name)) u else subst(u, name, repl), // inner $x shadows
+      if (p.names.contains(name)) x else x.map(subst(_, name, repl)))
     case Interp(ps) => Interp(ps.map(subst(_, name, repl)))
     case other => other // Identity, Path, Lit, ColLit, other VarE
   }
@@ -2000,26 +2023,20 @@ object JqCompiler {
             expect("("); val cond = parseTop(); expect(")"); Select(cond)
           case "reduce" =>
             val term = parsePostfix()
-            expectWord("as"); skipWs()
-            require(pos < src.length && src.charAt(pos) == '$',
-              "jq: reduce expects `as $var`")
-            pos += 1
-            val v = parseWord()
+            expectWord("as")
+            val p = parseBindPat() // `$x` or a destructuring pattern
             expect("("); val init = parsePipe(); expect(";")
             val upd = parsePipe(); expect(")")
-            Reduce(term, v, init, upd)
+            Reduce(term, p, init, upd)
           case "foreach" =>
             val term = parsePostfix()
-            expectWord("as"); skipWs()
-            require(pos < src.length && src.charAt(pos) == '$',
-              "jq: foreach expects `as $var`")
-            pos += 1
-            val v = parseWord()
+            expectWord("as")
+            val p = parseBindPat() // `$x` or a destructuring pattern
             expect("("); val init = parsePipe(); expect(";")
             val upd = parsePipe()
             val ext = if (eat(";")) Some(parsePipe()) else None
             expect(")")
-            Foreach(term, v, init, upd, ext)
+            Foreach(term, p, init, upd, ext)
           case "if" =>
             val branches = scala.collection.mutable.ArrayBuffer[(E, E)]()
             val c0 = parsePipe(); expectWord("then")

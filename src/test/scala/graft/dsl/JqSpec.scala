@@ -688,6 +688,17 @@ class JqSpec extends SparkTestBase {
     assert(run(".p as [[$a], [$b]] | $a", """{"p":[[1]]}""") == Seq(Some("1")))
     assert(run(".p as [[$a], [$b]] | $b // \"absent\"", """{"p":[[1]]}""") ==
       Seq(Some("absent")))
+    // == null sees both SQL-NULL (missing path) and JSON-null element
+    // text, so the jq null-test idiom holds over collected bindings
+    assert(run(""".p as [[$a], [$b]] | [$a, $b] | map(. == null)""",
+      """{"p":[[1]]}""") == Seq(Some("[false,true]")))
+    assert(run(""".x == null""", """{"y":1}""") == Seq(Some("true")))
+    assert(run(""".x != null""", """{"x":5}""") == Seq(Some("true")))
+    // reduce/foreach accept patterns too (jq: reduce .[] as [$a,$b])
+    assert(run("reduce .ps[] as [$a, $b] (0; . + $a * $b)",
+      """{"ps":[[2,3],[4,5]]}""") == Seq(Some("26")))
+    assert(run("foreach .ps[] as {v: $v} (0; . + $v)",
+      """{"ps":[{"v":1},{"v":10}]}""") == Seq(Some("1"), Some("11")))
   }
 
   test("until and while iteration, splits") {
