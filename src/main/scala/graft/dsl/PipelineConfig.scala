@@ -325,11 +325,27 @@ object PipelineConfig {
     val name = node.fieldNames().next()
     val body = node.get(name)
     name match {
-      case "file" => FileIn(
-        if (body.isTextual) body.asText else body.get("path").asText,
-        opt(body, "codec").map(_.asText).getOrElse("lines"),
-        opt(body, "schema").map(_.asText),
-        opt(body, "max_files_per_trigger").map(_.asInt))
+      case "file" =>
+        // v4 surface: `paths:` is a LIST (each entry may glob) and the
+        // scanner is a nested single-key object (`scanner: {lines: {}}`,
+        // `{chunker: {size: N}}`, `{decompress: {algorithm: gzip,
+        // into: {lines: {}}}}` …) — both map onto the engine's codec
+        // strings; the v3-style single `path` + `codec` string stays.
+        val paths: Seq[String] =
+          if (body.isTextual) Seq(body.asText)
+          else opt(body, "paths").filter(_.isArray)
+            .map(a => (0 until a.size).map(a.get(_).asText))
+            .getOrElse(Seq(Option(body.get("path")).getOrElse(
+              throw new IllegalArgumentException(
+                "file input needs `path` or `paths`")).asText))
+        require(paths.nonEmpty, "file input: `paths` must not be empty")
+        val codec = opt(body, "scanner").map(scannerCodec).getOrElse(
+          opt(body, "codec").map(_.asText).getOrElse("lines"))
+        val mk = (p: String) => FileIn(p, codec,
+          opt(body, "schema").map(_.asText),
+          opt(body, "max_files_per_trigger").map(_.asInt))
+        if (paths.size == 1) mk(paths.head)
+        else BrokerIn(paths.map(mk)) // plan-level union, per-path scans
       // sql_select: the reference's structured form (table / columns /
       // where / order_by builds the SELECT) or a raw `query`;
       // sql_raw: raw query only (input_sql_raw.go)
@@ -387,6 +403,34 @@ object PipelineConfig {
         body.get("check").asText,
         opt(body, "deliver_last").forall(_.asBoolean))
       case other => throw new IllegalArgumentException(s"unknown input: $other")
+    }
+  }
+
+  /** v4 `scanner:` object → the engine's codec string (upstream
+    * scanner stack, `internal/impl/io/input_file.go`): `{lines: {}}`,
+    * `{csv: {}}`, `{tar: {}}`, `{to_the_end: {}}`, `{json_documents:
+    * {}}`, `{chunker: {size: N}}`, `{re_match: {pattern: RE}}`, and
+    * one level of `{decompress: {algorithm: A, into: <scanner>}}`
+    * (into lines/json — the engine's `lines+<algo>` whole-file
+    * decompress).
+    */
+  private def scannerCodec(node: JsonNode): String = {
+    require(node.isObject && node.size == 1,
+      s"file scanner must be a single-key object, got $node")
+    val name = node.fieldNames().next()
+    val body = node.get(name)
+    name match {
+      case "lines" | "csv" | "tar" | "warc" | "to_the_end" | "json_documents" => name
+      case "chunker" => s"chunker:${body.get("size").asLong}"
+      case "re_match" => s"re_match:${body.get("pattern").asText}"
+      case "decompress" =>
+        val algo = body.get("algorithm").asText
+        val into = opt(body, "into").map(scannerCodec).getOrElse("lines")
+        require(into == "lines" || into == "json",
+          s"decompress scanner: `into` supports lines/json, got $into")
+        s"$into+$algo"
+      case other => throw new IllegalArgumentException(
+        s"unknown file scanner: $other")
     }
   }
 

@@ -401,6 +401,31 @@ class InputsSpec extends SparkTestBase {
     assert(err.getMessage.contains("supported algorithms"))
   }
 
+  test("v4 file surface: paths list unions per-path scans; scanner objects map to codecs") {
+    import spark.implicits._
+    val dir = tmpDir("v4file")
+    Seq("alpha", "beta").toDF("v").coalesce(1).write.text(s"$dir/a")
+    Seq("gamma").toDF("v").coalesce(1).write.text(s"$dir/b")
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val in = PipelineConfig.parseInput(mapper.readTree(
+      s"""{"file": {"paths": ["$dir/a", "$dir/b"], "scanner": {"lines": {}}}}"""))
+    assert(in.batch(spark).select("content").as[String].collect().sorted.toSeq ==
+      Seq("alpha", "beta", "gamma"))
+    // chunker / re_match / decompress scanner objects → codec strings
+    val chunk = PipelineConfig.parseInput(mapper.readTree(
+      s"""{"file": {"path": "$dir/a", "scanner": {"chunker": {"size": 3}}}}"""))
+    assert(chunk.batch(spark).count() > 0)
+    Seq("x1y22z").toDF("v").coalesce(1)
+      .write.option("compression", "gzip").text(s"$dir/gz")
+    val dec = PipelineConfig.parseInput(mapper.readTree(
+      s"""{"file": {"path": "$dir/gz",
+         |  "scanner": {"decompress": {"algorithm": "gzip", "into": {"lines": {}}}}}}""".stripMargin))
+    assert(dec.batch(spark).select("content").as[String].collect().toSeq == Seq("x1y22z"))
+    val bad = intercept[IllegalArgumentException](PipelineConfig.parseInput(
+      mapper.readTree(s"""{"file": {"path": "$dir/a", "scanner": {"nope": {}}}}""")))
+    assert(bad.getMessage.contains("unknown file scanner"))
+  }
+
   test("sequence sharded_join: merge strategies, outer type, deep merge, null ids") {
     import spark.implicits._
     val dir = tmpDir("seqjoin")
