@@ -1005,6 +1005,39 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Confluent Schema Registry framing: the wire envelope is
+    // [0x00][int32 BE id][avro payload], so the first 5 bytes hex to
+    // '00' + the id, and decode through the id->schema map is the
+    // identity — both plain SQL for the oracle
+    "q_schema_registry" -> ((s, dir) => {
+      val schema =
+        """{"type":"record","name":"Ord","fields":[
+          |{"name":"status","type":"string"},
+          |{"name":"total","type":"double"}]}""".stripMargin
+      val other =
+        """{"type":"record","name":"X","fields":[
+          |{"name":"z","type":"long"}]}""".stripMargin
+      val pipe = compile(Seq(
+        PSchemaRegistryEncode(7, schema, "content")))
+      val in = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"),
+          to_json(struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total"))).as("content"))
+      val framed = pipe(in)
+        .withColumn("prefix_hex", hex(substring(col("content"), 1, 5)))
+      val back = compile(Seq(
+        PSchemaRegistryDecode(Seq(3 -> other, 7 -> schema), "content")))(framed)
+      back
+        .select(col("id"), col("prefix_hex"),
+          from_json(col("content"),
+            org.apache.spark.sql.types.StructType.fromDDL("status STRING, total DOUBLE")).as("rec"),
+          col("_error"))
+        .select(col("id"), col("prefix_hex"),
+          col("rec.status").as("status"), col("rec.total").as("total"),
+          coalesce(col("_error"), lit("ok")).as("err"))
+        .orderBy("id")
+    }),
+
     "q_json_roundtrip" -> ((s, dir) =>
       // reference serialization codecs (§2.3: format_json/parse_json,
       // processor_avro.go family; avro module jar absent in sandbox) —
@@ -3454,6 +3487,11 @@ object SparkEntry {
 
     "q_avro_roundtrip" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS total
+        |FROM orders ORDER BY id""".stripMargin,
+
+    "q_schema_registry" ->
+      """SELECT o_orderkey AS id, '0000000007' AS prefix_hex,
+        |o_orderstatus AS status, o_totalprice AS total, 'ok' AS err
         |FROM orders ORDER BY id""".stripMargin,
 
     "q_multimodal" ->

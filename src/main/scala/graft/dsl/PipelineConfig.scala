@@ -588,6 +588,21 @@ object PipelineConfig {
           body.get("proto").asText,
           body.get("message").asText,
           opt(body, "field").map(_.asText).getOrElse("content"))
+      case "schema_registry_encode" =>
+        PSchemaRegistryEncode(body.get("id").asInt,
+          { val s = body.get("schema"); if (s.isTextual) s.asText else s.toString },
+          opt(body, "field").map(_.asText).getOrElse("content"))
+      case "schema_registry_decode" =>
+        val sch = Option(body.get("schemas")).getOrElse(
+          throw new IllegalArgumentException(
+            "schema_registry_decode needs a `schemas` id->avro-schema map"))
+        val ids = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+        sch.fieldNames().forEachRemaining { k =>
+          val v = sch.get(k)
+          ids += ((k.toInt, if (v.isTextual) v.asText else v.toString))
+        }
+        PSchemaRegistryDecode(ids.toSeq,
+          opt(body, "field").map(_.asText).getOrElse("content"))
       case "xml" =>
         PXml(opt(body, "operator").map(_.asText).getOrElse("to_json"),
           body.get("schema").asText,

@@ -146,6 +146,19 @@ object Processor {
     * raw avro binary; `to_json` = avro binary field → JSON string.
     * Record-of-primitives schema subset (see AvroSupport). */
   final case class PAvro(operator: String, schemaJson: String, field: String) extends Processor
+  /** Confluent Schema Registry framing
+    * (processor `schema_registry_encode`/`schema_registry_decode`,
+    * upstream internal/impl/confluent/): the PUBLIC wire format —
+    * `[0x00 magic][int32 BE schema id][avro payload]` — is exact;
+    * the registry LOOKUP is config-time (encode takes the id + avro
+    * schema, decode a YAML id→schema map) because this engine does no
+    * per-message RPC — the same static-resolution contract as
+    * sql_select enrichment. Decode flags a bad magic byte or an
+    * unknown id on `_error` (the reference nacks those messages). */
+  final case class PSchemaRegistryEncode(schemaId: Int, schemaJson: String,
+                                         field: String) extends Processor
+  final case class PSchemaRegistryDecode(schemas: Seq[(Int, String)],
+                                         field: String) extends Processor
   /** protobuf codec (processor_protobuf.go): operator from_json /
     * to_json against a literal .proto source + message name; the
     * proto3 wire format is implemented from the public encoding spec
@@ -602,6 +615,40 @@ object Processor {
           to_json(graft.functions.AvroFunctions.decode(col(field), schema)))
       case other => throw new IllegalArgumentException(
         s"avro operator $other (from_json | to_json)")
+    }
+
+    case PSchemaRegistryEncode(id, schema, field) => df => {
+      val header = lit(Array[Byte](0,
+        ((id >> 24) & 0xFF).toByte, ((id >> 16) & 0xFF).toByte,
+        ((id >> 8) & 0xFF).toByte, (id & 0xFF).toByte))
+      df.withColumn(field, concat(header,
+        graft.functions.AvroFunctions.encode(
+          from_json(col(field), graft.functions.AvroSupport.sparkType(schema)),
+          schema)))
+    }
+
+    case PSchemaRegistryDecode(schemas, field) => df => {
+      require(schemas.nonEmpty, "schema_registry_decode needs a schemas map")
+      val c = col(field)
+      val magicOk = substring(c, 1, 1) === lit(Array[Byte](0))
+      val idCol = conv(hex(substring(c, 2, 4)), 16, 10).cast("int")
+      val payload = c.substr(lit(6), length(c) - 5)
+      // CaseWhen short-circuits per row, so only the matched id's
+      // schema ever decodes the payload
+      val decoded = schemas.foldLeft(lit(null).cast(StringType)) {
+        case (acc, (k, sch)) => when(idCol === k,
+          to_json(graft.functions.AvroFunctions.decode(payload, sch)))
+          .otherwise(acc)
+      }
+      val base = if (df.columns.contains("_error")) df
+        else df.withColumn("_error", lit(null).cast(StringType))
+      base
+        .withColumn("_sr_out", when(magicOk, decoded))
+        .withColumn("_error",
+          when(col("_error").isNotNull, col("_error"))
+            .when(!magicOk, lit("schema_registry: bad magic byte"))
+            .when(col("_sr_out").isNull, lit("schema_registry: unknown schema id")))
+        .withColumn(field, col("_sr_out")).drop("_sr_out")
     }
 
     case PProtobuf(op, proto, message, field) => df => op match {

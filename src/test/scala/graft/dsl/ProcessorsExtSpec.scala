@@ -288,4 +288,47 @@ class ProcessorsExtSpec extends SparkTestBase {
         |""".stripMargin)
     assert(y.processors.head == PDebezium("content"))
   }
+
+  test("schema_registry framing: wire envelope, roundtrip, bad magic, unknown id") {
+    import spark.implicits._
+    val schema =
+      """{"type":"record","name":"R","fields":[{"name":"v","type":"long"}]}"""
+    val enc = Processor.compile(Seq(PSchemaRegistryEncode(300, schema, "content")))
+    val framed = enc(Seq("""{"v":42}""").toDF("content"))
+    val bytes = framed.select("content").head().getAs[Array[Byte]](0)
+    // [0x00][int32 BE id][avro payload]: 300 = 0x0000012C; avro long
+    // 42 zigzags to 0x54
+    assert(bytes.take(5).toSeq == Seq[Byte](0, 0, 0, 1, 44))
+    assert(bytes.drop(5).toSeq == Seq[Byte](84))
+    val dec = Processor.compile(Seq(
+      PSchemaRegistryDecode(Seq(300 -> schema), "content")))
+    val ok = dec(framed).select("content", "_error").head()
+    assert(ok.getString(0) == """{"v":42}""" && ok.isNullAt(1))
+    // unknown id -> _error, null content
+    val other = dec(enc(Seq("""{"v":1}""").toDF("content"))
+      .withColumn("content",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(Array[Byte](0, 0, 0, 0, 9)),
+          org.apache.spark.sql.functions.expr("substring(content, 6, length(content)-5)"))))
+      .select("content", "_error").head()
+    assert(other.isNullAt(0) && other.getString(1).contains("unknown schema id"))
+    // bad magic byte -> _error
+    val bad = dec(Seq(Array[Byte](1, 0, 0, 1, 44, 84)).toDF("content"))
+      .select("_error").head()
+    assert(bad.getString(0).contains("bad magic"))
+    // YAML surface
+    val y = PipelineConfig.parse(
+      s"""pipeline:
+         |  processors:
+         |    - schema_registry_encode:
+         |        id: 7
+         |        schema: '$schema'
+         |    - schema_registry_decode:
+         |        schemas:
+         |          "7": '$schema'
+         |""".stripMargin)
+    assert(y.processors == Seq(
+      PSchemaRegistryEncode(7, schema, "content"),
+      PSchemaRegistryDecode(Seq(7 -> schema), "content")))
+  }
 }
