@@ -1,0 +1,18 @@
+#!/bin/bash
+# MoR-mode N->4N scaling stamp (write-optimized lake): same protocol as
+# run_scaling.sh with SPARK_GRAFT_MOR=1, compaction every 4 batches.
+set -u
+cd /root/repo
+JAR=target/scala-2.13/benthosspark_2.13-0.1.0.jar
+WORK=${1:-/tmp/scalework_mor}
+EVENTS=${2:-64000000}
+export SPARK_GRAFT_MOR=1 SPARK_GRAFT_MOR_COMPACT=4
+SPARK_GRAFT_MASTER='local-cluster[1,2,12288]' /opt/spark/bin/spark-submit \
+  --conf spark.executor.memory=10g --class graft.ScalingBench \
+  "$JAR" "$EVENTS" 2 "$WORK" 2 > /tmp/scale_mor_N.log 2>&1
+echo "EXIT:$?" >> /tmp/scale_mor_N.log
+SPARK_GRAFT_MASTER='local-cluster[4,2,12288]' /opt/spark/bin/spark-submit \
+  --conf spark.executor.memory=10g --class graft.ScalingBench \
+  "$JAR" "$EVENTS" 8 "$WORK" 3 > /tmp/scale_mor_4N.log 2>&1
+echo "EXIT:$?" >> /tmp/scale_mor_4N.log
+touch /tmp/scale_mor_done
