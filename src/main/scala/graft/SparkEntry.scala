@@ -843,6 +843,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // URL canonicalization (the web-corpus dedup key): four messy
+    // variants synthesized per customer — mixed case, default/explicit
+    // ports, fragments, tracking params, unsorted queries — run
+    // through the real canonicalizer; the oracle emits the expected
+    // canonical form directly from the same key
+    "q_url_canon" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val messy = when(pmod(k, lit(4)) === 0,
+          concat(lit("HTTP://WWW.Shop"), k, lit(".COM/a/b?utm_source=x&b="), k, lit("&a=1#frag")))
+        .when(pmod(k, lit(4)) === 1,
+          concat(lit("https://Site"), k, lit(".org:443/")))
+        .when(pmod(k, lit(4)) === 2,
+          concat(lit("http://host"), k, lit(".net:8080?z=2&y="), k))
+        .otherwise(
+          concat(lit("https://h"), k, lit(".co.uk/p?gclid=abc&fbclid=q")))
+      t(s, dir, "customer")
+        .select(k.as("id"), TextOps.canonicalizeUrl(messy).as("canon"))
+        .orderBy("id")
+    }),
+
     "q_pii" -> ((s, dir) => {
       // C4-style PII scrub: deterministic PII-bearing text synthesized
       // from customer, per-pattern counts + placeholder redaction —
@@ -3493,6 +3513,16 @@ object SparkEntry {
       """SELECT o_orderkey AS id, '0000000007' AS prefix_hex,
         |o_orderstatus AS status, o_totalprice AS total, 'ok' AS err
         |FROM orders ORDER BY id""".stripMargin,
+
+    "q_url_canon" ->
+      """SELECT c_custkey AS id,
+        |  CASE c_custkey % 4
+        |    WHEN 0 THEN 'http://www.shop' || c_custkey || '.com/a/b?a=1&b=' || c_custkey
+        |    WHEN 1 THEN 'https://site' || c_custkey || '.org/'
+        |    WHEN 2 THEN 'http://host' || c_custkey || '.net:8080/?y=' || c_custkey || '&z=2'
+        |    ELSE 'https://h' || c_custkey || '.co.uk/p'
+        |  END AS canon
+        |FROM customer ORDER BY id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id AS media_id, 'image' AS modality,

@@ -183,6 +183,40 @@ object TextOps {
       last3 =!= "", last3).otherwise(last2)
   }
 
+  /** Canonical form of an http(s) URL — the standard web-corpus dedup
+    * key (two crawls of one page differ only in tracking params, case,
+    * default ports and fragments): lower-cased scheme + host, default
+    * port dropped (http:80 / https:443), fragment dropped, empty path
+    * → "/", tracking params removed (utm_*, gclid, fbclid, msclkid,
+    * mc_eid, igshid, yclid, _ga — the linkifier set), remaining query
+    * params sorted. Pure projection (regex + array functions), null
+    * for non-http(s) input. Percent-encoding is preserved as-is —
+    * decoding it can CHANGE the resource on servers that distinguish,
+    * so the canonical key stays conservative.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    val host = lower(regexp_replace(hostport, ":[0-9]+$", ""))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path0 = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q0 = regexp_extract(u, "\\?(.*)$", 1)
+    val params = filter(split(q0, "&"), p =>
+      p =!= "" && !p.rlike(
+        "^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|yclid|_ga)(=.*)?$"))
+    val q = array_join(array_sort(params), "&")
+    when(url.rlike("^[hH][tT][tT][pP][sS]?://[^/?#]"),
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
   /** Per-document URL features: `n_urls`, distinct apex `domains`
     * (sorted), and `blocked` = any domain in the blocklist. The
     * blocklist is a plan literal (array_contains against a broadcast-

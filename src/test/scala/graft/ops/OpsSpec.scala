@@ -547,6 +547,35 @@ class OpsSpec extends SparkTestBase {
       Seq("bad.co.uk", "example.com"))
   }
 
+  test("canonicalizeUrl: case, default ports, fragments, tracking params, sorted query") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTP://WWW.Example.COM:80/a/B?utm_source=x&b=2&a=1#frag"
+        -> "http://www.example.com/a/B?a=1&b=2",
+      "https://Site.org:443/" -> "https://site.org/",
+      "https://site.org" -> "https://site.org/",
+      "http://h.net:8080?z=2&y=1" -> "http://h.net:8080/?y=1&z=2",
+      "https://h.co.uk/p?gclid=abc&fbclid=q" -> "https://h.co.uk/p",
+      // non-default port survives; path case preserved; %-enc untouched
+      "https://x.io:8443/A%2Fb?x=%20" -> "https://x.io:8443/A%2Fb?x=%20",
+      // every param stripped -> no '?'
+      "http://a.b/p?utm_campaign=1&utm_medium=2" -> "http://a.b/p")
+    val out = cases.map(_._1).toDF("u")
+      .select(graft.ops.TextOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2))
+    // idempotent: canonical form is a fixed point
+    val again = cases.map(_._2).toDF("u")
+      .select(graft.ops.TextOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(again == cases.map(_._2))
+    // non-http(s) input -> null
+    val nul = Seq("ftp://x/y", "not a url").toDF("u")
+      .select(graft.ops.TextOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.isNullAt(0))
+    assert(nul.forall(identity))
+  }
+
   test("int8-quantized IVF: high recall vs the exact index, bounded cosine error") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
