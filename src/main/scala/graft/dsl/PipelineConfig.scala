@@ -193,9 +193,14 @@ object PipelineConfig {
       frames.foreach(f => require(f.columns.contains("content"),
         "sharded_join: every child needs a `content` JSON document column"))
       val last = frames.size - 1
+      // _ord disambiguates docs sharing an id AND a seq within one
+      // child: without it the merge-order struct falls back to
+      // lexicographic content order, so replace/keep could pick a
+      // winner unrelated to the child's row order (ADVICE r3)
       val tagged = frames.zipWithIndex.map { case (f, i) =>
         f.select(col("seq").cast("long").as("seq"),
-          col("content").cast("string").as("content"), lit(i).as("_child"))
+          col("content").cast("string").as("content"), lit(i).as("_child"),
+          monotonically_increasing_id().as("_ord"))
       }.reduce(_.unionByName(_))
       val keyed = tagged.withColumn("_id",
           get_json_object(col("content"), "$." + idPath))
@@ -205,7 +210,8 @@ object PipelineConfig {
           min(col("seq")).as("seq"),
           max(when(col("_child") === last, true)).as("_in_last"),
           graft.functions.JsonMergeFunctions.mergeDocs(
-            transform(array_sort(collect_list(struct(col("seq"), col("content")))),
+            transform(array_sort(collect_list(
+              struct(col("seq"), col("_child"), col("_ord"), col("content")))),
               x => x.getField("content")), strategy).as("content"))
       (if (joinType == "outer") merged.filter(col("_in_last")) else merged)
         .select(col("seq"), col("content"))
@@ -426,8 +432,13 @@ object PipelineConfig {
       case "decompress" =>
         val algo = body.get("algorithm").asText
         val into = opt(body, "into").map(scannerCodec).getOrElse("lines")
-        require(into == "lines" || into == "json",
-          s"decompress scanner: `into` supports lines/json, got $into")
+        // whole-file decompress stacks under lines (line split) or
+        // json_documents (concatenated-doc split); the typed-schema
+        // json+<algo> codec stays programmatic-only (needs a schema
+        // the scanner surface can't carry) — ADVICE r3: "json" had no
+        // reachable scanner key
+        require(into == "lines" || into == "json_documents",
+          s"decompress scanner: `into` supports lines/json_documents, got $into")
         s"$into+$algo"
       case other => throw new IllegalArgumentException(
         s"unknown file scanner: $other")

@@ -621,33 +621,56 @@ object Processor {
       val header = lit(Array[Byte](0,
         ((id >> 24) & 0xFF).toByte, ((id >> 16) & 0xFF).toByte,
         ((id >> 8) & 0xFF).toByte, (id & 0xFF).toByte))
-      df.withColumn(field, concat(header,
-        graft.functions.AvroFunctions.encode(
+      // malformed or schema-violating JSON routes to `_error` instead
+      // of silently nulling the frame (or failing the task), mirroring
+      // the decode path's error contract (ADVICE r3). from_json's
+      // PERMISSIVE mode turns bad JSON into an all-null struct, so the
+      // lenient encoder (null on schema violation) is the detector.
+      val base = if (df.columns.contains("_error")) df
+        else df.withColumn("_error", lit(null).cast(StringType))
+      base
+        .withColumn("_sr_enc", graft.functions.AvroFunctions.encodeLenient(
           from_json(col(field), graft.functions.AvroSupport.sparkType(schema)),
-          schema)))
+          schema))
+        .withColumn("_error",
+          when(col("_error").isNotNull, col("_error"))
+            .when(col(field).isNotNull && col("_sr_enc").isNull,
+              lit("schema_registry: malformed json")))
+        .withColumn(field,
+          when(col("_sr_enc").isNotNull, concat(header, col("_sr_enc"))))
+        .drop("_sr_enc")
     }
 
     case PSchemaRegistryDecode(schemas, field) => df => {
       require(schemas.nonEmpty, "schema_registry_decode needs a schemas map")
       val c = col(field)
+      // a frame needs magic + 4-byte id before any payload; anything
+      // shorter (incl. null content) would feed a negative-length
+      // substr to the decoder (ADVICE r3)
+      val frameOk = c.isNotNull && length(c) >= 5
       val magicOk = substring(c, 1, 1) === lit(Array[Byte](0))
       val idCol = conv(hex(substring(c, 2, 4)), 16, 10).cast("int")
       val payload = c.substr(lit(6), length(c) - 5)
+      val knownId = schemas.map { case (k, _) => idCol === k }
+        .reduce(_ || _)
       // CaseWhen short-circuits per row, so only the matched id's
-      // schema ever decodes the payload
+      // schema ever decodes the payload; the lenient decoder returns
+      // null on a truncated/corrupt payload instead of failing the task
       val decoded = schemas.foldLeft(lit(null).cast(StringType)) {
         case (acc, (k, sch)) => when(idCol === k,
-          to_json(graft.functions.AvroFunctions.decode(payload, sch)))
+          to_json(graft.functions.AvroFunctions.decodeLenient(payload, sch)))
           .otherwise(acc)
       }
       val base = if (df.columns.contains("_error")) df
         else df.withColumn("_error", lit(null).cast(StringType))
       base
-        .withColumn("_sr_out", when(magicOk, decoded))
+        .withColumn("_sr_out", when(frameOk && magicOk && knownId, decoded))
         .withColumn("_error",
           when(col("_error").isNotNull, col("_error"))
+            .when(!frameOk, lit("schema_registry: truncated frame"))
             .when(!magicOk, lit("schema_registry: bad magic byte"))
-            .when(col("_sr_out").isNull, lit("schema_registry: unknown schema id")))
+            .when(!knownId, lit("schema_registry: unknown schema id"))
+            .when(col("_sr_out").isNull, lit("schema_registry: corrupt avro payload")))
         .withColumn(field, col("_sr_out")).drop("_sr_out")
     }
 

@@ -61,17 +61,29 @@ object AvroSupport {
   }
 }
 
-/** struct → raw avro binary under the literal record schema. */
-case class AvroEncode(child: Expression, schemaJson: String)
+/** struct → raw avro binary under the literal record schema.
+  * `lenient = true` returns NULL instead of throwing when the struct
+  * violates the schema (e.g. a null in a non-nullable field — the
+  * shape from_json's PERMISSIVE mode produces for malformed JSON), so
+  * schema_registry_encode can route the row to `_error` (ADVICE r3).
+  */
+case class AvroEncode(child: Expression, schemaJson: String,
+                      lenient: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   @transient private lazy val schema = AvroSupport.parse(schemaJson)
   @transient private lazy val structType = AvroSupport.sparkType(schemaJson)
   @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
 
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = lenient || super.nullable
   override def prettyName: String = "graft_avro_encode"
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any =
+    try encodeRow(input) catch {
+      case scala.util.control.NonFatal(e) if lenient => null
+    }
+
+  private def encodeRow(input: Any): Any = {
     val row = input.asInstanceOf[InternalRow]
     val rec = new GenericData.Record(schema)
     structType.fields.zipWithIndex.foreach { case (f, i) =>
@@ -100,32 +112,42 @@ case class AvroEncode(child: Expression, schemaJson: String)
     copy(child = newChild)
 }
 
-/** raw avro binary → struct under the literal record schema. */
-case class AvroDecode(child: Expression, schemaJson: String)
+/** raw avro binary → struct under the literal record schema.
+  * `lenient = true` returns NULL instead of throwing on a truncated or
+  * corrupt payload, so stream consumers (schema_registry_decode) can
+  * route the row to `_error` rather than failing the task (ADVICE r3).
+  */
+case class AvroDecode(child: Expression, schemaJson: String,
+                      lenient: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   @transient private lazy val schema = AvroSupport.parse(schemaJson)
   @transient private lazy val structType = AvroSupport.sparkType(schemaJson)
   @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
 
   override def dataType: DataType = AvroSupport.sparkType(schemaJson)
+  override def nullable: Boolean = lenient || super.nullable
   override def prettyName: String = "graft_avro_decode"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val dec = DecoderFactory.get()
-      .binaryDecoder(input.asInstanceOf[Array[Byte]], null)
-    val rec = reader.read(null, dec)
-    val values = structType.fields.zipWithIndex.map { case (f, i) =>
-      val v = rec.get(i)
-      if (v == null) null
-      else f.dataType match {
-        case StringType => UTF8String.fromString(v.toString)
-        case BinaryType =>
-          val bb = v.asInstanceOf[java.nio.ByteBuffer]
-          val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
-        case _ => v // numeric/boolean boxes pass through
+    val bytes = input.asInstanceOf[Array[Byte]]
+    try {
+      val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+      val rec = reader.read(null, dec)
+      val values = structType.fields.zipWithIndex.map { case (f, i) =>
+        val v = rec.get(i)
+        if (v == null) null
+        else f.dataType match {
+          case StringType => UTF8String.fromString(v.toString)
+          case BinaryType =>
+            val bb = v.asInstanceOf[java.nio.ByteBuffer]
+            val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+          case _ => v // numeric/boolean boxes pass through
+        }
       }
+      InternalRow.fromSeq(values.toIndexedSeq)
+    } catch {
+      case scala.util.control.NonFatal(e) if lenient => null
     }
-    InternalRow.fromSeq(values.toIndexedSeq)
   }
 
   override protected def withNewChildInternal(newChild: Expression): AvroDecode =
@@ -145,6 +167,12 @@ object AvroFunctions {
       (es: Seq[Expression]) => AvroEncode(es.head, literalString(es(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_avro_decode",
       (es: Seq[Expression]) => AvroDecode(es.head, literalString(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_avro_decode_lenient",
+      (es: Seq[Expression]) =>
+        AvroDecode(es.head, literalString(es(1)), lenient = true), "built-in")
+    reg.createOrReplaceTempFunction("graft_avro_encode_lenient",
+      (es: Seq[Expression]) =>
+        AvroEncode(es.head, literalString(es(1)), lenient = true), "built-in")
   }
 
   def encode(structCol: Column, schemaJson: String): Column = {
@@ -156,6 +184,20 @@ object AvroFunctions {
   def decode(binCol: Column, schemaJson: String): Column = {
     ensureRegistered(SparkSession.active)
     call_function("graft_avro_decode", binCol,
+      org.apache.spark.sql.functions.lit(schemaJson))
+  }
+
+  /** null-on-corrupt-payload decode (schema_registry `_error` routing). */
+  def decodeLenient(binCol: Column, schemaJson: String): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_avro_decode_lenient", binCol,
+      org.apache.spark.sql.functions.lit(schemaJson))
+  }
+
+  /** null-on-schema-violation encode (schema_registry `_error` routing). */
+  def encodeLenient(structCol: Column, schemaJson: String): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_avro_encode_lenient", structCol,
       org.apache.spark.sql.functions.lit(schemaJson))
   }
 }

@@ -118,7 +118,11 @@ final class MaterializedAgg(
     // reclaims orphans left by a crash between state write and cursor
     // move, which a predecessor-only delete would leak forever
     import scala.jdk.CollectionConverters._
-    Files.list(Paths.get(stateDir)).iterator().asScala.toList
+    // Files.list/walk streams hold a directory fd until closed — a
+    // long-running refresh loop would leak one per refresh (ADVICE r3)
+    val ls = Files.list(Paths.get(stateDir))
+    val stale = try ls.iterator().asScala.toList finally ls.close()
+    stale
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("state-v") && n != f"state-v$head%08d"
@@ -130,7 +134,8 @@ final class MaterializedAgg(
     import scala.jdk.CollectionConverters._
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) return
-    Files.walk(p).iterator().asScala.toList
-      .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    val walk = Files.walk(p)
+    val all = try walk.iterator().asScala.toList finally walk.close()
+    all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
   }
 }

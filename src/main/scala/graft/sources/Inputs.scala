@@ -33,7 +33,7 @@ object FileInput {
     * gzip-text transparency has — compressed streams aren't
     * splittable, so at scale you want many medium files either way.
     */
-  private val CompressedCodec = "^(lines|json)\\+([a-z0-9]+)$".r
+  private val CompressedCodec = "^(lines|json|json_documents)\\+([a-z0-9]+)$".r
 
   /** Whole-file scanners (reference `internal/impl/io/input_file.go`
     * scanner stack): `chunker:N` fixed-size byte parts, `re_match:RE`
@@ -111,20 +111,28 @@ object FileInput {
     val r = binaryRead(spark, dir, stream, maxFilesPerTrigger)
     val text = graft.functions.GraftFunctions.decompress(algo, col("content"))
       .cast("string")
-    // split keeping empties, drop only the trailing empty element a
-    // final newline produces (the reference's lines scanner semantics),
-    // tolerate CRLF
-    val parts = split(text, "\n", -1)
-    val trimmed = when(element_at(parts, -1) === "",
-      slice(parts, lit(1), size(parts) - 1)).otherwise(parts)
-    val lines = r.select(explode(transform(trimmed,
-      l => regexp_replace(l, "\r$", ""))).as("content"))
     base match {
-      case "lines" => lines
-      case "json" =>
-        val s = schema.getOrElse(throw new IllegalArgumentException(
-          s"file codec json+$algo needs an explicit schema"))
-        lines.select(from_json(col("content"), s).as("_j")).select(col("_j.*"))
+      // decompress stacked under the json_documents scanner: split the
+      // decompressed stream into concatenated JSON docs, no schema
+      case "json_documents" =>
+        r.select(explode(graft.functions.MultipartFunctions
+          .jsonDocuments(text)).as("content"))
+      case _ =>
+        // split keeping empties, drop only the trailing empty element a
+        // final newline produces (the reference's lines scanner
+        // semantics), tolerate CRLF
+        val parts = split(text, "\n", -1)
+        val trimmed = when(element_at(parts, -1) === "",
+          slice(parts, lit(1), size(parts) - 1)).otherwise(parts)
+        val lines = r.select(explode(transform(trimmed,
+          l => regexp_replace(l, "\r$", ""))).as("content"))
+        base match {
+          case "lines" => lines
+          case "json" =>
+            val s = schema.getOrElse(throw new IllegalArgumentException(
+              s"file codec json+$algo needs an explicit schema"))
+            lines.select(from_json(col("content"), s).as("_j")).select(col("_j.*"))
+        }
     }
   }
 

@@ -331,4 +331,40 @@ class ProcessorsExtSpec extends SparkTestBase {
       PSchemaRegistryEncode(7, schema, "content"),
       PSchemaRegistryDecode(Seq(7 -> schema), "content")))
   }
+
+  test("schema_registry error routing: truncated/corrupt frames flag the row, not the job") {
+    import spark.implicits._
+    val schema =
+      """{"type":"record","name":"R","fields":[{"name":"v","type":"long"}]}"""
+    val dec = Processor.compile(Seq(
+      PSchemaRegistryDecode(Seq(300 -> schema), "content")))
+    // sub-5-byte frame: would have fed a negative-length substr to the
+    // decoder before the guard (ADVICE r3)
+    val short = dec(Seq(Array[Byte](0, 0, 0), null).toDF("content"))
+      .select("content", "_error").collect()
+    assert(short.forall(r => r.isNullAt(0)
+      && r.getString(1).contains("truncated frame")))
+    // known id, corrupt avro payload (truncated varint with the
+    // continuation bit set): lenient decode nulls and flags the row
+    val corrupt = dec(Seq(
+        Array[Byte](0, 0, 0, 1, 44, 0x84.toByte), // bad payload
+        Array[Byte](0, 0, 0, 1, 44),               // empty payload
+        Array[Byte](0, 0, 0, 1, 44, 84)            // good (v=42)
+      ).toDF("content"))
+      .select("content", "_error").collect()
+    assert(corrupt(0).isNullAt(0)
+      && corrupt(0).getString(1).contains("corrupt avro payload"))
+    assert(corrupt(1).isNullAt(0)
+      && corrupt(1).getString(1).contains("corrupt avro payload"))
+    assert(corrupt(2).getString(0) == """{"v":42}""" && corrupt(2).isNullAt(1))
+    // encode: malformed JSON routes to _error (mirrors decode contract);
+    // null input stays a silent null
+    val enc = Processor.compile(Seq(PSchemaRegistryEncode(300, schema, "content")))
+    val encOut = enc(Seq("""{"v":7}""", """not json""", null).toDF("content"))
+      .select("content", "_error").collect()
+    assert(!encOut(0).isNullAt(0) && encOut(0).isNullAt(1))
+    assert(encOut(1).isNullAt(0)
+      && encOut(1).getString(1).contains("malformed json"))
+    assert(encOut(2).isNullAt(0) && encOut(2).isNullAt(1))
+  }
 }

@@ -424,6 +424,21 @@ class InputsSpec extends SparkTestBase {
     val bad = intercept[IllegalArgumentException](PipelineConfig.parseInput(
       mapper.readTree(s"""{"file": {"path": "$dir/a", "scanner": {"nope": {}}}}""")))
     assert(bad.getMessage.contains("unknown file scanner"))
+    // decompress into json_documents → the engine's json+<algo> codec
+    // (ADVICE r3: the "json" target had no reachable scanner spelling)
+    Seq("""{"a":1} {"a":2}""").toDF("v").coalesce(1)
+      .write.option("compression", "gzip").text(s"$dir/gzjson")
+    val decJson = PipelineConfig.parseInput(mapper.readTree(
+      s"""{"file": {"path": "$dir/gzjson",
+         |  "scanner": {"decompress": {"algorithm": "gzip",
+         |    "into": {"json_documents": {}}}}}}""".stripMargin))
+    assert(decJson.batch(spark).select("content").as[String].collect().sorted.toSeq ==
+      Seq("""{"a":1}""", """{"a":2}"""))
+    val badInto = intercept[IllegalArgumentException](PipelineConfig.parseInput(
+      mapper.readTree(s"""{"file": {"path": "$dir/a",
+        |  "scanner": {"decompress": {"algorithm": "gzip",
+        |    "into": {"csv": {}}}}}}""".stripMargin)))
+    assert(badInto.getMessage.contains("lines/json_documents"))
   }
 
   test("sequence sharded_join: merge strategies, outer type, deep merge, null ids") {
@@ -473,5 +488,30 @@ class InputsSpec extends SparkTestBase {
     assert(run("full-outer", "keep")(2L) == """{"id":2,"v":"a2","n":{"q":2}}""")
     // array: colliding scalars collect in document order
     assert(run("full-outer", "array")(3L) == """{"id":[3,3],"v":["a3","b3"]}""")
+  }
+
+  test("sequence sharded_join: duplicate (id, seq) within a child merges in row order") {
+    import spark.implicits._
+    val dir = tmpDir("seqjointie")
+    // both docs share id=1 AND seq=10 — before the _ord tiebreak the
+    // merge order fell back to lexicographic content, so "zz" would
+    // beat "aa" under replace regardless of row order (ADVICE r3)
+    Seq(
+      (10L, """{"id":1,"v":"zz-first"}"""),
+      (10L, """{"id":1,"v":"aa-second"}""")).toDF("seq", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/a")
+    def run(strategy: String): String = {
+      val in = PipelineConfig.parseInput(
+        com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(
+          s"""{"sequence": {"sharded_join": {"type": "full-outer",
+             |  "id_path": "id", "merge_strategy": "$strategy"},
+             |  "inputs": [{"file": {"path": "$dir/a", "codec": "parquet"}}]}}""".stripMargin))
+      val out = in.batch(spark).select("content").as[String].collect().toSeq
+      assert(out.size == 1)
+      out.head
+    }
+    assert(run("replace") == """{"id":1,"v":"aa-second"}""")
+    assert(run("keep") == """{"id":1,"v":"zz-first"}""")
+    assert(run("array") == """{"id":[1,1],"v":["zz-first","aa-second"]}""")
   }
 }
