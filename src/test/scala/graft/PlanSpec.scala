@@ -77,6 +77,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"assign must not shuffle:\n${p.take(2000)}")
   }
 
+  test("broadcast-centroid assignment stays a pure projection with no centroid literals") {
+    // past the plan-literal budget the IVF/semDedup assignment must
+    // ride the graft_centroid_* broadcast expressions: same
+    // exchange-free shape, O(1) plan size in cells x dim (VERDICT r3
+    // #1). Forcing budget 0 routes the small fixture down that path.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = ops.Similarity.withCentroidBudget(0) {
+      ops.Similarity.buildIvf(e, numCells = 8, lloydIters = 1)
+    }
+    val p = plan(idx.assigned)
+    assert(!p.contains("Window"), s"assign must not window:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"assign must not join:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"assign must not shuffle:\n${p.take(2000)}")
+    val opt = idx.assigned.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_centroid_argmin"), opt.take(2000))
+    val sentinel = idx.centroids.head._2.head.toString.take(12)
+    assert(!opt.contains(sentinel), "centroid literals leaked into the broadcast plan")
+  }
+
   test("PQ encode is a pure projection: no join, no window, no shuffle") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = ops.Similarity.buildIvf(e, numCells = 8, lloydIters = 1)
