@@ -45,10 +45,18 @@ object Bench {
     * the number reflects the engine, not the batching tax; still 4
     * checkpointed micro-batches (256 files / 64-file triggers).
     */
-  def replayEvents(sfDir: String): Long = {
-    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.01)
-    math.max(20000L, (sf * 40000000L).toLong) // sf0.1 -> 4M events
-  }
+  def replayEvents(sfDir: String): Long =
+    sys.env.get("SPARK_GRAFT_EVENTS") match {
+      case Some(e) => e.toLong
+      case None =>
+        // a mis-named dir must fail loudly, not silently bench 20k
+        // events as if it were a scale factor (VERDICT r3 #5)
+        val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+          .map(_.group(1).toDouble).getOrElse(throw new IllegalArgumentException(
+            s"replayEvents: cannot derive a scale factor from '$sfDir' — " +
+              "name the dir .../sf<X> or set SPARK_GRAFT_EVENTS explicitly"))
+        math.max(20000L, (sf * 40000000L).toLong) // sf0.1 -> 4M events
+    }
 
   def sink(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -147,12 +155,11 @@ object Bench {
     * emitted JSON instead of looking like an engine regression
     * (VERDICT r2 "What's wrong #2").
     */
-  def ioProbe(dir: String): Double = {
+  def ioProbe(dir: String, mb: Int = 128): Double = {
     import java.nio.file.{Files, Paths, StandardOpenOption => O}
     val p = Paths.get(dir, "io-probe.bin")
     val buf = new Array[Byte](1 << 20)
     new java.util.Random(42L).nextBytes(buf)
-    val mb = 128
     val t0 = System.nanoTime()
     val out = Files.newOutputStream(p, O.CREATE, O.TRUNCATE_EXISTING, O.WRITE)
     try { var i = 0; while (i < mb) { out.write(buf); i += 1 }; out.flush() }
@@ -165,6 +172,45 @@ object Bench {
     val sec = (System.nanoTime() - t0) / 1e9
     Files.deleteIfExists(p)
     2.0 * mb / sec
+  }
+
+  /** A bracketing-probe healthy floor: below this, the sample sat in
+    * one of this VM's documented degraded-disk windows (754 → 166 MB/s
+    * measured across the r3 driver bench) and must not silently become
+    * the board number (VERDICT r3 "What's wrong #2").
+    */
+  val HealthyMbps: Double = 300.0
+
+  /** Per-sample probe size: big enough to see the window, small enough
+    * that 2 probes/sample don't dominate short queries.
+    */
+  val SampleProbeMb: Int = 64
+
+  /** One guarded sample set: every sample is BRACKETED by I/O probes;
+    * sampling continues past `minSamples` until at least one sample ran
+    * with both probes healthy (or `maxSamples` is hit). Returns
+    * (times, probes, best, anyHealthy): `best` is the min over ALL
+    * samples — a degraded window only ever INFLATES a sample, so the
+    * fastest sample is valid capability evidence regardless of its
+    * bracket — and `anyHealthy=false` flags a set where every sample
+    * sat in a degraded window (the min may then understate the engine).
+    */
+  def guardedSamples(work: String, minSamples: Int, maxSamples: Int)
+                    (run: => Double): (Seq[Double], Seq[Double], Double, Boolean) = {
+    val times = scala.collection.mutable.ArrayBuffer[Double]()
+    val probes = scala.collection.mutable.ArrayBuffer[Double]()
+    probes += ioProbe(work, SampleProbeMb)
+    var done = false
+    while (!done) {
+      times += run
+      probes += ioProbe(work, SampleProbeMb)
+      def healthy(i: Int) = math.min(probes(i), probes(i + 1)) >= HealthyMbps
+      done = times.size >= maxSamples ||
+        (times.size >= minSamples && times.indices.exists(healthy))
+    }
+    val anyHealthy = times.indices
+      .exists(i => math.min(probes(i), probes(i + 1)) >= HealthyMbps)
+    (times.toSeq, probes.toSeq, times.min, anyHealthy)
   }
 
   def main(args: Array[String]): Unit = {
@@ -180,33 +226,46 @@ object Bench {
     // measures C2 compilation + page-cache misses, not the engine —
     // same protocol as ScalingBench (BASELINE.md)
     replayBench(spark, math.max(events / 8, 20000L), s"$work/warm")
-    // min-of-3: this VM shows sporadic 2-4x host-level noise (measured:
-    // identical 1M replays 37.4s vs 89.5s minutes apart, and 4M replays
-    // 8.7s vs 24.9s an hour apart on identical code) — two samples can
-    // both land in one bad window; three rarely do. ALL samples are
-    // emitted (plus the I/O probes) so a run where even the min sat in
-    // a noise window is readable as such from the JSON alone.
-    val runs = Seq(
-      replayBench(spark, events, work),
-      replayBench(spark, events, work, reuseLog = true),
-      replayBench(spark, events, work, reuseLog = true))
-    val (replaySec, eps) = runs.minBy(_._1)
-    val medianSec = runs.map(_._1).sorted.apply(runs.size / 2)
-    val probeAfter = ioProbe(work)
+    // min-of-3 with per-sample bracketing probes: this VM shows
+    // sporadic 2-4x host-level noise (identical 4M replays 8.7s vs
+    // 24.9s an hour apart on identical code). If no sample lands in a
+    // healthy window within 3, a 4th is taken; if the run STILL has no
+    // healthy sample it is flagged in the JSON rather than posing as an
+    // engine number (VERDICT r3 #2: the r03 board number sat entirely
+    // inside a 166 MB/s window with nothing marking it).
+    var first = true
+    val (rSecs, rProbes, replaySec, replayHealthy) =
+      guardedSamples(work, minSamples = 3, maxSamples = 4) {
+        val s = replayBench(spark, events, work, reuseLog = !first)._1
+        first = false
+        s
+      }
+    val eps = events / replaySec
+    val medianSec = rSecs.sorted.apply(rSecs.size / 2)
 
-    // min-of-2 per query: this sandbox VM shows sporadic 2-4x
-    // host-level noise, and the first run additionally pays JIT
-    val qTimes = headlineQueries.flatMap { name =>
+    // per-query guarded min-of-2 (first sample additionally pays JIT):
+    // a query whose every sample sat in a degraded window lands in
+    // flagged_queries instead of silently reading as a regression (the
+    // r3 q_mapping 12.95s cell)
+    val qResults = headlineQueries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        name -> math.min(time(sink(fn(spark, sfDir))), time(sink(fn(spark, sfDir))))
+        val (_, _, best, healthy) =
+          guardedSamples(work, minSamples = 2, maxSamples = 3) {
+            time(sink(fn(spark, sfDir)))
+          }
+        (name, best, healthy)
       }
     }
+    val flagged = qResults.collect { case (n, _, false) => n } ++
+      (if (replayHealthy) Nil else Seq("cdc_replay"))
 
-    val total = replaySec + qTimes.map(_._2).sum
-    val qJson = (qTimes :+ ("cdc_replay" -> replaySec))
+    val total = replaySec + qResults.map(_._2).sum
+    val qJson = (qResults.map(r => (r._1, r._2)) :+ ("cdc_replay" -> replaySec))
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val samples = runs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cdc_events":$events,"cdc_events_per_sec":${f"$eps%.0f"},"cdc_events_per_sec_median":${f"${events / medianSec}%.0f"},"cdc_replay_samples":$samples,"io_probe_mbps":[${f"$probeBefore%.0f"},${f"$probeAfter%.0f"}],"cpus":$cpus}""")
+    val samples = rSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val sampleProbes = rProbes.map(p => f"$p%.0f").mkString("[", ",", "]")
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cdc_events":$events,"cdc_events_per_sec":${f"$eps%.0f"},"cdc_events_per_sec_median":${f"${events / medianSec}%.0f"},"cdc_replay_samples":$samples,"cdc_sample_probes_mbps":$sampleProbes,"flagged_queries":$flaggedJson,"io_probe_mbps":[${f"$probeBefore%.0f"},${f"${ioProbe(work)}%.0f"}],"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1561,12 +1561,14 @@ object SparkEntry {
       // in the member-per-record .warc.gz Common Crawl ships — read
       // back through the `warc` file scanner, then HTTP header strip
       // + html_text extraction. Fixture construction collects the
-      // gate-SF documents driver-side; the read path is the
-      // distributed binaryFile scanner + native WARC expression.
+      // gate-SF documents driver-side, CAPPED at the first 10k doc_ids
+      // (mirrored in the oracle) so a gate-SF jump can never OOM the
+      // driver (VERDICT r3 #4); the read path is the distributed
+      // binaryFile scanner + native WARC expression.
       import graft.functions.{WarcSupport, Codecs}
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
-        .orderBy("doc_id").collect()
+        .orderBy("doc_id").limit(10000).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       def record(id: Long, lang: String, text: String): WarcSupport.Record = {
         val html = s"""<html><head><title>doc $id</title>""" +
@@ -3724,7 +3726,8 @@ object SparkEntry {
         |       'doc ' || CAST(doc_id AS VARCHAR) || ' Doc ''' ||
         |         CAST(doc_id AS VARCHAR) || ''' ' || text || ' next' AS txt,
         |       'http://g.test/' || CAST(doc_id + 1 AS VARCHAR) AS links
-        |FROM documents ORDER BY uri""".stripMargin,
+        |FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 10000) d
+        |ORDER BY uri""".stripMargin,
 
     "q_lake_input" ->
       """WITH rows AS (

@@ -1,0 +1,21 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench self-defense pieces that are pure logic (no Spark, no I/O):
+  * the sf-dir guard (VERDICT r3 #5 — a mis-named dir must fail loudly,
+  * not silently bench 20k events).
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("replayEvents derives volume from the sf dir name") {
+    assert(Bench.replayEvents("/root/testdata/sf0.1") == 4000000L)
+    assert(Bench.replayEvents("/root/testdata/sf0.01") == 400000L)
+    assert(Bench.replayEvents("/root/testdata/sf0.001") == 40000L)
+  }
+
+  test("replayEvents on a dir without an sf pattern fails loudly") {
+    val e = intercept[IllegalArgumentException](Bench.replayEvents("/tmp/mydata"))
+    assert(e.getMessage.contains("SPARK_GRAFT_EVENTS"))
+  }
+}
