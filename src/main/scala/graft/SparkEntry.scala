@@ -2400,8 +2400,9 @@ object SparkEntry {
 
     "q_jq_binop" -> ((s, dir) => {
       // generator as a binary operand (round 3, last jq delta closed):
-      // (.a[]) - (.b[]) streams the cartesian product per event, left
-      // varying slowest, then a per-element select — one projection
+      // (.a[]) - (.b[]) streams the cartesian product per event (right
+      // operand slowest — jq 1.x order, fixed r4), then a per-element
+      // select — one projection; the gate sorts, so it pins values
       val pipe = compile(Seq(
         PMapping(
           """let k = this.props.json_path("$.k").int64()
@@ -2414,16 +2415,19 @@ object SparkEntry {
 
     "q_jq_fnargs" -> ((s, dir) => {
       // generator functions + stream-valued function args (round 3,
-      // closing the jq function-arg delta): first(stream | select),
-      // add(limit(n; stream)), [range(n)] collect, map with a
-      // generator body — one program, still a single projection
+      // extended round 4 with streams in VALUE-arg positions):
+      // first(stream | select), add(limit(n; stream)), [range(n)]
+      // collect, map with a generator body, getpath over a dynamic
+      // path stream, pow with a generator exponent, has over a comma
+      // stream — one program, still a single projection; every field
+      // verified against jq 1.x
       val pipe = compile(Seq(
         PMapping(
           """let k = this.props.json_path("$.k").int64()
             |root.event_id = this.event_id
-            |root.doc = "{\"a\":[" + $k.string() + "," + ($k + 3).string() + "," + ($k + 6).string() + "]}"
+            |root.doc = "{\"a\":[" + $k.string() + "," + ($k + 3).string() + "," + ($k + 6).string() + "],\"ps\":[[\"a\",0],[\"a\",2]]}"
             |""".stripMargin),
-        PJq("""{f: first(.a[] | select(. % 2 == 0)), s: add(limit(2; .a[])), n: [range(2)], m: (.a | map(., . + 1)) | add}""", "doc")))
+        PJq("""{f: first(.a[] | select(. % 2 == 0)), s: add(limit(2; .a[])), n: [range(2)], m: (.a | map(., . + 1)) | add, g: [getpath(.ps[])], w: [pow(2; range(3))], h: [has("a", "z")]}""", "doc")))
       pipe(t(s, dir, "events")).orderBy("event_id", "doc")
     }),
 
@@ -4099,7 +4103,9 @@ object SparkEntry {
         |SELECT event_id,
         |  '{"f":' || CAST(CASE WHEN k % 2 = 0 THEN k ELSE k + 3 END AS VARCHAR)
         |  || ',"s":' || CAST(2 * k + 3 AS VARCHAR)
-        |  || ',"n":[0,1],"m":' || CAST(6 * k + 21 AS VARCHAR) || '}' AS doc
+        |  || ',"n":[0,1],"m":' || CAST(6 * k + 21 AS VARCHAR)
+        |  || ',"g":[' || CAST(k AS VARCHAR) || ',' || CAST(k + 6 AS VARCHAR)
+        |  || '],"w":[1,2,4],"h":[true,false]}' AS doc
         |FROM k ORDER BY event_id, doc""".stripMargin,
 
     "q_jq_reduce" ->

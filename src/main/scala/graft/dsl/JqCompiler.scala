@@ -53,9 +53,9 @@ import org.apache.spark.sql.functions._
   *
   * Generators as OPERANDS (round 3): `E1 OP E2` where either side
   * streams (`.a[] + 1`, `(.a[]) * (.b[])`, `-(.a[])`) is itself a
-  * generator — jq's backtracking re-enters the most recent fork
-  * first, i.e. the RIGHT operand varies fastest: `(1,2)+(10,20)`
-  * streams 11, 21, 12, 22. A select() inside a scalar operand makes
+  * generator — the RIGHT operand varies SLOWEST (verified against
+  * jq 1.x; fixed in round 4): `(1,2)+(10,20)`
+  * streams 11, 12, 21, 22. A select() inside a scalar operand makes
   * that operand the empty stream (zero outputs), exactly jq. A stream
   * in a select() CONDITION emits the input once per truthy output
   * (jq's `if f then . else empty end` desugaring).
@@ -250,6 +250,29 @@ object JqCompiler {
               case Some(k) =>
                 when(coalesce(k, lit(false)), out).otherwise(emptyOut)
             }, None))
+        // a scalar function with generator VALUE args — jq's
+        // closure-arg semantics: `f(g1; g2)` emits one output per
+        // combination of arg outputs, RIGHTMOST arg varying slowest
+        // (verified against jq 1.x: `pow(2,3; 2,3)` streams 4, 9, 8,
+        // 27 — same orientation as the Bin operand rule). Desugared to
+        // `g2 as $b | g1 as $a | f($a; $b)` and re-entered — `.` stays
+        // the stage's input for both the args and f, exactly as jq
+        // evaluates closure args against the caller's input. String
+        // interpolation holes stream the same way (`"\((1,2))-\((10,
+        // 20))"` → 1-10, 2-10, 1-20, 2-20).
+        case Fn(name, fargs)
+            if !FilterArgFns.contains(name) && fargs.exists(streamish) =>
+          val (binds, newArgs) = bindStreamArgs(fargs)
+          return buildStream(
+            stages.take(genIdx) ++ binds ++
+              (Fn(name, newArgs) +: stages.drop(genIdx + 1)),
+            inV, top)
+        case Interp(parts) if parts.exists(streamish) =>
+          val (binds, newParts) = bindStreamArgs(parts)
+          return buildStream(
+            stages.take(genIdx) ++ binds ++
+              (Interp(newParts) +: stages.drop(genIdx + 1)),
+            inV, top)
         case _ => ()
       }
       val (raw, genK) = stages(genIdx) match {
@@ -280,13 +303,15 @@ object JqCompiler {
           }
           (transform(partials, p => concat(lit("{"), p, lit("}"))), None)
         case Bin(op, l, r) =>
-          // generator as an operand: cartesian product with the LEFT
-          // stream varying slowest (jq backtracks the right — most
-          // recent — fork first); operand select()s fold to empty
-          // streams inside operandStream, so no keep escapes here
+          // generator as an operand: cartesian product with the RIGHT
+          // stream varying SLOWEST — verified against jq 1.x:
+          // `(1,2)+(10,20)` streams 11, 12, 21, 22 (left fastest;
+          // round-4 fix — r3 had the orientation inverted); operand
+          // select()s fold to empty streams inside operandStream, so
+          // no keep escapes here
           val (lArr, lT) = operandStream(l, preV)
           val (rArr, rT) = operandStream(r, preV)
-          (flatten(transform(lArr, lv => transform(rArr, rv =>
+          (flatten(transform(rArr, rv => transform(lArr, lv =>
             renderTop(eval(Bin(op, ColLit(JqVal(lv, lT)),
               ColLit(JqVal(rv, rT))), preV)._1)))), None)
         case Neg(x) =>
@@ -319,6 +344,15 @@ object JqCompiler {
         case Fn("range", rargs) =>
           require(rargs.nonEmpty && rargs.size <= 3,
             "jq: range takes 1-3 arguments")
+          // a LITERAL zero step is jq's infinite stream — loud at
+          // compile time (a dynamic step that evaluates to 0 still
+          // yields the empty stream, documented below)
+          rargs.lift(2).foreach {
+            case Lit(d: Double) if d == 0.0 => throw new IllegalArgumentException(
+              "jq: range with step 0 is an unbounded stream — unsupported " +
+                "(a column cannot stream forever)")
+            case _ => ()
+          }
           val vals = rargs.map(a => num(eval(a, preV)._1))
           val (from, upto, step) = rargs.size match {
             case 1 => (lit(0.0), vals(0), lit(1.0))
@@ -643,10 +677,46 @@ object JqCompiler {
     case Fn("range", _) | Fn("empty", _) | Fn("limit", _) |
          Fn("recurse", _) | Fn("scan", _) | Fn("while", _) |
          Fn("splits", _) | Fn("paths", _) | Fn("leaf_paths", _) => true
+    // any OTHER function with a generator in a VALUE-arg position is
+    // itself a generator — jq's closure-arg semantics: one output per
+    // combination of arg outputs (desugared to `as $x` bindings at the
+    // stage dispatch). Filter-arg functions (limit/map/any/…) are
+    // excluded: their stream args are consumed internally. String
+    // interpolation holes stream the same way.
+    case Fn(name, fargs)
+        if !FilterArgFns.contains(name) && fargs.exists(streamish) => true
+    case Interp(parts) => parts.exists(streamish)
     // `E as $x` streams one body evaluation per output of E; foreach
     // streams one output per element of its term
     case AsBind(_, _) | Foreach(_, _, _, _, _) => true
     case _ => false
+  }
+
+  /** Functions whose stream-valued args are FILTERS consumed by the
+    * function itself (limit streams a prefix, map flattens, …): the
+    * generic value-arg desugaring must not capture these.
+    */
+  private val FilterArgFns: Set[String] = Set(
+    "limit", "first", "last", "nth", "any", "all", "add", "map",
+    "map_values", "recurse", "while", "until", "repeat", "select",
+    "isempty", "splits", "paths", "leaf_paths", "scan", "empty",
+    "with_entries", "sub", "gsub", "to_entries", "from_entries")
+
+  private val fnArgIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Replace each streamish element with a fresh `$__fnargN` variable
+    * and return the `as`-binding chain in REVERSE element order, so the
+    * rightmost stream binds outermost (varies slowest) — jq's
+    * closure-arg/interpolation-hole order.
+    */
+  private def bindStreamArgs(args: Seq[E]): (Seq[E], Seq[E]) = {
+    val (bindsLtr, newArgs) = args.foldLeft((Seq.empty[E], Seq.empty[E])) {
+      case ((binds, out), a) if streamish(a) =>
+        val v = s"__fnarg${fnArgIds.incrementAndGet()}"
+        (binds :+ AsBind(a, PVarPat(v)), out :+ VarE(v))
+      case ((binds, out), a) => (binds, out :+ a)
+    }
+    (bindsLtr.reverse, newArgs)
   }
 
   /** Does this expression (possibly a pipe) produce a value stream? */
@@ -1225,8 +1295,18 @@ object JqCompiler {
         case _ => throw new IllegalArgumentException(s"jq: length on ${in.t}")
       }
       case "keys" => JqVal(to_json(array_sort(json_object_keys(in.col))), TJson)
-      case "has" => JqVal(
-        get_json_object(in.col, pathStr(Seq(Left(strLit(args.head))))).isNotNull, TBool)
+      case "has" => args.head match {
+        // literal fast path: the JSON path folds to a constant
+        case Lit(s: String) => JqVal(
+          get_json_object(in.col, pathStr(Seq(Left(s)))).isNotNull, TBool)
+        // dynamic key (e.g. `has(.ks[])` via the stream-arg
+        // desugaring): same get_json_object presence check, path
+        // built per row
+        case dyn =>
+          val k = renderTop(eval(dyn, in)._1)
+          JqVal(call_function("get_json_object", in.col,
+            concat(lit("$['"), k, lit("']"))).isNotNull, TBool)
+      }
       case "tostring" => JqVal(renderTop(in), TStr)
       case "tonumber" => JqVal(num(in), TNum)
       case "ascii_downcase" => JqVal(lower(renderTop(in)), TStr)
@@ -1351,17 +1431,32 @@ object JqCompiler {
         }
         JqVal(delPath(in.col, segs.toList), TJson)
       case "getpath" =>
-        val segs = args.head match {
-          case Arr(items) => items.map {
-            case Lit(s: String) => Left(s)
-            case Lit(d: Double) => Right(d.toInt)
-            case other => throw new IllegalArgumentException(
-              s"jq: getpath needs literal path elements, got $other")
-          }
-          case other => throw new IllegalArgumentException(
-            s"jq: getpath needs an array literal, got $other")
+        args.head match {
+          case Arr(items) if items.forall {
+            case Lit(_: String) | Lit(_: Double) => true; case _ => false
+          } =>
+            // literal fast path: the JSON path folds to a constant
+            val segs = items.map {
+              case Lit(s: String) => Left(s)
+              case Lit(d: Double) => Right(d.toInt)
+              case other => throw new IllegalArgumentException(
+                s"jq: getpath literal element $other")
+            }
+            JqVal(get_json_object(in.col, pathStr(segs)), TJson)
+          case dyn =>
+            // DYNAMIC path array (e.g. `getpath(.paths[])` through the
+            // stream-arg desugaring, or `paths` output re-fed): build
+            // the JSON path string per row. Element texts come through
+            // get_json_object (strings unquoted), so a numeric-looking
+            // STRING field name reads as an array index — the one
+            // documented ambiguity of the dynamic form.
+            val arr = jsonArrayElements(eval(dyn, in)._1.col)
+            val pathCol = aggregate(arr, lit("$"), (acc, el) =>
+              concat(acc,
+                when(el.rlike("^-?[0-9]+$"), concat(lit("["), el, lit("]")))
+                  .otherwise(concat(lit("['"), el, lit("']")))))
+            JqVal(call_function("get_json_object", in.col, pathCol), TJson)
         }
-        JqVal(get_json_object(in.col, pathStr(segs)), TJson)
       case "setpath" =>
         // setpath(["a","b"]; v): static object-field paths, like del;
         // missing intermediates are created (jq semantics)

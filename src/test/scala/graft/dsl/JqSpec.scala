@@ -153,13 +153,13 @@ class JqSpec extends SparkTestBase {
     assert(run(".a[] + 1", """{"a":[1,2,3]}""") ==
       Seq(Some("2"), Some("3"), Some("4")))
     assert(run("10 - .a[]", """{"a":[1,2]}""") == Seq(Some("9"), Some("8")))
-    // both sides stream: cartesian, LEFT varies slowest (jq
-    // backtracks the right fork first): (1,2)+(10,20) -> 11,21,12,22
+    // both sides stream: cartesian, RIGHT varies slowest — verified
+    // against jq 1.x: (1,2)+(10,20) -> 11,12,21,22 (r4 orientation fix)
     assert(run("(.a[]) + (.b[])", """{"a":[1,2],"b":[10,20]}""") ==
-      Seq(Some("11"), Some("21"), Some("12"), Some("22")))
+      Seq(Some("11"), Some("12"), Some("21"), Some("22")))
     // asymmetric op pins the order unambiguously
     assert(run("(.a[]) - (.b[])", """{"a":[1,2],"b":[10,20]}""") ==
-      Seq(Some("-9"), Some("-19"), Some("-8"), Some("-18")))
+      Seq(Some("-9"), Some("-8"), Some("-19"), Some("-18")))
     // unary minus over a stream
     assert(run("-(.a[])", """{"a":[1,2]}""") == Seq(Some("-1"), Some("-2")))
     // string concat with a stream side
@@ -178,6 +178,37 @@ class JqSpec extends SparkTestBase {
     // inside an object constructor field
     assert(run("{v: (.a[] + 1)}", """{"a":[1,2]}""") ==
       Seq(Some("""{"v":2}"""), Some("""{"v":3}""")))
+  }
+
+  test("generator args in VALUE positions (r4): getpath/pow/has/range, interp holes") {
+    // every expectation below verified against jq 1.x on this exact
+    // input. getpath over a stream of dynamic paths:
+    assert(run("getpath(.ps[])", """{"ps":[["a"],["b","c"]],"a":1,"b":{"c":2}}""") ==
+      Seq(Some("1"), Some("2")))
+    // dynamic paths with numeric (array-index) elements
+    assert(run("getpath(.ps[])", """{"b":[5,6],"ps":[["b",0],["b",1]]}""") ==
+      Seq(Some("5"), Some("6")))
+    // math intrinsic with one stream arg: pow(.x; .es[]) -> 4, 8
+    assert(run("pow(.x; .es[])", """{"x":2,"es":[2,3]}""") ==
+      Seq(Some("4"), Some("8")))
+    // two stream args: RIGHTMOST varies slowest (jq: pow(2,3;2,3) ->
+    // 4, 9, 8, 27)
+    assert(run("pow(.xs[]; .ys[])", """{"xs":[2,3],"ys":[2,3]}""") ==
+      Seq(Some("4"), Some("9"), Some("8"), Some("27")))
+    // predicate builtin with a stream arg
+    assert(run("has(.ks[])", """{"a":1,"b":2,"ks":["a","z"]}""") ==
+      Seq(Some("true"), Some("false")))
+    // a stream in a range BOUND (value-arg position of a generator fn):
+    // jq: range(2; 4,6) -> 2,3,2,3,4,5
+    assert(run("range(2; .ns[])", """{"ns":[4,6]}""") ==
+      Seq(Some("2"), Some("3"), Some("2"), Some("3"), Some("4"), Some("5")))
+    // interpolation holes stream like fn args (rightmost slowest):
+    // jq: "\((1,2))-\((10,20))" -> 1-10, 2-10, 1-20, 2-20
+    assert(run(""""\(.a[])-\(.b[])"""", """{"a":[1,2],"b":[10,20]}""") ==
+      Seq(Some("1-10"), Some("2-10"), Some("1-20"), Some("2-20")))
+    // a LITERAL zero range step stays a loud compile-time rejection
+    val e = intercept[Exception](run("range(0; 10; 0)", "1"))
+    assert(e.getMessage.contains("unbounded"))
   }
 
   test("+ on runtime JSON values dispatches like jq: strings/arrays/objects/null") {
