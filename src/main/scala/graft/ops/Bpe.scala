@@ -77,6 +77,11 @@ object Bpe {
     */
   def train(df: DataFrame, text: Column, numMerges: Int,
             wordCap: Int = 65536): BpeModel = {
+    // the merge table rides encode plans as ONE string literal (not
+    // per-node), so the cap is generous — but unbounded it would bloat
+    // every task binary carrying the plan (SURVEY §4, plan-literal
+    // budget)
+    requirePlanBudget("bpe merge table", numMerges.toLong, 262144)
     val words = df.select(explode(TextOps.tokens(text)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))

@@ -155,6 +155,9 @@ object Sampling {
       counts.get(d).filter(_ > 0 && p > 0)
         .map(n => d -> budget * (p / psum) / n)
     }
+    // the rate map rides the plan as a when-chain — loud past the
+    // budget (chain depth also bounds codegen method size)
+    requirePlanBudget("mixtureResample domain rate chain", rates.size, 4096)
     val rate = rates.foldLeft(lit(0.0)) { case (acc, (d, r)) =>
       when(domain === lit(d), lit(r)).otherwise(acc)
     }

@@ -141,6 +141,7 @@ object Similarity {
                   vecCol: String = "embedding"): DataFrame = {
     val d = if (dim > 0) dim else derivedDim(df, vecCol)
     require(d > 0, "lshNearDups: cannot derive embedding dim (empty input?); pass dim explicitly")
+    requirePlanBudget("lsh hyperplanes", tables.toLong * numPlanes * d)
     val sigCols = (0 until tables).map { t =>
       lshSignature(col(vecCol), hyperplanes(numPlanes, d, seed + t)).as(s"sig_$t")
     }

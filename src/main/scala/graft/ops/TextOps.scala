@@ -223,6 +223,7 @@ object TextOps {
     * sized set) — the 100 TB scan stays a pure projection, no join.
     */
   def urlFeatures(text: Column, blocklist: Seq[String]): Seq[Column] = {
+    requirePlanBudget("url blocklist", blocklist.size)
     val doms = array_sort(array_distinct(transform(hosts(text), h => apexDomain(h))))
     val bl = array(blocklist.map(d => lit(d.toLowerCase)): _*)
     Seq(
@@ -513,6 +514,7 @@ object TextOps {
   def linearClassifier(text: Column, weights: Map[String, Double],
                        bias: Double): Seq[Column] = {
     require(weights.nonEmpty, "linearClassifier: empty weight map")
+    requirePlanBudget("linearClassifier weight map", 2L * weights.size)
     val wmap = map_from_arrays(
       array(weights.keys.toSeq.map(lit): _*),
       array(weights.values.toSeq.map(lit): _*))

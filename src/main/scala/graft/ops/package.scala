@@ -3,6 +3,29 @@ package graft
 import org.apache.spark.sql.DataFrame
 
 package object ops {
+  /** THE PLAN-LITERAL BUDGET (SURVEY §4). Several operators fold small
+    * model state straight into the Catalyst plan as literals — BPE
+    * merge tables, classifier weight maps, mixture rate when-chains,
+    * URL blocklists, LSH hyperplanes, IVF centroids — because a
+    * literal folds into one codegen'd projection with no join and no
+    * broadcast fetch. The cost is plan size: every literal is an AST
+    * node the analyzer walks and codegen embeds, so each site caps its
+    * node count and fails LOUDLY past the cap instead of degrading
+    * into minutes of driver-side analysis. Sites with a broadcast twin
+    * (centroids/codebooks — [[Similarity.CentroidLiteralBudget]])
+    * switch paths automatically; sites without one reject with this
+    * message so the caller shrinks the model or caps training.
+    */
+  private[graft] val PlanLiteralCap: Int = 65536
+
+  private[graft] def requirePlanBudget(what: String, n: Long,
+                                       cap: Long = PlanLiteralCap): Unit =
+    require(n <= cap,
+      s"$what would ride the Catalyst plan as $n literal nodes " +
+        s"(budget $cap): past this the analyzer/codegen cost dominates — " +
+        "shrink the model (cap its training) or use a broadcast-side join " +
+        "(SURVEY §4, plan-literal budget)")
+
   /** Compute-heavy per-row operators (minhash/simhash signatures,
     * shingling) must not inherit SCAN parallelism: a small parquet
     * input is one partition, so a 5000-doc corpus would compute 64
