@@ -1108,6 +1108,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // TRIGGER-time check-batching (r4, closing the r3 "trigger form
+    // documented out of scope" delta): the two-pass AvailableNow
+    // delivery must hand the sink exactly the reference's batch
+    // boundaries — each flush k is recorded with its batch id and the
+    // recorded ids must equal the exclusive-prefix rule the oracle
+    // derives independently
+    "q_trigger_batch" -> ((s, dir) => {
+      val in = t(s, dir, "events")
+        .select(col("event_id").as("seq"), col("event_type"))
+      val base = java.nio.file.Files.createTempDirectory("graft-cb").toString
+      graft.streaming.CheckBatching.deliver(
+        in, "this.seq % 500 == 0", s"$base/spool",
+        (b, k) => b.withColumn("batch_id", lit(k))
+          .write.mode("append").parquet(s"$base/out"))
+      s.read.parquet(s"$base/out")
+        .select(col("seq").as("event_id"), col("batch_id"))
+        .orderBy("event_id")
+    }),
+
     "q_grok" -> ((s, dir) => {
       val pipe = compile(Seq(
         PMapping("""root.id = this.o_orderkey
@@ -3548,6 +3567,13 @@ object SparkEntry {
 
     "q_batch_check" ->
       """SELECT event_id, CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |  THEN 1 ELSE 0 END) OVER (ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  AS batch_id
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_trigger_batch" ->
+      """SELECT event_id, CAST(COALESCE(sum(CASE WHEN event_id % 500 = 0
         |  THEN 1 ELSE 0 END) OVER (ORDER BY event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |  AS batch_id

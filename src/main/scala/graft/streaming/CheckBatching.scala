@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trigger-time check-batching — the reference's batching-policy
+  * `check` field (upstream `internal/batch/policy/policy.go`): a
+  * Bloblang predicate evaluated as each message is appended; when it
+  * holds, the batch FLUSHES with that message included (the triggering
+  * message is the last of the batch it closes), and leftover messages
+  * flush on input close.
+  *
+  * Spark's trigger API cuts micro-batches by files/bytes/time — never
+  * by a per-row predicate — so the trigger form is re-expressed as a
+  * bounded TWO-PASS delivery over an AvailableNow-style replay of the
+  * log (VERDICT r3 stretch #8):
+  *
+  *  - pass 1 derives each row's batch id as the distributed EXCLUSIVE
+  *    prefix count of check-true rows in `seq` order
+  *    ([[graft.dsl.BatchOrdinals.withExclusivePrefixSum]] — the same
+  *    two-level prefix sum as the data-plane `batch_by_check`
+  *    processor, never a single-partition window), then SPOOLS the
+  *    annotated log once, partitioned by batch id;
+  *  - pass 2 delivers batch k (one partition directory — partition
+  *    pruning makes each delivery an O(batch) read) to the sink in
+  *    ascending k, one flush per reference batch.
+  *
+  * The sink thus observes EXACTLY the reference's batch boundaries:
+  * flush k ends at the k-th check-true row; the final flush carries the
+  * post-last-trigger tail. Batch count is bounded loudly (`maxBatches`)
+  * — a driver loop over millions of flushes would be the actual
+  * semantic of such a config, and the reference pays the same
+  * per-flush cost.
+  */
+object CheckBatching {
+
+  val BatchCol = "_cb_batch"
+
+  /** Annotate `df` (ordered by `seq` when present) with the reference
+    * batch id of each row under `check`. Pure pass-1: no spool, no
+    * delivery — the testable core.
+    */
+  def withBatchIds(df: DataFrame, check: String): DataFrame = {
+    val ind = when(
+      coalesce(graft.dsl.Processor.exprOf(check, df), lit(false)), 1L)
+      .otherwise(0L)
+    graft.dsl.BatchOrdinals.withExclusivePrefixSum(df, ind, BatchCol)
+  }
+
+  /** Two-pass delivery: spool once partitioned by batch id, then flush
+    * each batch to `sink(batch, k)` in ascending k. Returns the number
+    * of flushes. The spooled frame passed to the sink has the input's
+    * columns (batch id dropped).
+    */
+  def deliver(df: DataFrame, check: String, spoolDir: String,
+              sink: (DataFrame, Long) => Unit,
+              maxBatches: Int = 4096): Long = {
+    val spark = df.sparkSession
+    withBatchIds(df, check)
+      .write.mode("overwrite").partitionBy(BatchCol).parquet(spoolDir)
+    // the partition column comes back type-inferred (int for small
+    // ids) — normalize to long
+    val ids = spark.read.parquet(spoolDir)
+      .select(col(BatchCol).cast("long")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    require(ids.length <= maxBatches,
+      s"check-batching produced ${ids.length} flushes (cap $maxBatches): " +
+        "a driver loop at this flush count is the config's real cost — " +
+        "raise maxBatches deliberately or loosen the check")
+    val spool = spark.read.parquet(spoolDir)
+    ids.foreach { k =>
+      sink(spool.filter(col(BatchCol) === k).drop(BatchCol), k)
+    }
+    ids.length.toLong
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkTestBase
+
+/** Trigger-time check-batching (VERDICT r3 stretch #8): the sink must
+  * observe EXACTLY the reference batching policy's flush boundaries —
+  * the triggering message closes (and belongs to) its batch, leftovers
+  * flush at end of input, flushes arrive in ascending batch order.
+  */
+class CheckBatchingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def delivered(df: DataFrame, check: String,
+                        cap: Int = 4096): (Long, Seq[(Long, Seq[Long])]) = {
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    val n = CheckBatching.deliver(df, check, tmpDir("cbspool"),
+      (b, k) => buf += k ->
+        b.select("seq").collect().map(_.getLong(0)).sorted.toSeq,
+      maxBatches = cap)
+    (n, buf.toSeq)
+  }
+
+  test("trigger closes its batch; tail flushes; ascending flush order") {
+    val df = Seq(
+      (1L, "a"), (2L, "FLUSH"), (3L, "b"), (4L, "c"), (5L, "FLUSH"),
+      (6L, "d")).toDF("seq", "v")
+    val (n, batches) = delivered(df, """this.v == "FLUSH"""")
+    assert(n == 3)
+    assert(batches == Seq(
+      0L -> Seq(1L, 2L),       // trigger 2 closes batch 0, included
+      1L -> Seq(3L, 4L, 5L),   // trigger 5 closes batch 1
+      2L -> Seq(6L)))          // end-of-input flushes the tail
+  }
+
+  test("no trigger = one whole-input flush; trigger on the last row leaves no tail") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("seq", "v")
+    assert(delivered(df, """this.v == "X"""") ==
+      (1L, Seq(0L -> Seq(1L, 2L))))
+    val df2 = Seq((1L, "a"), (2L, "FLUSH")).toDF("seq", "v")
+    assert(delivered(df2, """this.v == "FLUSH"""") ==
+      (1L, Seq(0L -> Seq(1L, 2L))))
+  }
+
+  test("the flush-count cap is loud") {
+    val df = (1L to 10L).map(i => (i, "FLUSH")).toDF("seq", "v")
+    val e = intercept[IllegalArgumentException](
+      delivered(df, """this.v == "FLUSH"""", cap = 3))
+    assert(e.getMessage.contains("flushes"))
+  }
+
+  test("numeric check over a larger frame matches the exclusive-prefix rule") {
+    val df = (1L to 400L).map(i => (i, i)).toDF("seq", "n")
+    val (n, batches) = delivered(df, "this.n % 100 == 0")
+    assert(n == 4)
+    assert(batches.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(batches(0)._2 == (1L to 100L))
+    assert(batches(3)._2 == (301L to 400L))
+  }
+}
