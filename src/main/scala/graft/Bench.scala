@@ -319,6 +319,11 @@ object ScalingBench {
     // warm-up cost sub-linear in the measured size
     Bench.replayBench(spark, math.max(events / 8, 250000L), s"$work/warm", reuseLog = true)
     scrubRunDirs(s"$work/warm")
+    // per-repeat probe brackets (round 4, same self-defense as the
+    // driver bench): a scaling stamp whose samples sat in a degraded
+    // window is readable as such from the JSON alone
+    val probes = scala.collection.mutable.ArrayBuffer(
+      Bench.ioProbe(work, Bench.SampleProbeMb))
     val runs = (1 to repeats).map { _ =>
       val r = Bench.replayBench(spark, events, work, reuseLog = true)
       // measurement hygiene between repeats: drop the run's lake +
@@ -329,11 +334,15 @@ object ScalingBench {
       scrubRunDirs(work)
       scala.sys.process.Process(Seq("sync")).!
       Thread.sleep(3000)
+      probes += Bench.ioProbe(work, Bench.SampleProbeMb)
       r
     }
     val (sec, eps) = runs.minBy(_._1)
+    val anyHealthy = runs.indices.exists(i =>
+      math.min(probes(i), probes(i + 1)) >= Bench.HealthyMbps)
     val all = runs.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
-    println(s"""{"metric":"scaling_run","events":$events,"cpus":$cpus,"sec":${f"$sec%.3f"},"events_per_sec":${f"$eps%.0f"},"all_secs":$all}""")
+    val probeJson = probes.map(p => f"$p%.0f").mkString("[", ",", "]")
+    println(s"""{"metric":"scaling_run","events":$events,"cpus":$cpus,"sec":${f"$sec%.3f"},"events_per_sec":${f"$eps%.0f"},"all_secs":$all,"probes_mbps":$probeJson,"healthy":$anyHealthy}""")
     spark.stop()
   }
 }
