@@ -273,6 +273,12 @@ object JqCompiler {
             stages.take(genIdx) ++ binds ++
               (Interp(newParts) +: stages.drop(genIdx + 1)),
             inV, top)
+        case DynIdx(t, ie) if streamish(ie) =>
+          val (binds, newArgs) = bindStreamArgs(Seq(ie))
+          return buildStream(
+            stages.take(genIdx) ++ binds ++
+              (DynIdx(t, newArgs.head) +: stages.drop(genIdx + 1)),
+            inV, top)
         case _ => ()
       }
       val (raw, genK) = stages(genIdx) match {
@@ -291,15 +297,22 @@ object JqCompiler {
           // varying slowest (jq desugars `{a: E1, b: E2}` to
           // `E1 as $a | E2 as $b | …`, so the rightmost generator is
           // innermost); scalar fields contribute a single value
-          val fieldArrs = fields.map { case (name, fe) =>
-            (name, collectedVals(fe, preV))
-          }
-          val partials = fieldArrs.zipWithIndex.foldLeft(array(lit(""))) {
-            case (acc, ((name, vals), i)) =>
+          // keys may be dynamic — `{(.k): v}` — and may themselves
+          // stream (`{("a","b"): 1}` emits one object per key, key
+          // varying slower than its value, jq-verified); a literal
+          // key contributes its single quoted text
+          val partials = fields.zipWithIndex.foldLeft(array(lit(""))) {
+            case (acc, ((ke, fe), i)) =>
               val sep = if (i == 0) "" else ","
+              val keys = ke match {
+                case Lit(kn: String) => array(lit("\"" + kn + "\""))
+                case dyn => collectedVals(dyn, preV)
+              }
+              val vals = collectedVals(fe, preV)
               flatten(transform(acc, p =>
-                transform(vals, v =>
-                  concat(p, lit(sep + "\"" + name + "\":"), v))))
+                flatten(transform(keys, kEl =>
+                  transform(vals, v =>
+                    concat(p, lit(sep), kEl, lit(":"), v))))))
           }
           (transform(partials, p => concat(lit("{"), p, lit("}"))), None)
         case Bin(op, l, r) =>
@@ -653,6 +666,8 @@ object JqCompiler {
   private def normalizeStages(e: E): Seq[E] = e match {
     case Pipe(l, r) => normalizeStages(l) ++ normalizeStages(r)
     case PostPath(t, segs) if isStreamStage(t) => normalizeStages(t) :+ Path(segs)
+    case DynIdx(t, ie) if isStreamStage(t) =>
+      normalizeStages(t) :+ DynIdx(Identity, ie)
     case IterAll(t) if isStreamStage(t) => normalizeStages(t) :+ IterAll(Identity)
     case x => Seq(x)
   }
@@ -660,10 +675,13 @@ object JqCompiler {
   private def isStreamStage(e: E): Boolean = e match {
     case IterAll(_) | Comma(_) => true
     case PostPath(t, _) => isStreamStage(t)
+    // a stream INDEX makes the lookup a generator (`.a[.i, 0]`),
+    // desugared at the stage dispatch like fn value-args
+    case DynIdx(t, ie) => isStreamStage(t) || streamish(ie)
     // an object constructor with a generator field is itself a
     // generator: `{a: .b[]}` streams one object per element (jq
     // desugars it to `as $x` bindings, rightmost varying fastest)
-    case Obj(fields) => fields.exists { case (_, v) => streamish(v) }
+    case Obj(fields) => fields.exists { case (k, v) => streamish(k) || streamish(v) }
     // a binary op (or unary minus) over a generator operand streams
     // the cartesian product of its operand streams
     case Bin(_, l, r) => streamish(l) || streamish(r)
@@ -827,7 +845,7 @@ object JqCompiler {
   private final case class Bin(op: String, l: E, r: E) extends E
   private final case class Neg(x: E) extends E
   private final case class Lit(v: Any) extends E                          // Double | String | Boolean | null
-  private final case class Obj(fields: Seq[(String, E)]) extends E
+  private final case class Obj(fields: Seq[(E, E)]) extends E          // key Lit(name) or dynamic (expr)
   private final case class Arr(items: Seq[E]) extends E
   private final case class Select(cond: E) extends E
   private final case class Fn(name: String, args: Seq[E]) extends E
@@ -835,6 +853,7 @@ object JqCompiler {
   private final case class PostPath(target: E, segs: Seq[Either[String, Int]]) extends E
   private final case class IterAll(target: E) extends E                   // target[]
   private final case class Comma(items: Seq[E]) extends E                 // e1, e2 (top level)
+  private final case class DynIdx(target: E, idx: E) extends E            // target[expr] — dynamic/negative index or key
   private final case class VarE(name: String) extends E                   // $x (as/reduce/foreach-bound)
   private final case class Reduce(term: E, pat: BindPat, init: E, update: E) extends E
   // `EXPR as PATTERN` — the body is the REST of the enclosing pipeline
@@ -904,6 +923,26 @@ object JqCompiler {
       val (v, k) = eval(t, in)
       require(v.t == TJson, s"jq: cannot index a ${v.t} with a path")
       (JqVal(get_json_object(v.col, pathStr(segs)), TJson), k)
+    case DynIdx(t, ie) =>
+      // `.a[.i]` / `.[$k]` / `.a[-1]` — per-row index. A numeric index
+      // addresses an array (negative counts from the end, jq-exact); a
+      // string one addresses an object key. The number/string split is
+      // textual (same documented ambiguity as dynamic getpath: a
+      // numeric-LOOKING string key reads as an index).
+      val (tv, tk) = eval(t, in)
+      require(tv.t == TJson, s"jq: cannot index a ${tv.t}")
+      val (iv, ik) = eval(ie, in)
+      val rendered = renderTop(iv)
+      val isNum = rendered.rlike("^-?[0-9]+$")
+      val iNum = rendered.cast("int")
+      val eff = when(iNum >= 0, iNum)
+        .otherwise(json_array_length(tv.col) + iNum)
+      val arrGet = when(eff >= 0, call_function("get_json_object", tv.col,
+        concat(lit("$["), eff.cast("string"), lit("]"))))
+      val keyGet = call_function("get_json_object", tv.col,
+        concat(lit("$['"), rendered, lit("']")))
+      (JqVal(when(isNum, arrGet).otherwise(keyGet), TJson),
+        mergeKeep(tk, ik))
     case Pipe(l, r) =>
       val (lv, lk) = eval(l, in)
       val (rv, rk) = eval(r, lv)
@@ -974,16 +1013,26 @@ object JqCompiler {
       }
       (out, k)
     case Obj(fields) =>
-      require(!fields.exists { case (_, v) => streamish(v) },
+      require(!fields.exists { case (k, v) => streamish(k) || streamish(v) },
         "jq: an object constructor with a generator field is multi-output" +
           " — use it as a pipe stage")
       // a select() inside a field makes the whole object an empty
-      // stream when it rejects (jq semantics) → fold into the keep
-      val evald = fields.map { case (name, fe) => (name, eval(fe, in)) }
-      val parts = evald.map { case (name, (v, _)) =>
-        concat(lit("\"" + name + "\":"), renderJson(v))
+      // stream when it rejects (jq semantics) → fold into the keep;
+      // dynamic keys (`{(.k): v}`) render per row, quoted + escaped
+      val evald = fields.map { case (ke, fe) =>
+        val (keyCol, keyKeep) = ke match {
+          case Lit(kn: String) => (lit("\"" + kn + "\":"), None)
+          case dyn =>
+            val (kv, kk) = eval(dyn, in)
+            (concat(quote(renderTop(kv)), lit(":")), kk)
+        }
+        (keyCol, keyKeep, eval(fe, in))
       }
-      val keep = evald.flatMap(_._2._2).reduceOption(_ && _)
+      val parts = evald.map { case (keyCol, _, (v, _)) =>
+        concat(keyCol, renderJson(v))
+      }
+      val keep = (evald.flatMap(_._2) ++ evald.flatMap(_._3._2))
+        .reduceOption(_ && _)
       val body = if (parts.isEmpty) lit("") else concat_ws(",", parts: _*)
       (JqVal(concat(lit("{"), body, lit("}")), TJson), keep)
     case Arr(items) =>
@@ -1091,7 +1140,8 @@ object JqCompiler {
     case Alt(l, r) => Alt(subst(l, name, repl), subst(r, name, repl))
     case Bin(op, l, r) => Bin(op, subst(l, name, repl), subst(r, name, repl))
     case Neg(x) => Neg(subst(x, name, repl))
-    case Obj(fs) => Obj(fs.map { case (k, v) => k -> subst(v, name, repl) })
+    case Obj(fs) => Obj(fs.map { case (k, v) =>
+      subst(k, name, repl) -> subst(v, name, repl) })
     case Arr(items) => Arr(items.map(subst(_, name, repl)))
     case Select(c) => Select(subst(c, name, repl))
     case Fn(n, args) => Fn(n, args.map(subst(_, name, repl)))
@@ -1099,6 +1149,7 @@ object JqCompiler {
       bs.map { case (c, b) => (subst(c, name, repl), subst(b, name, repl)) },
       el.map(subst(_, name, repl)))
     case PostPath(t, segs) => PostPath(subst(t, name, repl), segs)
+    case DynIdx(t, ie) => DynIdx(subst(t, name, repl), subst(ie, name, repl))
     case IterAll(t) => IterAll(subst(t, name, repl))
     case Comma(items) => Comma(items.map(subst(_, name, repl)))
     case Reduce(t, p, i, u) => Reduce(subst(t, name, repl), p,
@@ -1311,18 +1362,47 @@ object JqCompiler {
       case "tonumber" => JqVal(num(in), TNum)
       case "ascii_downcase" => JqVal(lower(renderTop(in)), TStr)
       case "ascii_upcase" => JqVal(upper(renderTop(in)), TStr)
+      // ltrimstr/rtrimstr/startswith/endswith/test accept DYNAMIC
+      // (per-row) args since round 4 — the `.p as $p | .s |
+      // ltrimstr($p)` idiom; literal args keep the constant-folded
+      // fast path
       case "ltrimstr" =>
-        val s = strLit(args.head)
         val c = renderTop(in)
-        JqVal(when(c.startsWith(s), c.substr(lit(s.length + 1), length(c))).otherwise(c), TStr)
+        args.head match {
+          case Lit(s: String) =>
+            JqVal(when(c.startsWith(s),
+              c.substr(lit(s.length + 1), length(c))).otherwise(c), TStr)
+          case dyn =>
+            val s = renderTop(eval(dyn, in)._1)
+            JqVal(when(c.startsWith(s),
+              c.substr(length(s) + lit(1), length(c))).otherwise(c), TStr)
+        }
       case "rtrimstr" =>
-        val s = strLit(args.head)
         val c = renderTop(in)
-        JqVal(when(c.endsWith(s), c.substr(lit(1), length(c) - s.length)).otherwise(c), TStr)
-      case "startswith" => JqVal(renderTop(in).startsWith(strLit(args.head)), TBool)
-      case "endswith" => JqVal(renderTop(in).endsWith(strLit(args.head)), TBool)
-      case "test" if args.size == 1 =>
-        JqVal(renderTop(in).rlike(strLit(args.head)), TBool)
+        args.head match {
+          case Lit(s: String) =>
+            JqVal(when(c.endsWith(s),
+              c.substr(lit(1), length(c) - s.length)).otherwise(c), TStr)
+          case dyn =>
+            val s = renderTop(eval(dyn, in)._1)
+            JqVal(when(c.endsWith(s),
+              c.substr(lit(1), length(c) - length(s))).otherwise(c), TStr)
+        }
+      case "startswith" => args.head match {
+        case Lit(s: String) => JqVal(renderTop(in).startsWith(s), TBool)
+        case dyn =>
+          JqVal(renderTop(in).startsWith(renderTop(eval(dyn, in)._1)), TBool)
+      }
+      case "endswith" => args.head match {
+        case Lit(s: String) => JqVal(renderTop(in).endsWith(s), TBool)
+        case dyn =>
+          JqVal(renderTop(in).endsWith(renderTop(eval(dyn, in)._1)), TBool)
+      }
+      case "test" if args.size == 1 => args.head match {
+        case Lit(s: String) => JqVal(renderTop(in).rlike(s), TBool)
+        case dyn => JqVal(call_function("rlike", renderTop(in),
+          renderTop(eval(dyn, in)._1)), TBool)
+      }
       case "split" if args.size == 1 => JqVal(to_json(split(renderTop(in),
         java.util.regex.Pattern.quote(strLit(args.head)), -1)), TJson)
       case "join" =>
@@ -1983,9 +2063,9 @@ object JqCompiler {
       require(eat(s), s"jq: expected '$s' at $pos in '$src'")
 
     private def parsePipe(): E = {
-      var l = parseAlt()
+      var l = parseBindable()
       while ({ skipWs(); peek("|") && !peek("||") && { eat("|"); true } })
-        l = Pipe(l, parseAlt())
+        l = Pipe(l, parseBindable())
       l
     }
 
@@ -2055,7 +2135,15 @@ object JqCompiler {
         if (peekIter()) { expect("["); expect("]"); p = IterAll(p) }
         else if (pos < src.length && (src.charAt(pos) == '.' || src.charAt(pos) == '[')) {
           val segs = parseSegments(allowLeadingDot = true)
-          if (segs.nonEmpty) p = PostPath(p, segs) else cont = false
+          if (segs.nonEmpty) p = PostPath(p, segs)
+          else if (pos < src.length && src.charAt(pos) == '[' && !peekIter()) {
+            // dynamic index: target[expr] (negative literals, paths,
+            // $vars, streams — jq's computed index)
+            expect("[")
+            val ie = parseTop()
+            expect("]")
+            p = DynIdx(p, ie)
+          } else cont = false
         } else if (peek("?")) {
           // jq `?` suppresses type errors; our path-on-scalar already
           // yields null columnar-ly, so it parses as a no-op
@@ -2171,13 +2259,20 @@ object JqCompiler {
         if (c == '[' && peekIter()) {
           cont = false // `[]` belongs to the postfix iterator level
         } else if (c == '[') {
+          // literal index/key stays a path segment; anything else
+          // (expression, negative literal, $var) is left for the
+          // postfix DynIdx level
+          val mark = pos
           pos += 1
           skipWs()
-          require(pos < src.length && (src.charAt(pos).isDigit || src.charAt(pos) == '"'),
-            "jq: only literal array indices / key strings are supported in paths")
-          if (src.charAt(pos) == '"') segs += Left(parseString())
-          else segs += Right(parseNumber().toInt)
-          expect("]")
+          if (pos < src.length && (src.charAt(pos).isDigit || src.charAt(pos) == '"')) {
+            if (src.charAt(pos) == '"') segs += Left(parseString())
+            else segs += Right(parseNumber().toInt)
+            expect("]")
+          } else {
+            pos = mark
+            cont = false
+          }
         } else if ((first || c == '.') && {
           val at = if (first) pos else pos + 1
           at < src.length && (src.charAt(at).isLetter || src.charAt(at) == '_')
@@ -2192,18 +2287,31 @@ object JqCompiler {
 
     private def parseObj(): E = {
       expect("{")
-      val fields = scala.collection.mutable.ArrayBuffer[(String, E)]()
+      val fields = scala.collection.mutable.ArrayBuffer[(E, E)]()
       if (!peek("}")) {
         var cont = true
         while (cont) {
           skipWs()
-          val name =
-            if (src.charAt(pos) == '"') parseString() else parseWord()
-          skipWs()
-          val value =
-            if (eat(":")) parsePipe()
-            else Path(Seq(Left(name))) // {k} shorthand for {k: .k}
-          fields += (name -> value)
+          if (peek("(")) {
+            // dynamic key: {(expr): value} — jq's computed keys; the
+            // parenthesized key re-enters the TOP grammar (comma
+            // streams, as-bindings)
+            expect("(")
+            val k = parseTop()
+            expect(")")
+            skipWs()
+            require(eat(":"),
+              "jq: a dynamic object key needs a value — {(expr): value}")
+            fields += (k -> parsePipe())
+          } else {
+            val name =
+              if (src.charAt(pos) == '"') parseString() else parseWord()
+            skipWs()
+            val value =
+              if (eat(":")) parsePipe()
+              else Path(Seq(Left(name))) // {k} shorthand for {k: .k}
+            fields += ((Lit(name): E) -> value)
+          }
           cont = eat(",")
         }
       }

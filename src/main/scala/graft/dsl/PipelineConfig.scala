@@ -445,6 +445,21 @@ object PipelineConfig {
     }
   }
 
+  /** `batching: {check: …}` on an output body wraps the sink so each
+    * incoming frame is re-cut into the reference's check-defined
+    * flush batches (upstream batch/policy `check`; round 4). Other
+    * batching fields (count/byte_size/period) map to triggers, not
+    * the sink — only `check` wraps.
+    */
+  private def withBatching(body: JsonNode,
+                           sink: graft.sinks.Sink): graft.sinks.Sink =
+    (if (body.isObject) opt(body, "batching") else None)
+      .flatMap(b => opt(b, "check")).map(_.asText) match {
+      case Some(check) if check.nonEmpty =>
+        graft.sinks.Sink.CheckBatched(sink, check)
+      case _ => sink
+    }
+
   /** Output section → [[graft.sinks.Sink]] tree (SURVEY.md §2.4). */
   def parseSink(node: JsonNode): graft.sinks.Sink = {
     import graft.sinks.Sink._
@@ -457,7 +472,7 @@ object PipelineConfig {
         val path = if (body.isTextual) body.asText else body.get("path").asText
         val codec = if (body.isTextual) "parquet"
           else opt(body, "codec").map(_.asText).getOrElse("parquet")
-        codec match {
+        val base = codec match {
           case "parquet" => ParquetDir(path,
             opt(body, "partition_by").map(g =>
               (0 until g.size).map(g.get(_).asText)).getOrElse(Nil))
@@ -465,10 +480,11 @@ object PipelineConfig {
             opt(body, "column").map(_.asText).getOrElse("content"),
             opt(body, "compression").map(_.asText))
         }
+        withBatching(body, base)
       case "lake" =>
-        Lake(body.get("root").asText,
+        withBatching(body, Lake(body.get("root").asText,
           opt(body, "buckets").map(_.asInt).getOrElse(16),
-          opt(body, "merge_on_read").exists(_.asBoolean))
+          opt(body, "merge_on_read").exists(_.asBoolean)))
       case "drop" => Drop
       case "switch" =>
         // list form: [{check, output, continue}]; object form adds

@@ -165,6 +165,32 @@ object Sink {
     def write(batch: DataFrame, batchId: Long): Unit = ()
   }
 
+  /** `batching: {check: …}` on an output (upstream
+    * internal/batch/policy/policy.go): re-cut each incoming frame into
+    * the reference's check-defined batches and flush them to the inner
+    * sink in order — the triggering row closes (and belongs to) its
+    * batch, the tail flushes last. Delivery rides
+    * [[graft.streaming.CheckBatching.deliver]] (two-pass
+    * spool-partitioned, distributed prefix sum). Each flush gets the
+    * distinct, monotonic batch id `parent * MaxFlushes + k`, so inner
+    * idempotence/fencing stays keyed per flush.
+    */
+  final case class CheckBatched(inner: Sink, check: String) extends Sink {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val spool = java.nio.file.Files.createTempDirectory("graft-cb").toString
+      try graft.streaming.CheckBatching.deliver(batch, check, spool,
+        (b, k) => inner.write(b,
+          batchId * graft.streaming.CheckBatching.MaxFlushes + k))
+      finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(spool))
+        val all = try walk.iterator().asScala.toList finally walk.close()
+        all.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Route each row to the FIRST output whose check passes (reference
     * `switch` output, strict first-match). `None` check = catch-all.
     */

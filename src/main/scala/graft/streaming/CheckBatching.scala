@@ -36,6 +36,11 @@ object CheckBatching {
 
   val BatchCol = "_cb_batch"
 
+  /** Default flush cap — also the stride sinks use to derive distinct
+    * per-flush batch ids from a parent batch id.
+    */
+  val MaxFlushes = 4096
+
   /** Annotate `df` (ordered by `seq` when present) with the reference
     * batch id of each row under `check`. Pure pass-1: no spool, no
     * delivery — the testable core.
@@ -54,7 +59,7 @@ object CheckBatching {
     */
   def deliver(df: DataFrame, check: String, spoolDir: String,
               sink: (DataFrame, Long) => Unit,
-              maxBatches: Int = 4096): Long = {
+              maxBatches: Int = MaxFlushes): Long = {
     val spark = df.sparkSession
     withBatchIds(df, check)
       .write.mode("overwrite").partitionBy(BatchCol).parquet(spoolDir)

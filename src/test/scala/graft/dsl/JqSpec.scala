@@ -129,8 +129,9 @@ class JqSpec extends SparkTestBase {
     intercept[Exception](JqCompiler.compile(".a, .b"))
     // variables exist only as reduce bindings
     intercept[Exception](JqCompiler.compile(". + $y"))
-    // a generator inside a function argument is out of subset, loud
-    intercept[Exception](JqCompiler.compileAuto("ltrimstr(.a[])"))
+    // generator fn-args became legal in r4; non-literal setpath
+    // paths stay out of subset, loud
+    intercept[Exception](JqCompiler.compileAuto("setpath(.d; 1)"))
   }
 
   test("stream: select() with a generator condition repeats per truthy output") {
@@ -209,6 +210,52 @@ class JqSpec extends SparkTestBase {
     // a LITERAL zero range step stays a loud compile-time rejection
     val e = intercept[Exception](run("range(0; 10; 0)", "1"))
     assert(e.getMessage.contains("unbounded"))
+  }
+
+  test("dynamic path indices (r4): .a[.i], .[$k], negative indices, stream index") {
+    // all jq-verified on these exact inputs
+    val doc = """{"a":[10,20,30],"i":1}"""
+    assert(one(".a[.i]", doc).contains("20"))
+    assert(one(".a[-1]", doc).contains("30"))
+    assert(one(".a[5]", doc).isEmpty)        // out of range → null
+    assert(one("[.a[.i], .a[-1], .a[5]]", doc).contains("[20,30,null]"))
+    assert(one(".m[.k]", """{"m":{"x":5},"k":"x"}""").contains("5"))
+    // $var key through a stream binding
+    assert(one("[.ks[] as $k | .m[$k]]",
+      """{"m":{"x":5,"y":7},"ks":["x","y"]}""").contains("[5,7]"))
+    // stream INDEX: one output per index output
+    assert(run(".a[.i, 0]", doc) == Seq(Some("20"), Some("10")))
+    // chained negative + literal segments
+    assert(one(".a[-2][1]", """{"a":[[1,2],[3,4]]}""").contains("2"))
+  }
+
+  test("dynamic object keys (r4): {(expr): value}, generator keys, escaping") {
+    // all jq-verified on these exact inputs
+    assert(one("{(.k): .v}", """{"k":"key1","v":5}""").contains("""{"key1":5}"""))
+    assert(one("{x: 1, (\"y\"): 2}", "null").contains("""{"x":1,"y":2}"""))
+    // interpolated key
+    assert(one("""{("k\(1)"): 2}""", "null").contains("""{"k1":2}"""))
+    // key needing escapes
+    assert(one("{(.k): .v}", """{"k":"he\"y","v":5}""").contains("""{"he\"y":5}"""))
+    // generator KEY: one object per key output, key slower than value
+    assert(run("""{("a","b"): (1,2)}""", "null") == Seq(
+      Some("""{"a":1}"""), Some("""{"a":2}"""),
+      Some("""{"b":1}"""), Some("""{"b":2}""")))
+    assert(run("{(.ks[]): .v}", """{"ks":["a","b"],"v":3}""") ==
+      Seq(Some("""{"a":3}"""), Some("""{"b":3}""")))
+  }
+
+  test("dynamic (per-row) args to string builtins (r4): trimstr/startswith/endswith/test") {
+    // jq-verified: the `.p as $p | .s | f($p)` idiom
+    val doc = """{"s":"abcd","p":"ab"}"""
+    assert(one(".p as $p | .s | ltrimstr($p)", doc).contains("cd"))
+    assert(one(".p as $p | .s | rtrimstr($p)", doc).contains("abcd"))
+    assert(one(".p as $p | .s | startswith($p)", doc).contains("true"))
+    assert(one(".p as $p | .s | endswith($p)", doc).contains("false"))
+    assert(one("""("^a" as $r | .s | test($r))""", doc).contains("true"))
+    // composed with a stream binding: one output per prefix
+    assert(run("""[.ps[] as $p | .s | ltrimstr($p)]""",
+      """{"s":"abcd","ps":["ab","cd"]}""") == Seq(Some("""["cd","abcd"]""")))
   }
 
   test("+ on runtime JSON values dispatches like jq: strings/arrays/objects/null") {
@@ -541,7 +588,9 @@ class JqSpec extends SparkTestBase {
     // loud: missing body, non-stage positions
     assert(run(". as [$a, $b] | $a", "[1,2]") == Seq(Some("1")))
     intercept[Exception](run(".a as $x", """{"a":1}"""))
-    intercept[Exception](run("ltrimstr(. as $x | $x)", "\"s\""))
+    // `as` inside a function arg became legal in r4 (jq: input "s"
+    // trims its own text prefix to "")
+    assert(run("ltrimstr(. as $x | $x)", "\"s\"") == Seq(Some("")))
   }
 
   test("foreach: running fold, one output per element") {

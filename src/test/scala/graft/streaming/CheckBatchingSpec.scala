@@ -49,6 +49,35 @@ class CheckBatchingSpec extends SparkTestBase {
     assert(e.getMessage.contains("flushes"))
   }
 
+  test("batching.check on a YAML output wraps the sink; flush ids stay distinct") {
+    // parse: file output with batching.check → CheckBatched wrapper
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val parsed = graft.dsl.PipelineConfig.parseSink(mapper.readTree(
+      """{"file": {"path": "/tmp/x", "codec": "jsonl",
+        |  "batching": {"check": "this.v == \"FLUSH\""}}}""".stripMargin))
+    val wrapped = parsed match {
+      case graft.sinks.Sink.CheckBatched(inner, check) =>
+        assert(check.contains("FLUSH"))
+        assert(inner.isInstanceOf[graft.sinks.Sink.TextDir])
+        true
+      case other => fail(s"expected CheckBatched, got $other")
+    }
+    assert(wrapped)
+    // delivery through the wrapper: a recording inner sink sees the
+    // reference's boundaries with parent*MaxFlushes+k ids
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    val rec = new graft.sinks.Sink {
+      def write(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        seen += id -> b.select("seq").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val df = Seq((1L, "a"), (2L, "FLUSH"), (3L, "b")).toDF("seq", "v")
+    graft.sinks.Sink.CheckBatched(rec, """this.v == "FLUSH"""").write(df, 7L)
+    val m = CheckBatching.MaxFlushes
+    assert(seen.toSeq == Seq(
+      (7L * m + 0) -> Seq(1L, 2L),
+      (7L * m + 1) -> Seq(3L)))
+  }
+
   test("numeric check over a larger frame matches the exclusive-prefix rule") {
     val df = (1L to 400L).map(i => (i, i)).toDF("seq", "n")
     val (n, batches) = delivered(df, "this.n % 100 == 0")
