@@ -2450,6 +2450,21 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id", "doc")
     }),
 
+    // dynamic object keys + dynamic/negative path indices (round 4):
+    // {(expr): v} computes the key per row, .a[.i] / .m[.ks[1]] index
+    // with per-row values, .a[-1] counts from the end — program output
+    // verified against jq 1.x on the same doc shape
+    "q_jq_dynpath" -> ((s, dir) => {
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "{\"ks\":[\"x" + ($k % 2).string() + "\",\"b\"],\"i\":" + ($k % 3).string() + ",\"a\":[" + $k.string() + "," + ($k + 1).string() + "," + ($k + 2).string() + "],\"m\":{\"a\":" + $k.string() + ",\"b\":" + ($k * 2).string() + "}}"
+            |""".stripMargin),
+        PJq("""{(.ks[0]): .a[.i], last: .a[-1], dyn: .m[.ks[1]]}""", "doc")))
+      pipe(t(s, dir, "events")).orderBy("event_id", "doc")
+    }),
+
     "q_jq_recurse" -> ((s, dir) => {
       // `..` recursive descent (round 3): deep-search every node of a
       // nested doc for numeric values — preorder traversal unrolled in
@@ -4132,6 +4147,15 @@ object SparkEntry {
         |  || ',"n":[0,1],"m":' || CAST(6 * k + 21 AS VARCHAR)
         |  || ',"g":[' || CAST(k AS VARCHAR) || ',' || CAST(k + 6 AS VARCHAR)
         |  || '],"w":[1,2,4],"h":[true,false]}' AS doc
+        |FROM k ORDER BY event_id, doc""".stripMargin,
+
+    "q_jq_dynpath" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_id,
+        |  '{"x' || CAST(k % 2 AS VARCHAR) || '":' || CAST(k + (k % 3) AS VARCHAR)
+        |  || ',"last":' || CAST(k + 2 AS VARCHAR)
+        |  || ',"dyn":' || CAST(2 * k AS VARCHAR) || '}' AS doc
         |FROM k ORDER BY event_id, doc""".stripMargin,
 
     "q_jq_reduce" ->
