@@ -68,6 +68,12 @@ object CentroidSets {
     val bc = spark.sparkContext.broadcast(CellSet(ids, cells, norms, sq))
     val id = nextId.incrementAndGet()
     sets.put(id, bc)
+    // handles accumulate one broadcast per registering operator call;
+    // a long-lived driver session that builds many indexes should
+    // release() finished handles — warn once past a generous floor
+    if (sets.size == 256)
+      System.err.println("[graft] CentroidSets holds 256 live broadcast " +
+        "cell sets — release(handle) finished ones to free executor memory")
     id
   }
 

@@ -30,6 +30,32 @@ class SinksSpec extends SparkTestBase {
     assert(readDir(s"$d/rest").select("seq").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("file output with batching.check flushes per reference batch (YAML e2e)") {
+    val d = tmpDir("cbsink")
+    val yaml =
+      s"""output:
+         |  file:
+         |    path: "$d/out"
+         |    batching:
+         |      check: this.op == "delete"
+         |pipeline:
+         |  processors:
+         |    - noop: {}
+         |""".stripMargin
+    val sink = PipelineConfig.parse(yaml).sink.get
+    val batch = Seq((1L, "upsert"), (2L, "delete"), (3L, "other"),
+      (4L, "delete"), (5L, "tail")).toDF("seq", "op")
+    sink.write(batch, 2L)
+    // reference boundaries: [1,2] [3,4] [5] — each flush lands under
+    // its own derived batch id (parent 2 x MaxFlushes + k)
+    val m = graft.streaming.CheckBatching.MaxFlushes
+    val got = spark.read.parquet(s"$d/out")
+      .select(col("_batch_id").cast("long"), col("seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L * m, 1L), (2L * m, 2L), (2L * m + 1, 3L),
+      (2L * m + 1, 4L), (2L * m + 2, 5L)))
+  }
+
   test("switch sink: continue multi-routes, strict_mode fails on unrouted rows") {
     val d = tmpDir("switchc")
     val batch = Seq((1L, "upsert"), (2L, "delete"), (3L, "other")).toDF("seq", "op")
