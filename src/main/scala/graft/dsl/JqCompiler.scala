@@ -306,7 +306,12 @@ object JqCompiler {
               val sep = if (i == 0) "" else ","
               val keys = ke match {
                 case Lit(kn: String) => array(lit("\"" + kn + "\""))
-                case dyn => collectedVals(dyn, preV)
+                case dyn => transform(collectedVals(dyn, preV),
+                  // rendered string elements arrive quoted; any other
+                  // kind (number/bool — a jq type error we render as a
+                  // string key instead, like the scalar path) must be
+                  // quoted or the object text would be invalid JSON
+                  kEl => when(kEl.rlike("^\""), kEl).otherwise(quote(kEl)))
               }
               val vals = collectedVals(fe, preV)
               flatten(transform(acc, p =>
@@ -1346,18 +1351,27 @@ object JqCompiler {
         case _ => throw new IllegalArgumentException(s"jq: length on ${in.t}")
       }
       case "keys" => JqVal(to_json(array_sort(json_object_keys(in.col))), TJson)
-      case "has" => args.head match {
-        // literal fast path: the JSON path folds to a constant
-        case Lit(s: String) => JqVal(
-          get_json_object(in.col, pathStr(Seq(Left(s)))).isNotNull, TBool)
-        // dynamic key (e.g. `has(.ks[])` via the stream-arg
-        // desugaring): same get_json_object presence check, path
-        // built per row
-        case dyn =>
-          val k = renderTop(eval(dyn, in)._1)
-          JqVal(call_function("get_json_object", in.col,
-            concat(lit("$['"), k, lit("']"))).isNotNull, TBool)
-      }
+      case "has" =>
+        // jq: a numeric argument on an ARRAY input is an
+        // index-existence check (0 <= n < length, negatives false);
+        // strings check object keys. Both literal and dynamic args.
+        val isArr = in.col.rlike("^\\[")
+        def arrHas(idx: Column) =
+          isArr && idx >= 0 && json_array_length(in.col) > idx
+        args.head match {
+          // literal fast paths: the JSON path folds to a constant
+          case Lit(s: String) => JqVal(
+            get_json_object(in.col, pathStr(Seq(Left(s)))).isNotNull, TBool)
+          case Lit(d: Double) => JqVal(arrHas(lit(d.toInt)), TBool)
+          // dynamic arg (e.g. `has(.ks[])` via the stream-arg
+          // desugaring): per-row number/string dispatch
+          case dyn =>
+            val k = renderTop(eval(dyn, in)._1)
+            val isNum = k.rlike("^-?[0-9]+$")
+            JqVal(when(isNum, arrHas(k.cast("int")))
+              .otherwise(call_function("get_json_object", in.col,
+                concat(lit("$['"), k, lit("']"))).isNotNull), TBool)
+        }
       case "tostring" => JqVal(renderTop(in), TStr)
       case "tonumber" => JqVal(num(in), TNum)
       case "ascii_downcase" => JqVal(lower(renderTop(in)), TStr)

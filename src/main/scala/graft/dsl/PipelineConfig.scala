@@ -445,19 +445,29 @@ object PipelineConfig {
     }
   }
 
-  /** `batching: {check: …}` on an output body wraps the sink so each
-    * incoming frame is re-cut into the reference's check-defined
-    * flush batches (upstream batch/policy `check`; round 4). Other
-    * batching fields (count/byte_size/period) map to triggers, not
-    * the sink — only `check` wraps.
+  /** `batching: {check: …[, spool: dir]}` on an output body wraps the
+    * sink so each incoming frame is re-cut into the reference's
+    * check-defined flush batches (upstream batch/policy `check`;
+    * round 4). Other batching fields (count/byte_size/period) map to
+    * micro-batch TRIGGERS (maxFilesPerTrigger / trigger period), not
+    * the sink, so they are rejected here rather than silently ignored.
     */
   private def withBatching(body: JsonNode,
                            sink: graft.sinks.Sink): graft.sinks.Sink =
-    (if (body.isObject) opt(body, "batching") else None)
-      .flatMap(b => opt(b, "check")).map(_.asText) match {
-      case Some(check) if check.nonEmpty =>
-        graft.sinks.Sink.CheckBatched(sink, check)
-      case _ => sink
+    (if (body.isObject) opt(body, "batching") else None) match {
+      case None => sink
+      case Some(b) =>
+        import scala.jdk.CollectionConverters._
+        val unknown = b.fieldNames().asScala.toSet -- Set("check", "spool")
+        require(unknown.isEmpty,
+          s"output batching supports {check, spool}; got ${unknown.mkString(", ")} " +
+            "— count/byte_size/period are micro-batch TRIGGER settings " +
+            "(maxFilesPerTrigger / trigger period), not sink config")
+        val check = opt(b, "check").map(_.asText).getOrElse(throw
+          new IllegalArgumentException("output batching needs a `check`"))
+        require(check.nonEmpty, "output batching `check` must be non-empty")
+        graft.sinks.Sink.CheckBatched(sink, check,
+          opt(b, "spool").map(_.asText))
     }
 
   /** Output section → [[graft.sinks.Sink]] tree (SURVEY.md §2.4). */
@@ -467,6 +477,14 @@ object PipelineConfig {
       s"each output must be a single-key object, got $node")
     val name = node.fieldNames().next()
     val body = node.get(name)
+    // `batching` is honored only where a sink can re-cut flushes; on
+    // any other output kind a silently-ignored batching block would
+    // masquerade as the reference's policy (loud-failure convention)
+    if (!Set("parquet", "file", "lake").contains(name) &&
+        body.isObject && body.has("batching"))
+      throw new IllegalArgumentException(
+        s"output `$name` does not support `batching` — only " +
+          "file/parquet/lake sinks re-cut check-defined flush batches")
     name match {
       case "parquet" | "file" =>
         val path = if (body.isTextual) body.asText else body.get("path").asText

@@ -623,22 +623,31 @@ object Processor {
         ((id >> 8) & 0xFF).toByte, (id & 0xFF).toByte))
       // malformed or schema-violating JSON routes to `_error` instead
       // of silently nulling the frame (or failing the task), mirroring
-      // the decode path's error contract (ADVICE r3). from_json's
-      // PERMISSIVE mode turns bad JSON into an all-null struct, so the
-      // lenient encoder (null on schema violation) is the detector.
+      // the decode path's error contract (ADVICE r3). Detection is the
+      // corrupt-record column — from_json's PERMISSIVE mode turns bad
+      // JSON into an all-null struct, which an all-nullable avro
+      // schema would happily encode — plus the lenient encoder for
+      // JSON that parses but violates a non-nullable field.
+      val st = graft.functions.AvroSupport.sparkType(schema)
+      val stC = st.add("_sr_corrupt", StringType)
+      val rec = struct(st.fields.toSeq.map(f =>
+        col("_sr_rec").getField(f.name).as(f.name)): _*)
       val base = if (df.columns.contains("_error")) df
         else df.withColumn("_error", lit(null).cast(StringType))
       base
-        .withColumn("_sr_enc", graft.functions.AvroFunctions.encodeLenient(
-          from_json(col(field), graft.functions.AvroSupport.sparkType(schema)),
-          schema))
+        .withColumn("_sr_rec", from_json(col(field), stC,
+          Map("columnNameOfCorruptRecord" -> "_sr_corrupt")))
+        .withColumn("_sr_enc",
+          when(col("_sr_rec").isNotNull &&
+              col("_sr_rec").getField("_sr_corrupt").isNull,
+            graft.functions.AvroFunctions.encodeLenient(rec, schema)))
         .withColumn("_error",
           when(col("_error").isNotNull, col("_error"))
             .when(col(field).isNotNull && col("_sr_enc").isNull,
               lit("schema_registry: malformed json")))
         .withColumn(field,
           when(col("_sr_enc").isNotNull, concat(header, col("_sr_enc"))))
-        .drop("_sr_enc")
+        .drop("_sr_rec", "_sr_enc")
     }
 
     case PSchemaRegistryDecode(schemas, field) => df => {

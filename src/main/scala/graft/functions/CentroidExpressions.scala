@@ -45,49 +45,90 @@ object CentroidSets {
     def dim: Int = if (cells.isEmpty) 0 else cells(0).length
   }
 
+  private final class Entry(val bc: Broadcast[CellSet],
+                            val key: (Int, Int, String), var refs: Int)
+
   private val sets =
-    new java.util.concurrent.ConcurrentHashMap[Long, Broadcast[CellSet]]()
+    new java.util.concurrent.ConcurrentHashMap[Long, Entry]()
+  private val byContent =
+    scala.collection.mutable.HashMap.empty[(Int, Int, String), Long]
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  private def digest(cents: Seq[(Int, Array[Double])]): (Int, Int, String) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(12)
+    cents.foreach { case (i, c) =>
+      buf.clear(); buf.putInt(i); md.update(buf.array(), 0, 4)
+      c.foreach { x =>
+        buf.clear(); buf.putLong(java.lang.Double.doubleToLongBits(x))
+        md.update(buf.array(), 0, 8)
+      }
+    }
+    (cents.size, cents.head._2.length,
+      md.digest().map("%02x".format(_)).mkString)
+  }
+
   /** Broadcast a cell set once; the returned handle is what rides the
-    * plan (as one int literal). Driver-side only.
+    * plan (as one int literal). Driver-side only. Registrations are
+    * DEDUPED by content (a repeated decode/score over the same
+    * codebook reuses the live broadcast, refcounted), so per-call
+    * growth is bounded by distinct model content, not call count.
     */
   def register(spark: SparkSession, cents: Seq[(Int, Array[Double])]): Long = {
     require(cents.nonEmpty, "centroid set must be non-empty")
     val dim = cents.head._2.length
     cents.foreach { case (i, c) => require(c.length == dim,
       s"centroid $i has dim ${c.length}, expected $dim") }
-    val ids = cents.map(_._1).toArray
-    val cells = cents.map(_._2).toArray
-    // the exact constants the literal path folds in: |c| floored at
-    // 1e-300 (negCosLit) and |c|^2 (negScoreLit); d divides by the norm
-    // rather than multiplying a reciprocal so the two paths are
-    // bit-identical (CentroidSpec equality)
-    val norms = cells.map(c => math.max(math.sqrt(c.map(x => x * x).sum), 1e-300))
-    val sq = cells.map(c => c.map(x => x * x).sum)
-    val bc = spark.sparkContext.broadcast(CellSet(ids, cells, norms, sq))
-    val id = nextId.incrementAndGet()
-    sets.put(id, bc)
-    // handles accumulate one broadcast per registering operator call;
-    // a long-lived driver session that builds many indexes should
-    // release() finished handles — warn once past a generous floor
-    if (sets.size == 256)
-      System.err.println("[graft] CentroidSets holds 256 live broadcast " +
-        "cell sets — release(handle) finished ones to free executor memory")
-    id
+    val key = digest(cents)
+    synchronized {
+      byContent.get(key).flatMap(h => Option(sets.get(h)).map(h -> _)) match {
+        case Some((h, e)) => e.refs += 1; h
+        case None =>
+          val ids = cents.map(_._1).toArray
+          val cells = cents.map(_._2).toArray
+          // the exact constants the literal path folds in: |c| floored
+          // at 1e-300 (negCosLit) and |c|^2 (negScoreLit); d divides by
+          // the norm rather than multiplying a reciprocal so the two
+          // paths are bit-identical (CentroidSpec equality)
+          val norms = cells.map(c =>
+            math.max(math.sqrt(c.map(x => x * x).sum), 1e-300))
+          val sq = cells.map(c => c.map(x => x * x).sum)
+          val bc = spark.sparkContext.broadcast(CellSet(ids, cells, norms, sq))
+          val id = nextId.incrementAndGet()
+          sets.put(id, new Entry(bc, key, 1))
+          byContent.put(key, id)
+          // a long-lived driver session that builds many DISTINCT
+          // models should release() finished handles — warn past a
+          // generous floor
+          if (sets.size >= 256 && sets.size % 256 == 0)
+            System.err.println(s"[graft] CentroidSets holds ${sets.size} " +
+              "live broadcast cell sets — release(handle) finished ones " +
+              "to free executor memory")
+          id
+      }
+    }
   }
 
   def lookup(handle: Long): Broadcast[CellSet] = {
-    val bc = sets.get(handle)
-    require(bc != null, s"unknown centroid-set handle $handle " +
+    val e = sets.get(handle)
+    require(e != null, s"unknown centroid-set handle $handle " +
       "(handles are driver-session scoped; re-register after restart)")
-    bc
+    e.bc
   }
 
-  /** Release a handle's broadcast (tests / long sessions). */
-  def release(handle: Long): Unit = {
-    val bc = sets.remove(handle)
-    if (bc != null) bc.destroy()
+  /** Drop one reference to a handle; the broadcast is destroyed when
+    * the last reference goes (tests, Lloyd iterations, long sessions).
+    */
+  def release(handle: Long): Unit = synchronized {
+    val e = sets.get(handle)
+    if (e != null) {
+      e.refs -= 1
+      if (e.refs <= 0) {
+        sets.remove(handle)
+        if (byContent.get(e.key).contains(handle)) byContent.remove(e.key)
+        e.bc.destroy()
+      }
+    }
   }
 }
 
@@ -255,6 +296,50 @@ case class CentroidVector(child: Expression,
     copy(child = newChild)
 }
 
+/** Packed sign-bit LSH signature over BROADCAST hyperplanes — the
+  * broadcast twin of `Similarity.lshSignature`'s literal fold: bit j
+  * is set when dot(v, plane_j) >= 0, planes in registration order.
+  * (Cell ids are ignored; the bit position is the array position,
+  * exactly the literal fold's `shiftleft(1, j)`.)
+  */
+case class PlaneSignature(child: Expression,
+                          bc: Broadcast[CentroidSets.CellSet])
+    extends UnaryExpression with CentroidCompute {
+  require(bc.value.cells.length <= 64,
+    s"plane signature packs into one LONG: ${bc.value.cells.length} planes > 64")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_plane_signature"
+
+  def compute(arrRaw: Object): Long = {
+    val v = toDoubles(arrRaw.asInstanceOf[ArrayData], vecElemIsFloat)
+    var sig = 0L
+    var j = 0
+    while (j < set.cells.length) {
+      val c = set.cells(j)
+      require(v.length == c.length,
+        s"$prettyName: vector dim ${v.length} != plane dim ${c.length}")
+      var dot = 0.0
+      var i = 0
+      while (i < c.length) { dot += v(i) * c(i); i += 1 }
+      if (dot >= 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Object])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planeSignature", this, this.getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneSignature =
+    copy(child = newChild)
+}
+
 object CentroidFunctions {
   private def literalLong(e: Expression): Long = e match {
     case Literal(v: Long, LongType) => v
@@ -283,6 +368,10 @@ object CentroidFunctions {
       (es: Seq[Expression]) => CentroidVector(es.head,
         CentroidSets.lookup(literalLong(es(1)))),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_plane_signature",
+      (es: Seq[Expression]) => PlaneSignature(es.head,
+        CentroidSets.lookup(literalLong(es(1)))),
+      "built-in")
   }
 
   def argmin(vec: Column, handle: Long, metric: String): Column = {
@@ -298,5 +387,10 @@ object CentroidFunctions {
   def vector(cid: Column, handle: Long): Column = {
     ensureRegistered(SparkSession.active)
     call_function("graft_centroid_vector", cid, lit(handle))
+  }
+
+  def planeSignature(vec: Column, handle: Long): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_plane_signature", vec, lit(handle))
   }
 }

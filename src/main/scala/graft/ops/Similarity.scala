@@ -65,11 +65,20 @@ object Similarity {
 
   /** Nearest cell as `struct<d,i>` under the auto-selected path —
     * literal `array_min(distArray)` below the budget, broadcast
-    * argmin expression above. Identical (d, i) either way.
+    * argmin expression above. Identical (d, i) either way. The `H`
+    * variant also returns the broadcast handle so short-lived plans
+    * (Lloyd iterations) can release it after their action.
     */
+  private def argminStructH(vec: Column,
+                            cents: Seq[(Int, Array[Double])]): (Column, Option[Long]) =
+    if (fitsLiteral(cents)) (array_min(distArray(vec, cents)), None)
+    else {
+      val h = registerSet(cents)
+      (graft.functions.CentroidFunctions.argmin(vec, h, "negcos"), Some(h))
+    }
+
   private def argminStruct(vec: Column, cents: Seq[(Int, Array[Double])]): Column =
-    if (fitsLiteral(cents)) array_min(distArray(vec, cents))
-    else graft.functions.CentroidFunctions.argmin(vec, registerSet(cents), "negcos")
+    argminStructH(vec, cents)._1
 
   /** Sequential-fold dot product of two array columns (as double). */
   def dot(a: Column, b: Column): Column =
@@ -119,11 +128,18 @@ object Similarity {
   private def planeLit(p: Array[Double]): Column =
     array(p.map(lit(_)): _*)
 
-  /** Sign-bit signature under `planes`, packed into one LONG. */
+  /** Sign-bit signature under `planes`, packed into one LONG. Above
+    * the plan-literal budget (e.g. 16 planes x 4 tables at dim 1536)
+    * the same fold runs over a broadcast plane set — bit-identical
+    * (CentroidSpec), O(1) plan size.
+    */
   def lshSignature(vec: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, planeLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    if (literalDoublesFit(planes.iterator.map(_.length.toLong).sum))
+      planes.zipWithIndex.map { case (p, i) =>
+        when(dot(vec, planeLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    else graft.functions.CentroidFunctions.planeSignature(vec,
+      registerSet(planes.zipWithIndex.map { case (pl, i) => i -> pl }))
 
   /** Pairs of vectors (a < b) that share a full LSH signature in at
     * least one of `tables` independent hash tables, verified with exact
@@ -141,7 +157,6 @@ object Similarity {
                   vecCol: String = "embedding"): DataFrame = {
     val d = if (dim > 0) dim else derivedDim(df, vecCol)
     require(d > 0, "lshNearDups: cannot derive embedding dim (empty input?); pass dim explicitly")
-    requirePlanBudget("lsh hyperplanes", tables.toLong * numPlanes * d)
     val sigCols = (0 until tables).map { t =>
       lshSignature(col(vecCol), hyperplanes(numPlanes, d, seed + t)).as(s"sig_$t")
     }
@@ -282,13 +297,18 @@ object Similarity {
       .map { case (r, i) => i -> r.getSeq[Double](1).toArray }.toSeq
 
     for (_ <- 0 until lloydIters) {
-      val members = assignLiteral(corpus, cents, vecCol)
+      // each iteration's centroid set lives only until its aggregate
+      // collects — release the broadcast (if any) so a deep Lloyd run
+      // doesn't pin one per iteration (r4 review)
+      val (am, h) = argminStructH(col(vecCol), cents)
+      val members = corpus.withColumn("centroid_id", am.getField("i"))
       val aggs = (0 until dim).map(i =>
         avg(element_at(col(vecCol), i + 1).cast("double")).as(s"_m$i"))
       cents = members.groupBy(col("centroid_id")).agg(aggs.head, aggs.tail: _*)
         .collect()
         .map(r => r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 1)))
         .sortBy(_._1).toSeq
+      h.foreach(graft.functions.CentroidSets.release)
     }
     IvfIndex(cents, assignLiteral(corpus, cents, vecCol))
   }
@@ -430,6 +450,8 @@ object Similarity {
               vecCol: String = "embedding"): PqCodebook = {
     val dim = derivedDim(index.assigned, vecCol)
     require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
+    require(ks >= 1 && ks <= 256,
+      s"trainPq: ks=$ks out of the tinyint code range (1..256)")
     val dsub = dim / m
     val n = index.assigned.count()
     val rate = math.max(1L, n / math.max(1, sampleCap))
@@ -478,7 +500,10 @@ object Similarity {
           }: _*))
         else graft.functions.CentroidFunctions.argmin(sub,
           registerSet(cb.codewords(s).zipWithIndex.map(_.swap)), "l2")
-      am.getField("i").cast("tinyint")
+      // wrap 128..255 into the signed byte explicitly — a bare ANSI
+      // cast overflows at code 128 (pqDecode reads the bits back
+      // unsigned)
+      ((am.getField("i") + 128) % 256 - 128).cast("tinyint")
     }: _*)
     IvfIndex(index.centroids,
       index.assigned.withColumn("_pq", codes).drop(vecCol), Some(cb))
@@ -493,13 +518,17 @@ object Similarity {
                cents: Seq[(Int, Array[Double])], cb: PqCodebook): Column = {
     val cbFits = literalDoublesFit(
       cb.codewords.iterator.map(_.iterator.map(_.length.toLong).sum).sum)
+    // codes are stored as tinyint BITS: ks in (128, 256] wraps
+    // 128..255 negative in the signed byte, so decode reads them back
+    // unsigned — without this, element_at with a negative position
+    // silently indexes from the array END (and the broadcast lookup
+    // misses), corrupting reconstructions past ks = 128
+    def codeAt(s: Int): Column =
+      pmod(element_at(codes, s + 1).cast("int"), lit(256))
     val residual = concat((0 until cb.m).map { s =>
       if (cbFits)
-        element_at(
-          array(cb.codewords(s).map(planeLit): _*),
-          element_at(codes, s + 1).cast("int") + 1)
-      else graft.functions.CentroidFunctions.vector(
-        element_at(codes, s + 1).cast("int"),
+        element_at(array(cb.codewords(s).map(planeLit): _*), codeAt(s) + 1)
+      else graft.functions.CentroidFunctions.vector(codeAt(s),
         registerSet(cb.codewords(s).zipWithIndex.map(_.swap)))
     }: _*)
     zip_with(centroidOf(cents, cid), residual, (a, b) => a + b)

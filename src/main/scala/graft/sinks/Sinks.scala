@@ -174,19 +174,39 @@ object Sink {
     * spool-partitioned, distributed prefix sum). Each flush gets the
     * distinct, monotonic batch id `parent * MaxFlushes + k`, so inner
     * idempotence/fencing stays keyed per flush.
+    *
+    * `spoolRoot` must be a SHARED filesystem path on a multi-node
+    * cluster (executors write the spool, the driver re-lists it) —
+    * the YAML surface is `batching: {check: …, spool: <dir>}`. The
+    * default java temp dir is correct only for local masters, so a
+    * non-local master without an explicit spool fails loudly rather
+    * than silently losing batches.
     */
-  final case class CheckBatched(inner: Sink, check: String) extends Sink {
+  final case class CheckBatched(inner: Sink, check: String,
+                                spoolRoot: Option[String] = None) extends Sink {
     def write(batch: DataFrame, batchId: Long): Unit = {
-      val spool = java.nio.file.Files.createTempDirectory("graft-cb").toString
+      val master = batch.sparkSession.sparkContext.master
+      require(spoolRoot.nonEmpty || master.startsWith("local"),
+        s"batching.check on master '$master' needs `batching.spool` on a " +
+          "shared filesystem (the driver-local temp default only works " +
+          "for local masters)")
+      val spool = spoolRoot match {
+        case Some(root) => s"$root/cb-spool-$batchId"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft-cb").toString
+      }
       try graft.streaming.CheckBatching.deliver(batch, check, spool,
         (b, k) => inner.write(b,
           batchId * graft.streaming.CheckBatching.MaxFlushes + k))
-      finally {
+      finally if (spoolRoot.isEmpty) {
         import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(spool))
-        val all = try walk.iterator().asScala.toList finally walk.close()
-        all.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+        val p = java.nio.file.Paths.get(spool)
+        if (java.nio.file.Files.isDirectory(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          val all = try walk.iterator().asScala.toList finally walk.close()
+          all.sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
     }
   }

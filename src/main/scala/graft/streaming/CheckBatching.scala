@@ -61,6 +61,10 @@ object CheckBatching {
               sink: (DataFrame, Long) => Unit,
               maxBatches: Int = MaxFlushes): Long = {
     val spark = df.sparkSession
+    // an empty frame flushes nothing (upstream closes with no leftover
+    // batch); without this guard the partitioned spool write emits no
+    // data files and the read-back dies on schema inference
+    if (df.isEmpty) return 0L
     withBatchIds(df, check)
       .write.mode("overwrite").partitionBy(BatchCol).parquet(spoolDir)
     // the partition column comes back type-inferred (int for small

@@ -229,6 +229,17 @@ class JqSpec extends SparkTestBase {
     assert(one(".a[-2][1]", """{"a":[[1,2],[3,4]]}""").contains("2"))
   }
 
+  test("has(): numeric args are array index-existence checks (jq-exact)") {
+    // jq: ["a","b"] | [has(1), has(2)] -> [true,false]; has(-1) -> false
+    assert(one("[has(1), has(2), has(-1)]", """["a","b"]""")
+      .contains("[true,false,false]"))
+    assert(one("""[(.a | has(0)), (.a | has(5))]""", """{"a":[1,2,3]}""")
+      .contains("[true,false]"))
+    // dynamic numeric arg through a stream binding
+    assert(one("[.ns[] as $i | .a | has($i)]",
+      """{"ns":[0,5],"a":[1,2,3]}""").contains("[true,false]"))
+  }
+
   test("dynamic object keys (r4): {(expr): value}, generator keys, escaping") {
     // all jq-verified on these exact inputs
     assert(one("{(.k): .v}", """{"k":"key1","v":5}""").contains("""{"key1":5}"""))
@@ -243,6 +254,12 @@ class JqSpec extends SparkTestBase {
       Some("""{"b":1}"""), Some("""{"b":2}""")))
     assert(run("{(.ks[]): .v}", """{"ks":["a","b"],"v":3}""") ==
       Seq(Some("""{"a":3}"""), Some("""{"b":3}""")))
+    // a numeric key is a jq type error; we render it as a STRING key —
+    // and the streaming path must quote it like the scalar path does
+    // (r4 review: '{7:1}' would be invalid JSON)
+    assert(run("{(.n): .v[]}", """{"n":7,"v":[1,2]}""") ==
+      Seq(Some("""{"7":1}"""), Some("""{"7":2}""")))
+    assert(one("{(.n): .v}", """{"n":7,"v":1}""").contains("""{"7":1}"""))
   }
 
   test("dynamic (per-row) args to string builtins (r4): trimstr/startswith/endswith/test") {

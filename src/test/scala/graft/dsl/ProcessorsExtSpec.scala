@@ -357,6 +357,17 @@ class ProcessorsExtSpec extends SparkTestBase {
     assert(corrupt(1).isNullAt(0)
       && corrupt(1).getString(1).contains("corrupt avro payload"))
     assert(corrupt(2).getString(0) == """{"v":42}""" && corrupt(2).isNullAt(1))
+    // all-NULLABLE schema: PERMISSIVE from_json turns bad JSON into an
+    // all-null struct an avro [null,T]-union record would happily
+    // encode — the corrupt-record column must still flag it (r4 review)
+    val nullable =
+      """{"type":"record","name":"N","fields":[{"name":"v","type":["null","long"]}]}"""
+    val encN = Processor.compile(Seq(PSchemaRegistryEncode(300, nullable, "content")))
+    val outN = encN(Seq("""{"v":1}""", "not json").toDF("content"))
+      .select("content", "_error").collect()
+    assert(!outN(0).isNullAt(0) && outN(0).isNullAt(1))
+    assert(outN(1).isNullAt(0)
+      && outN(1).getString(1).contains("malformed json"))
     // encode: malformed JSON routes to _error (mirrors decode contract);
     // null input stays a silent null
     val enc = Processor.compile(Seq(PSchemaRegistryEncode(300, schema, "content")))

@@ -88,6 +88,45 @@ class CentroidSpec extends SparkTestBase {
       forced { knn(Similarity.IvfIndex(idxB.centroids, pqB.assigned, Some(cb)), 8) })
   }
 
+  test("PQ codes past 128 decode unsigned: ks=200 codeword round-trips exactly") {
+    import spark.implicits._
+    // codebook with ks=200 codewords per subspace: codes >= 128 wrap
+    // negative in the tinyint storage; decode must read them unsigned
+    // (r4 review: element_at with a negative position silently indexes
+    // from the END)
+    val rnd = new scala.util.Random(3)
+    val ks = 200
+    val cw = Seq.tabulate(2)(_ => Seq.fill(ks)(Array.fill(4)(rnd.nextGaussian())))
+    val cb = Similarity.PqCodebook(m = 2, dsub = 4, codewords = cw)
+    val cents = Seq(0 -> Array.fill(8)(0.0))
+    // vectors placed exactly ON codeword 190 of each subspace: encode
+    // must pick code 190 (stored as tinyint -66) and decode must
+    // return exactly that codeword, both paths
+    val target = cw(0)(190) ++ cw(1)(190)
+    val df = Seq((1L, target.toSeq)).toDF("vec_id", "embedding")
+      .withColumn("centroid_id", org.apache.spark.sql.functions.lit(0))
+    def roundtrip(force: Boolean) = {
+      def go = {
+        val enc = Similarity.quantizePq(
+          Similarity.IvfIndex(cents, df), cb)
+        enc.assigned.select(
+          org.apache.spark.sql.functions.col("_pq"),
+          Similarity.pqDecode(
+            org.apache.spark.sql.functions.col("_pq"),
+            org.apache.spark.sql.functions.col("centroid_id"), cents, cb)
+            .as("dec")).collect().head
+      }
+      if (force) forced(go) else go
+    }
+    for (force <- Seq(false, true)) {
+      val row = roundtrip(force)
+      assert(row.getSeq[Byte](0) == Seq((-66).toByte, (-66).toByte),
+        s"code 190 should store as tinyint -66, got ${row.getSeq[Byte](0)}")
+      assert(row.getSeq[Double](1) == target.toSeq,
+        s"decode (force=$force) must reproduce codeword 190 exactly")
+    }
+  }
+
   test("CentroidVector: known id round-trips, unknown id is null (both paths)") {
     import spark.implicits._
     val cents = randCents(3, 4, seed = 5)
@@ -99,6 +138,30 @@ class CentroidSpec extends SparkTestBase {
     assert(out(0) == cents(0)._2.toSeq && out(2) == cents(2)._2.toSeq)
     assert(out(9) == null)
     CentroidSets.release(handle)
+  }
+
+  test("lshSignature/lshNearDups: broadcast planes equal the literal fold") {
+    val lit = Similarity.lshNearDups(vecs, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bc = forced { Similarity.lshNearDups(vecs, threshold = 0.9) }
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lit == bc)
+  }
+
+  test("CentroidSets: content-identical registrations dedupe; release refcounts") {
+    val cents = randCents(4, 8, seed = 31)
+    val centsCopy = cents.map { case (i, c) => (i, c.clone()) }
+    val h1 = CentroidSets.register(spark, cents)
+    val h2 = CentroidSets.register(spark, centsCopy) // same content, new arrays
+    assert(h1 == h2, "content-identical sets must share one broadcast")
+    CentroidSets.release(h1) // refs 2 -> 1: still usable
+    assert(CentroidSets.lookup(h1).value.cells.length == 4)
+    CentroidSets.release(h1) // refs 1 -> 0: gone
+    intercept[IllegalArgumentException](CentroidSets.lookup(h1))
+    // re-registering after full release mints a fresh broadcast
+    val h3 = CentroidSets.register(spark, cents)
+    assert(h3 != h1)
+    CentroidSets.release(h3)
   }
 
   test("auto-flip: a centroid set past the budget routes through the broadcast expression") {

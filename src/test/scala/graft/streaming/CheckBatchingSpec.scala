@@ -56,7 +56,7 @@ class CheckBatchingSpec extends SparkTestBase {
       """{"file": {"path": "/tmp/x", "codec": "jsonl",
         |  "batching": {"check": "this.v == \"FLUSH\""}}}""".stripMargin))
     val wrapped = parsed match {
-      case graft.sinks.Sink.CheckBatched(inner, check) =>
+      case graft.sinks.Sink.CheckBatched(inner, check, _) =>
         assert(check.contains("FLUSH"))
         assert(inner.isInstanceOf[graft.sinks.Sink.TextDir])
         true
@@ -76,6 +76,32 @@ class CheckBatchingSpec extends SparkTestBase {
     assert(seen.toSeq == Seq(
       (7L * m + 0) -> Seq(1L, 2L),
       (7L * m + 1) -> Seq(3L)))
+  }
+
+  test("empty input flushes nothing (and does not crash the spool read)") {
+    val df = Seq((1L, "a")).toDF("seq", "v").filter("seq < 0")
+    val (n, batches) = delivered(df, """this.v == "FLUSH"""")
+    assert(n == 0L && batches.isEmpty)
+  }
+
+  test("batching config misuse is loud: non-check fields, unsupported outputs") {
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    // count/byte_size/period are trigger settings, not sink config
+    val e1 = intercept[IllegalArgumentException](
+      graft.dsl.PipelineConfig.parseSink(mapper.readTree(
+        """{"file": {"path": "/tmp/x", "batching": {"count": 100}}}""")))
+    assert(e1.getMessage.contains("TRIGGER"))
+    // outputs that cannot re-cut flushes reject batching outright
+    val e2 = intercept[IllegalArgumentException](
+      graft.dsl.PipelineConfig.parseSink(mapper.readTree(
+        """{"drop": {"batching": {"check": "this.x"}}}""")))
+    assert(e2.getMessage.contains("does not support"))
+    // spool parses through to the wrapper
+    val parsed = graft.dsl.PipelineConfig.parseSink(mapper.readTree(
+      """{"file": {"path": "/tmp/x",
+        |  "batching": {"check": "this.x", "spool": "/shared/spool"}}}""".stripMargin))
+    assert(parsed.asInstanceOf[graft.sinks.Sink.CheckBatched]
+      .spoolRoot.contains("/shared/spool"))
   }
 
   test("numeric check over a larger frame matches the exclusive-prefix rule") {
