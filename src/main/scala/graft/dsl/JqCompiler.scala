@@ -1364,11 +1364,16 @@ object JqCompiler {
             get_json_object(in.col, pathStr(Seq(Left(s)))).isNotNull, TBool)
           case Lit(d: Double) => JqVal(arrHas(lit(d.toInt)), TBool)
           // dynamic arg (e.g. `has(.ks[])` via the stream-arg
-          // desugaring): per-row number/string dispatch
+          // desugaring): dispatch on the INPUT kind — arrays only have
+          // numeric indices (a non-numeric arg is a jq type error we
+          // render false), objects only have string keys (so a
+          // numeric-LOOKING string key still checks the key, r4
+          // review)
           case dyn =>
             val k = renderTop(eval(dyn, in)._1)
             val isNum = k.rlike("^-?[0-9]+$")
-            JqVal(when(isNum, arrHas(k.cast("int")))
+            JqVal(when(isArr,
+                when(isNum, arrHas(k.cast("int"))).otherwise(lit(false)))
               .otherwise(call_function("get_json_object", in.col,
                 concat(lit("$['"), k, lit("']"))).isNotNull), TBool)
         }

@@ -46,15 +46,19 @@ object CentroidSets {
   }
 
   private final class Entry(val bc: Broadcast[CellSet],
-                            val key: (Int, Int, String), var refs: Int)
+                            val key: (String, Int, Int, String), var refs: Int)
 
   private val sets =
     new java.util.concurrent.ConcurrentHashMap[Long, Entry]()
   private val byContent =
-    scala.collection.mutable.HashMap.empty[(Int, Int, String), Long]
+    scala.collection.mutable.HashMap.empty[(String, Int, Int, String), Long]
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def digest(cents: Seq[(Int, Array[Double])]): (Int, Int, String) = {
+  // the context identity is part of the key: a broadcast created by a
+  // stopped SparkContext must never be handed to a new session that
+  // registers identical content (r4 review)
+  private def digest(spark: SparkSession,
+                     cents: Seq[(Int, Array[Double])]): (String, Int, Int, String) = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(12)
     cents.foreach { case (i, c) =>
@@ -64,7 +68,7 @@ object CentroidSets {
         md.update(buf.array(), 0, 8)
       }
     }
-    (cents.size, cents.head._2.length,
+    (spark.sparkContext.applicationId, cents.size, cents.head._2.length,
       md.digest().map("%02x".format(_)).mkString)
   }
 
@@ -79,7 +83,7 @@ object CentroidSets {
     val dim = cents.head._2.length
     cents.foreach { case (i, c) => require(c.length == dim,
       s"centroid $i has dim ${c.length}, expected $dim") }
-    val key = digest(cents)
+    val key = digest(spark, cents)
     synchronized {
       byContent.get(key).flatMap(h => Option(sets.get(h)).map(h -> _)) match {
         case Some((h, e)) => e.refs += 1; h

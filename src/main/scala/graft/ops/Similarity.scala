@@ -157,9 +157,16 @@ object Similarity {
                   vecCol: String = "embedding"): DataFrame = {
     val d = if (dim > 0) dim else derivedDim(df, vecCol)
     require(d > 0, "lshNearDups: cannot derive embedding dim (empty input?); pass dim explicitly")
-    val sigCols = (0 until tables).map { t =>
+    // the budget decision must see the TOTAL literal load of the plan
+    // (tables x planes x dim), not one table's share — at dim 1536 the
+    // defaults are 98k doubles across 4 tables, each of which alone
+    // would squeak under the per-call budget (r4 review)
+    def buildSigCols() = (0 until tables).map { t =>
       lshSignature(col(vecCol), hyperplanes(numPlanes, d, seed + t)).as(s"sig_$t")
     }
+    val sigCols =
+      if (literalDoublesFit(tables.toLong * numPlanes * d)) buildSigCols()
+      else withCentroidBudget(0)(buildSigCols())
     val sigs = spread(df).select((col(idCol).as("id") +: col(vecCol).as("v") +: sigCols): _*)
     // bucket rows carry IDS ONLY: the pair-distinct below is the wide
     // shuffle of this plan, and dragging 2×dim×8 bytes of vectors per

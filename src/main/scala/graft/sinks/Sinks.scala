@@ -190,23 +190,27 @@ object Sink {
         s"batching.check on master '$master' needs `batching.spool` on a " +
           "shared filesystem (the driver-local temp default only works " +
           "for local masters)")
+      // unique per write call: two sinks sharing a spool root (or a
+      // retry of the same batch) must never resolve the same directory
+      // mid-delivery (r4 review)
       val spool = spoolRoot match {
-        case Some(root) => s"$root/cb-spool-$batchId"
+        case Some(root) =>
+          s"$root/cb-spool-$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
         case None =>
           java.nio.file.Files.createTempDirectory("graft-cb").toString
       }
       try graft.streaming.CheckBatching.deliver(batch, check, spool,
         (b, k) => inner.write(b,
           batchId * graft.streaming.CheckBatching.MaxFlushes + k))
-      finally if (spoolRoot.isEmpty) {
-        import scala.jdk.CollectionConverters._
-        val p = java.nio.file.Paths.get(spool)
-        if (java.nio.file.Files.isDirectory(p)) {
-          val walk = java.nio.file.Files.walk(p)
-          val all = try walk.iterator().asScala.toList finally walk.close()
-          all.sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+      finally {
+        // Hadoop FS delete handles both the local temp and a shared
+        // (hdfs://, s3a://, …) spool — without it a long-running
+        // stream accumulates one parquet copy of every batch forever
+        val p = new org.apache.hadoop.fs.Path(spool)
+        val fs = p.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        fs.delete(p, true)
+        ()
       }
     }
   }

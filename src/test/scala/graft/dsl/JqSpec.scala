@@ -238,6 +238,10 @@ class JqSpec extends SparkTestBase {
     // dynamic numeric arg through a stream binding
     assert(one("[.ns[] as $i | .a | has($i)]",
       """{"ns":[0,5],"a":[1,2,3]}""").contains("[true,false]"))
+    // a numeric-LOOKING string key on an OBJECT still checks the key
+    // (dispatch is on the input kind, r4 review)
+    assert(one("[.ks[] as $k | has($k)]",
+      """{"ks":["123"],"123":true}""").contains("[true]"))
   }
 
   test("dynamic object keys (r4): {(expr): value}, generator keys, escaping") {

@@ -148,6 +148,25 @@ class CentroidSpec extends SparkTestBase {
     assert(lit == bc)
   }
 
+  test("lshNearDups: the budget decision sees the TOTAL across tables") {
+    import spark.implicits._
+    // defaults (16 planes x 4 tables) at dim 1024: one table's 16384
+    // doubles fits the 32768 budget, the 65536 total does not — the
+    // signatures must route broadcast (r4 review: per-call checks let
+    // 4 tables fold ~2x the budget as literals)
+    val rnd = new scala.util.Random(9)
+    val dir = tmpDir("lshbudget")
+    (0 until 30).map(i =>
+      (i.toLong, Array.fill(1024)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    // parquet-backed (a LocalRelation would let the optimizer fold the
+    // signature expressions away before the plan assertion)
+    val out = Similarity.lshNearDups(spark.read.parquet(dir), threshold = 0.99)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_plane_signature"), plan.take(1500))
+    out.collect() // and it computes
+  }
+
   test("CentroidSets: content-identical registrations dedupe; release refcounts") {
     val cents = randCents(4, 8, seed = 31)
     val centsCopy = cents.map { case (i, c) => (i, c.clone()) }

@@ -104,6 +104,19 @@ class CheckBatchingSpec extends SparkTestBase {
       .spoolRoot.contains("/shared/spool"))
   }
 
+  test("an explicit spool root is cleaned up after delivery") {
+    val root = tmpDir("cbspoolroot")
+    val df = Seq((1L, "a"), (2L, "FLUSH")).toDF("seq", "v")
+    val rec = new graft.sinks.Sink {
+      def write(b: org.apache.spark.sql.DataFrame, id: Long): Unit = b.count()
+    }
+    graft.sinks.Sink.CheckBatched(rec, """this.v == "FLUSH"""", Some(root))
+      .write(df, 1L)
+    val leftovers = new java.io.File(root).listFiles()
+    assert(leftovers == null || leftovers.isEmpty,
+      s"spool dirs left behind: ${Option(leftovers).toSeq.flatten.mkString(",")}")
+  }
+
   test("numeric check over a larger frame matches the exclusive-prefix rule") {
     val df = (1L to 400L).map(i => (i, i)).toDF("seq", "n")
     val (n, batches) = delivered(df, "this.n % 100 == 0")
