@@ -184,6 +184,43 @@ class SinksSpec extends SparkTestBase {
     assert(readDir(s"$d/bad").select("v").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("streaming: batching.check re-cuts each micro-batch's flushes through the runner") {
+    val work = tmpDir("e2e-cb")
+    EventLogGen.writeLog(spark, EventLogGen.GenConfig(events = 2000L), s"$work/log")
+    val yaml =
+      s"""pipeline:
+         |  processors:
+         |    - noop: {}
+         |output:
+         |  file:
+         |    path: "$work/out"
+         |    batching:
+         |      check: this.seq % 500 == 0
+         |""".stripMargin
+    val pipe = PipelineConfig.parse(yaml)
+    CdcEngine.runPipeline(spark,
+      CdcEngine.ReplayConfig(s"$work/log", s"$work/lake", s"$work/chk"),
+      pipe.transform, pipe.sink.get).awaitTermination()
+    val out = spark.read.parquet(s"$work/out")
+    // every event delivered exactly once across all flushes
+    assert(out.select("seq").distinct().count() == 2000L)
+    // flushes respect the reference rule WITHIN each parent micro-batch:
+    // the max seq of flush k is a trigger row (or the batch tail), and
+    // flush ids are parent*MaxFlushes+k, so distinct _batch_id count
+    // matches the trigger count + tails
+    val m = graft.streaming.CheckBatching.MaxFlushes.toLong
+    val perFlush = out.groupBy(col("_batch_id").cast("long").as("b"))
+      .agg(max("seq").as("maxSeq"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(perFlush.nonEmpty)
+    perFlush.foreach { case (b, maxSeq, _) =>
+      val isTail = !perFlush.exists { case (b2, _, _) =>
+        b2 / m == b / m && b2 > b } // last flush of its parent batch
+      assert(maxSeq % 500 == 0 || isTail,
+        s"flush $b ends at seq $maxSeq which is neither a trigger nor the batch tail")
+    }
+  }
+
   test("full YAML config: pipeline + switch output through the stream runner") {
     val work = tmpDir("e2e-sink")
     EventLogGen.writeLog(spark, EventLogGen.GenConfig(events = 3000L), s"$work/log")
