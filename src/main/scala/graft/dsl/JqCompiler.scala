@@ -306,7 +306,13 @@ object JqCompiler {
               val sep = if (i == 0) "" else ","
               val keys = ke match {
                 case Lit(kn: String) => array(lit("\"" + kn + "\""))
-                case dyn => transform(collectedVals(dyn, preV),
+                case dyn => transform(
+                  // a JSON-null key (bare `null` text — a QUOTED
+                  // "null" string renders with quotes) drops the
+                  // field, matching the scalar path's null-concat
+                  // behavior (jq errors; we pick ONE silent answer)
+                  filter(collectedVals(dyn, preV),
+                    kEl => kEl.isNotNull && kEl =!= "null"),
                   // rendered string elements arrive quoted; any other
                   // kind (number/bool — a jq type error we render as a
                   // string key instead, like the scalar path) must be
@@ -672,7 +678,12 @@ object JqCompiler {
     case Pipe(l, r) => normalizeStages(l) ++ normalizeStages(r)
     case PostPath(t, segs) if isStreamStage(t) => normalizeStages(t) :+ Path(segs)
     case DynIdx(t, ie) if isStreamStage(t) =>
-      normalizeStages(t) :+ DynIdx(Identity, ie)
+      // the index evaluates against the PATH EXPRESSION'S input, not
+      // each stream element (jq: `.a[][.i]` on {"a":[[10,20],[30,40]],
+      // "i":1} -> 20,40), and a stream index varies SLOWEST
+      // (`.a[][.i,0]` -> 20,40,10,30) — bind it first, then stream t
+      val v = s"__fnarg${fnArgIds.incrementAndGet()}"
+      AsBind(ie, PVarPat(v)) +: (normalizeStages(t) :+ DynIdx(Identity, VarE(v)))
     case IterAll(t) if isStreamStage(t) => normalizeStages(t) :+ IterAll(Identity)
     case x => Seq(x)
   }
@@ -723,7 +734,10 @@ object JqCompiler {
     "limit", "first", "last", "nth", "any", "all", "add", "map",
     "map_values", "recurse", "while", "until", "repeat", "select",
     "isempty", "splits", "paths", "leaf_paths", "scan", "empty",
-    "with_entries", "sub", "gsub", "to_entries", "from_entries")
+    "with_entries", "sub", "gsub", "to_entries", "from_entries",
+    // by-key functions take a FILTER (and jq's composite-key form
+    // `sort_by(.a, .b)` is a comma filter, not a value stream)
+    "sort_by", "min_by", "max_by", "group_by", "unique_by")
 
   private val fnArgIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -933,21 +947,29 @@ object JqCompiler {
       // addresses an array (negative counts from the end, jq-exact); a
       // string one addresses an object key. The number/string split is
       // textual (same documented ambiguity as dynamic getpath: a
-      // numeric-LOOKING string key reads as an index).
+      // numeric-LOOKING string key reads as an index). Both the target
+      // and the rendered index bind through letC ONCE — embedding them
+      // per reference would grow chained dynamic indices
+      // (`.a[.i][.j][.k]`) exponentially in plan nodes (r4 review).
       val (tv, tk) = eval(t, in)
       require(tv.t == TJson, s"jq: cannot index a ${tv.t}")
       val (iv, ik) = eval(ie, in)
-      val rendered = renderTop(iv)
-      val isNum = rendered.rlike("^-?[0-9]+$")
-      val iNum = rendered.cast("int")
-      val eff = when(iNum >= 0, iNum)
-        .otherwise(json_array_length(tv.col) + iNum)
-      val arrGet = when(eff >= 0, call_function("get_json_object", tv.col,
-        concat(lit("$["), eff.cast("string"), lit("]"))))
-      val keyGet = call_function("get_json_object", tv.col,
-        concat(lit("$['"), rendered, lit("']")))
-      (JqVal(when(isNum, arrGet).otherwise(keyGet), TJson),
-        mergeKeep(tk, ik))
+      val out = letC(tv.col) { tc =>
+        letC(renderTop(iv)) { rendered =>
+          val isNum = rendered.rlike("^-?[0-9]+$")
+          val eff = letC(rendered.cast("int")) { iNum =>
+            when(iNum >= 0, iNum).otherwise(json_array_length(tc) + iNum)
+          }
+          val arrGet = letC(eff) { e =>
+            when(e >= 0, call_function("get_json_object", tc,
+              concat(lit("$["), e.cast("string"), lit("]"))))
+          }
+          val keyGet = call_function("get_json_object", tc,
+            concat(lit("$['"), rendered, lit("']")))
+          when(isNum, arrGet).otherwise(keyGet)
+        }
+      }
+      (JqVal(out, TJson), mergeKeep(tk, ik))
     case Pipe(l, r) =>
       val (lv, lk) = eval(l, in)
       val (rv, rk) = eval(r, lv)

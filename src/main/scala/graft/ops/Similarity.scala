@@ -45,10 +45,17 @@ object Similarity {
 
   private val budgetOverride = new InheritableThreadLocal[Integer]
 
-  /** Test hook: force the budget (0 forces the broadcast path). */
+  /** Force the budget inside `f` (0 forces the broadcast path) —
+    * restores any ENCLOSING override on exit, so nested uses (e.g.
+    * lshNearDups' internal total-budget force inside a test's forced
+    * block) don't clear the outer scope (r4 review).
+    */
   private[graft] def withCentroidBudget[T](b: Int)(f: => T): T = {
+    val prev = budgetOverride.get
     budgetOverride.set(b)
-    try f finally budgetOverride.remove()
+    try f finally {
+      if (prev == null) budgetOverride.remove() else budgetOverride.set(prev)
+    }
   }
 
   private def literalDoublesFit(total: Long): Boolean = {

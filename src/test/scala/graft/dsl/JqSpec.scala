@@ -227,6 +227,19 @@ class JqSpec extends SparkTestBase {
     assert(run(".a[.i, 0]", doc) == Seq(Some("20"), Some("10")))
     // chained negative + literal segments
     assert(one(".a[-2][1]", """{"a":[[1,2],[3,4]]}""").contains("2"))
+    // chained DYNAMIC segments (letC-bound: linear plan growth)
+    assert(one(".a[.i][.j]", """{"a":{"x":[5,6]},"i":"x","j":1}""").contains("6"))
+    // index after a STREAM: evaluated against the path's input, not
+    // each element (jq: .a[][.i] -> 20,40), and a stream index varies
+    // slowest (.a[][.i,0] -> 20,40,10,30)
+    val sdoc = """{"a":[[10,20],[30,40]],"i":1}"""
+    assert(run(".a[][.i]", sdoc) == Seq(Some("20"), Some("40")))
+    assert(run(".a[][.i, 0]", sdoc) ==
+      Seq(Some("20"), Some("40"), Some("10"), Some("30")))
+    // by-key functions keep their FILTER args (the generic value-arg
+    // desugaring must not capture sort_by's comma form): composite
+    // keys stay a loud rejection rather than a silently wrong sort
+    intercept[Exception](run("sort_by(.a, .b)", """[{"a":2,"b":1}]"""))
   }
 
   test("has(): numeric args are array index-existence checks (jq-exact)") {
@@ -258,6 +271,10 @@ class JqSpec extends SparkTestBase {
       Some("""{"b":1}"""), Some("""{"b":2}""")))
     assert(run("{(.ks[]): .v}", """{"ks":["a","b"],"v":3}""") ==
       Seq(Some("""{"a":3}"""), Some("""{"b":3}""")))
+    // a null key is a jq error; our silent answer drops the field in
+    // BOTH paths (scalar: null concat; stream: key filtered out)
+    assert(one("{(.missing): .v}", """{"v":5}""").contains("{}"))
+    assert(run("{(.missing): .v[]}", """{"v":[1,2]}""").isEmpty)
     // a numeric key is a jq type error; we render it as a STRING key —
     // and the streaming path must quote it like the scalar path does
     // (r4 review: '{7:1}' would be invalid JSON)

@@ -167,6 +167,23 @@ class CentroidSpec extends SparkTestBase {
     out.collect() // and it computes
   }
 
+  test("withCentroidBudget: nested overrides restore the enclosing scope") {
+    // lshNearDups forces its own budget internally; an outer forced
+    // block must stay forced AFTER that inner scope exits (r4 review:
+    // remove() instead of restore wiped the outer override)
+    val cents = randCents(4, 8, seed = 41)
+    val in = vecs.select(col("vec_id"), col("embedding"))
+    val plan = forced {
+      Similarity.withCentroidBudget(1 << 20) { /* inner scope */ }
+      in.withColumn("cid",
+        Similarity.nearestCentroid(col("embedding"),
+          randCents(4, 64, seed = 42)))
+        .queryExecution.optimizedPlan.toString
+    }
+    assert(plan.contains("graft_centroid_argmin"),
+      "outer forced budget must survive a nested override")
+  }
+
   test("CentroidSets: content-identical registrations dedupe; release refcounts") {
     val cents = randCents(4, 8, seed = 31)
     val centsCopy = cents.map { case (i, c) => (i, c.clone()) }
