@@ -83,10 +83,68 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      charShingles: Boolean = false) {
+      charShingles: Boolean = false,
+      bucketCap: Int = DefaultBucketCap) {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(bucketCap >= 2, "bucketCap must be >= 2")
     def rowsPerBand: Int = numHashes / bands
   }
+
+  /** Per-bucket membership cap for every bucketed candidate self-join
+    * (MinHash bands, Hamming block tables, embedding LSH). A single
+    * degenerate bucket — 10⁵ near-identical docs sharing one band
+    * hash, exactly what boilerplate pages and mirrored files produce —
+    * would otherwise emit O(n²) candidate pairs *within* that bucket
+    * (10¹⁰ join rows before `distinct`), the one shape that still
+    * serialized at 100 TB after the id-only-shuffle design. Buckets at
+    * or under the cap enumerate all pairs exactly as before; oversized
+    * buckets emit STAR pairs only — every member against the bucket's
+    * minimum id — which is O(n) rows and preserves connectivity (all
+    * members still land in one connected component via the
+    * representative), the production-MinHash routing. The trade: a
+    * non-representative pair inside an oversized bucket is not listed
+    * directly, and a star pair must survive the exact verify step for
+    * the component to stay connected — true by construction for the
+    * degenerate near-identical buckets the cap exists for, and a
+    * correct drop for pure hash-collision buckets. 512 is far above
+    * any bucket the gate corpora produce (small-bucket behavior is
+    * bit-identical) and far below the quadratic cliff.
+    */
+  val DefaultBucketCap: Int = 512
+
+  /** Bounded candidate pairs (id_a < id_b, distinct) from a keyed
+    * bucket frame (`id` + `keyCols`): full intra-bucket self-join for
+    * buckets <= `bucketCap`, star-with-minimum for oversized buckets
+    * (see [[DefaultBucketCap]]). One extra aggregate + join on the
+    * SAME key as the self-join — post-shuffle both sides are already
+    * hash-partitioned on the bucket key, so no new exchange shape.
+    */
+  private[ops] def cappedBucketPairs(keyed: DataFrame, keyCols: Seq[String],
+                                     bucketCap: Int): DataFrame = {
+    require(bucketCap >= 2, "bucketCap must be >= 2")
+    val stats = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("bkt_rep"))
+    val kz = keyed.join(stats, keyCols)
+    val small = kz.filter(col("bkt_n") <= bucketCap)
+    val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    val full = small.as("a").join(small.as("b"), joinCond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val star = kz.filter(col("bkt_n") > bucketCap && col("id") =!= col("bkt_rep"))
+      .select(col("bkt_rep").as("id_a"), col("id").as("id_b"))
+    full.union(star).distinct()
+  }
+
+  /** Oversized-bucket diagnostics for a capped run: one row per bucket
+    * past the cap with its member count — the loud counter a pipeline
+    * logs next to its dedup stage. Empty means the cap never engaged
+    * and the pair list is the exact uncapped enumeration.
+    */
+  def oversizedMinHashBuckets(df: DataFrame, idCol: String, textCol: String,
+                              cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    bandedBuckets(withSignature(df, idCol, textCol, cfg), cfg)
+      .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") > cfg.bucketCap)
 
   /** MinHash signature: array of `numHashes` minima of per-shingle
     * seeded xxhash64 values (one pass per hash function over the
@@ -106,26 +164,26 @@ object Dedup {
       .withColumn("sig", minHashSignature(col("shingles"), cfg))
   }
 
-  /** Candidate pairs (a < b) that share at least one LSH band bucket.
-    * Band hash = xxhash64 over the band's signature slice; the
-    * self-join runs on (band_idx, band_hash) so hot buckets spread by
-    * hash. Distinct-ed because pairs can collide in several bands.
+  /** (id, band_idx, band_hash) bucket rows — one per LSH band; band
+    * hash = xxhash64 over the band's signature slice, so many distinct
+    * hot buckets spread by hash.
     */
-  def candidatePairs(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+  private def bandedBuckets(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
     val r = cfg.rowsPerBand
-    val bands = sigs.select(col("id"),
+    sigs.select(col("id"),
       posexplode(array((0 until cfg.bands).map { i =>
         xxhash64(lit(i) +: (0 until r).map(j => col("sig")(i * r + j)): _*)
       }: _*)).as(Seq("band_idx", "band_hash")))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
   }
+
+  /** Candidate pairs (a < b) that share at least one LSH band bucket,
+    * bounded per bucket by `cfg.bucketCap` (full enumeration under the
+    * cap, star-with-minimum above it — [[DefaultBucketCap]]).
+    * Distinct-ed because pairs can collide in several bands.
+    */
+  def candidatePairs(sigs: DataFrame, cfg: MinHashConfig): DataFrame =
+    cappedBucketPairs(bandedBuckets(sigs, cfg),
+      Seq("band_idx", "band_hash"), cfg.bucketCap)
 
   /** Near-duplicate pairs with exact-Jaccard verification >= threshold.
     * Output: (id_a, id_b, jaccard).
@@ -178,20 +236,25 @@ object Dedup {
     * key width.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, blocks: Int = 6): DataFrame =
+                      maxHamming: Int = 3, blocks: Int = 6,
+                      bucketCap: Int = DefaultBucketCap): DataFrame =
     hammingNearDups(
       spread(df).select(col(idCol).as("id"), simHash64(col(textCol)).as("sig")),
-      maxHamming, blocks)
+      maxHamming, blocks, bucketCap)
 
   /** Generic Hamming-ball pair search over 64-bit signatures —
     * EXACT: pairs within `maxHamming` bits always share one of the
     * C(blocks, blocks-maxHamming) block-combination keys (pigeonhole),
     * and survivors verify with the true popcount, so the result equals
-    * the brute-force O(n²) scan at bucket-join cost. Shared by SimHash
+    * the brute-force O(n²) scan at bucket-join cost — except inside
+    * buckets past `bucketCap`, where candidate generation routes
+    * through star pairs against the bucket minimum (connectivity-
+    * preserving, O(n) — [[DefaultBucketCap]]). Shared by SimHash
     * text near-dup and dHash image near-dup. Input: (`id`, `sig`)
     * columns. Output: (id_a, id_b, hamming), id_a < id_b.
     */
-  def hammingNearDups(sigs: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
+  def hammingNearDups(sigs: DataFrame, maxHamming: Int, blocks: Int,
+                      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(blocks > maxHamming && blocks <= 16,
       s"hamming blocking needs maxHamming < blocks <= 16, got h=$maxHamming blocks=$blocks")
     val base = 64 / blocks; val extra = 64 % blocks
@@ -201,19 +264,16 @@ object Dedup {
       shiftright(sim, offsets(i)).bitwiseAND(
         lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
     val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
-    val keyed = sigs.select(col("id"), col("sig"),
+    val keyed = sigs.select(col("id"),
       posexplode(array(combos.map { c =>
         xxhash64(c.map(i => blockVal(col("sig"), i)): _*)
       }: _*)).as(Seq("table_idx", "bkey")))
-    val a = keyed.as("a")
-    val b = keyed.as("b")
-    a.join(b,
-        col("a.table_idx") === col("b.table_idx") &&
-        col("a.bkey") === col("b.bkey") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+    val s = sigs.select(col("id"), col("sig"))
+    cappedBucketPairs(keyed, Seq("table_idx", "bkey"), bucketCap)
+      .join(s.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a")), "id_a")
+      .join(s.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

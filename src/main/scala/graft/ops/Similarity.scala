@@ -161,7 +161,8 @@ object Similarity {
                   numPlanes: Int = 16, tables: Int = 4, seed: Long = 42L,
                   dim: Int = -1,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding",
+                  bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
     val d = if (dim > 0) dim else derivedDim(df, vecCol)
     require(d > 0, "lshNearDups: cannot derive embedding dim (empty input?); pass dim explicitly")
     // the budget decision must see the TOTAL literal load of the plan
@@ -179,18 +180,14 @@ object Similarity {
     // shuffle of this plan, and dragging 2×dim×8 bytes of vectors per
     // candidate pair through it just to dedupe by id pair was the r2
     // scale leak (VERDICT #3) — dedupe ids, then re-join the vectors
-    // once per SURVIVING pair (same shape as minHashNearDups)
+    // once per SURVIVING pair (same shape as minHashNearDups). A
+    // degenerate bucket (near-identical embeddings) is bounded by the
+    // same star-with-minimum cap as every other bucketed self-join
+    // ([[Dedup.DefaultBucketCap]]).
     val buckets = sigs.select(col("id"),
       posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*))
-        .as(Seq("table_idx", "sig")))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val pairs = a.join(b,
-        col("a.table_idx") === col("b.table_idx") &&
-        col("a.sig") === col("b.sig") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+        .as(Seq("table_idx", "tsig")))
+    val pairs = Dedup.cappedBucketPairs(buckets, Seq("table_idx", "tsig"), bucketCap)
     val vecs = sigs.select(col("id"), col("v"))
     pairs
       .join(vecs.withColumnsRenamed(Map("id" -> "id_a", "v" -> "va")), "id_a")

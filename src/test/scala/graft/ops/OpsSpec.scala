@@ -74,6 +74,59 @@ class OpsSpec extends SparkTestBase {
   }
 
   // ------------------------------------------------------------------
+  // per-bucket pair cap (degenerate hot buckets — the 100 TB guard)
+  // ------------------------------------------------------------------
+
+  test("candidatePairs: 10k identical docs emit n-1 star pairs, not n^2/2, one cluster") {
+    import spark.implicits._
+    val n = 10000
+    val df = (1 to n).map(i =>
+      (i.toLong, "the same boilerplate text repeated on every mirror page"))
+      .toDF("doc_id", "text")
+    val cfg = Dedup.MinHashConfig()
+    val pairs = Dedup.candidatePairs(
+      Dedup.withSignature(df, "doc_id", "text", cfg), cfg).persist()
+    // uncapped this bucket would emit ~5*10^7 candidate pairs; the star
+    // routing collapses every oversized band bucket onto the minimum id
+    assert(pairs.count() == n - 1)
+    assert(pairs.select("id_a").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the loud diagnostics: every band bucket is past the cap
+    assert(Dedup.oversizedMinHashBuckets(df, "doc_id", "text", cfg).count() == cfg.bands)
+    // connectivity preserved end-to-end: verify + clusters -> ONE component
+    val verified = Dedup.minHashNearDups(df, "doc_id", "text", threshold = 0.9, cfg)
+    assert(verified.count() == n - 1)
+    val cl = Dedup.clusters(df.select(col("doc_id").as("id")), verified)
+    assert(cl.select("cluster_id").distinct().count() == 1)
+    pairs.unpersist()
+  }
+
+  test("bucket cap preserves final clusters: capped vs uncapped on a mixed corpus") {
+    import spark.implicits._
+    val dupes = (1 to 40).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta"))
+    val singles = (100 to 140).map(i =>
+      (i.toLong, s"unique document number $i carrying words w${i * 7} and w${i * 13} only"))
+    val df = (dupes ++ singles).toDF("doc_id", "text")
+    def clustering(cap: Int): Set[Set[Long]] = {
+      val cfg = Dedup.MinHashConfig(bucketCap = cap)
+      val pairs = Dedup.minHashNearDups(df, "doc_id", "text", 0.9, cfg)
+      Dedup.clusters(df.select(col("doc_id").as("id")), pairs)
+        .collect().map(r => (r.getLong(1), r.getLong(0)))
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    }
+    // cap=4 forces star routing inside the 40-dupe bucket; components unchanged
+    assert(clustering(4) == clustering(100000))
+  }
+
+  test("hammingNearDups: 5k identical signatures stay O(n) under the cap") {
+    import spark.implicits._
+    val n = 5000
+    val sigs = (1 to n).map(i => (i.toLong, 0x5a5a5a5a5a5a5a5aL)).toDF("id", "sig")
+    val got = Dedup.hammingNearDups(sigs, maxHamming = 3, blocks = 6)
+    assert(got.count() == n - 1)
+    assert(got.filter(col("hamming") =!= 0).count() == 0)
+  }
+
+  // ------------------------------------------------------------------
   // SimHash vs brute-force hamming oracle
   // ------------------------------------------------------------------
 
