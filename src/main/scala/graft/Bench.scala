@@ -195,7 +195,8 @@ object Bench {
     * bracket — and `anyHealthy=false` flags a set where every sample
     * sat in a degraded window (the min may then understate the engine).
     */
-  def guardedSamples(work: String, minSamples: Int, maxSamples: Int)
+  def guardedSamples(work: String, minSamples: Int, maxSamples: Int,
+                     backoffSec: Double = 0.0)
                     (run: => Double): (Seq[Double], Seq[Double], Double, Boolean) = {
     val times = scala.collection.mutable.ArrayBuffer[Double]()
     val probes = scala.collection.mutable.ArrayBuffer[Double]()
@@ -207,6 +208,13 @@ object Bench {
       def healthy(i: Int) = math.min(probes(i), probes(i + 1)) >= HealthyMbps
       done = times.size >= maxSamples ||
         (times.size >= minSamples && times.indices.exists(healthy))
+      // the degraded-disk windows this VM shows last minutes, so
+      // back-to-back retries all land inside the same window; a short
+      // bounded wait between unhealthy retries rides the window out
+      // (VERDICT r4 #2: the board JSON was a flagged-window stamp
+      // three rounds running because retries never outlived the window)
+      if (!done && backoffSec > 0 && !healthy(times.size - 1))
+        Thread.sleep((backoffSec * 1000).toLong)
     }
     val anyHealthy = times.indices
       .exists(i => math.min(probes(i), probes(i + 1)) >= HealthyMbps)
@@ -235,7 +243,7 @@ object Bench {
     // inside a 166 MB/s window with nothing marking it).
     var first = true
     val (rSecs, rProbes, replaySec, replayHealthy) =
-      guardedSamples(work, minSamples = 3, maxSamples = 4) {
+      guardedSamples(work, minSamples = 3, maxSamples = 5, backoffSec = 30.0) {
         val s = replayBench(spark, events, work, reuseLog = !first)._1
         first = false
         s
@@ -249,23 +257,25 @@ object Bench {
     // r3 q_mapping 12.95s cell)
     val qResults = headlineQueries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val (_, _, best, healthy) =
-          guardedSamples(work, minSamples = 2, maxSamples = 3) {
+        val (ts, _, best, healthy) =
+          guardedSamples(work, minSamples = 2, maxSamples = 5, backoffSec = 20.0) {
             time(sink(fn(spark, sfDir)))
           }
-        (name, best, healthy)
+        (name, best, healthy, ts.size)
       }
     }
-    val flagged = qResults.collect { case (n, _, false) => n } ++
+    val flagged = qResults.collect { case (n, _, false, _) => n } ++
       (if (replayHealthy) Nil else Seq("cdc_replay"))
 
     val total = replaySec + qResults.map(_._2).sum
     val qJson = (qResults.map(r => (r._1, r._2)) :+ ("cdc_replay" -> replaySec))
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val qSamplesJson = (qResults.map(r => (r._1, r._4)) :+ ("cdc_replay" -> rSecs.size))
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val samples = rSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val sampleProbes = rProbes.map(p => f"$p%.0f").mkString("[", ",", "]")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cdc_events":$events,"cdc_events_per_sec":${f"$eps%.0f"},"cdc_events_per_sec_median":${f"${events / medianSec}%.0f"},"cdc_replay_samples":$samples,"cdc_sample_probes_mbps":$sampleProbes,"flagged_queries":$flaggedJson,"io_probe_mbps":[${f"$probeBefore%.0f"},${f"${ioProbe(work)}%.0f"}],"cpus":$cpus}""")
+    println(s"""{"metric":"total_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cdc_events":$events,"cdc_events_per_sec":${f"$eps%.0f"},"cdc_events_per_sec_median":${f"${events / medianSec}%.0f"},"cdc_replay_samples":$samples,"cdc_sample_probes_mbps":$sampleProbes,"flagged_queries":$flaggedJson,"cell_samples":$qSamplesJson,"io_probe_mbps":[${f"$probeBefore%.0f"},${f"${ioProbe(work)}%.0f"}],"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -2432,6 +2432,25 @@ object SparkEntry {
       pipe(t(s, dir, "events")).orderBy("event_id", "doc")
     }),
 
+    "q_jq_stream_order" -> ((s, dir) => {
+      // EMISSION-ORDER pin for generator cartesians (r4 ADVICE): the
+      // binop/fnargs gates sort their exploded streams, so the oracle
+      // could not see the r4 right-operand-slowest fix. Here each
+      // stream is collected into an ARRAY — the JSON text preserves
+      // emission order, so the DuckDB oracle checks the cartesian
+      // order itself, value-exactly (program verified against jq 1.x:
+      // {"a":[5,6],"b":[10,100]} -> ord [-5,-4,-95,-94],
+      // mix [5,6,10,100,50,60])
+      val pipe = compile(Seq(
+        PMapping(
+          """let k = this.props.json_path("$.k").int64()
+            |root.event_id = this.event_id
+            |root.doc = "{\"a\":[" + $k.string() + "," + ($k + 1).string() + "],\"b\":[10,100]}"
+            |""".stripMargin),
+        PJq("""{ord: [(.a[]) - (.b[])], mix: [limit(6; (.a[], .b[]) * (1, 10))]}""", "doc")))
+      pipe(t(s, dir, "events")).orderBy("event_id")
+    }),
+
     "q_jq_fnargs" -> ((s, dir) => {
       // generator functions + stream-valued function args (round 3,
       // extended round 4 with streams in VALUE-arg positions):
@@ -4137,6 +4156,17 @@ object SparkEntry {
         |SELECT event_id, CAST(k + i AS VARCHAR) AS doc
         |FROM k CROSS JOIN (VALUES (0), (1), (2)) t(i)
         |ORDER BY event_id, doc""".stripMargin,
+
+    "q_jq_stream_order" ->
+      """WITH k AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_id,
+        |  '{"ord":[' || CAST(k - 10 AS VARCHAR) || ',' || CAST(k - 9 AS VARCHAR)
+        |  || ',' || CAST(k - 100 AS VARCHAR) || ',' || CAST(k - 99 AS VARCHAR)
+        |  || '],"mix":[' || CAST(k AS VARCHAR) || ',' || CAST(k + 1 AS VARCHAR)
+        |  || ',10,100,' || CAST(10 * k AS VARCHAR) || ',' || CAST(10 * k + 10 AS VARCHAR)
+        |  || ']}' AS doc
+        |FROM k ORDER BY event_id""".stripMargin,
 
     "q_jq_fnargs" ->
       """WITH k AS (SELECT event_id,

@@ -116,11 +116,21 @@ object BatchOrdinals {
     * Backs check-based batching (`batch_id` = count of batch-ending
     * rows strictly before this row).
     */
-  def withExclusivePrefixSum(df: DataFrame, value: Column, out: String): DataFrame = {
-    val p = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val ord =
+  def withExclusivePrefixSum(df: DataFrame, value: Column, out: String): DataFrame =
+    withExclusivePrefixSum(df, value, out,
       if (df.columns.contains("seq")) col("seq").cast("long")
-      else monotonically_increasing_id()
+      else monotonically_increasing_id())
+
+  /** As above with an EXPLICIT total-order expression. Callers whose
+    * semantics hang on reference message order (the trigger-time
+    * check-batching sink path) must pass a real data column here — the
+    * `monotonically_increasing_id` fallback of the 3-arg form orders by
+    * partition layout, which is nondeterministic after an upstream
+    * repartition (r4 ADVICE).
+    */
+  def withExclusivePrefixSum(df: DataFrame, value: Column, out: String,
+                             ord: Column): DataFrame = {
+    val p = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
     val withOrd = df.withColumn("_bo_ord", ord)
       .withColumn("_bo_val", value.cast("long"))
     val bounds = withOrd.agg(min(col("_bo_ord")).as("_bo_min"),

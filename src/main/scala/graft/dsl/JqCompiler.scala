@@ -933,6 +933,19 @@ object JqCompiler {
       case Right(i) => s"[$i]"
     }.mkString
 
+  /** A dynamically rendered object key about to splice between the
+    * quotes of a `$['…']` JSON path. Spark's JSON-path grammar has no
+    * escape for a quote or bracket inside a quoted segment, so a
+    * data-driven key containing one would silently ALTER the path and
+    * yield null where jq returns the value (r4 ADVICE): reject loudly
+    * instead — the one key shape this engine cannot address.
+    */
+  private def guardedDynKey(k: Column): Column =
+    when(k.rlike("['\\[\\]]"),
+      raise_error(concat(lit("jq: dynamic object key containing a quote/bracket " +
+        "is not addressable via a JSON path: "), k)))
+      .otherwise(k)
+
   private def eval(e: E, in: JqVal): (JqVal, Option[Column]) = e match {
     case Identity => (in, None)
     case Path(segs) =>
@@ -965,7 +978,7 @@ object JqCompiler {
               concat(lit("$["), e.cast("string"), lit("]"))))
           }
           val keyGet = call_function("get_json_object", tc,
-            concat(lit("$['"), rendered, lit("']")))
+            concat(lit("$['"), guardedDynKey(rendered), lit("']")))
           when(isNum, arrGet).otherwise(keyGet)
         }
       }
@@ -1397,7 +1410,7 @@ object JqCompiler {
             JqVal(when(isArr,
                 when(isNum, arrHas(k.cast("int"))).otherwise(lit(false)))
               .otherwise(call_function("get_json_object", in.col,
-                concat(lit("$['"), k, lit("']"))).isNotNull), TBool)
+                concat(lit("$['"), guardedDynKey(k), lit("']"))).isNotNull), TBool)
         }
       case "tostring" => JqVal(renderTop(in), TStr)
       case "tonumber" => JqVal(num(in), TNum)
@@ -1575,7 +1588,7 @@ object JqCompiler {
             val pathCol = aggregate(arr, lit("$"), (acc, el) =>
               concat(acc,
                 when(el.rlike("^-?[0-9]+$"), concat(lit("["), el, lit("]")))
-                  .otherwise(concat(lit("['"), el, lit("']")))))
+                  .otherwise(concat(lit("['"), guardedDynKey(el), lit("']")))))
             JqVal(call_function("get_json_object", in.col, pathCol), TJson)
         }
       case "setpath" =>

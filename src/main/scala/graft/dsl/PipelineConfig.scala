@@ -458,16 +458,20 @@ object PipelineConfig {
       case None => sink
       case Some(b) =>
         import scala.jdk.CollectionConverters._
-        val unknown = b.fieldNames().asScala.toSet -- Set("check", "spool")
+        val unknown = b.fieldNames().asScala.toSet --
+          Set("check", "spool", "max_flushes")
         require(unknown.isEmpty,
-          s"output batching supports {check, spool}; got ${unknown.mkString(", ")} " +
+          s"output batching supports {check, spool, max_flushes}; got " +
+            s"${unknown.mkString(", ")} " +
             "— count/byte_size/period are micro-batch TRIGGER settings " +
             "(maxFilesPerTrigger / trigger period), not sink config")
         val check = opt(b, "check").map(_.asText).getOrElse(throw
           new IllegalArgumentException("output batching needs a `check`"))
         require(check.nonEmpty, "output batching `check` must be non-empty")
         graft.sinks.Sink.CheckBatched(sink, check,
-          opt(b, "spool").map(_.asText))
+          opt(b, "spool").map(_.asText),
+          opt(b, "max_flushes").map(_.asInt)
+            .getOrElse(graft.streaming.CheckBatching.MaxFlushes))
     }
 
   /** Output section → [[graft.sinks.Sink]] tree (SURVEY.md §2.4). */

@@ -642,9 +642,18 @@ object Processor {
               col("_sr_rec").getField("_sr_corrupt").isNull,
             graft.functions.AvroFunctions.encodeLenient(rec, schema)))
         .withColumn("_error",
+          // two distinct failure modes, labeled apart (r4 ADVICE):
+          // `malformed json` = the parser itself choked (_sr_corrupt
+          // set); `schema violation` = JSON parsed fine but the
+          // lenient encoder rejected it (e.g. null in a non-nullable
+          // field)
           when(col("_error").isNotNull, col("_error"))
+            .when(col(field).isNotNull &&
+                (col("_sr_rec").isNull ||
+                 col("_sr_rec").getField("_sr_corrupt").isNotNull),
+              lit("schema_registry: malformed json"))
             .when(col(field).isNotNull && col("_sr_enc").isNull,
-              lit("schema_registry: malformed json")))
+              lit("schema_registry: schema violation")))
         .withColumn(field,
           when(col("_sr_enc").isNotNull, concat(header, col("_sr_enc"))))
         .drop("_sr_rec", "_sr_enc")

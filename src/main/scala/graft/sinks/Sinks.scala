@@ -172,8 +172,9 @@ object Sink {
     * batch, the tail flushes last. Delivery rides
     * [[graft.streaming.CheckBatching.deliver]] (two-pass
     * spool-partitioned, distributed prefix sum). Each flush gets the
-    * distinct, monotonic batch id `parent * MaxFlushes + k`, so inner
-    * idempotence/fencing stays keyed per flush.
+    * distinct, monotonic batch id `parent * maxFlushes + k`, so inner
+    * idempotence/fencing stays keyed per flush (k < maxFlushes by
+    * deliver's cap, so ids never alias across parent batches).
     *
     * `spoolRoot` must be a SHARED filesystem path on a multi-node
     * cluster (executors write the spool, the driver re-lists it) —
@@ -183,7 +184,10 @@ object Sink {
     * than silently losing batches.
     */
   final case class CheckBatched(inner: Sink, check: String,
-                                spoolRoot: Option[String] = None) extends Sink {
+                                spoolRoot: Option[String] = None,
+                                maxFlushes: Int =
+                                  graft.streaming.CheckBatching.MaxFlushes)
+      extends Sink {
     def write(batch: DataFrame, batchId: Long): Unit = {
       val master = batch.sparkSession.sparkContext.master
       require(spoolRoot.nonEmpty || master.startsWith("local"),
@@ -199,9 +203,14 @@ object Sink {
         case None =>
           java.nio.file.Files.createTempDirectory("graft-cb").toString
       }
+      // the id stride IS the per-call flush cap: deliver() guarantees
+      // k < maxFlushes, so flush ids from different parent batches can
+      // never collide — raising the cap raises the stride with it
+      // (r4 ADVICE: a cap above a fixed stride would alias ids across
+      // parents and break inner sink fencing)
       try graft.streaming.CheckBatching.deliver(batch, check, spool,
-        (b, k) => inner.write(b,
-          batchId * graft.streaming.CheckBatching.MaxFlushes + k))
+        (b, k) => inner.write(b, batchId * maxFlushes + k),
+        maxBatches = maxFlushes)
       finally {
         // Hadoop FS delete handles both the local temp and a shared
         // (hdfs://, s3a://, …) spool — without it a long-running

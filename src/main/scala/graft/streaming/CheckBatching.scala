@@ -41,15 +41,28 @@ object CheckBatching {
     */
   val MaxFlushes = 4096
 
-  /** Annotate `df` (ordered by `seq` when present) with the reference
-    * batch id of each row under `check`. Pure pass-1: no spool, no
-    * delivery — the testable core.
+  /** Annotate `df` (in `orderCol` order) with the reference batch id
+    * of each row under `check`. Pure pass-1: no spool, no delivery —
+    * the testable core.
+    *
+    * The order column is REQUIRED: flush boundaries are defined by
+    * reference message order, and the silent fall-back to partition
+    * order (`monotonically_increasing_id`) that the data-plane prefix
+    * sum allows would make batch cuts nondeterministic after any
+    * upstream repartition (r4 ADVICE) — fail loudly instead.
     */
-  def withBatchIds(df: DataFrame, check: String): DataFrame = {
+  def withBatchIds(df: DataFrame, check: String,
+                   orderCol: String = "seq"): DataFrame = {
+    require(df.columns.contains(orderCol),
+      s"check-batching needs an explicit order column '$orderCol' to define " +
+        "flush boundaries; without one the cuts would follow partition " +
+        "layout, not reference message order — add the column or name " +
+        "another via orderCol")
     val ind = when(
       coalesce(graft.dsl.Processor.exprOf(check, df), lit(false)), 1L)
       .otherwise(0L)
-    graft.dsl.BatchOrdinals.withExclusivePrefixSum(df, ind, BatchCol)
+    graft.dsl.BatchOrdinals.withExclusivePrefixSum(df, ind, BatchCol,
+      col(orderCol).cast("long"))
   }
 
   /** Two-pass delivery: spool once partitioned by batch id, then flush
@@ -59,13 +72,14 @@ object CheckBatching {
     */
   def deliver(df: DataFrame, check: String, spoolDir: String,
               sink: (DataFrame, Long) => Unit,
-              maxBatches: Int = MaxFlushes): Long = {
+              maxBatches: Int = MaxFlushes,
+              orderCol: String = "seq"): Long = {
     val spark = df.sparkSession
     // an empty frame flushes nothing (upstream closes with no leftover
     // batch); without this guard the partitioned spool write emits no
     // data files and the read-back dies on schema inference
     if (df.isEmpty) return 0L
-    withBatchIds(df, check)
+    withBatchIds(df, check, orderCol)
       .write.mode("overwrite").partitionBy(BatchCol).parquet(spoolDir)
     // the partition column comes back type-inferred (int for small
     // ids) — normalize to long

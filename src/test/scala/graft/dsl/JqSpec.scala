@@ -242,6 +242,24 @@ class JqSpec extends SparkTestBase {
     intercept[Exception](run("sort_by(.a, .b)", """[{"a":2,"b":1}]"""))
   }
 
+  test("dynamic keys with quote/bracket chars are a LOUD error, not a silent null (r4 ADVICE)") {
+    // Spark's JSON-path grammar cannot escape a quote or bracket inside
+    // $['…'], so a data-driven key containing one would silently alter
+    // the path; the engine raises instead
+    val ok = """{"m":{"plain":1},"k":"plain"}"""
+    assert(one(".m[.k]", ok).contains("1"))
+    def loud(program: String, doc: String): Unit = {
+      val e = intercept[Exception](run(program, doc))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("not addressable")))
+    }
+    loud(".m[.k]", """{"m":{"a'b":1},"k":"a'b"}""")
+    loud(".m[.k]", """{"m":{"a]b":1},"k":"a]b"}""")
+    loud("""[.ks[] as $k | has($k)]""", """{"ks":["x'y"],"x'y":1}""")
+    loud("getpath(.p)", """{"p":["a'b"],"a'b":1}""")
+  }
+
   test("has(): numeric args are array index-existence checks (jq-exact)") {
     // jq: ["a","b"] | [has(1), has(2)] -> [true,false]; has(-1) -> false
     assert(one("[has(1), has(2), has(-1)]", """["a","b"]""")

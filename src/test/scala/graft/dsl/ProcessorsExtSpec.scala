@@ -377,5 +377,12 @@ class ProcessorsExtSpec extends SparkTestBase {
     assert(encOut(1).isNullAt(0)
       && encOut(1).getString(1).contains("malformed json"))
     assert(encOut(2).isNullAt(0) && encOut(2).isNullAt(1))
+    // JSON that PARSES but violates the schema (null in the
+    // non-nullable `v`) is a distinct failure mode with its own label
+    // (r4 ADVICE: it used to read `malformed json`)
+    val viol = enc(Seq("""{"v":null}""", """{"other":1}""").toDF("content"))
+      .select("content", "_error").collect()
+    assert(viol.forall(r => r.isNullAt(0)
+      && r.getString(1).contains("schema violation")))
   }
 }
