@@ -2465,7 +2465,7 @@ object SparkEntry {
             |root.event_id = this.event_id
             |root.doc = "{\"a\":[" + $k.string() + "," + ($k + 3).string() + "," + ($k + 6).string() + "],\"ps\":[[\"a\",0],[\"a\",2]]}"
             |""".stripMargin),
-        PJq("""{f: first(.a[] | select(. % 2 == 0)), s: add(limit(2; .a[])), n: [range(2)], m: (.a | map(., . + 1)) | add, g: [getpath(.ps[])], w: [pow(2; range(3))], h: [has("a", "z")]}""", "doc")))
+        PJq("""{f: first(.a[] | select(. % 2 == 0)), s: add(limit(2; .a[])), n: [range(2)], m: (.a | map(., . + 1)) | add, g: [getpath(.ps[])], w: [pow(2; range(3))], h: [has("a", "z")], r: [range(0; 0.5; 0.1)]}""", "doc")))
       pipe(t(s, dir, "events")).orderBy("event_id", "doc")
     }),
 
@@ -4176,7 +4176,7 @@ object SparkEntry {
         |  || ',"s":' || CAST(2 * k + 3 AS VARCHAR)
         |  || ',"n":[0,1],"m":' || CAST(6 * k + 21 AS VARCHAR)
         |  || ',"g":[' || CAST(k AS VARCHAR) || ',' || CAST(k + 6 AS VARCHAR)
-        |  || '],"w":[1,2,4],"h":[true,false]}' AS doc
+        |  || '],"w":[1,2,4],"h":[true,false],"r":[0,0.1,0.2,0.30000000000000004,0.4]}' AS doc
         |FROM k ORDER BY event_id, doc""".stripMargin,
 
     "q_jq_dynpath" ->

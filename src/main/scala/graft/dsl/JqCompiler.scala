@@ -358,13 +358,16 @@ object JqCompiler {
         // jq's arithmetic-sequence generator. Elements render like
         // numbers (integral values drop the .0). step 0 — jq's
         // infinite stream — yields the empty stream here (documented:
-        // an unbounded stream cannot be a column). FRACTIONAL steps:
-        // elements are from + i*step and count = ceil((upto-from)/
-        // step), not jq's accumulate-and-compare loop — the two can
-        // differ by one element and in low float bits near the end of
-        // the range (range(0;1;0.1): 10 here, 11 in jq, whose
-        // accumulated 0.999… still compares < 1). Integer steps are
-        // exact; documented delta for fractional ones.
+        // an unbounded stream cannot be a column). Semantics are jq's
+        // ACCUMULATE loop (`v = from; while v <|> upto: emit v; v +=
+        // step`) run as a one-pass array fold, so fractional steps
+        // match jq bit-for-bit — including the tail element jq's
+        // accumulated error keeps (range(0;1;0.1) = 11 elements, the
+        // last 0.9999999999999999) that the closed-form
+        // `from + i*step` family drops (r4 VERDICT #7). The fold is
+        // bounded by ceil((upto-from)/step)+1 iterations: float error
+        // moves the while-exit by at most one element off the closed
+        // form.
         case Fn("range", rargs) =>
           require(rargs.nonEmpty && rargs.size <= 3,
             "jq: range takes 1-3 arguments")
@@ -386,9 +389,20 @@ object JqCompiler {
           val n = when(step > 0, ceil((upto - from) / step))
             .when(step < 0, ceil((from - upto) / -step))
             .otherwise(lit(0)).cast("int")
-          (when(n > 0, transform(sequence(lit(0), n - 1),
-            i => stripDot0(from + i.cast("double") * step)))
-            .otherwise(emptyOut), None)
+          val iters = sequence(lit(1), greatest(n + 1, lit(1)))
+          val out = aggregate(
+            iters,
+            struct(from.cast("double").as("acc"), emptyOut.as("vals")),
+            (s, _) => {
+              val acc = s.getField("acc")
+              val emit = when(step > 0, acc < upto)
+                .when(step < 0, acc > upto).otherwise(lit(false))
+              struct((acc + step).as("acc"),
+                when(emit, concat(s.getField("vals"), array(stripDot0(acc))))
+                  .otherwise(s.getField("vals")).as("vals"))
+            },
+            s => s.getField("vals"))
+          (coalesce(out, emptyOut), None)
         // jq's `empty`: the zero-output stream
         case Fn("empty", _) => (emptyOut, None)
         // `..` / recurse: preorder self-then-children traversal,

@@ -31,12 +31,22 @@ package object ops {
     * input is one partition, so a 5000-doc corpus would compute 64
     * hash passes per doc on a single core while 31 idle (measured:
     * signatures 5.6 s -> sub-second at local[32]). Spread to the
-    * session's default parallelism when the input has fewer
-    * partitions; a no-op at real scale, where inputs already carry
-    * more partitions than cores and the shuffle would be pure cost.
+    * session's default parallelism when the input is too SMALL to
+    * split into that many scan partitions; a no-op at real scale,
+    * where inputs already carry more partitions than cores and the
+    * shuffle would be pure cost.
+    *
+    * The smallness test reads the optimizer's size estimate — NOT
+    * `df.rdd.getNumPartitions`, which forces the plan into an RDD
+    * lineage on every call and hides the frame from AQE downstream
+    * (VERDICT r4 #5). Frames with unknown stats estimate huge
+    * (defaultSizeInBytes) and correctly skip the spread.
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    val maxPart = sess.sessionState.conf.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < BigInt(target) * maxPart) df.repartition(target) else df
   }
 }

@@ -212,6 +212,28 @@ class JqSpec extends SparkTestBase {
     assert(e.getMessage.contains("unbounded"))
   }
 
+  test("range with fractional steps matches jq's accumulate loop bit-for-bit (r5)") {
+    // all four pinned against jq 1.x on this machine — including the
+    // tail element jq's accumulated float error keeps (0.999… < 1)
+    // that the closed-form from+i*step family drops
+    assert(one("[range(0; 1; 0.1)]", "1").contains(
+      "[0,0.1,0.2,0.30000000000000004,0.4,0.5,0.6,0.7," +
+        "0.7999999999999999,0.8999999999999999,0.9999999999999999]"))
+    assert(one("[range(0; 0.5; 0.1)]", "1").contains(
+      "[0,0.1,0.2,0.30000000000000004,0.4]"))
+    assert(one("[range(2; -1; -0.7)]", "1").contains(
+      "[2,1.3,0.6000000000000001,-0.09999999999999987,-0.7999999999999998]"))
+    assert(one("[range(1; 2; 0.3)]", "1").contains(
+      "[1,1.3,1.6,1.9000000000000001]"))
+    // integer steps and reverse ranges stay exact
+    assert(one("[range(5)]", "1").contains("[0,1,2,3,4]"))
+    assert(one("[range(2; 10; 3)]", "1").contains("[2,5,8]"))
+    assert(one("[range(3; 0; -1)]", "1").contains("[3,2,1]"))
+    assert(one("[range(5; 5)]", "1").contains("[]"))
+    // DYNAMIC zero step: empty stream, documented (literal 0 is loud)
+    assert(one("[range(0; 3; .z)]", """{"z":0}""").contains("[]"))
+  }
+
   test("dynamic path indices (r4): .a[.i], .[$k], negative indices, stream index") {
     // all jq-verified on these exact inputs
     val doc = """{"a":[10,20,30],"i":1}"""
