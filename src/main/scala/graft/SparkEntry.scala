@@ -597,10 +597,15 @@ object SparkEntry {
     }),
 
     "q_knn_ivf" -> ((s, dir) => {
-      // approximate — no SQL oracle; recall-vs-brute asserted in OpsSpec
+      // FULL-probe IVF (nProbe = numCells) is exact — every cell is
+      // scored, so the result equals brute-force top-k and the DuckDB
+      // cosine oracle checks the whole index pipeline (assignment,
+      // cell partitioning, probe join, scoring) value-exactly (r4
+      // VERDICT #5). Approximate-recall behavior at lower nProbe
+      // stays pinned in OpsSpec.
       val e = t(s, dir, "embeddings")
       val idx = Similarity.buildIvf(e.filter(col("vec_id") >= 10), numCells = 16)
-      Similarity.ivfKnn(idx, e.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+      Similarity.ivfKnn(idx, e.filter(col("vec_id") < 10), k = 5, nProbe = 16)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -608,15 +613,19 @@ object SparkEntry {
     "q_knn_pq" -> ((s, dir) => {
       // IVF-PQ with exact refine (faiss IVFPQ + RefineFlat shape):
       // m-byte residual codes shortlist candidates by asymmetric
-      // distance, full-precision point reads re-rank — approximate
-      // (no SQL oracle; shortlist/refine recall pinned in OpsSpec)
+      // distance, full-precision point reads re-rank. Full probes +
+      // a shortlist covering the corpus make the refine output EXACT
+      // (the shortlist provably contains the true top-k), so the
+      // brute-force DuckDB oracle checks the train/quantize/
+      // asymmetric-score/refine plumbing value-exactly (r4 VERDICT
+      // #5); shortlist recall at tight budgets stays in OpsSpec.
       val e = t(s, dir, "embeddings")
       val corpus = e.filter(col("vec_id") >= 10)
       val idx = Similarity.buildIvf(corpus, numCells = 16)
       val cb = Similarity.trainPq(idx, m = 8, ks = 16)
       val pqIdx = Similarity.quantizePq(idx, cb)
       Similarity.ivfPqKnn(pqIdx, corpus, e.filter(col("vec_id") < 10),
-        k = 5, nProbe = 4, shortlist = 20)
+        k = 5, nProbe = 16, shortlist = 4000)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -3182,6 +3191,30 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
 
     "q_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_cosine_similarity(qv, cv) AS sim FROM q CROSS JOIN c)
+        |SELECT query_id, neighbor_id, rank FROM
+        |(SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        | FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // full-probe IVF and full-shortlist IVF-PQ+refine are exact, so
+    // both share the brute-force cosine oracle (r4 VERDICT #5)
+    "q_knn_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_cosine_similarity(qv, cv) AS sim FROM q CROSS JOIN c)
+        |SELECT query_id, neighbor_id, rank FROM
+        |(SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        | FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_pq" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
         |s AS (SELECT query_id, neighbor_id,
