@@ -244,4 +244,89 @@ class LakeMaintenanceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](lake.rebucket(spark, 2))
     intercept[IllegalArgumentException](lake.rebucket(spark, 0))
   }
+
+  test("manifest-scale audit: 10^5-file snapshot plans commits/diffs in O(touched buckets)") {
+    // The two-level manifest design predicts commit + incremental-read
+    // planning stay O(touched buckets) no matter how many data files
+    // the table holds (r4 VERDICT stretch #9) — prove it at 10^5 files
+    // without writing 10^5 parquet files: fabricate per-bucket
+    // manifests THROUGH THE PRODUCTION case classes/format (the same
+    // json4s serialization writeManifest uses), splice them into a
+    // fabricated snapshot, and then run REAL public-API operations
+    // against it. The fake file paths do not exist on disk, so any
+    // operation that were to touch an untouched bucket's data would
+    // fail loudly instead of passing slowly.
+    import org.json4s.{DefaultFormats, Formats}
+    import org.json4s.jackson.Serialization
+    implicit val fmt: Formats = DefaultFormats
+    val b = 256; val filesPerBucket = 400
+    val lake = new LakeTable(tmpDir("manifscale"), buckets = b)
+    lake.initIfNeeded(userSchema)
+    lake.merge(batch(Seq((0L, "upsert", "rA", "p0", "v0"))), 0L)
+    val v0 = lake.snapshot(lake.currentVersion())
+
+    // fabricated bucket-consistent repo names (bucketOfRepo must match
+    // the entry's bucket — same invariant real manifests carry), with
+    // ranges far from "rA" so the touched bucket's CoW pruning skips
+    // every fake file
+    val byBucket = Iterator.from(0).map(i => s"zfake$i")
+      .map(n => LakeTable.bucketOfRepo(n, b) -> n)
+      .take(40000).toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val mdir = Paths.get(lake.root, "meta", "manifests")
+    val fakeRefs = (0 until b).map { bk =>
+      val names = byBucket.getOrElse(bk, Seq(s"zfake-b$bk"))
+      val files = (0 until filesPerBucket).map { j =>
+        val repo = names(j % names.size)
+        LakeTable.DataFileMeta(s"data/fake/b$bk-$j.parquet", bk,
+          minRepo = Some(repo), maxRepo = Some(repo), rows = 1L)
+      }
+      val name = f"m99999999-b$bk%04d-fake.json"
+      Files.writeString(mdir.resolve(name), Serialization.write(files))
+      LakeTable.ManifestRef(bk, s"meta/manifests/$name", files.size,
+        filesPerBucket.toLong)
+    }
+    val v1 = v0.copy(version = v0.version + 1,
+      manifests = v0.manifests ++ fakeRefs)
+    Files.writeString(Paths.get(lake.root, "meta", f"v${v1.version}%08d.json"),
+      Serialization.writePretty(v1))
+    val total = b * filesPerBucket + v0.manifests.map(_.fileCount).sum
+    assert(total >= 100000)
+
+    // metadata full listing at 10^5 entries is seconds, not minutes
+    val t0 = System.nanoTime()
+    assert(lake.files(v1.version).size == total)
+    val listSec = (System.nanoTime() - t0) / 1e9
+    assert(listSec < 20.0, f"full manifest listing took $listSec%.1f s")
+
+    // a real CoW merge against the 10^5-file table: touches rA's
+    // bucket only; fake files in that bucket are range-pruned (never
+    // opened — they do not exist), every OTHER bucket's manifest ref
+    // is carried over byte-identical, and planning cost is O(touched)
+    val t1 = System.nanoTime()
+    lake.merge(batch(Seq((1L, "upsert", "rA", "p0", "v1"))), 1L)
+    val mergeSec = (System.nanoTime() - t1) / 1e9
+    assert(mergeSec < 60.0, f"merge planning degraded: $mergeSec%.1f s")
+    val v2 = lake.snapshot(lake.currentVersion())
+    assert(v2.version == v1.version + 1)
+    val touched = LakeTable.bucketOfRepo("rA", b)
+    val v1Refs = v1.manifests.map(r => r.bucket -> r.path).toSet
+    val v2Refs = v2.manifests.map(r => r.bucket -> r.path).toSet
+    // every untouched bucket's refs survive as-is; only rA's bucket re-wrote
+    assert((v1Refs diff v2Refs).forall(_._1 == touched))
+    assert((v2Refs diff v1Refs).forall(_._1 == touched))
+    // the rewritten bucket re-lists its pruned-but-kept fake entries
+    assert(lake.files(v2.version).size == total)
+    // and the merged row reads back through the PRUNED read path —
+    // which doubles as the pruning proof: any manifest/range-pruning
+    // regression would open a fake path and die on PATH_NOT_FOUND
+    assert(lake.readRepos(spark, Seq("rA"))
+      .select("content").collect().map(_.getString(0)).toSeq == Seq("v1"))
+
+    // incremental read planning: fileDiff opens only the differing refs
+    val t2 = System.nanoTime()
+    val (added, removed) = lake.fileDiff(v1.version, v2.version)
+    val diffSec = (System.nanoTime() - t2) / 1e9
+    assert(diffSec < 10.0, f"fileDiff opened too much: $diffSec%.1f s")
+    assert(added.forall(_.bucket == touched) && removed.forall(_.bucket == touched))
+  }
 }
