@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -115,23 +116,42 @@ object Dedup {
   /** Bounded candidate pairs (id_a < id_b, distinct) from a keyed
     * bucket frame (`id` + `keyCols`): full intra-bucket self-join for
     * buckets <= `bucketCap`, star-with-minimum for oversized buckets
-    * (see [[DefaultBucketCap]]). One extra aggregate + join on the
-    * SAME key as the self-join — post-shuffle both sides are already
-    * hash-partitioned on the bucket key, so no new exchange shape.
+    * (see [[DefaultBucketCap]]). Bucket size and representative are
+    * annotated by a WINDOW over the bucket key, not an aggregate +
+    * join-back: the window's hash partitioning is exactly the
+    * self-join's, so the join reuses the one exchange and the capped
+    * plan shuffles the keyed frame ONCE, same as the uncapped r4
+    * shape (the first agg+join cut of this helper tripled the keyed
+    * shuffle volume and showed up as +2-3 s on the sf0.1 dedup bench
+    * cells). A degenerate bucket buffers its group in WindowExec —
+    * spill-backed, linear, and exactly the case the star routing then
+    * bounds.
     */
   private[ops] def cappedBucketPairs(keyed: DataFrame, keyCols: Seq[String],
-                                     bucketCap: Int): DataFrame = {
+                                     bucketCap: Int,
+                                     carry: Seq[String] = Nil): DataFrame = {
     require(bucketCap >= 2, "bucketCap must be >= 2")
-    val stats = keyed.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("bkt_rep"))
-    val kz = keyed.join(stats, keyCols)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    // min(struct(id, carry…)) is the bucket representative WITH its
+    // carried payload (struct order = id order), so the star path
+    // never needs a join-back for the rep's values. `carry` is for
+    // SMALL fixed-width payloads a verify step needs (a 64-bit
+    // signature) — never vectors/shingles, which would ride the wide
+    // pair shuffle (the r2 scale leak this family already closed).
+    val kz = keyed
+      .withColumn("bkt_n", count(lit(1)).over(w))
+      .withColumn("_rep", min(struct(("id" +: carry).map(col): _*)).over(w))
     val small = kz.filter(col("bkt_n") <= bucketCap)
     val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col("a.id") < col("b.id")
+    def sides(c: String) =
+      Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))
     val full = small.as("a").join(small.as("b"), joinCond)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val star = kz.filter(col("bkt_n") > bucketCap && col("id") =!= col("bkt_rep"))
-      .select(col("bkt_rep").as("id_a"), col("id").as("id_b"))
+      .select(sides("id") ++ carry.flatMap(sides): _*)
+    val star = kz.filter(col("bkt_n") > bucketCap && col("id") =!= col("_rep.id"))
+      .select(col("_rep.id").as("id_a") +: col("id").as("id_b") +:
+        carry.flatMap(c =>
+          Seq(col(s"_rep.$c").as(s"${c}_a"), col(c).as(s"${c}_b"))): _*)
     full.union(star).distinct()
   }
 
@@ -264,14 +284,14 @@ object Dedup {
       shiftright(sim, offsets(i)).bitwiseAND(
         lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
     val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
-    val keyed = sigs.select(col("id"),
+    val keyed = sigs.select(col("id"), col("sig"),
       posexplode(array(combos.map { c =>
         xxhash64(c.map(i => blockVal(col("sig"), i)): _*)
       }: _*)).as(Seq("table_idx", "bkey")))
-    val s = sigs.select(col("id"), col("sig"))
-    cappedBucketPairs(keyed, Seq("table_idx", "bkey"), bucketCap)
-      .join(s.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a")), "id_a")
-      .join(s.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b")), "id_b")
+    // the 8-byte signature rides the pair join as a carry column, so
+    // the popcount verify needs no join-back
+    cappedBucketPairs(keyed, Seq("table_idx", "bkey"), bucketCap,
+        carry = Seq("sig"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
