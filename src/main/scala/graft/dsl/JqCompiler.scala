@@ -389,8 +389,19 @@ object JqCompiler {
           val n = when(step > 0, ceil((upto - from) / step))
             .when(step < 0, ceil((from - upto) / -step))
             .otherwise(lit(0)).cast("int")
+          // INTEGRAL from/step: from + i*step is exact in doubles (up
+          // to 2^53), so the closed form IS the accumulate loop —
+          // keep it, because it is O(n) where the array fold below is
+          // O(n²) in copies (each step concats the accumulated array);
+          // big ranges are integer ranges in practice
+          val closed = when(n > 0, transform(sequence(lit(0), n - 1),
+            i => stripDot0(from + i.cast("double") * step)))
+            .otherwise(emptyOut)
+          // FRACTIONAL step (or from): run jq's accumulate-and-compare
+          // loop as an array fold, bounded by the closed-form count +1
+          // (float error moves the while-exit at most one element)
           val iters = sequence(lit(1), greatest(n + 1, lit(1)))
-          val out = aggregate(
+          val fold = aggregate(
             iters,
             struct(from.cast("double").as("acc"), emptyOut.as("vals")),
             (s, _) => {
@@ -402,7 +413,8 @@ object JqCompiler {
                   .otherwise(s.getField("vals")).as("vals"))
             },
             s => s.getField("vals"))
-          (coalesce(out, emptyOut), None)
+          val integral = from === floor(from) && step === floor(step)
+          (when(integral, closed).otherwise(coalesce(fold, emptyOut)), None)
         // jq's `empty`: the zero-output stream
         case Fn("empty", _) => (emptyOut, None)
         // `..` / recurse: preorder self-then-children traversal,

@@ -232,6 +232,12 @@ class JqSpec extends SparkTestBase {
     assert(one("[range(5; 5)]", "1").contains("[]"))
     // DYNAMIC zero step: empty stream, documented (literal 0 is loud)
     assert(one("[range(0; 3; .z)]", """{"z":0}""").contains("[]"))
+    // integral ranges stay on the O(n) closed form — a big range must
+    // complete fast (the fractional fold is O(n²) in array copies)
+    assert(one("[range(100000)] | length", "1").contains("100000"))
+    // fractional FROM with integral step routes through the fold and
+    // still matches jq (0.5 is exact in binary: both paths agree)
+    assert(one("[range(0.5; 3; 1)]", "1").contains("[0.5,1.5,2.5]"))
   }
 
   test("dynamic path indices (r4): .a[.i], .[$k], negative indices, stream index") {
