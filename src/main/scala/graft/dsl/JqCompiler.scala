@@ -168,6 +168,13 @@ object JqCompiler {
 
   private val emptyOut = array().cast("array<string>")
 
+  /** Loud bound on fractional-step `range` streams: the accumulate
+    * fold copies the result array per step (O(n²)), so past this many
+    * elements it errors instead of hanging; integral ranges are O(n)
+    * and uncapped.
+    */
+  val FractionalRangeCap: Int = 65536
+
   /** Unroll depth of `..`/recurse — documents nested deeper lose the
     * tail (documented cap: a column cannot recurse unboundedly). The
     * unrolled expression grows LINEARLY with the cap (each level wraps
@@ -399,8 +406,13 @@ object JqCompiler {
             .otherwise(emptyOut)
           // FRACTIONAL step (or from): run jq's accumulate-and-compare
           // loop as an array fold, bounded by the closed-form count +1
-          // (float error moves the while-exit at most one element)
-          val iters = sequence(lit(1), greatest(n + 1, lit(1)))
+          // (float error moves the while-exit at most one element).
+          // The fold's per-step array concat is O(n²) in copies, so a
+          // LOUD cap bounds it — a million-element fractional range
+          // must error, not hang (r5 review); integral ranges of any
+          // size stay on the O(n) closed form below
+          val iters = sequence(lit(1),
+            least(greatest(n + 1, lit(1)), lit(FractionalRangeCap + 1)))
           val fold = aggregate(
             iters,
             struct(from.cast("double").as("acc"), emptyOut.as("vals")),
@@ -413,8 +425,15 @@ object JqCompiler {
                   .otherwise(s.getField("vals")).as("vals"))
             },
             s => s.getField("vals"))
+          val guardedFold = when(n > FractionalRangeCap,
+            raise_error(concat(
+              lit(s"jq: fractional-step range of "), n.cast("string"),
+              lit(s" elements exceeds the $FractionalRangeCap cap — the " +
+                "accumulate fold is quadratic in copies; use an integral " +
+                "step or shrink the range"))).cast("array<string>"))
+            .otherwise(coalesce(fold, emptyOut))
           val integral = from === floor(from) && step === floor(step)
-          (when(integral, closed).otherwise(coalesce(fold, emptyOut)), None)
+          (when(integral, closed).otherwise(guardedFold), None)
         // jq's `empty`: the zero-output stream
         case Fn("empty", _) => (emptyOut, None)
         // `..` / recurse: preorder self-then-children traversal,
@@ -961,15 +980,18 @@ object JqCompiler {
 
   /** A dynamically rendered object key about to splice between the
     * quotes of a `$['…']` JSON path. Spark's JSON-path grammar has no
-    * escape for a quote or bracket inside a quoted segment, so a
-    * data-driven key containing one would silently ALTER the path and
-    * yield null where jq returns the value (r4 ADVICE): reject loudly
-    * instead — the one key shape this engine cannot address.
+    * escape for a quote or bracket inside a quoted segment, and
+    * rejects the empty quoted segment `$['']` outright (verified on
+    * 4.1.2) — any of those keys would silently ALTER or void the path
+    * and yield null where jq returns the value (r4 ADVICE, r5
+    * review): reject loudly instead — the key shapes this engine
+    * cannot address.
     */
   private def guardedDynKey(k: Column): Column =
-    when(k.rlike("['\\[\\]]"),
-      raise_error(concat(lit("jq: dynamic object key containing a quote/bracket " +
-        "is not addressable via a JSON path: "), k)))
+    when(k.rlike("['\\[\\]]") || k === "",
+      raise_error(concat(lit("jq: dynamic object key containing a quote/" +
+        "bracket (or the empty key) is not addressable via a JSON path: '"),
+        k, lit("'"))))
       .otherwise(k)
 
   private def eval(e: E, in: JqVal): (JqVal, Option[Column]) = e match {
@@ -1404,10 +1426,22 @@ object JqCompiler {
     def arg(i: Int): JqVal = eval(args(i), in)._1
     val out = name match {
       case "not" => JqVal(!boolOf(in), TBool)
+      // jq length is kind-polymorphic: array → elements, object →
+      // keys, string → codepoints, number → ABSOLUTE VALUE, null → 0
+      // (r5 review — the old text-length fallback measured an object's
+      // raw JSON text and died on null instead of yielding 0). A bare
+      // `true`/`false` keeps the textual fallback (4/5) rather than
+      // jq's error — the documented quoted-vs-bare string ambiguity.
       case "length" => in.t match {
         case TStr => JqVal(length(in.col).cast("double"), TNum)
+        case TNum => JqVal(abs(num(in)), TNum)
         case TJson => JqVal(
-          when(in.col.rlike("^\\["), json_array_length(in.col).cast("double"))
+          when(in.col.isNull || in.col === "null", lit(0.0))
+            .when(in.col.rlike("^\\["), json_array_length(in.col).cast("double"))
+            .when(in.col.rlike("^\\{"),
+              size(json_object_keys(in.col)).cast("double"))
+            .when(in.col.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
+              abs(in.col.cast("double")))
             .otherwise(length(in.col.cast("string")).cast("double")), TNum)
         case _ => throw new IllegalArgumentException(s"jq: length on ${in.t}")
       }

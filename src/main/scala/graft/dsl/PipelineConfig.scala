@@ -459,19 +459,27 @@ object PipelineConfig {
       case Some(b) =>
         import scala.jdk.CollectionConverters._
         val unknown = b.fieldNames().asScala.toSet --
-          Set("check", "spool", "max_flushes")
+          Set("check", "spool", "max_flushes", "order")
         require(unknown.isEmpty,
-          s"output batching supports {check, spool, max_flushes}; got " +
+          s"output batching supports {check, spool, max_flushes, order}; got " +
             s"${unknown.mkString(", ")} " +
             "— count/byte_size/period are micro-batch TRIGGER settings " +
             "(maxFilesPerTrigger / trigger period), not sink config")
         val check = opt(b, "check").map(_.asText).getOrElse(throw
           new IllegalArgumentException("output batching needs a `check`"))
         require(check.nonEmpty, "output batching `check` must be non-empty")
+        val maxFlushes = opt(b, "max_flushes").map { n =>
+          require(n.isIntegralNumber && n.asInt >= 1,
+            s"batching.max_flushes must be a positive integer, got $n")
+          n.asInt
+        }.getOrElse(graft.streaming.CheckBatching.MaxFlushes)
+        val order = opt(b, "order").map { n =>
+          require(n.isTextual && n.asText.nonEmpty,
+            s"batching.order must name a column, got $n")
+          n.asText
+        }.getOrElse("seq")
         graft.sinks.Sink.CheckBatched(sink, check,
-          opt(b, "spool").map(_.asText),
-          opt(b, "max_flushes").map(_.asInt)
-            .getOrElse(graft.streaming.CheckBatching.MaxFlushes))
+          opt(b, "spool").map(_.asText), maxFlushes, order)
     }
 
   /** Output section → [[graft.sinks.Sink]] tree (SURVEY.md §2.4). */

@@ -274,7 +274,18 @@ object Dedup {
     * columns. Output: (id_a, id_b, hamming), id_a < id_b.
     */
   def hammingNearDups(sigs: DataFrame, maxHamming: Int, blocks: Int,
-                      bucketCap: Int = DefaultBucketCap): DataFrame = {
+                      bucketCap: Int = DefaultBucketCap): DataFrame =
+    // the 8-byte signature rides the pair join as a carry column, so
+    // the popcount verify needs no join-back
+    cappedBucketPairs(hammingKeyed(sigs, maxHamming, blocks),
+        Seq("table_idx", "bkey"), bucketCap, carry = Seq("sig"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+
+  /** (id, sig, table_idx, bkey) block-combination bucket rows. */
+  private def hammingKeyed(sigs: DataFrame, maxHamming: Int,
+                           blocks: Int): DataFrame = {
     require(blocks > maxHamming && blocks <= 16,
       s"hamming blocking needs maxHamming < blocks <= 16, got h=$maxHamming blocks=$blocks")
     val base = 64 / blocks; val extra = 64 % blocks
@@ -284,18 +295,22 @@ object Dedup {
       shiftright(sim, offsets(i)).bitwiseAND(
         lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
     val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
-    val keyed = sigs.select(col("id"), col("sig"),
+    sigs.select(col("id"), col("sig"),
       posexplode(array(combos.map { c =>
         xxhash64(c.map(i => blockVal(col("sig"), i)): _*)
       }: _*)).as(Seq("table_idx", "bkey")))
-    // the 8-byte signature rides the pair join as a carry column, so
-    // the popcount verify needs no join-back
-    cappedBucketPairs(keyed, Seq("table_idx", "bkey"), bucketCap,
-        carry = Seq("sig"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
   }
+
+  /** [[oversizedMinHashBuckets]]'s twin for the Hamming search family
+    * (SimHash text, dHash image, audio-envelope near-dups): one row
+    * per block-combination bucket past the cap. Empty ⇒ the pair list
+    * equals the exact uncapped enumeration.
+    */
+  def oversizedHammingBuckets(sigs: DataFrame, maxHamming: Int, blocks: Int,
+                              bucketCap: Int = DefaultBucketCap): DataFrame =
+    hammingKeyed(sigs, maxHamming, blocks)
+      .groupBy("table_idx", "bkey").agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") > bucketCap)
 
   // ------------------------------------------------------------------
   // n-gram Jaccard (shared-shingle candidate join)

@@ -335,16 +335,22 @@ object Multimodal {
   }
 
   /** Near-duplicate image pairs: dHash signatures through the same
-    * EXACT Manku block-combination Hamming search as SimHash text
-    * dedup ([[Dedup.hammingNearDups]]) — bucket-join candidates, true
-    * popcount verify, never all-pairs. Output (id_a, id_b, hamming).
+    * Manku block-combination Hamming search as SimHash text dedup
+    * ([[Dedup.hammingNearDups]]) — bucket-join candidates, true
+    * popcount verify, never all-pairs. Exact (brute-force-equal) for
+    * every bucket at or under `bucketCap`; past it (>512 identical
+    * dHashes — blank thumbnails, repeated logos) the bucket routes
+    * star pairs against its minimum id, connectivity-preserving for
+    * clustering but NOT the full pair list
+    * ([[Dedup.DefaultBucketCap]]). Output (id_a, id_b, hamming).
     */
   def imageNearDups(envelope: DataFrame, maxHamming: Int = 3,
-                    blocks: Int = 6): DataFrame =
+                    blocks: Int = 6,
+                    bucketCap: Int = Dedup.DefaultBucketCap): DataFrame =
     Dedup.hammingNearDups(
       dHash(envelope).toDF().select(col("media_id").as("id"),
         col("dhash").as("sig")),
-      maxHamming, blocks)
+      maxHamming, blocks, bucketCap)
 
   final case class AudioSig(media_id: Long, ahash: Long)
 
@@ -379,14 +385,17 @@ object Multimodal {
   }
 
   /** Near-duplicate audio pairs: [[audioHash]] signatures through the
-    * exact Manku Hamming search ([[Dedup.hammingNearDups]]).
+    * Manku Hamming search ([[Dedup.hammingNearDups]]) — same
+    * `bucketCap` semantics as [[imageNearDups]] (exact under the cap,
+    * star routing above it).
     */
   def audioNearDups(envelope: DataFrame, maxHamming: Int = 3,
-                    blocks: Int = 6): DataFrame =
+                    blocks: Int = 6,
+                    bucketCap: Int = Dedup.DefaultBucketCap): DataFrame =
     Dedup.hammingNearDups(
       audioHash(envelope).toDF().select(col("media_id").as("id"),
         col("ahash").as("sig")),
-      maxHamming, blocks)
+      maxHamming, blocks, bucketCap)
 
   /** Frame sampling for video-like payloads: split the payload into
     * fixed-size "frames" and keep every `stride`-th — pure Column

@@ -40,13 +40,24 @@ package object ops {
     * `df.rdd.getNumPartitions`, which forces the plan into an RDD
     * lineage on every call and hides the frame from AQE downstream
     * (VERDICT r4 #5). Frames with unknown stats estimate huge
-    * (defaultSizeInBytes) and correctly skip the spread.
+    * (defaultSizeInBytes) and correctly skip the spread. A LARGE input
+    * backed by few NON-SPLITTABLE files (one 10 GB .gz) also scans as
+    * few partitions despite its size — detected by file suffix from
+    * the cheap `inputFiles` listing (r5 review; the size test alone
+    * would have skipped it and re-created the single-core pathology).
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     val target = sess.sparkContext.defaultParallelism
     val maxPart = sess.sessionState.conf.filesMaxPartitionBytes
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (size < BigInt(target) * maxPart) df.repartition(target) else df
+    def fewUnsplittableFiles: Boolean = {
+      val files = try df.inputFiles catch { case _: Exception => Array.empty[String] }
+      files.nonEmpty && files.length < target && files.forall(
+        _.matches("(?i).*\\.(gz|gzip|zst|zstd|bz2|xz|sz|snappy|lz4|deflate)$"))
+    }
+    if (size < BigInt(target) * maxPart || fewUnsplittableFiles)
+      df.repartition(target)
+    else df
   }
 }

@@ -186,7 +186,8 @@ object Sink {
   final case class CheckBatched(inner: Sink, check: String,
                                 spoolRoot: Option[String] = None,
                                 maxFlushes: Int =
-                                  graft.streaming.CheckBatching.MaxFlushes)
+                                  graft.streaming.CheckBatching.MaxFlushes,
+                                orderCol: String = "seq")
       extends Sink {
     def write(batch: DataFrame, batchId: Long): Unit = {
       val master = batch.sparkSession.sparkContext.master
@@ -210,7 +211,7 @@ object Sink {
       // parents and break inner sink fencing)
       try graft.streaming.CheckBatching.deliver(batch, check, spool,
         (b, k) => inner.write(b, batchId * maxFlushes + k),
-        maxBatches = maxFlushes)
+        maxBatches = maxFlushes, orderCol = orderCol)
       finally {
         // Hadoop FS delete handles both the local temp and a shared
         // (hdfs://, s3a://, …) spool — without it a long-running

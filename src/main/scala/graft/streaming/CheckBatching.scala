@@ -58,11 +58,28 @@ object CheckBatching {
         "flush boundaries; without one the cuts would follow partition " +
         "layout, not reference message order — add the column or name " +
         "another via orderCol")
+    // a structurally non-numeric order column would cast to all-null
+    // and silently degrade to partition-order cuts — the exact failure
+    // this guard family exists to prevent (r5 review); reject the TYPE
+    // at the driver and any null-cast VALUE per row at runtime
+    import org.apache.spark.sql.types._
+    val dt = df.schema(df.schema.fieldIndex(orderCol)).dataType
+    require(dt.isInstanceOf[NumericType] || dt == StringType ||
+        dt == TimestampType || dt == DateType,
+      s"check-batching order column '$orderCol' has type ${dt.simpleString} " +
+        "— it cannot define a numeric total order; use a numeric/" +
+        "timestamp column (or numeric strings)")
+    val ord = coalesce(col(orderCol).cast("long"),
+      raise_error(concat(
+        lit(s"check-batching: order column '$orderCol' has a null or " +
+          "non-numeric value ("),
+        coalesce(col(orderCol).cast("string"), lit("null")),
+        lit(") — flush boundaries need a total numeric order")))
+        .cast("long"))
     val ind = when(
       coalesce(graft.dsl.Processor.exprOf(check, df), lit(false)), 1L)
       .otherwise(0L)
-    graft.dsl.BatchOrdinals.withExclusivePrefixSum(df, ind, BatchCol,
-      col(orderCol).cast("long"))
+    graft.dsl.BatchOrdinals.withExclusivePrefixSum(df, ind, BatchCol, ord)
   }
 
   /** Two-pass delivery: spool once partitioned by batch id, then flush

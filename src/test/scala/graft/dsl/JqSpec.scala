@@ -82,6 +82,12 @@ class JqSpec extends SparkTestBase {
   test("builtin functions") {
     assert(one(".s | length", """{"s":"hello"}""").contains("5"))
     assert(one(".arr | length", """{"arr":[1,2,3]}""").contains("3"))
+    // length is kind-polymorphic (jq-exact, r5): object → key count,
+    // number → absolute value, null/missing → 0
+    assert(one("map(length)", """[null,{"x":1,"y":2},-2.5,"ab",[7]]""")
+      .contains("[0,2,2.5,2,1]"))
+    assert(one("[.missing | length]", """{"a":1}""").contains("[0]"))
+    assert(one("(5 - 8) | length", "1").contains("3"))
     assert(one("has(\"k\")", """{"k":1}""").contains("true"))
     assert(one("has(\"z\")", """{"k":1}""").contains("false"))
     assert(one(".k | tostring", """{"k":7}""").contains("7"))
@@ -238,6 +244,10 @@ class JqSpec extends SparkTestBase {
     // fractional FROM with integral step routes through the fold and
     // still matches jq (0.5 is exact in binary: both paths agree)
     assert(one("[range(0.5; 3; 1)]", "1").contains("[0.5,1.5,2.5]"))
+    // a fractional range past the fold cap is a LOUD error, not a hang
+    intercept[Exception](run("[range(0; 40000; 0.5)] | length", "1"))
+    // just under the quadratic cliff still works
+    assert(one("[range(0; 500; 0.5)] | length", "1").contains("1000"))
   }
 
   test("dynamic path indices (r4): .a[.i], .[$k], negative indices, stream index") {
@@ -286,6 +296,9 @@ class JqSpec extends SparkTestBase {
     loud(".m[.k]", """{"m":{"a]b":1},"k":"a]b"}""")
     loud("""[.ks[] as $k | has($k)]""", """{"ks":["x'y"],"x'y":1}""")
     loud("getpath(.p)", """{"p":["a'b"],"a'b":1}""")
+    // the EMPTY key is also unaddressable ($[''] fails Spark's path
+    // parse and silently nulls) — loud too (r5 review)
+    loud(".m[.k]", """{"m":{"":1},"k":""}""")
   }
 
   test("has(): numeric args are array index-existence checks (jq-exact)") {

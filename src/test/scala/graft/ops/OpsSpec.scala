@@ -124,6 +124,10 @@ class OpsSpec extends SparkTestBase {
     val got = Dedup.hammingNearDups(sigs, maxHamming = 3, blocks = 6)
     assert(got.count() == n - 1)
     assert(got.filter(col("hamming") =!= 0).count() == 0)
+    // the loud diagnostics twin: all 20 block-combination tables hold
+    // one oversized bucket each
+    assert(Dedup.oversizedHammingBuckets(sigs, 3, 6).count() == 20)
+    assert(Dedup.oversizedHammingBuckets(sigs.limit(100), 3, 6).count() == 0)
   }
 
   // ------------------------------------------------------------------

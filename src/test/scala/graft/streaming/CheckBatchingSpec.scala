@@ -56,7 +56,7 @@ class CheckBatchingSpec extends SparkTestBase {
       """{"file": {"path": "/tmp/x", "codec": "jsonl",
         |  "batching": {"check": "this.v == \"FLUSH\""}}}""".stripMargin))
     val wrapped = parsed match {
-      case graft.sinks.Sink.CheckBatched(inner, check, _, _) =>
+      case graft.sinks.Sink.CheckBatched(inner, check, _, _, _) =>
         assert(check.contains("FLUSH"))
         assert(inner.isInstanceOf[graft.sinks.Sink.TextDir])
         true
@@ -89,6 +89,32 @@ class CheckBatchingSpec extends SparkTestBase {
       .select("n", CheckBatching.BatchCol).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ids == Map(1L -> 0L, 2L -> 0L))
+    // a structurally non-numeric order column is rejected at the
+    // driver, and a null order VALUE errors at runtime — neither may
+    // silently degrade to partition-order cuts (r5 review)
+    val structs = Seq(("a", 1L)).toDF("v", "n")
+      .withColumn("o", org.apache.spark.sql.functions.struct($"n"))
+    val e2 = intercept[IllegalArgumentException](
+      CheckBatching.withBatchIds(structs, "this.v", orderCol = "o"))
+    assert(e2.getMessage.contains("total order"))
+    val withNull = Seq(("a", java.lang.Long.valueOf(1L)), ("b", null))
+      .toDF("v", "seq")
+    intercept[Exception](
+      CheckBatching.withBatchIds(withNull, "this.v").collect())
+    // the YAML surface names the order column
+    val mapper2 = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val p2 = graft.dsl.PipelineConfig.parseSink(mapper2.readTree(
+      """{"file": {"path": "/tmp/x", "codec": "jsonl",
+        |  "batching": {"check": "this.v", "order": "n", "max_flushes": 7}}}""".stripMargin))
+    p2 match {
+      case graft.sinks.Sink.CheckBatched(_, _, _, mf, oc) =>
+        assert(mf == 7 && oc == "n")
+      case other => fail(s"expected CheckBatched, got $other")
+    }
+    // bad max_flushes is a parse-time error, not a runtime cap-0 death
+    intercept[IllegalArgumentException](graft.dsl.PipelineConfig.parseSink(
+      mapper2.readTree("""{"file": {"path": "/tmp/x", "codec": "jsonl",
+        | "batching": {"check": "this.v", "max_flushes": "plenty"}}}""".stripMargin)))
   }
 
   test("two concurrent deliveries under one spool root do not interfere (r4 VERDICT #8)") {
