@@ -427,10 +427,11 @@ object JqCompiler {
             s => s.getField("vals"))
           val guardedFold = when(n > FractionalRangeCap,
             raise_error(concat(
-              lit(s"jq: fractional-step range of "), n.cast("string"),
+              lit(s"jq: fractional range of "), n.cast("string"),
               lit(s" elements exceeds the $FractionalRangeCap cap — the " +
-                "accumulate fold is quadratic in copies; use an integral " +
-                "step or shrink the range"))).cast("array<string>"))
+                "accumulate fold is quadratic in copies; make BOTH from " +
+                "and step integral (the O(n) path) or shrink the range")))
+              .cast("array<string>"))
             .otherwise(coalesce(fold, emptyOut))
           val integral = from === floor(from) && step === floor(step)
           (when(integral, closed).otherwise(guardedFold), None)

@@ -469,8 +469,8 @@ object PipelineConfig {
           new IllegalArgumentException("output batching needs a `check`"))
         require(check.nonEmpty, "output batching `check` must be non-empty")
         val maxFlushes = opt(b, "max_flushes").map { n =>
-          require(n.isIntegralNumber && n.asInt >= 1,
-            s"batching.max_flushes must be a positive integer, got $n")
+          require(n.isIntegralNumber && n.canConvertToInt && n.asInt >= 1,
+            s"batching.max_flushes must be a positive 32-bit integer, got $n")
           n.asInt
         }.getOrElse(graft.streaming.CheckBatching.MaxFlushes)
         val order = opt(b, "order").map { n =>

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Trigger-time check-batching — the reference's batching-policy
@@ -58,18 +58,30 @@ object CheckBatching {
         "flush boundaries; without one the cuts would follow partition " +
         "layout, not reference message order — add the column or name " +
         "another via orderCol")
-    // a structurally non-numeric order column would cast to all-null
-    // and silently degrade to partition-order cuts — the exact failure
-    // this guard family exists to prevent (r5 review); reject the TYPE
-    // at the driver and any null-cast VALUE per row at runtime
+    // a structurally unusable order column would otherwise cast to
+    // all-null (or truncate into ties) and silently degrade to
+    // partition-order cuts — the exact failure this guard family
+    // exists to prevent (r5 review). Types map to a NON-TRUNCATING
+    // long order: timestamps via unix_micros (a plain long cast drops
+    // sub-second precision — same-second rows would tie and cut
+    // nondeterministically), dates via their epoch-day, integral
+    // numerics/strings via cast; fractional numerics are rejected
+    // (1.2 and 1.9 tie at long 1).
     import org.apache.spark.sql.types._
-    val dt = df.schema(df.schema.fieldIndex(orderCol)).dataType
-    require(dt.isInstanceOf[NumericType] || dt == StringType ||
-        dt == TimestampType || dt == DateType,
-      s"check-batching order column '$orderCol' has type ${dt.simpleString} " +
-        "— it cannot define a numeric total order; use a numeric/" +
-        "timestamp column (or numeric strings)")
-    val ord = coalesce(col(orderCol).cast("long"),
+    val dt = df.schema(orderCol).dataType
+    val rawOrd: Column = dt match {
+      case TimestampType => unix_micros(col(orderCol))
+      case DateType => unix_date(col(orderCol)).cast("long")
+      case ByteType | ShortType | IntegerType | LongType | StringType =>
+        col(orderCol).cast("long")
+      case d: DecimalType if d.scale == 0 => col(orderCol).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"check-batching order column '$orderCol' has type " +
+          s"${other.simpleString} — fractional or non-orderable values " +
+          "truncate into ties under a long order; use an integral " +
+          "numeric, string, timestamp, or date column")
+    }
+    val ord = coalesce(rawOrd,
       raise_error(concat(
         lit(s"check-batching: order column '$orderCol' has a null or " +
           "non-numeric value ("),

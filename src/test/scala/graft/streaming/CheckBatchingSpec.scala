@@ -89,18 +89,31 @@ class CheckBatchingSpec extends SparkTestBase {
       .select("n", CheckBatching.BatchCol).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ids == Map(1L -> 0L, 2L -> 0L))
-    // a structurally non-numeric order column is rejected at the
-    // driver, and a null order VALUE errors at runtime — neither may
-    // silently degrade to partition-order cuts (r5 review)
-    val structs = Seq(("a", 1L)).toDF("v", "n")
-      .withColumn("o", org.apache.spark.sql.functions.struct($"n"))
+    // a structurally unusable order column is rejected at the driver
+    // (structs can't order; fractional doubles truncate into ties),
+    // and a null order VALUE errors at runtime — none may silently
+    // degrade to partition-order cuts (r5 review)
+    import org.apache.spark.sql.functions.{struct => fstruct, col => fcol}
+    val structs = Seq(("a", 1L)).toDF("v", "n").withColumn("o", fstruct($"n"))
     val e2 = intercept[IllegalArgumentException](
       CheckBatching.withBatchIds(structs, "this.v", orderCol = "o"))
-    assert(e2.getMessage.contains("total order"))
+    assert(e2.getMessage.contains("order"))
+    val doubles = Seq(("a", 1.2), ("b", 1.9)).toDF("v", "d")
+    intercept[IllegalArgumentException](
+      CheckBatching.withBatchIds(doubles, "this.v", orderCol = "d"))
     val withNull = Seq(("a", java.lang.Long.valueOf(1L)), ("b", null))
       .toDF("v", "seq")
     intercept[Exception](
       CheckBatching.withBatchIds(withNull, "this.v").collect())
+    // timestamps order by MICROSECONDS: same-second rows must not tie
+    // (a plain long cast truncates to seconds — r5 review)
+    val ts = Seq(("a", "2024-01-01 00:00:00.1"), ("FLUSH", "2024-01-01 00:00:00.2"),
+        ("b", "2024-01-01 00:00:00.3")).toDF("v", "t")
+      .withColumn("t", fcol("t").cast("timestamp"))
+    val cuts = CheckBatching.withBatchIds(ts, """this.v == "FLUSH"""", orderCol = "t")
+      .select("v", CheckBatching.BatchCol).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cuts == Map("a" -> 0L, "FLUSH" -> 0L, "b" -> 1L))
     // the YAML surface names the order column
     val mapper2 = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
     val p2 = graft.dsl.PipelineConfig.parseSink(mapper2.readTree(
