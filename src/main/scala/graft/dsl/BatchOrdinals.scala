@@ -135,10 +135,21 @@ object BatchOrdinals {
       .withColumn("_bo_val", value.cast("long"))
     val bounds = withOrd.agg(min(col("_bo_ord")).as("_bo_min"),
       max(col("_bo_ord")).as("_bo_max"))
+    // bucket arithmetic runs in DOUBLE: `(ord - min) * p` in long
+    // overflows for wide ord domains (micro-precision timestamps with
+    // a far-future sentinel × hundreds of partitions exceeds 2^63 —
+    // ANSI aborts, legacy wraps into non-monotone buckets, r5 review).
+    // FP multiply/divide by positive constants is monotone, so bucket
+    // assignment stays non-decreasing in ord — rounding can only merge
+    // boundary rows into a neighbor bucket, which affects balance,
+    // never correctness (the window below orders each bucket exactly).
+    val ordD = col("_bo_ord").cast("double")
+    val minD = col("_bo_min").cast("double")
+    val maxD = col("_bo_max").cast("double")
     val bucketed = withOrd.crossJoin(broadcast(bounds))
       .withColumn("_bo_bkt",
-        least(lit(p - 1), floor((col("_bo_ord") - col("_bo_min")) * p /
-          (col("_bo_max") - col("_bo_min") + lit(1)))).cast("int"))
+        least(lit(p - 1), floor((ordD - minD) * p / (maxD - minD + 1.0)))
+          .cast("int"))
     val offsets = bucketed.groupBy(col("_bo_bkt"))
       .agg(sum(col("_bo_val")).as("_bo_cnt"))
       .withColumn("_bo_off", coalesce(

@@ -72,9 +72,23 @@ object CheckBatching {
     val rawOrd: Column = dt match {
       case TimestampType => unix_micros(col(orderCol))
       case DateType => unix_date(col(orderCol)).cast("long")
-      case ByteType | ShortType | IntegerType | LongType | StringType =>
+      case ByteType | ShortType | IntegerType | LongType =>
         col(orderCol).cast("long")
       case d: DecimalType if d.scale == 0 => col(orderCol).cast("long")
+      case StringType =>
+        // value-level guard: a fractional numeric string would tie
+        // under a truncating cast exactly like a double (and a
+        // non-numeric one would die in a generic ANSI cast error far
+        // from this guard's diagnostic) — route both through the
+        // purpose-built raise instead (r5 review)
+        when(col(orderCol).isNull || col(orderCol).rlike("^-?[0-9]+$"),
+          col(orderCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"check-batching: order column '$orderCol' has a " +
+              "non-integral string value ('"),
+            col(orderCol),
+            lit("') — flush boundaries need a total integral order")))
+            .cast("long"))
       case other => throw new IllegalArgumentException(
         s"check-batching order column '$orderCol' has type " +
           s"${other.simpleString} — fractional or non-orderable values " +

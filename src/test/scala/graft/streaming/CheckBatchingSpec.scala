@@ -97,10 +97,18 @@ class CheckBatchingSpec extends SparkTestBase {
     val structs = Seq(("a", 1L)).toDF("v", "n").withColumn("o", fstruct($"n"))
     val e2 = intercept[IllegalArgumentException](
       CheckBatching.withBatchIds(structs, "this.v", orderCol = "o"))
-    assert(e2.getMessage.contains("order"))
+    assert(e2.getMessage.contains("truncate into ties"))
     val doubles = Seq(("a", 1.2), ("b", 1.9)).toDF("v", "d")
     intercept[IllegalArgumentException](
       CheckBatching.withBatchIds(doubles, "this.v", orderCol = "d"))
+    // fractional numeric STRINGS hit the purpose-built per-row raise,
+    // not a generic cast error or a silent tie (r5 review)
+    val fracStr = Seq(("a", "1.2"), ("b", "1.9")).toDF("v", "s")
+    val e3 = intercept[Exception](
+      CheckBatching.withBatchIds(fracStr, "this.v", orderCol = "s").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e3).exists(_.contains("non-integral string")))
     val withNull = Seq(("a", java.lang.Long.valueOf(1L)), ("b", null))
       .toDF("v", "seq")
     intercept[Exception](
