@@ -133,11 +133,39 @@ class PlanSpec extends SparkTestBase {
     // vector re-joins (partitioned by a single id).
     val offenders = shuffles.filter { s =>
       val n = partNames(s)
-      (n.contains("sig") || (n.contains("id_a") && n.contains("id_b"))) && carriesArray(s)
+      (n.contains("tsig") || (n.contains("id_a") && n.contains("id_b"))) && carriesArray(s)
     }
     assert(shuffles.nonEmpty)
+    // the filter must actually SEE the candidate bucket shuffle — a
+    // column rename would otherwise hollow the guard out silently
+    assert(shuffles.exists(s => partNames(s).contains("tsig")),
+      "no shuffle partitioned by the bucket signature found — " +
+        "did the candidate join's column name change?")
     assert(offenders.isEmpty,
       s"candidate/pair shuffle carries embedding arrays:\n${offenders.map(_.child.output).mkString("\n")}")
+  }
+
+  test("minHash candidatePairs: capped bucket self-join shuffles carry no shingle arrays") {
+    // same contract as the lshNearDups guard for the text-dedup path:
+    // the banded candidate shuffles (band_idx, band_hash) and the
+    // pair-distinct move ids + band hashes + the window's bucket
+    // stats — never the shingle arrays, which re-join only for the
+    // surviving pairs' verify step
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val shuffles = try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+      val cfg = ops.Dedup.MinHashConfig()
+      val out = ops.Dedup.candidatePairs(
+        ops.Dedup.withSignature(docs, "doc_id", "text", cfg), cfg)
+      out.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(shuffles.nonEmpty)
+    val offenders = shuffles.filter(_.child.output.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(offenders.isEmpty,
+      s"candidate shuffle carries array columns:\n${offenders.map(_.child.output).mkString("\n")}")
   }
 
   test("batch ordinals never use a single-partition window over the data") {

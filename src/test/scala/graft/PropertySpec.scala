@@ -193,6 +193,44 @@ class PropertySpec extends SparkTestBase {
     }, n = 20)
   }
 
+  test("bucket cap preserves near-dup clusters on random duplicate-group corpora") {
+    import spark.implicits._
+    // corpora of exact-duplicate groups + unique fillers: for such
+    // corpora star routing is provably connectivity-equivalent (every
+    // member of an oversized bucket's duplicate group verifies
+    // identically against the representative), so capped and uncapped
+    // runs must produce the SAME cluster partition — any deviation is
+    // a cap-plumbing bug, not a semantics choice
+    val word = Gen.oneOf("lorem", "ipsum", "dolor", "sit", "amet", "quia",
+      "sed", "unde", "omnis", "natus")
+    val text = Gen.listOfN(8, word).map(_.mkString(" "))
+    val corpusGen = for {
+      nGroups <- Gen.choose(1, 3)
+      groups <- Gen.listOfN(nGroups, for {
+        t <- text; copies <- Gen.choose(2, 15)
+      } yield (t, copies))
+      uniques <- Gen.choose(0, 6)
+      uts <- Gen.listOfN(uniques, Gen.listOfN(5,
+        Gen.choose(10000, 99999).map(n => s"w$n")).map(_.mkString(" ")))
+    } yield {
+      val dup = groups.zipWithIndex.flatMap { case ((t, m), g) =>
+        (0 until m).map(i => (g * 1000L + i, t))
+      }
+      dup ++ uts.zipWithIndex.map { case (t, i) => (90000L + i, t) }
+    }
+    check(Prop.forAllNoShrink(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      def clustersOf(cap: Int): Set[Set[Long]] = {
+        val cfg = graft.ops.Dedup.MinHashConfig(bucketCap = cap)
+        val pairs = graft.ops.Dedup.minHashNearDups(df, "doc_id", "text", 0.9, cfg)
+        graft.ops.Dedup.clusters(df.select(col("doc_id").as("id")), pairs)
+          .collect().map(r => (r.getLong(1), r.getLong(0)))
+          .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+      }
+      Prop(clustersOf(2) == clustersOf(1000000))
+    }, n = 8)
+  }
+
   test("diff/patch: patch(a, diff(a,b)) == b on random JSON documents") {
     import com.fasterxml.jackson.databind.JsonNode
     import graft.functions.DiffSupport
