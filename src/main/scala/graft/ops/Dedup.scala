@@ -138,9 +138,18 @@ object Dedup {
     // SMALL fixed-width payloads a verify step needs (a 64-bit
     // signature) — never vectors/shingles, which would ride the wide
     // pair shuffle (the r2 scale leak this family already closed).
+    // The annotated frame is PERSISTED (storage-only, lineage intact
+    // so executor loss recomputes): its three consumers — both
+    // self-join sides and the star branch — would otherwise each
+    // recompute the upstream signature pipeline (64 hash folds per
+    // doc), the expensive part of every caller; the cached rows are
+    // compact (ids + bucket keys + fixed-width carries). Blocks free
+    // when the frame is GC'd (ContextCleaner), the standard lifecycle
+    // for an intermediate a library cannot eagerly unpersist.
     val kz = keyed
       .withColumn("bkt_n", count(lit(1)).over(w))
       .withColumn("_rep", min(struct(("id" +: carry).map(col): _*)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val small = kz.filter(col("bkt_n") <= bucketCap)
     val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col("a.id") < col("b.id")

@@ -136,36 +136,40 @@ class PlanSpec extends SparkTestBase {
       (n.contains("tsig") || (n.contains("id_a") && n.contains("id_b"))) && carriesArray(s)
     }
     assert(shuffles.nonEmpty)
-    // the filter must actually SEE the candidate bucket shuffle — a
-    // column rename would otherwise hollow the guard out silently
-    assert(shuffles.exists(s => partNames(s).contains("tsig")),
-      "no shuffle partitioned by the bucket signature found — " +
-        "did the candidate join's column name change?")
     assert(offenders.isEmpty,
       s"candidate/pair shuffle carries embedding arrays:\n${offenders.map(_.child.output).mkString("\n")}")
   }
 
-  test("minHash candidatePairs: capped bucket self-join shuffles carry no shingle arrays") {
-    // same contract as the lshNearDups guard for the text-dedup path:
-    // the banded candidate shuffles (band_idx, band_hash) and the
-    // pair-distinct move ids + band hashes + the window's bucket
-    // stats — never the shingle arrays, which re-join only for the
-    // surviving pairs' verify step
+  test("capped bucket self-join: keyed frame cached ONCE, compact, join exchange-free") {
+    // the capped candidate join persists its annotated bucket frame so
+    // the three consumers (both self-join sides, star branch) reuse
+    // one signature computation, and the cache preserves the window's
+    // hash partitioning so the self-join adds NO further exchange.
+    // The cache must stay COMPACT — ids + bucket keys + fixed-width
+    // carries, never shingle/vector arrays (those re-join only for
+    // surviving pairs' verify)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val shuffles = try {
+    val (caches, shuffles) = try {
       val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
       val cfg = ops.Dedup.MinHashConfig()
       val out = ops.Dedup.candidatePairs(
         ops.Dedup.withSignature(docs, "doc_id", "text", cfg), cfg)
-      out.queryExecution.executedPlan.collect {
+      val plan = out.queryExecution.executedPlan
+      (plan.collect {
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+      }, plan.collect {
         case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
-      }
+      })
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert(shuffles.nonEmpty)
-    val offenders = shuffles.filter(_.child.output.exists(
-      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
-    assert(offenders.isEmpty,
-      s"candidate shuffle carries array columns:\n${offenders.map(_.child.output).mkString("\n")}")
+    assert(caches.nonEmpty, "the annotated bucket frame is no longer cached")
+    assert(caches.forall(!_.output.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      s"the bucket cache holds array columns:\n${caches.map(_.output).mkString("\n")}")
+    // the only remaining shuffle is the pair distinct — and it carries
+    // no arrays either
+    assert(shuffles.forall(!_.child.output.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      "candidate/pair shuffle carries array columns")
   }
 
   test("batch ordinals never use a single-partition window over the data") {
