@@ -138,24 +138,28 @@ object Dedup {
     // SMALL fixed-width payloads a verify step needs (a 64-bit
     // signature) — never vectors/shingles, which would ride the wide
     // pair shuffle (the r2 scale leak this family already closed).
-    // The annotated frame is PERSISTED (storage-only, lineage intact
-    // so executor loss recomputes): its three consumers — both
-    // self-join sides and the star branch — would otherwise each
-    // recompute the upstream signature pipeline (64 hash folds per
-    // doc), the expensive part of every caller; the cached rows are
-    // compact (ids + bucket keys + fixed-width carries). Blocks free
-    // when the frame is GC'd (ContextCleaner), the standard lifecycle
-    // for an intermediate a library cannot eagerly unpersist.
+    // NOT persisted: Dataset.persist registers in the session's
+    // CacheManager, which holds strong references until an explicit
+    // unpersist — a lazy library op would leak one cache entry per
+    // call for the session's lifetime, and cross-call plan matching
+    // would silently serve stale results after an external overwrite
+    // (r5 review). Compute-once sharing comes from the PLAN instead:
+    // the self-join is hinted SHUFFLE_MERGE, so both sides are
+    // canonically identical shuffle exchanges over the window output
+    // and Catalyst's ReuseExchange materializes the signature
+    // pipeline ONCE (AQE's broadcast conversion at small scale would
+    // otherwise turn one side into a broadcast and recompute the
+    // other; at real scale SMJ is what the planner picks anyway).
     val kz = keyed
       .withColumn("bkt_n", count(lit(1)).over(w))
       .withColumn("_rep", min(struct(("id" +: carry).map(col): _*)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val small = kz.filter(col("bkt_n") <= bucketCap)
     val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     def sides(c: String) =
       Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))
-    val full = small.as("a").join(small.as("b"), joinCond)
+    val full = small.as("a").hint("shuffle_merge")
+      .join(small.as("b").hint("shuffle_merge"), joinCond)
       .select(sides("id") ++ carry.flatMap(sides): _*)
     val star = kz.filter(col("bkt_n") > bucketCap && col("id") =!= col("_rep.id"))
       .select(col("_rep.id").as("id_a") +: col("id").as("id_b") +:

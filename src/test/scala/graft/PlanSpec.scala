@@ -140,33 +140,36 @@ class PlanSpec extends SparkTestBase {
       s"candidate/pair shuffle carries embedding arrays:\n${offenders.map(_.child.output).mkString("\n")}")
   }
 
-  test("capped bucket self-join: keyed frame cached ONCE, compact, join exchange-free") {
-    // the capped candidate join persists its annotated bucket frame so
-    // the three consumers (both self-join sides, star branch) reuse
-    // one signature computation, and the cache preserves the window's
-    // hash partitioning so the self-join adds NO further exchange.
-    // The cache must stay COMPACT — ids + bucket keys + fixed-width
-    // carries, never shingle/vector arrays (those re-join only for
-    // surviving pairs' verify)
+  test("capped bucket self-join: SMJ self-join, no cache entry, no arrays in shuffles") {
+    // the capped candidate join must NOT register anything in the
+    // session CacheManager (a lazy library op persisting would leak
+    // one cache entry per call for the session's lifetime and serve
+    // stale data across external overwrites — r5 review), the
+    // self-join must be the hinted SortMergeJoin (sides are identical
+    // shuffle plans; AQE's broadcast conversion would recompute the
+    // signature pipeline per side), and no shuffle may carry
+    // shingle/vector arrays (those re-join only for surviving pairs'
+    // verify)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val (caches, shuffles) = try {
+    val before = spark.sharedState.cacheManager.isEmpty
+    val (smjs, caches, shuffles) = try {
       val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
       val cfg = ops.Dedup.MinHashConfig()
       val out = ops.Dedup.candidatePairs(
         ops.Dedup.withSignature(docs, "doc_id", "text", cfg), cfg)
       val plan = out.queryExecution.executedPlan
       (plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }, plan.collect {
         case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
       }, plan.collect {
         case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
       })
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert(caches.nonEmpty, "the annotated bucket frame is no longer cached")
-    assert(caches.forall(!_.output.exists(
-        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
-      s"the bucket cache holds array columns:\n${caches.map(_.output).mkString("\n")}")
-    // the only remaining shuffle is the pair distinct — and it carries
-    // no arrays either
+    assert(smjs.nonEmpty, "capped self-join is not a SortMergeJoin")
+    assert(caches.isEmpty && (!before || spark.sharedState.cacheManager.isEmpty),
+      "the capped self-join registered a cache entry (session-lifetime leak)")
+    assert(shuffles.nonEmpty)
     assert(shuffles.forall(!_.child.output.exists(
         _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
       "candidate/pair shuffle carries array columns")
